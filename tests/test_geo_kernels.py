@@ -1,0 +1,174 @@
+"""Geo kernel tests: WebMercator goldens vs an independent scalar
+implementation, PiP vs the naive oracle, simplification and raster
+round-trip invariants (FIXTURES.md §4)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from cloudtile_ray.geo import pip, raster, simplify, webmercator as wm
+
+
+def scalar_tile(lon, lat, z):
+    """Independent scalar reference (osgeo wiki formulation)."""
+    lat = min(max(lat, wm.MIN_LAT), wm.MAX_LAT)
+    n = 2**z
+    x = int((lon + 180.0) / 360.0 * n)
+    lat_rad = math.radians(lat)
+    y = int((1.0 - math.log(math.tan(lat_rad) + 1 / math.cos(lat_rad)) / math.pi) / 2.0 * n)
+    return min(max(x, 0), n - 1), min(max(y, 0), n - 1)
+
+
+class TestWebMercator:
+    def test_known_tiles(self):
+        # hand-checked: null island at z=1 is tile (1, 1) quadrant SE? No:
+        # (0,0) -> x = floor(0.5*2)=1, y = floor(0.5*2)=1
+        x, y = wm.lonlat_to_tile(np.array([0.0]), np.array([0.0]), 1)
+        assert (x[0], y[0]) == (1, 1)
+        # Chicago (-87.63, 41.88) at z=10 -> x=262, y=380 (known value)
+        x, y = wm.lonlat_to_tile(np.array([-87.63]), np.array([41.88]), 10)
+        assert (x[0], y[0]) == (262, 380)
+
+    @pytest.mark.parametrize("z", [0, 1, 4, 6, 12])
+    def test_matches_scalar_reference(self, z):
+        rng = np.random.default_rng(42)
+        lon = rng.uniform(-180, 180, 500)
+        lat = rng.uniform(-85.0511, 85.0511, 500)
+        # include the edge rows from FIXTURES.md §1
+        lon = np.r_[lon, -180.0, 180.0, 0.0, 179.999]
+        lat = np.r_[lat, -85.0511, 85.0511, 0.0, 0.0]
+        x, y = wm.lonlat_to_tile(lon, lat, z)
+        for i in range(len(lon)):
+            assert (x[i], y[i]) == scalar_tile(lon[i], lat[i], z), (lon[i], lat[i], z)
+
+    def test_tile_key_roundtrip(self):
+        z = np.array([0, 6, 29])
+        x = np.array([0, 33, (1 << 29) - 1])
+        y = np.array([0, 21, (1 << 29) - 1])
+        zz, xx, yy = wm.unpack_tile_key(wm.tile_key(z, x, y))
+        np.testing.assert_array_equal(zz, z)
+        np.testing.assert_array_equal(xx, x)
+        np.testing.assert_array_equal(yy, y)
+
+    def test_pixel_projection_in_range(self):
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-180, 180, 200)
+        lat = rng.uniform(-85, 85, 200)
+        tx, ty, px, py = wm.lonlat_to_pixel(lon, lat, 8)
+        assert px.min() >= 0 and px.max() < wm.DEFAULT_EXTENT
+        assert py.min() >= 0 and py.max() < wm.DEFAULT_EXTENT
+        x2, y2 = wm.lonlat_to_tile(lon, lat, 8)
+        np.testing.assert_array_equal(tx, x2)
+        np.testing.assert_array_equal(ty, y2)
+
+    def test_tile_bounds_contains_center(self):
+        for z in (2, 5):
+            x = np.arange(2**z)
+            y = np.arange(2**z)
+            w, s, e, n = wm.tile_bounds(z, x, y)
+            clon = (w + e) / 2
+            clat = (s + n) / 2
+            xx, yy = wm.lonlat_to_tile(clon, clat, z)
+            np.testing.assert_array_equal(xx, x)
+            np.testing.assert_array_equal(yy, y)
+
+
+def random_convex_polygon(rng, cx, cy, r, n):
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+    return np.c_[cx + r * np.cos(angles), cy + r * np.sin(angles)]
+
+
+class TestPip:
+    def test_matches_naive_oracle(self):
+        rng = np.random.default_rng(42)
+        polys = []
+        for _ in range(30):
+            cx, cy = rng.uniform(-50, 50, 2)
+            polys.append([random_convex_polygon(rng, cx, cy, rng.uniform(2, 10), rng.integers(4, 24))])
+        # one polygon with a hole
+        outer = random_convex_polygon(rng, 0, 0, 40, 16)
+        hole = random_convex_polygon(rng, 0, 0, 15, 8)
+        polys.append([outer, hole])
+        px = rng.uniform(-60, 60, 400)
+        py = rng.uniform(-60, 60, 400)
+        idx = pip.PipIndex(polys)
+        got = set(zip(*[a.tolist() for a in idx.query(px, py)]))
+        want = set(pip.naive_pip(polys, px, py))
+        assert got == want
+        assert len(want) > 50  # sanity: the fixture actually exercises hits
+
+    def test_hole_excluded(self):
+        square = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], dtype=float)
+        hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6]], dtype=float)
+        idx = pip.PipIndex([[square, hole]])
+        pts_x = np.array([5.0, 2.0, 11.0])
+        pts_y = np.array([5.0, 2.0, 5.0])
+        pi, pl = idx.query(pts_x, pts_y)
+        assert list(pi) == [1]  # only the (2,2) point; (5,5) is in the hole
+
+    def test_strtree_box_query(self):
+        rng = np.random.default_rng(1)
+        boxes = np.empty((200, 4))
+        boxes[:, 0] = rng.uniform(0, 90, 200)
+        boxes[:, 1] = rng.uniform(0, 90, 200)
+        boxes[:, 2] = boxes[:, 0] + rng.uniform(0.5, 5, 200)
+        boxes[:, 3] = boxes[:, 1] + rng.uniform(0.5, 5, 200)
+        tree = pip.STRtree(boxes)
+        q = np.array([[10, 10, 30, 30], [80, 80, 81, 81], [-5, -5, -1, -1]])
+        qi, ii = tree.query_boxes(q)
+        got = set(zip(qi.tolist(), ii.tolist()))
+        want = set()
+        for a in range(q.shape[0]):
+            for b in range(boxes.shape[0]):
+                if (q[a, 0] <= boxes[b, 2] and q[a, 2] >= boxes[b, 0]
+                        and q[a, 1] <= boxes[b, 3] and q[a, 3] >= boxes[b, 1]):
+                    want.add((a, b))
+        assert got == want
+
+    def test_empty_inputs(self):
+        idx = pip.PipIndex([[np.array([[0, 0], [1, 0], [1, 1]], dtype=float)]])
+        pi, pl = idx.query(np.empty(0), np.empty(0))
+        assert pi.size == 0 and pl.size == 0
+
+
+class TestSimplify:
+    def test_dp_collinear_dropped(self):
+        pts = np.array([[0, 0], [1, 0.001], [2, 0], [3, 0.001], [4, 0]], dtype=float)
+        mask = simplify.douglas_peucker_mask(pts, tolerance=0.01)
+        assert mask[0] and mask[-1]
+        assert mask.sum() == 2  # everything within tolerance of the chord
+        mask2 = simplify.douglas_peucker_mask(pts, tolerance=1e-5)
+        assert mask2.all()
+
+    def test_dp_preserves_spike(self):
+        pts = np.array([[0, 0], [1, 0], [2, 5], [3, 0], [4, 0]], dtype=float)
+        mask = simplify.douglas_peucker_mask(pts, tolerance=0.5)
+        assert mask[2]  # the spike survives
+
+    def test_ring_stays_valid(self):
+        ring = np.array([[0, 0], [1, 0.0001], [2, 0], [1, -0.0001]], dtype=float)
+        out = simplify.simplify_ring(ring, tolerance=10.0)
+        assert out.shape[0] >= 3
+
+    def test_visvalingam_drops_small_triangles(self):
+        pts = np.array([[0, 0], [1, 0.01], [2, 0], [3, 4], [4, 0]], dtype=float)
+        mask = simplify.visvalingam_mask(pts, min_area=0.5)
+        assert mask[0] and mask[-1] and mask[3]
+        assert not mask[1]
+
+
+class TestRaster:
+    def test_rasterize_square(self):
+        ring = np.array([[2, 2], [8, 2], [8, 8], [2, 8]], dtype=float)
+        g = raster.rasterize([ring], (0, 0, 10, 10), 10, 10)
+        assert g[5, 5] == 1 and g[0, 0] == 0
+        assert g.sum() == 36  # 6x6 cell centers inside
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_roundtrip(self, seed):
+        rng = np.random.default_rng(seed)
+        g = (rng.random((12, 12)) < 0.4).astype(np.uint8)
+        rings = raster.vectorize(g, (0, 0, 12, 12))
+        g2 = raster.rasterize(rings, (0, 0, 12, 12), 12, 12)
+        np.testing.assert_array_equal(g, g2)
