@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship single-step pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names — the driver's compare is
+name-sensitive). Ray is initialised by the driver BEFORE import; nothing
+here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
@@ -18,27 +13,563 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+from cloudtile_ray.sources.pages import (
+    KNN_QUERIES_MI,
+    N_ZONES,
+    PAGES_SQL_CTE,
+    ZONES_SQL_CTE,
+    zone_rings,
+)
+
+_ZONE_IDS = np.arange(N_ZONES, dtype=np.int64)
+_ZONE_NAMES = [f"zone-{j}" for j in range(N_ZONES)]
+
+# DuckDB WebMercator tile exprs — operation order matches
+# cloudtile_ray.geo.webmercator.lonlat_to_tile exactly.
+_TILE_X = "CAST(GREATEST(0.0, LEAST(CAST((1 << z) - 1 AS DOUBLE), floor((lon_mi/1000.0 + 180.0)/360.0*(1 << z)))) AS BIGINT)"
+_TILE_Y = (
+    "CAST(GREATEST(0.0, LEAST(CAST((1 << z) - 1 AS DOUBLE), "
+    "floor((1.0 - ln(tan(radians(lat_mi/1000.0)) + 1.0/cos(radians(lat_mi/1000.0)))/pi())/2.0*(1 << z)))) AS BIGINT)"
+)
+
+
+def _geocoded(sf_dir: str):
+    from cloudtile_ray.pipelines.single_step import geocoded_dataset
+
+    return geocoded_dataset(sf_dir)
+
+
+def _geo_only(sf_dir: str):
+    import pyarrow.compute as pc
+
+    return _geocoded(sf_dir).map_batches(
+        lambda t: t.filter(pc.equal(t.column("has_geo"), True)),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-checked queries
+# ---------------------------------------------------------------------------
+
+
+def q_pages_build(sf_dir: str):
+    return _geocoded(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "url", "lang", "lat_mi", "lon_mi"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_tile_assign_z6(sf_dir: str):
+    from cloudtile_ray.stages.index import AssignTiles
+
+    return (
+        _geo_only(sf_dir)
+        .map_batches(AssignTiles(6, 6), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["doc_id", "z", "x", "y"]), batch_format="pyarrow")
+    )
+
+
+def q_tile_ladder_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from cloudtile_ray.stages.index import AssignTiles
+
+    exploded = _geo_only(sf_dir).map_batches(AssignTiles(4, 6), batch_format="pyarrow")
+    return (
+        exploded.map_batches(lambda t: t.select(["z", "x", "y"]), batch_format="pyarrow")
+        .groupby(["z", "x", "y"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def _pip(sf_dir: str, how: str, shuffle: bool = False):
+    from cloudtile_ray.stages import join as join_stage
+
+    ds = _geo_only(sf_dir)
+    fn = join_stage.shuffle_pip_join if shuffle else join_stage.broadcast_pip_join
+    return fn(ds, zone_rings(), _ZONE_IDS, _ZONE_NAMES, how=how)
+
+
+def q_pip_inner(sf_dir: str):
+    return _pip(sf_dir, "inner").map_batches(
+        lambda t: t.select(["doc_id", "zone_id", "zone_name"]), batch_format="pyarrow"
+    )
+
+
+def q_pip_inner_shuffle(sf_dir: str):
+    return _pip(sf_dir, "inner", shuffle=True).map_batches(
+        lambda t: t.select(["doc_id", "zone_id", "zone_name"]), batch_format="pyarrow"
+    )
+
+
+def q_pip_semi(sf_dir: str):
+    return _pip(sf_dir, "semi").map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+def q_pip_anti(sf_dir: str):
+    return _pip(sf_dir, "anti").map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+def q_knn_points(sf_dir: str):
+    from cloudtile_ray.stages.join import knn
+
+    return knn(_geo_only(sf_dir), KNN_QUERIES_MI, k=5)
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.dedup import add_text_prefix_key, exact_dedup_keys
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_text_prefix_key, batch_format="pyarrow")
+    return exact_dedup_keys(ds, "text_prefix")
+
+
+def q_token_stats(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.text import token_stats_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "n_chars_actual"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_quality(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.text import quality_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "alpha_chars", "alpha_ratio"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.text import fingerprint_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
+
+
+def q_lang_agg(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        p = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "price_cents", pa.array(np.rint(p * 100).astype(np.int64))
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+def q_top_customers(sf_dir: str):
+    import pyarrow as pa
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def cents(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "price_cents", pa.array(np.rint(p * 100).astype(np.int64))
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    totals = (
+        orders.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("price_cents", alias_name="total_cents"))
+    )
+    # broadcast the small dimension table (ray.put once, read per batch)
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    cust_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())))
+
+    def add_name(t: pa.Table) -> pa.Table:
+        lookup = ray.get(cust_ref)
+        keys = t.column("o_custkey").to_pylist()
+        names = [lookup.get(k) for k in keys]
+        out = t.append_column("c_name", pa.array(names, pa.string()))
+        return out.rename_columns(["c_custkey", "total_cents", "c_name"])
+
+    named = totals.map_batches(add_name, batch_format="pyarrow")
+    top = named.sort(["total_cents", "c_custkey"], descending=[True, False]).limit(10)
+    return top.map_batches(
+        lambda t: t.select(["c_custkey", "c_name", "total_cents"]), batch_format="pyarrow"
+    )
+
+
+def q_events_hourly(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        out = t.append_column("hour_id", pa.array(ts // 3_600_000_000))
+        return out.append_column("value_cents", pa.array(np.rint(v * 100).astype(np.int64)))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["hour_id", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+def q_knn_embedding(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cloudtile_ray.stages.similarity import brute_force_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 3)).sort_by("vec_id")
+    queries = np.stack(qt.column("embedding").to_numpy(zero_copy_only=False))
+    cands = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("vec_id"), 3)),
+        batch_format="pyarrow",
+    )
+    res = brute_force_topk(cands, queries, k=5)
+    return res.select(["q_id", "vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: cell indexes, tile encode, sketches)
+# ---------------------------------------------------------------------------
+
+
+def q_cell_index(sf_dir: str):
+    from cloudtile_ray.stages.index import AddCellIndexes
+
+    return (
+        _geo_only(sf_dir)
+        .map_batches(AddCellIndexes(s2_level=16, hex_res=9), batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["doc_id", "s2_cell", "hex_cell"]), batch_format="pyarrow"
+        )
+    )
+
+
+def q_tiles_full(sf_dir: str):
+    from cloudtile_ray.pipelines.single_step import single_step
+
+    tiles = single_step(sf_dir, 4, 6)
+    return tiles.map_batches(
+        lambda t: t.drop_columns(["tile_bytes"]), batch_format="pyarrow"
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.dedup import minhash_dedup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.dedup import simhash_near_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_pairs(ds, max_hamming=3)
+
+
+def q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.9)
+
+
+def q_ivf_ann(sf_dir: str):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cloudtile_ray.stages.similarity import ivf_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 3)).sort_by("vec_id")
+    queries = np.stack(qt.column("embedding").to_numpy(zero_copy_only=False))
+    cands = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("vec_id"), 3)),
+        batch_format="pyarrow",
+    )
+    return ivf_topk(cands, queries, k=5)
+
+
+def q_langid(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.text import LangId
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).map_batches(
+        lambda t: t.select(["doc_id", "lang_pred", "lang_score"]), batch_format="pyarrow"
+    )
+
+
+def q_rolling_fp(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.text import rolling_fingerprint_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(rolling_fingerprint_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "rolling_fp"]), batch_format="pyarrow"
+    )
+
+
+def q_media_decode(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.multimodal import decode_media, synthesize_media_table
+
+    ds = ray.data.from_arrow(synthesize_media_table(200))
+    return decode_media(ds, fake=True)
+
+
+def q_hex_knn(sf_dir: str):
+    from cloudtile_ray.stages.join import hex_bucketed_knn
+
+    return hex_bucketed_knn(_geo_only(sf_dir), KNN_QUERIES_MI, k=5, res=2)
+
+
+def q_raster_roundtrip(sf_dir: str):
+    """Rasterize the zone polygons onto per-zone grids and vectorize back —
+    returns per-zone cell counts (rows-only; geometric op)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.geo.raster import rasterize, vectorize
+
+    rings = zone_rings()
+
+    def do(batch: pa.Table) -> pa.Table:
+        ids = batch.column("zone_id").to_pylist()
+        filled, filled2 = [], []
+        for j in ids:
+            r = rings[j][0]
+            w, s = r[:, 0].min(), r[:, 1].min()
+            e, n = r[:, 0].max(), r[:, 1].max()
+            g = rasterize(rings[j], (w, s, e, n), 16, 16)
+            rr = vectorize(g, (w, s, e, n))
+            g2 = rasterize(rr, (w, s, e, n), 16, 16)
+            filled.append(int(g.sum()))
+            filled2.append(int(g2.sum()))
+        return pa.table(
+            {
+                "zone_id": pa.array(ids, pa.int64()),
+                "filled_cells": pa.array(filled, pa.int64()),
+                "roundtrip_cells": pa.array(filled2, pa.int64()),
+            }
+        )
+
+    ds = ray.data.from_items([{"zone_id": j} for j in range(N_ZONES)])
+    return ds.map_batches(do, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from cloudtile_ray.pipelines.single_step import single_step
+
+    return single_step("/root/testdata/sf0.001", 4, 6)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pages_build": q_pages_build,
+        "tile_assign_z6": q_tile_assign_z6,
+        "tile_ladder_counts": q_tile_ladder_counts,
+        "pip_inner": q_pip_inner,
+        "pip_inner_shuffle": q_pip_inner_shuffle,
+        "pip_semi": q_pip_semi,
+        "pip_anti": q_pip_anti,
+        "knn_points": q_knn_points,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "lang_agg": q_lang_agg,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_hourly": q_events_hourly,
+        "knn_embedding": q_knn_embedding,
+        # rows-only
+        "cell_index": q_cell_index,
+        "tiles_full": q_tiles_full,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "ivf_ann": q_ivf_ann,
+        "langid": q_langid,
+        "rolling_fp": q_rolling_fp,
+        "media_decode": q_media_decode,
+        "hex_knn": q_hex_knn,
+        "raster_roundtrip": q_raster_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    prefix = f"WITH {PAGES_SQL_CTE.strip()}, {ZONES_SQL_CTE.strip()}"
+    zoom_ladder = "(VALUES (4), (5), (6)) zs(z)"
+    return {
+        "pages_build": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT doc_id, url, lang,
+                   CASE WHEN has_geo THEN lat_mi END AS lat_mi,
+                   CASE WHEN has_geo THEN lon_mi END AS lon_mi
+            FROM pages_url""",
+        "tile_assign_z6": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT doc_id, CAST(z AS BIGINT) AS z, {_TILE_X} AS x, {_TILE_Y} AS y
+            FROM geo, (VALUES (6)) zs(z)""",
+        "tile_ladder_counts": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT CAST(z AS BIGINT) AS z, {_TILE_X} AS x, {_TILE_Y} AS y,
+                   count(*) AS n_docs
+            FROM geo, {zoom_ladder}
+            GROUP BY 1, 2, 3""",
+        "pip_inner": f"""{prefix}
+            SELECT g.doc_id, z.zone_id, z.zone_name
+            FROM geo g JOIN zones z
+              ON g.lon_mi BETWEEN z.west_mi AND z.east_mi
+             AND g.lat_mi BETWEEN z.south_mi AND z.north_mi""",
+        "pip_inner_shuffle": f"""{prefix}
+            SELECT g.doc_id, z.zone_id, z.zone_name
+            FROM geo g JOIN zones z
+              ON g.lon_mi BETWEEN z.west_mi AND z.east_mi
+             AND g.lat_mi BETWEEN z.south_mi AND z.north_mi""",
+        "pip_semi": f"""{prefix}
+            SELECT g.doc_id FROM geo g
+            WHERE EXISTS (SELECT 1 FROM zones z
+              WHERE g.lon_mi BETWEEN z.west_mi AND z.east_mi
+                AND g.lat_mi BETWEEN z.south_mi AND z.north_mi)""",
+        "pip_anti": f"""{prefix}
+            SELECT g.doc_id FROM geo g
+            WHERE NOT EXISTS (SELECT 1 FROM zones z
+              WHERE g.lon_mi BETWEEN z.west_mi AND z.east_mi
+                AND g.lat_mi BETWEEN z.south_mi AND z.north_mi)""",
+        "knn_points": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            q AS (SELECT CAST(q_id AS BIGINT) q_id, q_lon, q_lat
+                  FROM (VALUES (0, 0, 0), (1, -87900, 41600), (2, 100000, -45000)) qq(q_id, q_lon, q_lat)),
+            d AS (SELECT q.q_id, g.doc_id,
+                         (g.lon_mi - q.q_lon)*(g.lon_mi - q.q_lon)
+                       + (g.lat_mi - q.q_lat)*(g.lat_mi - q.q_lat) AS d2
+                  FROM geo g CROSS JOIN q),
+            r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, doc_id) rn FROM d)
+            SELECT q_id, doc_id, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn <= 5""",
+        "dedup_exact": """
+            SELECT substr(text, 1, 64) AS text_prefix,
+                   min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1""",
+        "token_stats": """
+            SELECT doc_id,
+                   length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual
+            FROM documents""",
+        "quality": """
+            SELECT doc_id,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars,
+                   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                     / GREATEST(length(text), 1) AS alpha_ratio
+            FROM documents""",
+        "fingerprint": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "lang_agg": """
+            SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2""",
+        "top_customers": """
+            WITH totals AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+              FROM orders GROUP BY o_custkey),
+            ranked AS (
+              SELECT c.c_custkey, c.c_name, t.total_cents,
+                     row_number() OVER (ORDER BY t.total_cents DESC, c.c_custkey) rn
+              FROM totals t JOIN customer c ON c.c_custkey = t.o_custkey)
+            SELECT c_custkey, c_name, total_cents FROM ranked WHERE rn <= 10""",
+        "events_hourly": """
+            SELECT epoch_us(ts) // 3600000000 AS hour_id, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2""",
+        "knn_embedding": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) qe
+                       FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ce
+                  FROM embeddings WHERE vec_id >= 3),
+            s AS (SELECT q.q_id, c.vec_id, list_cosine_similarity(qe, ce) sim
+                  FROM q CROSS JOIN c),
+            r AS (SELECT q_id, vec_id,
+                         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) rn
+                  FROM s)
+            SELECT q_id, vec_id FROM r WHERE rn <= 5""",
+    }

@@ -1,0 +1,83 @@
+"""The flagship "single-step" pipeline — the Ray-Data-native equivalent of
+``cloudtile convert single-step`` (/root/reference/src/cloudtile/converter.py:61-88):
+one fused lazy Dataset chain
+
+    read_parquet(documents) -> build pages -> geocode -> drop html ->
+    cell-index (S2 + hex) -> broadcast PiP join -> per-zoom tile explode ->
+    partial-agg + salted groupby(tile_key) encode -> sort(z, x, y)
+
+No stage materializes the full input (streaming executor + backpressure);
+the only shuffles are the two groupbys over already-reduced tile partials
+and the final sort over one row per tile. Output naming follows the
+reference's ``{stem}-{minz}-{maxz}[-suffix]`` golden
+(/root/reference/src/cloudtile/geofile.py:278-296).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import ray.data
+
+from cloudtile_ray.config import TilingSettings, get_output_name
+from cloudtile_ray.sources import pages as pages_src
+from cloudtile_ray.stages import geocode, index as index_stage, join as join_stage
+from cloudtile_ray.stages.tiles import encode_tiles
+
+
+def pages_dataset(sf_dir: str) -> "ray.data.Dataset":
+    """documents parquet -> pages (url, warc_ts, html, text, lang, doc_id)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(pages_src.build_pages_batch, batch_format="pyarrow")
+
+
+def geocoded_dataset(sf_dir: str, keep_html: bool = False) -> "ray.data.Dataset":
+    ds = pages_dataset(sf_dir).map_batches(geocode.geocode_batch, batch_format="pyarrow")
+    if not keep_html:
+        ds = ds.map_batches(geocode.drop_html, batch_format="pyarrow")
+    return ds
+
+
+def single_step(
+    sf_dir: str,
+    minimum_zoom: int = 4,
+    maximum_zoom: int = 7,
+    config: Optional[str] = None,
+    suffix: str = "",
+    s2_level: int = 16,
+    hex_res: int = 9,
+    output_dir: Optional[str] = None,
+    **tc_kwargs,
+) -> "ray.data.Dataset":
+    """Run the full chain; returns the lazy tiles Dataset (sorted by
+    z, x, y). If ``output_dir`` is given, also writes partitioned parquet
+    under ``{output_dir}/{stem}-{minz}-{maxz}[-suffix]/``."""
+    settings = TilingSettings(cfg_path=config, **tc_kwargs)
+    # positional zooms only apply when not already set by config/kwargs
+    # (override-beats-positional, geofile.py:207-210)
+    settings.set_zooms_if_absent(minimum_zoom, maximum_zoom)
+    minz, maxz = settings.zoom_range
+
+    ds = geocoded_dataset(sf_dir)
+    ds = ds.map_batches(
+        index_stage.AddCellIndexes(s2_level=s2_level, hex_res=hex_res),
+        batch_format="pyarrow",
+    )
+    ds = join_stage.broadcast_pip_join(
+        ds,
+        pages_src.zone_rings(),
+        np.arange(pages_src.N_ZONES, dtype=np.int64),
+        [f"zone-{j}" for j in range(pages_src.N_ZONES)],
+        how="left",
+    )
+    exploded = ds.map_batches(
+        index_stage.AssignTiles(int(minz), int(maxz)), batch_format="pyarrow"
+    )
+    tiles = encode_tiles(exploded, settings=dict(settings))
+    if output_dir:
+        name = get_output_name("documents", minz, maxz, suffix=suffix)
+        tiles.write_parquet(f"{output_dir}/{name}/")
+    return tiles
