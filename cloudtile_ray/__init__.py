@@ -13,3 +13,21 @@ The package never calls ``ray.init()`` — sessions are owned by the CLI,
 """
 
 __version__ = "0.1.0"
+
+
+def _pin_arrow_threads() -> None:
+    """Arrow's internal kernel thread pool defaults to all cores; inside a
+    Ray worker that multiplies to workers x cores threads and the map stages
+    ANTI-scale (measured: 32-cpu slower than 8-cpu). One Arrow thread per
+    worker restores linear map-stage scaling; parallelism belongs to Ray's
+    scheduler, not nested pools."""
+    try:
+        import pyarrow as pa
+
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
+    except Exception:
+        pass
+
+
+_pin_arrow_threads()

@@ -66,14 +66,22 @@ def single_step(
         index_stage.AddCellIndexes(s2_level=s2_level, hex_res=hex_res),
         batch_format="pyarrow",
     )
-    ds = join_stage.broadcast_pip_join(
-        ds,
+    # project down BEFORE the join + explode: text/url must never ride
+    # through row-duplicating gathers or the tile shuffle (SURVEY.md §7.5
+    # hard part 4)
+    slim = ds.map_batches(
+        lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
+    )
+    joined = join_stage.broadcast_pip_join(
+        slim,
         pages_src.zone_rings(),
         np.arange(pages_src.N_ZONES, dtype=np.int64),
         [f"zone-{j}" for j in range(pages_src.N_ZONES)],
         how="left",
     )
-    exploded = ds.map_batches(
+    exploded = joined.map_batches(
+        lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
+    ).map_batches(
         index_stage.AssignTiles(int(minz), int(maxz)), batch_format="pyarrow"
     )
     tiles = encode_tiles(exploded, settings=dict(settings))

@@ -94,23 +94,50 @@ class BroadcastPipJoin:
         return _join_batch(self.index, self.zone_ids, self.zone_names, batch, self.how)
 
 
+# Per-worker cache of fetched broadcast state: a stateless-task join fuses
+# with neighboring map stages (no actor-pool concurrency ceiling on the
+# fused chain) while still deserializing the index at most once per worker
+# process. ray.get of numpy-backed state is near-zero-copy from plasma.
+_STATE_CACHE: dict[str, dict] = {}
+
+
+def _get_state(ref) -> dict:
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    state = _STATE_CACHE.get(key)
+    if state is None:
+        state = ray.get(ref)
+        _STATE_CACHE.clear()  # hold at most one broadcast state per worker
+        _STATE_CACHE[key] = state
+    return state
+
+
 def broadcast_pip_join(
     ds: "ray.data.Dataset",
     rings: Sequence[Sequence[np.ndarray]],
     zone_ids: np.ndarray,
     zone_names: Sequence[str],
     how: How = "inner",
-    concurrency: int | tuple[int, int] = 4,
     batch_size: int = 16384,
+    use_actors: bool = False,
+    concurrency: int | tuple[int, int] = 8,
 ) -> "ray.data.Dataset":
     ref = build_pip_index_ref(rings, zone_ids, zone_names)
-    return ds.map_batches(
-        BroadcastPipJoin,
-        fn_constructor_kwargs={"index_ref": ref, "how": how},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if use_actors:
+        return ds.map_batches(
+            BroadcastPipJoin,
+            fn_constructor_kwargs={"index_ref": ref, "how": how},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+
+    def join_fn(batch: pa.Table) -> pa.Table:
+        state = _get_state(ref)
+        return _join_batch(
+            state["index"], state["zone_ids"], state["zone_names"], batch, how
+        )
+
+    return ds.map_batches(join_fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------

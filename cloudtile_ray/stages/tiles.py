@@ -1,6 +1,6 @@
-"""The tile-build shuffle: per-batch partial aggregation, explicit salt-key
-skew splitting for hot tiles, per-tile coalesce/drop ladder, size caps, and
-deterministic tile encoding.
+"""The tile-build shuffle: per-batch partial aggregation, hashed-partition
+merge (with an explicit salted variant for skew), per-tile coalesce/drop
+ladder, size caps, and deterministic tile encoding.
 
 This is the engine-native replacement for the fgb->pmtiles stage the
 reference runs by shelling out to tippecanoe
@@ -11,23 +11,27 @@ dict /root/reference/tests/test_tippecanoe.py:75-85):
 
 - ``coalesce-densest-as-needed`` (default True): features stacking on the
   same in-tile pixel merge into one feature carrying a count — *hot tiles
-  are shrunk, not split* (SURVEY.md §4), and pixel-coalescing is
-  associative, so it runs as a batch-local partial aggregation BEFORE the
-  shuffle (the pre-aggregate pattern), then again at merge.
+  are shrunk, not split* (SURVEY.md §4). Pixel-coalescing is associative
+  and commutative, so it runs TWICE: batch-locally before the shuffle (the
+  pre-aggregate pattern — a hot tile's raw fan-in never enters the
+  exchange) and again at merge.
+- partial schema is FLAT columnar — one row per coalesced (tile, pixel):
+  ``tile_key:uint64, px:int32, py:int32, cnt:int64`` — so both phases are
+  pure ``np.lexsort`` + ``np.add.reduceat`` with no per-tile Python in the
+  hot path.
 - ``maximum-tile-features`` (20000) and ``maximum-tile-bytes`` (2500000):
   enforced in the finalize step with a deterministic drop ladder — every
-  drop decision is a pure function of (pixel position, input order), so
+  drop decision is a pure function of (pixel position, density rank), so
   output is identical at any parallelism level.
-- skew: tiles whose partial count exceeds ``hot_threshold`` get an explicit
-  salt key (hash % n_salts) for a first merge round
-  (``groupby([tile_key, salt])``), then a second tiny merge per tile —
-  the salt-key skew splitting required verbatim by the north rule.
+- skew: the merge groupby key is ``part = hash(tile_key) % n_partitions``
+  (one vectorized map_groups call per partition). ``salted=True`` instead
+  runs the explicit salt-key two-round variant — hot tiles (pre-counted)
+  get ``salt = hash % n_salts`` for a first ``groupby([tile_key, salt])``
+  round, then a per-tile second round — for the pathological case where a
+  single tile's merge state should be split across workers. Both paths
+  produce identical tiles (tested).
 - final ``sort(["z", "x", "y"])`` for archive layout (PMTiles-style
   clustered ordering).
-
-Every stage is Arrow-in/Arrow-out ``map_batches`` / ``map_groups``; the
-only all-to-all exchanges are the two groupbys over already-reduced
-partials and the final small sort.
 """
 
 from __future__ import annotations
@@ -39,102 +43,49 @@ import pyarrow as pa
 
 from cloudtile_ray.config import TilingSettings
 from cloudtile_ray.geo import webmercator as wm
-from cloudtile_ray.stages.util import stable_hash_strings
 
 TILE_MAGIC = b"RTL1"
+_PIXW = np.int64(wm.DEFAULT_EXTENT + 1)
 
 
-def _coalesce_pixels(
-    px: np.ndarray, py: np.ndarray, cnt: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Merge features sharing an in-tile pixel, summing counts. Associative
-    + commutative -> safe as both partial and final aggregation. Output is
-    sorted by (py, px): deterministic regardless of input order."""
-    key = py.astype(np.int64) * (wm.DEFAULT_EXTENT + 1) + px.astype(np.int64)
-    order = np.argsort(key, kind="stable")
-    key = key[order]
-    cnt = cnt[order]
-    uniq, start = np.unique(key, return_index=True)
-    sums = np.add.reduceat(cnt, start) if len(cnt) else cnt
+def _coalesce_sorted(
+    tk: np.ndarray, px: np.ndarray, py: np.ndarray, cnt: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Coalesce rows sharing (tile, pixel). Inputs in any order; output
+    sorted by (tile_key, py, px) — deterministic regardless of input
+    order. Pure lexsort + reduceat."""
+    if len(tk) == 0:
+        return tk, px, py, cnt
+    pk = py.astype(np.int64) * _PIXW + px.astype(np.int64)
+    order = np.lexsort((pk, tk))
+    tk, pk, cnt = tk[order], pk[order], cnt[order]
+    new = np.empty(len(tk), dtype=bool)
+    new[0] = True
+    new[1:] = (tk[1:] != tk[:-1]) | (pk[1:] != pk[:-1])
+    starts = np.nonzero(new)[0]
+    sums = np.add.reduceat(cnt, starts)
+    tk2, pk2 = tk[starts], pk[starts]
     return (
-        (uniq % (wm.DEFAULT_EXTENT + 1)).astype(np.int32),
-        (uniq // (wm.DEFAULT_EXTENT + 1)).astype(np.int32),
+        tk2,
+        (pk2 % _PIXW).astype(np.int32),
+        (pk2 // _PIXW).astype(np.int32),
         sums.astype(np.int64),
     )
 
 
-class PartialTileAgg:
-    """Batch-local partial tile state: one output row per tile touched by
-    the batch, pixel-coalesced. Runs as stateless tasks (no cross-batch
-    state); this is what keeps hot tiles from flooding the shuffle."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
-        px = batch.column("px").to_numpy(zero_copy_only=False).astype(np.int32)
-        py = batch.column("py").to_numpy(zero_copy_only=False).astype(np.int32)
-        order = np.argsort(tk, kind="stable")
-        tk, px, py = tk[order], px[order], py[order]
-        uniq, start = np.unique(tk, return_index=True)
-        out = {
-            "tile_key": [], "z": [], "x": [], "y": [],
-            "px_blob": [], "py_blob": [], "cnt_blob": [], "n_raw": [],
-        }
-        bounds = list(start[1:]) + [len(tk)]
-        for u, s, e in zip(uniq, start, bounds):
-            cpx, cpy, ccnt = _coalesce_pixels(
-                px[s:e], py[s:e], np.ones(e - s, dtype=np.int64)
-            )
-            z, x, y = (int(a[0]) for a in wm.unpack_tile_key(np.array([u])))
-            out["tile_key"].append(u)
-            out["z"].append(z)
-            out["x"].append(x)
-            out["y"].append(y)
-            out["px_blob"].append(cpx.tobytes())
-            out["py_blob"].append(cpy.tobytes())
-            out["cnt_blob"].append(ccnt.tobytes())
-            out["n_raw"].append(e - s)
-        return pa.table(
-            {
-                "tile_key": pa.array(np.array(out["tile_key"], dtype=np.uint64)),
-                "z": pa.array(out["z"], pa.int64()),
-                "x": pa.array(out["x"], pa.int64()),
-                "y": pa.array(out["y"], pa.int64()),
-                "px_blob": pa.array(out["px_blob"], pa.binary()),
-                "py_blob": pa.array(out["py_blob"], pa.binary()),
-                "cnt_blob": pa.array(out["cnt_blob"], pa.binary()),
-                "n_raw": pa.array(out["n_raw"], pa.int64()),
-            }
-        )
-
-
-def _merge_rows(group: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
-    px = np.concatenate(
-        [np.frombuffer(b.as_py(), dtype=np.int32) for b in group.column("px_blob")]
-    )
-    py = np.concatenate(
-        [np.frombuffer(b.as_py(), dtype=np.int32) for b in group.column("py_blob")]
-    )
-    cnt = np.concatenate(
-        [np.frombuffer(b.as_py(), dtype=np.int64) for b in group.column("cnt_blob")]
-    )
-    n_raw = int(sum(group.column("n_raw").to_pylist()))
-    cpx, cpy, ccnt = _coalesce_pixels(px, py, cnt)
-    return cpx, cpy, ccnt, n_raw
-
-
-def merge_partials(group: pa.Table) -> pa.Table:
-    """Combine salted partials of one (tile, salt) shard -> same schema."""
-    cpx, cpy, ccnt, n_raw = _merge_rows(group)
+def partial_tile_agg(batch: pa.Table) -> pa.Table:
+    """Batch-local partial aggregation (stateless task): exploded
+    (tile_key, px, py) rows -> coalesced (tile_key, px, py, cnt) rows."""
+    tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+    px = batch.column("px").to_numpy(zero_copy_only=False).astype(np.int32)
+    py = batch.column("py").to_numpy(zero_copy_only=False).astype(np.int32)
+    tk, px, py, cnt = _coalesce_sorted(tk, px, py, np.ones(len(tk), dtype=np.int64))
     return pa.table(
         {
-            "tile_key": group.column("tile_key").slice(0, 1),
-            "z": group.column("z").slice(0, 1),
-            "x": group.column("x").slice(0, 1),
-            "y": group.column("y").slice(0, 1),
-            "px_blob": pa.array([cpx.tobytes()], pa.binary()),
-            "py_blob": pa.array([cpy.tobytes()], pa.binary()),
-            "cnt_blob": pa.array([ccnt.tobytes()], pa.binary()),
-            "n_raw": pa.array([n_raw], pa.int64()),
+            "tile_key": pa.array(tk),
+            "px": pa.array(px),
+            "py": pa.array(py),
+            "cnt": pa.array(cnt),
         }
     )
 
@@ -147,102 +98,214 @@ class FinalizeTile:
     def __init__(self, settings: dict | None = None):
         self.settings = TilingSettings(**(settings or {}))
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def finalize_arrays(
+        self,
+        z: int,
+        x: int,
+        y: int,
+        px: np.ndarray,
+        py: np.ndarray,
+        cnt: np.ndarray,
+        n_raw: int,
+    ) -> dict:
+        """Coalesced per-tile pixel arrays -> output scalars + tile bytes."""
         s = self.settings
-        cpx, cpy, ccnt, n_raw = _merge_rows(group)
-        n_coalesced = len(cpx)
+        n_coalesced = len(px)
         max_feat = s.get("maximum-tile-features", 20000)
         max_bytes = s.get("maximum-tile-bytes", 2500000)
         dropped = 0
         if not s.get("no-feature-limit", False) and n_coalesced > max_feat:
             # drop ladder step 2: deterministic subset — keep the max_feat
-            # densest pixels (ties broken by pixel position, which is the
-            # sort order of _coalesce_pixels)
-            order = np.lexsort((np.arange(len(ccnt)), -ccnt))[:max_feat]
+            # densest pixels (ties broken by pixel position, the incoming
+            # sort order)
+            order = np.lexsort((np.arange(len(cnt)), -cnt))[:max_feat]
             order.sort()
             dropped = n_coalesced - max_feat
-            cpx, cpy, ccnt = cpx[order], cpy[order], ccnt[order]
-        blob = self._encode(group, cpx, cpy, ccnt)
-        while not s.get("no-tile-size-limit", False) and len(blob) > max_bytes and len(cpx) > 1:
+            px, py, cnt = px[order], py[order], cnt[order]
+        blob = self._encode(z, x, y, px, py, cnt)
+        while (
+            not s.get("no-tile-size-limit", False)
+            and len(blob) > max_bytes
+            and len(px) > 1
+        ):
             # drop ladder step 3: halve densest-first until under the cap
-            keep = np.lexsort((np.arange(len(ccnt)), -ccnt))[: max(1, len(cpx) // 2)]
+            keep = np.lexsort((np.arange(len(cnt)), -cnt))[: max(1, len(px) // 2)]
             keep.sort()
-            dropped += len(cpx) - len(keep)
-            cpx, cpy, ccnt = cpx[keep], cpy[keep], ccnt[keep]
-            blob = self._encode(group, cpx, cpy, ccnt)
-        return pa.table(
-            {
-                "z": group.column("z").slice(0, 1),
-                "x": group.column("x").slice(0, 1),
-                "y": group.column("y").slice(0, 1),
-                "n_features": pa.array([len(cpx)], pa.int64()),
-                "n_source_points": pa.array([n_raw], pa.int64()),
-                "n_dropped": pa.array([dropped], pa.int64()),
-                "tile_nbytes": pa.array([len(blob)], pa.int64()),
-                "tile_bytes": pa.array([blob], pa.binary()),
-            }
-        )
+            dropped += len(px) - len(keep)
+            px, py, cnt = px[keep], py[keep], cnt[keep]
+            blob = self._encode(z, x, y, px, py, cnt)
+        return {
+            "z": z,
+            "x": x,
+            "y": y,
+            "n_features": len(px),
+            "n_source_points": n_raw,
+            "n_dropped": dropped,
+            "tile_nbytes": len(blob),
+            "tile_bytes": blob,
+        }
 
-    def _encode(self, group: pa.Table, px, py, cnt) -> bytes:
-        z = int(group.column("z")[0].as_py())
-        x = int(group.column("x")[0].as_py())
-        y = int(group.column("y")[0].as_py())
+    def _encode(self, z: int, x: int, y: int, px, py, cnt) -> bytes:
         header = TILE_MAGIC + np.array([z, x, y, len(px)], dtype=np.int32).tobytes()
-        body = header + px.tobytes() + py.tobytes() + cnt.astype(np.int64).tobytes()
+        body = header + px.astype(np.int32).tobytes() + py.astype(np.int32).tobytes() \
+            + cnt.astype(np.int64).tobytes()
         if not self.settings.get("no-tile-compression", True):
             body = zlib.compress(body, level=6)  # deterministic for fixed level
         return body
+
+    @staticmethod
+    def empty_table() -> pa.Table:
+        return pa.table(
+            {
+                "z": pa.array([], pa.int64()),
+                "x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64()),
+                "n_features": pa.array([], pa.int64()),
+                "n_source_points": pa.array([], pa.int64()),
+                "n_dropped": pa.array([], pa.int64()),
+                "tile_nbytes": pa.array([], pa.int64()),
+                "tile_bytes": pa.array([], pa.binary()),
+            }
+        )
+
+
+def _finalize_flat(
+    tk: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+    cnt: np.ndarray,
+    finalizer: FinalizeTile,
+) -> pa.Table:
+    """Coalesce a flat partition's rows, then finalize each tile. The only
+    Python loop is over the partition's distinct tiles (small), and each
+    iteration is numpy on that tile's slice."""
+    tk, px, py, cnt = _coalesce_sorted(tk, px, py, cnt)
+    if len(tk) == 0:
+        return finalizer.empty_table()
+    new = np.empty(len(tk), dtype=bool)
+    new[0] = True
+    new[1:] = tk[1:] != tk[:-1]
+    starts = np.nonzero(new)[0]
+    bounds = np.r_[starts[1:], len(tk)]
+    zs, xs, ys = wm.unpack_tile_key(tk[starts])
+    out: dict[str, list] = {
+        k: []
+        for k in (
+            "z", "x", "y", "n_features", "n_source_points",
+            "n_dropped", "tile_nbytes", "tile_bytes",
+        )
+    }
+    for i, (s, e) in enumerate(zip(starts, bounds)):
+        vals = finalizer.finalize_arrays(
+            int(zs[i]), int(xs[i]), int(ys[i]),
+            px[s:e], py[s:e], cnt[s:e], int(cnt[s:e].sum()),
+        )
+        for k, v in vals.items():
+            out[k].append(v)
+    return pa.table(
+        {
+            "z": pa.array(out["z"], pa.int64()),
+            "x": pa.array(out["x"], pa.int64()),
+            "y": pa.array(out["y"], pa.int64()),
+            "n_features": pa.array(out["n_features"], pa.int64()),
+            "n_source_points": pa.array(out["n_source_points"], pa.int64()),
+            "n_dropped": pa.array(out["n_dropped"], pa.int64()),
+            "tile_nbytes": pa.array(out["tile_nbytes"], pa.int64()),
+            "tile_bytes": pa.array(out["tile_bytes"], pa.binary()),
+        }
+    )
+
+
+def _cols(group: pa.Table):
+    return (
+        group.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64),
+        group.column("px").to_numpy(zero_copy_only=False).astype(np.int32),
+        group.column("py").to_numpy(zero_copy_only=False).astype(np.int32),
+        group.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64),
+    )
 
 
 def encode_tiles(
     exploded: "ray.data.Dataset",
     settings: dict | None = None,
-    hot_threshold: int = 64,
+    n_partitions: int | None = None,
+    salted: bool = False,
+    hot_threshold: int = 1 << 20,
     n_salts: int = 16,
 ) -> "ray.data.Dataset":
     """Full tile-build DAG over an exploded (feature x zoom) dataset with
-    ``tile_key/px/py`` columns:
+    ``tile_key/px/py`` columns. See module docstring for the design."""
+    if n_partitions is None:
+        try:
+            import ray
 
-    partials (batch-local, no shuffle) -> hot-tile pre-count (tiny groupby
-    over 1 row/tile/batch) -> salted merge for hot tiles -> per-tile
-    finalize -> sort(z, x, y).
-    """
-    import ray
-
-    partials = exploded.map_batches(
-        PartialTileAgg(), batch_format="pyarrow", batch_size=65536
-    ).materialize()  # small: one row per (tile, batch); reused twice below
-
-    # hot tiles = tiles with many partial rows (i.e. touched by many blocks)
-    counts = partials.groupby("tile_key").count().to_pandas()
-    hot = set(
-        counts.loc[counts["count()"] > hot_threshold, "tile_key"].astype(np.uint64).tolist()
-    )
-    hot_ref = ray.put(hot)
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        hot_set = ray.get(hot_ref)
-        tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
-        salt = np.zeros(len(tk), dtype=np.int64)
-        if hot_set:
-            is_hot = np.isin(tk, np.fromiter(hot_set, dtype=np.uint64))
-            if is_hot.any():
-                h = stable_hash_strings(
-                    [f"{t}-{i}" for i, t in enumerate(tk[is_hot].tolist())]
-                )
-                salt[is_hot] = (h % np.uint64(n_salts)).astype(np.int64)
-        return batch.append_column("salt", pa.array(salt))
-
-    salted = partials.map_batches(add_salt, batch_format="pyarrow")
-    merged = salted.groupby(["tile_key", "salt"]).map_groups(
-        lambda g: merge_partials(g.drop_columns(["salt"])), batch_format="pyarrow"
-    )
+            n_partitions = max(64, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            n_partitions = 64
     finalizer = FinalizeTile(settings)
+    partials = exploded.map_batches(
+        partial_tile_agg, batch_format="pyarrow", batch_size=262144
+    )
 
-    def finalize_tile(g: pa.Table) -> pa.Table:
-        return finalizer(g)
+    if salted:
+        import ray
+        from ray.data.aggregate import Sum
 
-    tiles = merged.groupby("tile_key").map_groups(finalize_tile, batch_format="pyarrow")
+        partials = partials.materialize()  # reused: hot count + merge
+        counts = (
+            partials.groupby("tile_key")
+            .aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas()
+        )
+        hot = set(
+            counts.loc[counts["n"] > hot_threshold, "tile_key"].astype(np.uint64).tolist()
+        )
+        hot_ref = ray.put(hot)
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            hot_set = ray.get(hot_ref)
+            tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+            px = batch.column("px").to_numpy(zero_copy_only=False).astype(np.int64)
+            salt = np.zeros(len(tk), dtype=np.int64)
+            if hot_set:
+                is_hot = np.isin(tk, np.fromiter(hot_set, dtype=np.uint64))
+                # deterministic sub-split of a hot tile by pixel hash
+                salt[is_hot] = (
+                    (px[is_hot] * 2654435761) % n_salts
+                ).astype(np.int64)
+            return batch.append_column("salt", pa.array(salt))
+
+        def merge_round1(g: pa.Table) -> pa.Table:
+            tk, px, py, cnt = _cols(g.drop_columns(["salt"]))
+            tk, px, py, cnt = _coalesce_sorted(tk, px, py, cnt)
+            return pa.table(
+                {"tile_key": pa.array(tk), "px": pa.array(px),
+                 "py": pa.array(py), "cnt": pa.array(cnt)}
+            )
+
+        def merge_round2(g: pa.Table) -> pa.Table:
+            return _finalize_flat(*_cols(g), finalizer)
+
+        salted_ds = partials.map_batches(add_salt, batch_format="pyarrow")
+        merged = salted_ds.groupby(["tile_key", "salt"]).map_groups(
+            merge_round1, batch_format="pyarrow"
+        )
+        tiles = merged.groupby("tile_key").map_groups(
+            merge_round2, batch_format="pyarrow"
+        )
+        return tiles.sort(["z", "x", "y"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((tk * np.uint64(2654435761)) % np.uint64(n_partitions)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    parted = partials.map_batches(add_part, batch_format="pyarrow")
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        return _finalize_flat(*_cols(g.drop_columns(["part"])), finalizer)
+
+    tiles = parted.groupby("part").map_groups(merge_part, batch_format="pyarrow")
     return tiles.sort(["z", "x", "y"])
 
 
