@@ -316,4 +316,13 @@ def embedding_neardup_pairs(ds, threshold: float = 0.95, dim: int = 64):
         )
 
     res = bucketed.groupby("bucket").map_groups(pairs, batch_format="pyarrow")
-    return res.to_pandas().drop_duplicates(subset=["vec_a", "vec_b"]).reset_index(drop=True)
+    df = res.to_pandas()
+    if df.empty:
+        # preserve the schema even when no pair clears the threshold
+        import pandas as pd
+
+        df = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+        return df
+    return df.drop_duplicates(subset=["vec_a", "vec_b"]).reset_index(drop=True)

@@ -331,8 +331,14 @@ def hex_bucketed_knn(
     qlon = q[:, 0] / 1000.0
     qlat = q[:, 1] / 1000.0
     qcells = hexgrid.latlng_to_cell(qlon, qlat, res)
+    # distance (in milli-degrees) guaranteed to be fully covered by a
+    # ring-r disk around the query's cell: r ring steps of at least one
+    # cell inradius each, minus one cell for the query's offset from its
+    # cell center (conservative)
+    spacing_mi = hexgrid.BASE_SIZE_DEG / abs(hexgrid._C) ** res * 1000.0
+    inradius_mi = spacing_mi * 0.5
     rings = 1
-    while True:
+    while rings <= max_rings:
         cand_cells: set[int] = set()
         for c in qcells.tolist():
             cand_cells.update(hexgrid.grid_disk(int(c), rings).tolist())
@@ -358,11 +364,21 @@ def hex_bucketed_knn(
         )
         tables = _gather(partials)
         merged = knn_merge(pa.concat_tables(tables), k) if tables else None
-        if merged is not None:
-            counts = np.bincount(
-                merged.column("q_id").to_numpy(zero_copy_only=False),
-                minlength=q.shape[0],
-            )
-            if (counts >= k).all() or rings >= max_rings:
-                return merged
+        if merged is not None and merged.num_rows:
+            qid = merged.column("q_id").to_numpy(zero_copy_only=False)
+            d2 = merged.column("d2").to_numpy(zero_copy_only=False)
+            counts = np.bincount(qid, minlength=q.shape[0])
+            guaranteed_mi = max(0.0, (rings - 1)) * inradius_mi
+            # the k-th candidate must be provably closer than any point
+            # outside the searched disk, for every query
+            ok = counts >= k
+            if ok.all() and guaranteed_mi > 0:
+                kth = np.array(
+                    [np.sqrt(d2[qid == qi].max()) for qi in range(q.shape[0])]
+                )
+                if (kth <= guaranteed_mi).all():
+                    return merged
         rings *= 2
+    # disk search could not prove optimality (sparse region / tiny corpus):
+    # fall back to the exact distributed scan
+    return knn(ds, q, k)

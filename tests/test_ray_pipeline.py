@@ -1,0 +1,357 @@
+"""Ray-based end-to-end tests: flagship pipeline invariants, join strategy
+equivalence vs the naive oracle, tile determinism across parallelism
+shapes, dedup behavior on constructed near-duplicates (FIXTURES.md §4)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="module")
+def tiny_pages_ds(ray_session):
+    import ray.data
+
+    from cloudtile_ray.sources.pages import generate_pages
+
+    return ray.data.from_arrow(generate_pages(1000)).repartition(4)
+
+
+class TestFlagship:
+    def test_tiles_match_scalar_oracle(self, sf_tiny):
+        """Tile ladder counts from the full pipeline equal an independent
+        scalar recomputation from the deterministic derivation rules."""
+        import math
+
+        from cloudtile_ray.pipelines.single_step import single_step
+        from cloudtile_ray.sources.pages import derive_geo_arrays
+
+        df = single_step(sf_tiny, 5, 6).to_pandas()
+        got = df.groupby("z")["n_source_points"].sum().to_dict()
+        # oracle: per-doc scalar tile assignment (multi-match join dups NOT
+        # included — n_source_points counts exploded rows, and single_step
+        # explodes the joined-left rows, so compute the join fan-out too)
+        g = derive_geo_arrays(np.arange(500))
+        from cloudtile_ray.sources.pages import zone_boxes_mi
+
+        boxes = zone_boxes_mi()
+        per_z = 0
+        for i in range(500):
+            if not g["has_geo"][i]:
+                continue
+            lon_mi, lat_mi = g["lon_mi"][i], g["lat_mi"][i]
+            matches = sum(
+                1
+                for (w, s, e, n) in boxes
+                if w <= lon_mi <= e and s <= lat_mi <= n
+            )
+            per_z += max(1, matches)  # left join: unmatched rows survive once
+        assert got[5] == per_z and got[6] == per_z
+
+    def test_text_byte_identity(self, sf_tiny):
+        """sha256(text) per url unchanged through geocode+index stages."""
+        import hashlib
+
+        import pyarrow.parquet as pq
+
+        from cloudtile_ray.pipelines.single_step import geocoded_dataset
+
+        src = pq.read_table(f"{sf_tiny}/documents.parquet", columns=["doc_id", "text"])
+        want = {
+            i: hashlib.sha256(t.encode()).hexdigest()
+            for i, t in zip(src.column("doc_id").to_pylist(), src.column("text").to_pylist())
+        }
+        out = geocoded_dataset(sf_tiny).to_pandas()
+        got = {
+            int(r.doc_id): hashlib.sha256(r.text.encode()).hexdigest()
+            for r in out.itertuples()
+        }
+        assert got == want
+
+    def test_salted_equals_default(self, sf_tiny):
+        from cloudtile_ray.pipelines.single_step import geocoded_dataset
+        from cloudtile_ray.stages.index import AssignTiles
+        from cloudtile_ray.stages.tiles import encode_tiles
+
+        ex = (
+            geocoded_dataset(sf_tiny)
+            .map_batches(lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow")
+            .map_batches(AssignTiles(4, 6), batch_format="pyarrow")
+        )
+        cols = ["z", "x", "y", "n_features", "n_source_points", "tile_nbytes"]
+        a = encode_tiles(ex, salted=False).to_pandas()[cols].reset_index(drop=True)
+        b = encode_tiles(ex, salted=True, hot_threshold=2, n_salts=4).to_pandas()[cols].reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_determinism_across_batch_shapes(self, sf_tiny):
+        """Identical tiles regardless of partitioning/batch shape — the
+        reproducibility-under-parallelism requirement (SURVEY.md §7.5.3)."""
+        import ray.data
+
+        from cloudtile_ray.pipelines.single_step import geocoded_dataset
+        from cloudtile_ray.stages.index import AssignTiles
+        from cloudtile_ray.stages.tiles import encode_tiles
+
+        base = geocoded_dataset(sf_tiny).map_batches(
+            lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
+        )
+        outs = []
+        for nparts in (1, 7):
+            ex = base.repartition(nparts).map_batches(AssignTiles(4, 6), batch_format="pyarrow")
+            outs.append(
+                encode_tiles(ex, n_partitions=5)
+                .to_pandas()
+                .drop(columns=["tile_bytes"])
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_tile_bytes_decode(self, sf_tiny):
+        from cloudtile_ray.pipelines.single_step import single_step
+        from cloudtile_ray.stages.tiles import decode_tile
+
+        df = single_step(sf_tiny, 5, 5).to_pandas()
+        row = df.iloc[10]
+        d = decode_tile(row.tile_bytes)
+        assert (d["z"], d["x"], d["y"]) == (row.z, row.x, row.y)
+        assert len(d["px"]) == row.n_features
+        assert row.n_features <= d["cnt"].sum() <= row.n_source_points
+
+    def test_feature_cap_enforced(self, sf_tiny):
+        from cloudtile_ray.pipelines.single_step import geocoded_dataset
+        from cloudtile_ray.stages.index import AssignTiles
+        from cloudtile_ray.stages.tiles import encode_tiles
+
+        ex = (
+            geocoded_dataset(sf_tiny)
+            .map_batches(lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow")
+            .map_batches(AssignTiles(2, 3), batch_format="pyarrow")
+        )
+        df = encode_tiles(ex, settings={"maximum-tile-features": 10}).to_pandas()
+        assert df.n_features.max() <= 10
+        assert (df.n_dropped > 0).any()
+
+    def test_byte_cap_enforced(self, sf_tiny):
+        from cloudtile_ray.pipelines.single_step import geocoded_dataset
+        from cloudtile_ray.stages.index import AssignTiles
+        from cloudtile_ray.stages.tiles import encode_tiles
+
+        ex = (
+            geocoded_dataset(sf_tiny)
+            .map_batches(lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow")
+            .map_batches(AssignTiles(2, 3), batch_format="pyarrow")
+        )
+        df = encode_tiles(ex, settings={"maximum-tile-bytes": 200}).to_pandas()
+        assert df.tile_nbytes.max() <= 200
+
+
+class TestJoins:
+    @pytest.fixture(scope="class")
+    def fixture_polys(self):
+        rng = np.random.default_rng(3)
+        polys = []
+        for _ in range(40):
+            cx, cy = rng.uniform(-60, 60, 2)
+            angles = np.sort(rng.uniform(0, 2 * np.pi, 8))
+            r = rng.uniform(3, 12)
+            polys.append([np.c_[cx + r * np.cos(angles), cy + r * np.sin(angles)]])
+        return polys
+
+    def test_broadcast_equals_shuffle_equals_naive(self, tiny_pages_ds, fixture_polys):
+        from cloudtile_ray.geo.pip import naive_pip
+        from cloudtile_ray.stages import geocode, join as join_stage
+
+        geo = tiny_pages_ds.map_batches(geocode.geocode_batch, batch_format="pyarrow")
+        geo = geo.map_batches(
+            lambda t: t.filter(pa.compute.is_valid(t.column("lat"))),
+            batch_format="pyarrow",
+        )
+        ids = np.arange(len(fixture_polys), dtype=np.int64)
+        names = [f"p{j}" for j in ids]
+        res_b = join_stage.broadcast_pip_join(geo, fixture_polys, ids, names, how="inner").to_pandas()
+        res_s = join_stage.shuffle_pip_join(geo, fixture_polys, ids, names, how="inner").to_pandas()
+        key = lambda df: sorted(zip(df.url, df.zone_id))
+        assert key(res_b) == key(res_s)
+        # naive oracle over the same points
+        pts = geo.to_pandas()
+        hits = naive_pip(fixture_polys, pts.lon.to_numpy(), pts.lat.to_numpy())
+        want = sorted((pts.url.iloc[i], ids[p]) for i, p in hits)
+        assert key(res_b) == want
+        assert len(want) > 20
+
+    def test_semi_anti_partition(self, tiny_pages_ds, fixture_polys):
+        from cloudtile_ray.stages import geocode, join as join_stage
+
+        geo = tiny_pages_ds.map_batches(geocode.geocode_batch, batch_format="pyarrow")
+        geo = geo.map_batches(
+            lambda t: t.filter(pa.compute.is_valid(t.column("lat"))),
+            batch_format="pyarrow",
+        )
+        ids = np.arange(len(fixture_polys), dtype=np.int64)
+        names = [f"p{j}" for j in ids]
+        n_all = geo.count()
+        n_semi = join_stage.broadcast_pip_join(geo, fixture_polys, ids, names, how="semi").count()
+        n_anti = join_stage.broadcast_pip_join(geo, fixture_polys, ids, names, how="anti").count()
+        assert n_semi + n_anti == n_all
+        left = join_stage.broadcast_pip_join(geo, fixture_polys, ids, names, how="left").to_pandas()
+        assert left.zone_id.isna().sum() == n_anti
+
+    def test_hex_knn_equals_exact(self, sf_tiny):
+        import __ray_entry__ as e
+
+        exact = e.q_knn_points(sf_tiny)
+        bucketed = e.q_hex_knn(sf_tiny)
+        pd.testing.assert_frame_equal(
+            exact.to_pandas().sort_values(["q_id", "doc_id"]).reset_index(drop=True),
+            bucketed.to_pandas().sort_values(["q_id", "doc_id"]).reset_index(drop=True),
+        )
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def near_dup_ds(self, ray_session):
+        import ray.data
+
+        base = (
+            "the quick brown fox jumps over the lazy dog again and again "
+            "while the market data pipeline keeps streaming batches of rows"
+        )
+        rng = np.random.default_rng(7)
+        words = [f"w{j}tok" for j in range(500)]
+        texts, ids = [], []
+        for i in range(60):
+            ids.append(i)
+            if i % 20 == 1:
+                texts.append(base + f" variant tail {i % 3}")  # near-dups of base
+            elif i % 20 == 2:
+                texts.append(base)  # exact dup content
+            else:
+                # genuinely unrelated: disjoint-ish random vocabularies
+                texts.append(" ".join(rng.choice(words, 30, replace=False)))
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+        ).repartition(3)
+
+    def test_minhash_finds_near_dups(self, near_dup_ds):
+        from cloudtile_ray.stages.dedup import minhash_dedup_pairs
+
+        pairs = minhash_dedup_pairs(near_dup_ds, threshold=0.6).to_pandas()
+        dup_ids = {1, 2, 21, 22, 41, 42}
+        found = set(pairs.doc_a) | set(pairs.doc_b)
+        assert dup_ids <= found
+        # no false positives among the unrelated docs
+        assert all(a in dup_ids and b in dup_ids for a, b in zip(pairs.doc_a, pairs.doc_b))
+
+    def test_simhash_finds_near_dups(self, near_dup_ds):
+        from cloudtile_ray.stages.dedup import simhash_near_pairs
+
+        pairs = simhash_near_pairs(near_dup_ds, max_hamming=6)
+        found = set(pairs.doc_a) | set(pairs.doc_b)
+        assert {2, 22, 42} <= found  # the exact-content trio at minimum
+
+    def test_exact_dedup_counts(self, near_dup_ds):
+        from cloudtile_ray.stages.dedup import exact_dedup_keys
+
+        res = exact_dedup_keys(
+            near_dup_ds.map_batches(
+                lambda t: t.append_column("key", t.column("text")), batch_format="pyarrow"
+            ),
+            "key",
+        ).to_pandas()
+        trio = res[res.n_dups == 3]
+        assert len(trio) == 1 and trio.keep_id.iloc[0] == 2
+
+    def test_embedding_neardup_schema_and_hits(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import embedding_neardup_pairs
+
+        rng = np.random.default_rng(0)
+        V = rng.standard_normal((50, 16)).astype(np.float32)
+        V[30] = V[10] + 0.01  # planted near-dup
+        t = pa.table(
+            {"vec_id": pa.array(np.arange(50), pa.int64()),
+             "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32(), 16))}
+        )
+        ds = ray.data.from_arrow(t)
+        pairs = embedding_neardup_pairs(ds, threshold=0.95, dim=16)
+        assert list(pairs.columns) == ["vec_a", "vec_b", "cosine"]
+        assert {(10, 30)} <= set(zip(pairs.vec_a, pairs.vec_b))
+
+    def test_embedding_neardup_empty_keeps_schema(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import embedding_neardup_pairs
+
+        rng = np.random.default_rng(1)
+        V = rng.standard_normal((20, 16)).astype(np.float32)
+        t = pa.table(
+            {"vec_id": pa.array(np.arange(20), pa.int64()),
+             "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32(), 16))}
+        )
+        pairs = embedding_neardup_pairs(ray.data.from_arrow(t), threshold=0.9999, dim=16)
+        assert list(pairs.columns) == ["vec_a", "vec_b", "cosine"]
+        assert len(pairs) == 0
+
+
+class TestSimilarity:
+    def test_ivf_recall_vs_brute(self, sf_tiny):
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from cloudtile_ray.stages.similarity import brute_force_topk, ivf_topk
+
+        t = pq.read_table(f"{sf_tiny}/embeddings.parquet", columns=["vec_id", "embedding"])
+        queries = np.stack(t.slice(0, 3).column("embedding").to_numpy(zero_copy_only=False))
+        ds = ray.data.from_arrow(t)
+        exact = brute_force_topk(ds, queries, k=10).to_pandas()
+        approx = ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=4).to_pandas()
+        recalls = []
+        for q in range(3):
+            e = set(exact[exact.q_id == q].vec_id)
+            a = set(approx[approx.q_id == q].vec_id)
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.5  # approximate, but not garbage
+
+
+class TestMultimodal:
+    def test_fake_decode_plumbing(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.multimodal import decode_media, synthesize_media_table
+
+        ds = ray.data.from_arrow(synthesize_media_table(30))
+        out = decode_media(ds, fake=True, concurrency=2, batch_size=8).to_pandas()
+        assert len(out) == 30
+        assert all(len(f) == 16 for f in out.features)
+        assert "payload" not in out.columns  # heavy bytes replaced by features
+
+    def test_real_decode_raises(self):
+        from cloudtile_ray.stages.multimodal import DecodeStub, synthesize_media_table
+
+        stub = DecodeStub(fake=False)
+        with pytest.raises(NotImplementedError):
+            stub(synthesize_media_table(2))
+
+
+class TestDropRate:
+    def test_drop_rate_deterministic_and_monotonic(self, tiny_pages_ds):
+        from cloudtile_ray.stages import geocode
+        from cloudtile_ray.stages.index import AssignTiles
+
+        geo = tiny_pages_ds.map_batches(geocode.geocode_batch, batch_format="pyarrow")
+        geo = geo.map_batches(
+            lambda t: t.filter(pa.compute.is_valid(t.column("lat"))), batch_format="pyarrow"
+        )
+        a = geo.map_batches(
+            AssignTiles(3, 5, drop_rate=0.5, base_zoom=5), batch_format="pyarrow"
+        ).to_pandas()
+        b = geo.map_batches(
+            AssignTiles(3, 5, drop_rate=0.5, base_zoom=5), batch_format="pyarrow"
+        ).to_pandas()
+        ka = sorted(zip(a.url, a.z, a.x, a.y))
+        assert ka == sorted(zip(b.url, b.z, b.x, b.y))  # deterministic
+        per_z = a.groupby("z").size()
+        assert per_z[3] < per_z[4] < per_z[5]  # rate^(base-z) thinning
