@@ -306,9 +306,12 @@ def knn(
 
 
 def _gather(ds) -> list[pa.Table]:
+    """Collect small result blocks; drop the zero-column empty blocks Ray
+    emits for fully-filtered partitions (they break concat_tables)."""
     import ray as _ray
 
-    return [_ray.get(ref) for ref in ds.to_arrow_refs()]
+    tables = [_ray.get(ref) for ref in ds.to_arrow_refs()]
+    return [t for t in tables if t.num_columns > 0]
 
 
 def hex_bucketed_knn(

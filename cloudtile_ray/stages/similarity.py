@@ -75,7 +75,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
         batch_format="pyarrow",
         concurrency=2,
     )
-    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_columns > 0]
     return _merge_topk(tables, k)
 
 
@@ -127,7 +127,7 @@ def ivf_topk(
         batch_format="pyarrow",
         concurrency=2,
     )
-    tables = [ray.get(r) for r in partials.to_arrow_refs()]
+    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_columns > 0]
     merged = _merge_topk(tables, k)
     # keep only hits whose list was probed for that query
     return merged
