@@ -394,6 +394,33 @@ def q_hex_knn(sf_dir: str):
     return hex_bucketed_knn(_geo_only(sf_dir), KNN_QUERIES_MI, k=5, res=2)
 
 
+def q_poly_assign_z6(sf_dir: str):
+    """Polygon footprint tile assignment at z=6 (bbox overlap — exactly
+    reproducible by integer-arithmetic SQL)."""
+    from cloudtile_ray.stages.polygons import AssignPolygonTiles, extract_footprints
+
+    fp = _geocoded(sf_dir).map_batches(extract_footprints, batch_format="pyarrow")
+    assigned = fp.map_batches(AssignPolygonTiles(6, 6), batch_format="pyarrow")
+    return assigned.map_batches(
+        lambda t: t.select(["doc_id", "z", "x", "y"]), batch_format="pyarrow"
+    )
+
+
+def q_poly_tiles(sf_dir: str):
+    """Encoded polygon tiles (rows-only; geometry clipping+simplification)."""
+    from cloudtile_ray.stages.polygons import (
+        AssignPolygonTiles,
+        encode_poly_tiles,
+        extract_footprints,
+    )
+
+    fp = _geocoded(sf_dir).map_batches(extract_footprints, batch_format="pyarrow")
+    assigned = fp.map_batches(AssignPolygonTiles(4, 6), batch_format="pyarrow")
+    return encode_poly_tiles(assigned).map_batches(
+        lambda t: t.drop_columns(["poly_bytes"]), batch_format="pyarrow"
+    )
+
+
 def q_raster_roundtrip(sf_dir: str):
     """Rasterize the zone polygons onto per-zone grids and vectorize back —
     returns per-zone cell counts (rows-only; geometric op)."""
@@ -471,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": q_media_decode,
         "hex_knn": q_hex_knn,
         "raster_roundtrip": q_raster_roundtrip,
+        "poly_assign_z6": q_poly_assign_z6,
+        "poly_tiles": q_poly_tiles,
     }
 
 
@@ -561,6 +590,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2""",
+        "poly_assign_z6": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            fp AS (SELECT doc_id, lat_mi, lon_mi, 200 + doc_id % 100 AS d
+                   FROM geo WHERE doc_id % 5 = 0),
+            bounds AS (SELECT doc_id,
+              CAST(GREATEST(0.0, LEAST(63.0, floor(((lon_mi - d)/1000.0 + 180.0)/360.0*64))) AS BIGINT) AS x0,
+              CAST(GREATEST(0.0, LEAST(63.0, floor(((lon_mi + d)/1000.0 + 180.0)/360.0*64))) AS BIGINT) AS x1,
+              CAST(GREATEST(0.0, LEAST(63.0, floor((1.0 - ln(tan(radians((lat_mi + d)/1000.0)) + 1.0/cos(radians((lat_mi + d)/1000.0)))/pi())/2.0*64))) AS BIGINT) AS y0,
+              CAST(GREATEST(0.0, LEAST(63.0, floor((1.0 - ln(tan(radians((lat_mi - d)/1000.0)) + 1.0/cos(radians((lat_mi - d)/1000.0)))/pi())/2.0*64))) AS BIGINT) AS y1
+              FROM fp)
+            SELECT doc_id, CAST(6 AS BIGINT) AS z, x0 + dx AS x, y0 + dy AS y
+            FROM bounds, (VALUES (0), (1)) xs(dx), (VALUES (0), (1)) ys(dy)
+            WHERE x0 + dx <= x1 AND y0 + dy <= y1""",
         "knn_embedding": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) qe
                        FROM embeddings WHERE vec_id < 3),

@@ -51,10 +51,18 @@ def _replicated_pages(sf_dir: str, replicate: int):
 
 
 def _pipeline(pages):
+    """Full headline DAG: geocode -> cell index -> PiP join -> point tile
+    build AND polygon footprint tile build (clip + simplify) from ONE
+    shared geocode pass (slim columns materialized once)."""
     import numpy as np
 
     from cloudtile_ray.sources.pages import N_ZONES, zone_rings
     from cloudtile_ray.stages import geocode, index as index_stage, join as join_stage
+    from cloudtile_ray.stages.polygons import (
+        AssignPolygonTiles,
+        encode_poly_tiles,
+        extract_footprints,
+    )
     from cloudtile_ray.stages.tiles import encode_tiles
 
     ds = pages.map_batches(geocode.geocode_batch, batch_format="pyarrow")
@@ -62,7 +70,12 @@ def _pipeline(pages):
     ds = ds.map_batches(
         index_stage.AddCellIndexes(s2_level=16, hex_res=9), batch_format="pyarrow"
     )
-    slim = ds.map_batches(
+    geo = ds.map_batches(
+        lambda t: t.select(["doc_id", "lon", "lat", "footprint_mi"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    slim = geo.map_batches(
         lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
     )
     joined = join_stage.broadcast_pip_join(
@@ -75,7 +88,12 @@ def _pipeline(pages):
     exploded = joined.map_batches(
         lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
     ).map_batches(index_stage.AssignTiles(4, 7), batch_format="pyarrow")
-    return encode_tiles(exploded)
+    point_tiles = encode_tiles(exploded)
+
+    footprints = geo.map_batches(extract_footprints, batch_format="pyarrow")
+    assigned = footprints.map_batches(AssignPolygonTiles(4, 7), batch_format="pyarrow")
+    poly_tiles = encode_poly_tiles(assigned)
+    return point_tiles, poly_tiles
 
 
 def run_headline(sf_dir: str, replicate: int, repeats: int = 1) -> dict:
@@ -85,13 +103,15 @@ def run_headline(sf_dir: str, replicate: int, repeats: int = 1) -> dict:
     # on a tiny replica so worker spawn + per-worker imports are paid before
     # the timed run (matters at high num_cpus on short jobs)
     warm, _ = _replicated_pages(sf_dir, 1)
-    _pipeline(warm).count()
+    for d in _pipeline(warm):
+        d.count()
 
     best = None
     n_tiles = 0
     for _ in range(repeats):
         t0 = time.time()
-        n_tiles = _pipeline(pages).count()
+        points, polys = _pipeline(pages)
+        n_tiles = points.count() + polys.count()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return {"sec": best, "docs": n_docs, "tiles": n_tiles, "docs_per_sec": n_docs / best}

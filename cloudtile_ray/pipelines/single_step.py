@@ -89,3 +89,40 @@ def single_step(
         name = get_output_name("documents", minz, maxz, suffix=suffix)
         tiles.write_parquet(f"{output_dir}/{name}/")
     return tiles
+
+
+def single_step_full(
+    sf_dir: str,
+    minimum_zoom: int = 4,
+    maximum_zoom: int = 7,
+    **kwargs,
+) -> dict:
+    """Point AND polygon tile tables from one shared geocode pass (the
+    geocoded slim projection is materialized once — small columns only —
+    and both branches stream from it)."""
+    from cloudtile_ray.stages.polygons import (
+        AssignPolygonTiles,
+        encode_poly_tiles,
+        extract_footprints,
+    )
+
+    settings = TilingSettings(**kwargs)
+    settings.set_zooms_if_absent(minimum_zoom, maximum_zoom)
+    minz, maxz = (int(z) for z in settings.zoom_range)
+
+    geo = geocoded_dataset(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "lon", "lat", "footprint_mi"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    exploded = geo.map_batches(
+        lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
+    ).map_batches(index_stage.AssignTiles(minz, maxz), batch_format="pyarrow")
+    point_tiles = encode_tiles(exploded, settings=dict(settings))
+
+    footprints = geo.map_batches(extract_footprints, batch_format="pyarrow")
+    assigned = footprints.map_batches(
+        AssignPolygonTiles(minz, maxz, settings=dict(settings)), batch_format="pyarrow"
+    )
+    poly_tiles = encode_poly_tiles(assigned, settings=dict(settings))
+    return {"points": point_tiles, "polygons": poly_tiles}

@@ -1,0 +1,439 @@
+"""Polygon features through the tile pipeline: footprint extraction, per-zoom
+tile assignment by bbox overlap, Sutherland-Hodgman clipping to the tile
+(+buffer), the per-zoom simplification ladder, and per-tile polygon
+encoding.
+
+This implements the polygon side of the tippecanoe option surface cloudtile
+drives (/root/reference/src/cloudtile/tippecanoe.yaml): ``simplification``
+(yaml:70, default 10 — tolerance in pixels applied below the maximum zoom),
+``simplify-only-low-zooms`` / ``no-line-simplification`` (yaml:72-73),
+``buffer`` / ``no-clipping`` (yaml:81-84, buffer default 5 px),
+``drop-polygons`` (yaml:55), ``tiny-polygon-size`` (yaml:76),
+``visvalingam`` (yaml:77), ``preserve-input-order`` analog (features
+ordered by doc_id inside each tile), ``maximum-tile-features`` (yaml:107).
+
+Tile membership is decided by BBOX OVERLAP (pre-clip), so the assignment is
+exactly reproducible by the integer-arithmetic SQL oracle; clipping then
+shapes the geometry (possibly to empty at bbox corners — the feature row
+survives with n_pts=0, mirroring tippecanoe's no-clipping accounting).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cloudtile_ray.config import TilingSettings
+from cloudtile_ray.geo import webmercator as wm
+from cloudtile_ray.geo.simplify import simplify_ring
+
+POLY_MAGIC = b"RPL1"
+
+
+def extract_footprints(batch: pa.Table) -> pa.Table:
+    """Rows with a footprint -> (doc_id, fp_lon: list<f64>, fp_lat: list<f64>).
+    Only the footprint minority is parsed; output is a compact feature
+    table (the heavy source columns are dropped here)."""
+    fp = batch.column("footprint_mi")
+    valid = [i for i, s in enumerate(fp.to_pylist()) if s]
+    ids = batch.column("doc_id").take(pa.array(valid))
+    lons, lats = [], []
+    for i in valid:
+        s = fp[i].as_py()
+        pts = np.array([p.split(" ") for p in s.split(",")], dtype=np.float64)
+        lons.append((pts[:, 0] / 1000.0).tolist())
+        lats.append((pts[:, 1] / 1000.0).tolist())
+    return pa.table(
+        {
+            "doc_id": ids,
+            "fp_lon": pa.array(lons, pa.list_(pa.float64())),
+            "fp_lat": pa.array(lats, pa.list_(pa.float64())),
+        }
+    )
+
+
+def _clip_axis(pts: np.ndarray, axis: int, bound: float, keep_leq: bool) -> np.ndarray:
+    """One Sutherland-Hodgman half-plane clip (axis-aligned)."""
+    if pts.shape[0] == 0:
+        return pts
+    out = []
+    n = pts.shape[0]
+    for i in range(n):
+        cur = pts[i]
+        prev = pts[i - 1]
+        cur_in = cur[axis] <= bound if keep_leq else cur[axis] >= bound
+        prev_in = prev[axis] <= bound if keep_leq else prev[axis] >= bound
+        if cur_in:
+            if not prev_in:
+                t = (bound - prev[axis]) / (cur[axis] - prev[axis])
+                out.append(prev + t * (cur - prev))
+            out.append(cur)
+        elif prev_in:
+            t = (bound - prev[axis]) / (cur[axis] - prev[axis])
+            out.append(prev + t * (cur - prev))
+    return np.asarray(out, dtype=np.float64).reshape(-1, 2)
+
+
+def clip_ring_to_box(ring: np.ndarray, w: float, s: float, e: float, n: float) -> np.ndarray:
+    """Clip a ring to an axis-aligned box (Sutherland-Hodgman, 4 passes)."""
+    out = _clip_axis(ring, 0, e, True)
+    out = _clip_axis(out, 0, w, False)
+    out = _clip_axis(out, 1, n, True)
+    out = _clip_axis(out, 1, s, False)
+    return out
+
+
+def ring_area(pts: np.ndarray) -> float:
+    if pts.shape[0] < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def _pd2(P: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Squared perpendicular distance of points P to segments A->B (all
+    (m,2)); degenerate segments fall back to point distance. Vectorized."""
+    d = B - A
+    L2 = d[:, 0] ** 2 + d[:, 1] ** 2
+    cross = (P[:, 0] - A[:, 0]) * d[:, 1] - (P[:, 1] - A[:, 1]) * d[:, 0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pd2 = np.where(
+            L2 == 0.0,
+            (P[:, 0] - A[:, 0]) ** 2 + (P[:, 1] - A[:, 1]) ** 2,
+            cross * cross / L2,
+        )
+    return pd2
+
+
+def dp4_mask(P: np.ndarray, tol: float) -> np.ndarray:
+    """Exact vectorized Douglas-Peucker keep-mask for (m, 4, 2) open
+    polylines — bit-for-bit identical to ``douglas_peucker_mask`` on each
+    row (same argmax-first tie-breaking, same strict > tol test), without
+    the per-ring Python recursion."""
+    m = P.shape[0]
+    tol2 = tol * tol
+    keep = np.zeros((m, 4), dtype=bool)
+    keep[:, 0] = keep[:, 3] = True
+    d1 = _pd2(P[:, 1], P[:, 0], P[:, 3])
+    d2 = _pd2(P[:, 2], P[:, 0], P[:, 3])
+    split1 = (d1 >= d2) & (d1 > tol2)  # argmax picks the first max
+    split2 = (~(d1 >= d2)) & (d2 > tol2)
+    keep[:, 1] |= split1
+    keep[:, 2] |= split2
+    # recurse: after splitting at p1, p2 is judged vs chord p1->p3; after
+    # splitting at p2, p1 is judged vs chord p0->p2
+    sub2 = _pd2(P[:, 2], P[:, 1], P[:, 3])
+    sub1 = _pd2(P[:, 1], P[:, 0], P[:, 2])
+    keep[:, 2] |= split1 & (sub2 > tol2)
+    keep[:, 1] |= split2 & (sub1 > tol2)
+    # ring-validity fallback (simplify_ring parity): < 3 kept -> re-add the
+    # first unkept vertex, which for quads is always p1
+    only_ends = ~(keep[:, 1] | keep[:, 2])
+    keep[:, 1] |= only_ends
+    return keep
+
+
+class AssignPolygonTiles:
+    """Per-zoom polygon tile assignment + clip + simplify, vectorized where
+    the math allows (tile-range arithmetic is numpy over the whole batch;
+    clipping loops only over the emitted (feature, tile) pairs, which are
+    few — footprints are small relative to tiles)."""
+
+    def __init__(self, min_zoom: int, max_zoom: int, settings: dict | None = None,
+                 extent: int = wm.DEFAULT_EXTENT):
+        if min_zoom > max_zoom:
+            raise ValueError(f"min_zoom {min_zoom} > max_zoom {max_zoom}")
+        self.zooms = list(range(min_zoom, max_zoom + 1))
+        self.max_zoom = max_zoom
+        self.extent = extent
+        self.s = TilingSettings(**(settings or {}))
+
+    def _tolerance_px(self, z: int) -> float:
+        s = self.s
+        if s.get("no-line-simplification", False):
+            return 0.0
+        simp = float(s.get("simplification", 10))
+        if z >= self.max_zoom:
+            if s.get("simplify-only-low-zooms", False):
+                return 0.0
+            simp = float(s.get("simplification-at-maximum-zoom", simp))
+        return simp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.s.get("drop-polygons", False) or batch.num_rows == 0:
+            return self._empty()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+
+        def list_col(name: str) -> pa.ListArray:
+            col = batch.column(name)
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        fl, ft = list_col("fp_lon"), list_col("fp_lat")
+        lon_off = fl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lon_val = fl.values.to_numpy(zero_copy_only=False)
+        lat_val = ft.values.to_numpy(zero_copy_only=False)
+        n = len(ids)
+        # per-feature bbox (vectorized via reduceat)
+        starts = lon_off[:-1]
+        wmin = np.minimum.reduceat(lon_val, starts)
+        wmax = np.maximum.reduceat(lon_val, starts)
+        smin = np.minimum.reduceat(lat_val, starts)
+        smax = np.maximum.reduceat(lat_val, starts)
+        buffer_px = float(self.s.get("buffer", 5))
+        no_clip = bool(self.s.get("no-clipping", False))
+        tiny = float(self.s.get("tiny-polygon-size", 1.0))
+        visval = bool(self.s.get("visvalingam", False))
+        nverts = np.diff(lon_off)
+        out = {k: [] for k in ("tile_key", "z", "x", "y", "doc_id", "ring_blob", "n_pts", "area_px")}
+        fast_tables: list[pa.Table] = []
+
+        def emit(tk, z, tx, ty, did, blob, npts, area):
+            out["tile_key"].append(tk)
+            out["z"].append(z)
+            out["x"].append(tx)
+            out["y"].append(ty)
+            out["doc_id"].append(did)
+            out["ring_blob"].append(blob)
+            out["n_pts"].append(npts)
+            out["area_px"].append(area)
+
+        for z in self.zooms:
+            # bbox corners -> tile span (same float expressions as the oracle)
+            x0, _ = wm.lonlat_to_tile(wmin, smin, z)
+            x1, _ = wm.lonlat_to_tile(wmax, smin, z)
+            _, y1 = wm.lonlat_to_tile(wmin, smin, z)  # south -> larger y
+            _, y0 = wm.lonlat_to_tile(wmin, smax, z)  # north -> smaller y
+            tol = self._tolerance_px(z)
+            # continuous pixel projection for ALL vertices at this zoom, once
+            nfac = np.float64(1 << z)
+            fx = (lon_val + 180.0) / 360.0 * nfac
+            lat_rad = np.radians(np.clip(lat_val, wm.MIN_LAT, wm.MAX_LAT))
+            fy = (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * nfac
+
+            # ---- vectorized fast path: 4-vertex rings whose bbox fits one
+            # tile (no clip possible: both corners share the tile, so every
+            # pixel lies in [0, extent)) — the dominant case by far
+            fast = (
+                (nverts == 4) & (x0 == x1) & (y0 == y1)
+                & (not visval) & (not getattr(self, "_disable_fast", False))
+            )
+            fi = np.nonzero(fast)[0]
+            if fi.size:
+                vidx = starts[fi][:, None] + np.arange(4)[None, :]
+                P = np.empty((fi.size, 4, 2), dtype=np.float64)
+                P[:, :, 0] = (fx[vidx] - x0[fi][:, None]) * self.extent
+                P[:, :, 1] = (fy[vidx] - y0[fi][:, None]) * self.extent
+                keep = dp4_mask(P, tol) if tol > 0 else np.ones((fi.size, 4), bool)
+                Pr = np.round(P)
+                # vectorized shoelace over the kept vertices (pad unkept
+                # vertices by repeating the last kept one: duplicate points
+                # contribute zero area)
+                order = np.argsort(~keep, axis=1, kind="stable")
+                gathered = np.take_along_axis(Pr, order[:, :, None], axis=1)
+                kcount = keep.sum(axis=1)
+                pad = gathered.copy()
+                pad[kcount == 3, 3] = pad[kcount == 3, 2]
+                xs_ = pad[:, :, 0]
+                ys_ = pad[:, :, 1]
+                area = 0.5 * np.abs(
+                    (xs_ * np.roll(ys_, -1, axis=1) - ys_ * np.roll(xs_, -1, axis=1)).sum(axis=1)
+                )
+                drop_tiny = (
+                    np.zeros(fi.size, bool)
+                    if self.s.get("no-tiny-polygon-reduction", False)
+                    else area < tiny
+                )
+                n_pts_row = np.where(drop_tiny, 0, kcount).astype(np.int64)
+                area_row = np.where(drop_tiny, 0.0, area)
+                # binary ring column built directly from buffers — no
+                # per-row Python
+                keep_f = keep & ~drop_tiny[:, None]
+                flat = Pr[keep_f].astype(np.int32)  # (K, 2) kept vertices
+                byte_counts = (n_pts_row * 8).astype(np.int32)
+                offsets = np.zeros(fi.size + 1, dtype=np.int32)
+                np.cumsum(byte_counts, out=offsets[1:])
+                blob_col = pa.Array.from_buffers(
+                    pa.binary(), fi.size,
+                    [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(flat.tobytes())],
+                )
+                tks = wm.tile_key(
+                    np.full(fi.size, z, dtype=np.uint64),
+                    x0[fi].astype(np.uint64),
+                    y0[fi].astype(np.uint64),
+                )
+                fast_tables.append(
+                    pa.table(
+                        {
+                            "tile_key": pa.array(tks),
+                            "z": pa.array(np.full(fi.size, z, dtype=np.int64)),
+                            "x": pa.array(x0[fi].astype(np.int64)),
+                            "y": pa.array(y0[fi].astype(np.int64)),
+                            "doc_id": pa.array(ids[fi].astype(np.int64)),
+                            "ring_blob": blob_col,
+                            "n_pts": pa.array(n_pts_row),
+                            "area_px": pa.array(area_row),
+                        }
+                    )
+                )
+            # ---- general path: clipped / many-vertex / multi-tile features
+            # (projection trig already hoisted into fx/fy above)
+            for i in np.nonzero(~fast)[0]:
+                fx_s = fx[starts[i] : lon_off[i + 1]]
+                fy_s = fy[starts[i] : lon_off[i + 1]]
+                for tx in range(int(x0[i]), int(x1[i]) + 1):
+                    for ty in range(int(y0[i]), int(y1[i]) + 1):
+                        ring_px = self._tile_ring(fx_s, fy_s, tx, ty, buffer_px, no_clip, tol, tiny, visval)
+                        emit(
+                            int(wm.tile_key(np.uint64(z), np.uint64(tx), np.uint64(ty))),
+                            z, tx, ty, int(ids[i]),
+                            ring_px.astype(np.int32).tobytes(), ring_px.shape[0],
+                            float(ring_area(ring_px)),
+                        )
+        slow_table = pa.table(
+            {
+                "tile_key": pa.array(np.array(out["tile_key"], dtype=np.uint64)),
+                "z": pa.array(out["z"], pa.int64()),
+                "x": pa.array(out["x"], pa.int64()),
+                "y": pa.array(out["y"], pa.int64()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "ring_blob": pa.array(out["ring_blob"], pa.binary()),
+                "n_pts": pa.array(out["n_pts"], pa.int64()),
+                "area_px": pa.array(out["area_px"], pa.float64()),
+            }
+        )
+        if not fast_tables:
+            return slow_table
+        return pa.concat_tables([slow_table, *fast_tables])
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "tile_key": pa.array([], pa.uint64()),
+                "z": pa.array([], pa.int64()),
+                "x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "ring_blob": pa.array([], pa.binary()),
+                "n_pts": pa.array([], pa.int64()),
+                "area_px": pa.array([], pa.float64()),
+            }
+        )
+
+    def _tile_ring(self, fx_s, fy_s, tx, ty, buffer_px, no_clip, tol, tiny, visval):
+        """Project an (already zoom-projected) ring into one tile's pixel
+        frame, clip to the buffered tile box, simplify, drop tiny
+        polygons. Same float expressions as the fast path."""
+        px = (fx_s - tx) * self.extent
+        py = (fy_s - ty) * self.extent
+        ring_px = np.c_[px, py]
+        if not no_clip:
+            ring_px = clip_ring_to_box(
+                ring_px, -buffer_px, -buffer_px, self.extent + buffer_px, self.extent + buffer_px
+            )
+        if ring_px.shape[0] >= 3 and tol > 0:
+            ring_px = simplify_ring(ring_px, tolerance=tol, visvalingam=visval)
+        if ring_px.shape[0] >= 3 and not self.s.get("no-tiny-polygon-reduction", False):
+            if ring_area(ring_px) < tiny:
+                return np.empty((0, 2))
+        if ring_px.shape[0] < 3:
+            return np.empty((0, 2))
+        return np.round(ring_px)
+
+
+def encode_poly_tiles(
+    assigned: "ray.data.Dataset",
+    settings: dict | None = None,
+    n_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-tile polygon encoding with the same hashed-partition merge shape
+    as the point path: one row per tile (z, x, y, n_poly_features,
+    poly_nbytes, poly_bytes), features ordered by doc_id (the
+    preserve-input-order analog) and capped by maximum-tile-features."""
+    s = TilingSettings(**(settings or {}))
+    max_feat = int(s.get("maximum-tile-features", 20000))
+    if n_partitions is None:
+        try:
+            import ray
+
+            n_partitions = max(64, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            n_partitions = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = ((tk * np.uint64(2654435761)) % np.uint64(n_partitions)).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    def merge_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        tk = g.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tk))
+        g = g.take(pa.array(order))
+        tk = tk[order]
+        uniq, first = np.unique(tk, return_index=True)
+        bounds = np.r_[first[1:], len(tk)]
+        zs = g.column("z").to_numpy(zero_copy_only=False)
+        xs = g.column("x").to_numpy(zero_copy_only=False)
+        ys = g.column("y").to_numpy(zero_copy_only=False)
+        npts = g.column("n_pts").to_numpy(zero_copy_only=False).astype(np.int64)
+        dids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # columnar tile sections: header + doc_ids[] + n_pts[] + ring bytes
+        # -> three array slices per TILE, no per-feature Python
+        rb = g.column("ring_blob")
+        rb = rb.combine_chunks() if isinstance(rb, pa.ChunkedArray) else rb
+        ring_all = rb.buffers()[2]
+        ring_all = bytes(ring_all) if ring_all is not None else b""
+        off_buf = rb.buffers()[1]
+        ring_off = np.frombuffer(off_buf, dtype=np.int32)[
+            rb.offset : rb.offset + len(rb) + 1
+        ].astype(np.int64)
+        meta = np.empty((len(tk), 2), dtype=np.int64)
+        meta[:, 0] = dids
+        meta[:, 1] = npts
+        out = {k: [] for k in ("z", "x", "y", "n_poly_features", "poly_nbytes", "poly_bytes")}
+        for st, en in zip(first, bounds):
+            en_cap = min(en, st + max_feat)
+            nfeat = int(en_cap - st)
+            header = POLY_MAGIC + np.array(
+                [int(zs[st]), int(xs[st]), int(ys[st]), nfeat], dtype=np.int32
+            ).tobytes()
+            blob = (
+                header
+                + meta[st:en_cap].tobytes()
+                + ring_all[ring_off[st] : ring_off[en_cap]]
+            )
+            out["z"].append(int(zs[st]))
+            out["x"].append(int(xs[st]))
+            out["y"].append(int(ys[st]))
+            out["n_poly_features"].append(nfeat)
+            out["poly_nbytes"].append(len(blob))
+            out["poly_bytes"].append(blob)
+        return pa.table(
+            {
+                "z": pa.array(out["z"], pa.int64()),
+                "x": pa.array(out["x"], pa.int64()),
+                "y": pa.array(out["y"], pa.int64()),
+                "n_poly_features": pa.array(out["n_poly_features"], pa.int64()),
+                "poly_nbytes": pa.array(out["poly_nbytes"], pa.int64()),
+                "poly_bytes": pa.array(out["poly_bytes"], pa.binary()),
+            }
+        )
+
+    parted = assigned.map_batches(add_part, batch_format="pyarrow")
+    return parted.groupby("part").map_groups(merge_part, batch_format="pyarrow").sort(["z", "x", "y"])
+
+
+def decode_poly_tile(blob: bytes) -> dict:
+    """Inverse of the columnar tile encoding: header, then (doc_id, n_pts)
+    meta block, then concatenated int32 (x, y) ring vertices."""
+    assert blob[:4] == POLY_MAGIC
+    z, x, y, n = np.frombuffer(blob[4:20], dtype=np.int32)
+    meta = np.frombuffer(blob[20 : 20 + 16 * n], dtype=np.int64).reshape(-1, 2)
+    off = 20 + 16 * n
+    feats = []
+    for did, npts in meta:
+        ring = np.frombuffer(blob[off : off + 8 * npts], dtype=np.int32).reshape(-1, 2)
+        off += 8 * int(npts)
+        feats.append({"doc_id": int(did), "ring": ring})
+    return {"z": int(z), "x": int(x), "y": int(y), "features": feats}
