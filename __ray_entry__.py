@@ -265,6 +265,62 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_user_running(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.events import running_totals
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return running_totals(ds)
+
+
+def q_sessions(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.events import session_windows
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return session_windows(ds, gap_us=3_600_000_000)
+
+
+def q_sliding_counts(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.events import sliding_window_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type", "value"]
+    )
+    return sliding_window_counts(ds, width_us=7_200_000_000, step_us=3_600_000_000)
+
+
+def q_attr_transform(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.attributes import apply_attribute_settings
+
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet")
+    settings = {"include": ["p_partkey", "p_size"], "attribute-type": {"p_size": "float"}}
+    return ds.map_batches(
+        lambda t: apply_attribute_settings(t, settings), batch_format="pyarrow"
+    )
+
+
+def q_feature_filter(sf_dir: str):
+    from cloudtile_ray.stages.attributes import feature_filter
+
+    expr = ["all", [">=", "lat_mi", 0], ["in", "lang", ["en", "de"]]]
+    return (
+        _geo_only(sf_dir)
+        .map_batches(lambda t: feature_filter(t, expr), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    )
+
+
 def q_knn_embedding(sf_dir: str):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -485,6 +541,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
+        "user_running": q_user_running,
+        "sessions": q_sessions,
+        "sliding_counts": q_sliding_counts,
+        "attr_transform": q_attr_transform,
+        "feature_filter": q_feature_filter,
         "knn_embedding": q_knn_embedding,
         # rows-only
         "cell_index": q_cell_index,
@@ -590,6 +651,44 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2""",
+        "user_running": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+                     AS running_cents
+            FROM events""",
+        "sessions": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                   OR ts_us - lag(ts_us) OVER w > 3600000000
+                                 THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                  FROM g)
+            SELECT user_id, session_seq,
+                   min(ts_us) AS start_us, max(ts_us) AS end_us,
+                   count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM s GROUP BY 1, 2""",
+        "sliding_counts": """
+            WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+            w AS (SELECT event_type, ts_us,
+                         ((ts_us - 7200000000 + 3600000000) // 3600000000 + j)
+                           * 3600000000 AS window_start_us
+                  FROM e, (VALUES (0), (1)) t(j))
+            SELECT window_start_us, event_type, count(*) AS n
+            FROM w
+            WHERE window_start_us <= ts_us AND ts_us < window_start_us + 7200000000
+            GROUP BY 1, 2""",
+        "attr_transform": """
+            SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size FROM part""",
+        "feature_filter": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT doc_id FROM geo
+            WHERE lat_mi >= 0 AND lang IN ('en', 'de')""",
         "poly_assign_z6": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
             fp AS (SELECT doc_id, lat_mi, lon_mi, 200 + doc_id % 100 AS d
                    FROM geo WHERE doc_id % 5 = 0),

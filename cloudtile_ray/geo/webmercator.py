@@ -101,6 +101,28 @@ def pixel_size_degrees(z: int, extent: int = DEFAULT_EXTENT) -> float:
     return 360.0 / float((1 << z) * extent)
 
 
+def hilbert_xy2d(order_bits: int, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized Hilbert curve distance of integer (x, y) on a
+    2^order_bits grid (classic Wikipedia xy2d) — used for the ``hilbert``
+    in-tile feature ordering (tippecanoe.yaml:89) and archive layout."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros(x.shape, dtype=np.int64)
+    s = np.int64(1 << (order_bits - 1))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        flip = ry == 0
+        inv = flip & (rx == 1)
+        x2 = np.where(inv, s - 1 - x, x)
+        y2 = np.where(inv, s - 1 - y, y)
+        x, y = np.where(flip, y2, x2), np.where(flip, x2, y2)
+        s >>= 1
+    return d
+
+
 def guess_zoom_for_density(n_features: int, max_features_per_tile: int = 20000) -> int:
     """A cheap ``-zg`` ("guess maximum zoom") analog: the smallest zoom at
     which a uniform spread of ``n_features`` would put fewer than

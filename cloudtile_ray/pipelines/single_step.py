@@ -115,14 +115,47 @@ def single_step_full(
         batch_format="pyarrow",
     ).materialize()
 
-    exploded = geo.map_batches(
-        lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
-    ).map_batches(index_stage.AssignTiles(minz, maxz), batch_format="pyarrow")
-    point_tiles = encode_tiles(exploded, settings=dict(settings))
-
     footprints = geo.map_batches(extract_footprints, batch_format="pyarrow")
-    assigned = footprints.map_batches(
-        AssignPolygonTiles(minz, maxz, settings=dict(settings)), batch_format="pyarrow"
-    )
-    poly_tiles = encode_poly_tiles(assigned, settings=dict(settings))
-    return {"points": point_tiles, "polygons": poly_tiles}
+
+    def build_points(mz: int, xz: int):
+        pts = geo.map_batches(
+            lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
+        )
+        if settings.get("convert-polygons-to-label-points", False):
+            from cloudtile_ray.stages.polygons import footprints_to_label_points
+
+            pts = pts.union(
+                footprints.map_batches(footprints_to_label_points, batch_format="pyarrow")
+            )
+        exploded = pts.map_batches(
+            index_stage.AssignTiles(mz, xz, one_tile=settings.get("one-tile")),
+            batch_format="pyarrow",
+        )
+        return encode_tiles(exploded, settings=dict(settings))
+
+    point_tiles = build_points(minz, maxz)
+    if settings.get("extend-zooms-if-still-dropping", False):
+        # tippecanoe.yaml:27: extend maxzoom while the max-zoom tiles are
+        # still dropping features (bounded: +2 zooms)
+        import pyarrow.compute as pc
+
+        for _ in range(2):
+            top = point_tiles.map_batches(
+                lambda t: t.filter(pc.equal(t.column("z"), maxz)).select(["n_dropped"]),
+                batch_format="pyarrow",
+            ).to_pandas()
+            if top.empty or top.n_dropped.sum() == 0:
+                break
+            maxz += 1
+            point_tiles = build_points(minz, maxz)
+
+    if settings.get("convert-polygons-to-label-points", False) or settings.get(
+        "drop-polygons", False
+    ):
+        poly_tiles = None
+    else:
+        assigned = footprints.map_batches(
+            AssignPolygonTiles(minz, maxz, settings=dict(settings)), batch_format="pyarrow"
+        )
+        poly_tiles = encode_poly_tiles(assigned, settings=dict(settings))
+    return {"points": point_tiles, "polygons": poly_tiles, "maximum_zoom": maxz}

@@ -51,11 +51,19 @@ class AssignTiles:
     single vectorized batch explosion (numpy repeat), not per-row flat_map."""
 
     def __init__(self, min_zoom: int, max_zoom: int, extent: int = wm.DEFAULT_EXTENT,
-                 drop_rate: float | None = None, base_zoom: int | None = None):
+                 drop_rate: float | None = None, base_zoom: int | None = None,
+                 one_tile: str | None = None):
         if min_zoom > max_zoom:
             raise ValueError(f"min_zoom {min_zoom} > max_zoom {max_zoom}")
         self.zooms = list(range(min_zoom, max_zoom + 1))
         self.extent = extent
+        # ``one-tile z/x/y`` (tippecanoe.yaml:29): restrict output to a
+        # single named tile
+        self.one_tile_key = None
+        if one_tile:
+            tz, tx, ty = (int(v) for v in one_tile.split("/"))
+            self.one_tile_key = int(wm.tile_key(np.uint64(tz), np.uint64(tx), np.uint64(ty)))
+            self.zooms = [z for z in self.zooms if z == tz] or [tz]
         # fixed-rate dropping (tippecanoe.yaml:49-56): at z < base_zoom keep
         # a deterministic hash-sample of rate^(base_zoom - z) per feature —
         # a pure function of (feature hash, z) so output is reproducible at
@@ -96,4 +104,11 @@ class AssignTiles:
             parts.append(sub)
         if not parts:
             return batch.slice(0, 0)
-        return pa.concat_tables(parts)
+        out = pa.concat_tables(parts)
+        if self.one_tile_key is not None:
+            import pyarrow.compute as pc
+
+            out = out.filter(
+                pc.equal(out.column("tile_key"), pa.scalar(self.one_tile_key, pa.uint64()))
+            )
+        return out

@@ -36,7 +36,7 @@ def extract_footprints(batch: pa.Table) -> pa.Table:
     table (the heavy source columns are dropped here)."""
     fp = batch.column("footprint_mi")
     valid = [i for i, s in enumerate(fp.to_pylist()) if s]
-    ids = batch.column("doc_id").take(pa.array(valid))
+    ids = batch.column("doc_id").take(pa.array(valid, type=pa.int64()))
     lons, lats = [], []
     for i in valid:
         s = fp[i].as_py()
@@ -340,6 +340,37 @@ class AssignPolygonTiles:
         return np.round(ring_px)
 
 
+def footprints_to_label_points(batch: pa.Table) -> pa.Table:
+    """``convert-polygons-to-label-points`` (tippecanoe.yaml:104): replace
+    each footprint with its vertex-centroid point -> rows usable by the
+    point tile path (doc_id, lon, lat). Vectorized via reduceat means."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "lon": pa.array([], pa.float64()),
+             "lat": pa.array([], pa.float64())}
+        )
+
+    def list_col(name: str):
+        col = batch.column(name)
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    fl, ft = list_col("fp_lon"), list_col("fp_lat")
+    off = fl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lon_val = fl.values.to_numpy(zero_copy_only=False)
+    lat_val = ft.values.to_numpy(zero_copy_only=False)
+    counts = np.diff(off).astype(np.float64)
+    lon_c = np.add.reduceat(lon_val, off[:-1]) / counts
+    lat_c = np.add.reduceat(lat_val, off[:-1]) / counts
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lon": pa.array(lon_c),
+            "lat": pa.array(lat_c),
+        }
+    )
+
+
 def encode_poly_tiles(
     assigned: "ray.data.Dataset",
     settings: dict | None = None,
@@ -368,7 +399,39 @@ def encode_poly_tiles(
         g = g.drop_columns(["part"])
         tk = g.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, tk))
+        # in-tile feature ordering (tippecanoe.yaml:85-94): default is the
+        # preserve-input-order analog (doc_id); area-ordered and
+        # Hilbert-ordered variants selectable; ``reverse`` flips within tile
+        if s.get("order-largest-first", False) or s.get("order-smallest-first", False):
+            area = g.column("area_px").to_numpy(zero_copy_only=False)
+            key2 = -area if s.get("order-largest-first", False) else area
+            order = np.lexsort((ids, key2, tk))
+        elif s.get("hilbert", False):
+            from cloudtile_ray.geo.webmercator import hilbert_xy2d
+
+            npts_a = g.column("n_pts").to_numpy(zero_copy_only=False)
+            rb0 = g.column("ring_blob")
+            rb0 = rb0.combine_chunks() if isinstance(rb0, pa.ChunkedArray) else rb0
+            # first vertex of each ring as the ordering anchor
+            fx0 = np.zeros(len(tk), dtype=np.int64)
+            fy0 = np.zeros(len(tk), dtype=np.int64)
+            for r in range(len(tk)):
+                if npts_a[r] > 0:
+                    v = np.frombuffer(rb0[r].as_py()[:8], dtype=np.int32)
+                    fx0[r], fy0[r] = int(v[0]), int(v[1])
+            h = hilbert_xy2d(13, np.clip(fx0, 0, 8191), np.clip(fy0, 0, 8191))
+            order = np.lexsort((ids, h, tk))
+        else:
+            order = np.lexsort((ids, tk))
+        if s.get("reverse", False):
+            # reverse within each tile while keeping tiles contiguous
+            tk_o = tk[order]
+            parts_idx = []
+            uq, fst = np.unique(tk_o, return_index=True)
+            bnd = np.r_[fst[1:], len(tk_o)]
+            for a, b in zip(fst, bnd):
+                parts_idx.append(order[a:b][::-1])
+            order = np.concatenate(parts_idx)
         g = g.take(pa.array(order))
         tk = tk[order]
         uniq, first = np.unique(tk, return_index=True)

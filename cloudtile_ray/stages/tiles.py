@@ -73,6 +73,21 @@ def _coalesce_sorted(
     )
 
 
+def _gamma_snap(
+    px: np.ndarray, py: np.ndarray, cnt: np.ndarray, gamma: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic gamma thinning: snap pixels to a gamma-sized grid cell
+    center and merge counts (grid-based analog of tippecanoe's gamma dot
+    dropping — deterministic and associative rather than probabilistic)."""
+    g = np.int64(max(1, int(gamma)))
+    sx = (px.astype(np.int64) // g) * g + g // 2
+    sy = (py.astype(np.int64) // g) * g + g // 2
+    _, spx, spy, scnt = _coalesce_sorted(
+        np.zeros(len(sx), dtype=np.uint64), sx.astype(np.int32), sy.astype(np.int32), cnt
+    )
+    return spx, spy, scnt
+
+
 def partial_tile_agg(batch: pa.Table) -> pa.Table:
     """Batch-local partial aggregation (stateless task): exploded
     (tile_key, px, py) rows -> coalesced (tile_key, px, py, cnt) rows."""
@@ -110,6 +125,13 @@ class FinalizeTile:
     ) -> dict:
         """Coalesced per-tile pixel arrays -> output scalars + tile bytes."""
         s = self.settings
+        # gamma / cluster-distance point thinning (tippecanoe.yaml:56,66-68):
+        # deterministic grid-snap — pixels within a gamma-sized cell merge
+        # into the cell's canonical pixel, counts summed. Associative with
+        # the pixel coalesce, pure function of the pixel multiset.
+        gamma = float(s.get("gamma", 0) or 0) or float(s.get("cluster-distance", 0) or 0)
+        if gamma > 1:
+            px, py, cnt = _gamma_snap(px, py, cnt, gamma)
         n_coalesced = len(px)
         max_feat = s.get("maximum-tile-features", 20000)
         max_bytes = s.get("maximum-tile-bytes", 2500000)
@@ -123,16 +145,27 @@ class FinalizeTile:
             dropped = n_coalesced - max_feat
             px, py, cnt = px[order], py[order], cnt[order]
         blob = self._encode(z, x, y, px, py, cnt)
+        increase_gamma = bool(s.get("increase-gamma-as-needed", False))
+        next_gamma = max(2.0, gamma * 2)
         while (
             not s.get("no-tile-size-limit", False)
             and len(blob) > max_bytes
             and len(px) > 1
         ):
-            # drop ladder step 3: halve densest-first until under the cap
-            keep = np.lexsort((np.arange(len(cnt)), -cnt))[: max(1, len(px) // 2)]
-            keep.sort()
-            dropped += len(px) - len(keep)
-            px, py, cnt = px[keep], py[keep], cnt[keep]
+            if increase_gamma:
+                # pressure valve variant (yaml:68): coarsen the thinning
+                # grid instead of dropping outright
+                before = len(px)
+                px, py, cnt = _gamma_snap(px, py, cnt, next_gamma)
+                next_gamma *= 2
+                if len(px) == before:  # grid saturated; fall back to drops
+                    increase_gamma = False
+            else:
+                # drop ladder step 3: halve densest-first until under the cap
+                keep = np.lexsort((np.arange(len(cnt)), -cnt))[: max(1, len(px) // 2)]
+                keep.sort()
+                dropped += len(px) - len(keep)
+                px, py, cnt = px[keep], py[keep], cnt[keep]
             blob = self._encode(z, x, y, px, py, cnt)
         return {
             "z": z,

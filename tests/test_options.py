@@ -1,0 +1,209 @@
+"""Tests for the wider tippecanoe-option surface: attribute transforms,
+feature filters, gamma thinning, one-tile, orderings, label points,
+extend-zooms, event windows."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cloudtile_ray.stages.attributes import apply_attribute_settings, feature_filter
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def sample_batch():
+    return pa.table(
+        {
+            "url": pa.array(["https://a/1", "https://b/2", "https://c/3"]),
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lon": pa.array([190.0, -10.0, 5.0]),
+            "lat": pa.array([10.0, 20.0, 30.0]),
+            "text": pa.array(["t1", "t2", "t3"]),
+            "extra": pa.array(["", "x", "123"]),
+            "num_str": pa.array(["7", "8", "9"]),
+            "price": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        }
+    )
+
+
+class TestAttributes:
+    def test_exclude_include(self):
+        out = apply_attribute_settings(sample_batch(), {"exclude": ["extra", "url"]})
+        assert "extra" not in out.column_names
+        assert "url" in out.column_names  # protected
+        out = apply_attribute_settings(sample_batch(), {"include": ["price"]})
+        assert set(out.column_names) == {"url", "doc_id", "lon", "lat", "text", "price"}
+        out = apply_attribute_settings(sample_batch(), {"exclude-all": True})
+        assert set(out.column_names) == {"url", "doc_id", "lon", "lat", "text"}
+
+    def test_casts_and_coercions(self):
+        out = apply_attribute_settings(
+            sample_batch(),
+            {"attribute-type": {"price": "string"},
+             "convert-stringified-ids-to-numbers": True,
+             "empty-csv-columns-are-null": True,
+             "single-precision": True},
+        )
+        assert pa.types.is_string(out.column("price").type)
+        assert pa.types.is_int64(out.column("num_str").type)  # all-digit col cast
+        assert pa.types.is_string(out.column("extra").type)  # mixed col untouched
+        assert out.column("extra")[0].as_py() is None  # "" -> null
+        assert pa.types.is_float32(out.column("lon").type)  # single-precision
+
+    def test_ids_and_normalization(self):
+        out = apply_attribute_settings(
+            sample_batch(), {"generate-ids": True, "detect-longitude-wraparound": True}
+        )
+        assert "feature_id" in out.column_names
+        assert out.column("lon")[0].as_py() == pytest.approx(-170.0)  # 190 wraps
+        out2 = apply_attribute_settings(sample_batch(), {"use-attribute-for-id": "doc_id"})
+        assert out2.column("feature_id").to_pylist() == [1, 2, 3]
+
+    def test_clip_bounding_box(self):
+        out = apply_attribute_settings(
+            sample_batch(), {"clip-bounding-box": [-20, 0, 10, 90]}
+        )
+        assert out.column("doc_id").to_pylist() == [2, 3]
+
+    def test_feature_filter_expressions(self):
+        b = sample_batch()
+        assert feature_filter(b, [">=", "lat", 20]).num_rows == 2
+        assert feature_filter(b, ["all", [">=", "lat", 20], ["<", "price", 3]]).num_rows == 1
+        assert feature_filter(b, ["any", ["==", "doc_id", 1], ["==", "doc_id", 3]]).num_rows == 2
+        assert feature_filter(b, ["not", ["in", "doc_id", [1, 2]]]).num_rows == 1
+        assert feature_filter(b, ["!in", "doc_id", [1]]).num_rows == 2
+        with pytest.raises(ValueError):
+            feature_filter(b, ["~~", "doc_id", 1])
+
+
+class TestGammaAndCaps:
+    def test_gamma_snap_reduces_features(self):
+        from cloudtile_ray.stages.tiles import FinalizeTile
+
+        rng = np.random.default_rng(0)
+        px = rng.integers(0, 64, 5000).astype(np.int32)  # dense little cluster
+        py = rng.integers(0, 64, 5000).astype(np.int32)
+        cnt = np.ones(5000, dtype=np.int64)
+        plain = FinalizeTile({}).finalize_arrays(5, 1, 1, px, py, cnt, 5000)
+        gam = FinalizeTile({"gamma": 8}).finalize_arrays(5, 1, 1, px, py, cnt, 5000)
+        assert gam["n_features"] < plain["n_features"]
+        assert gam["n_features"] <= 81  # 64/8 grid squared (+1 boundary)
+        # counts conserved by snapping (no drops)
+        from cloudtile_ray.stages.tiles import decode_tile
+
+        assert decode_tile(gam["tile_bytes"])["cnt"].sum() == 5000
+
+    def test_increase_gamma_as_needed(self):
+        from cloudtile_ray.stages.tiles import FinalizeTile
+
+        rng = np.random.default_rng(1)
+        n = 20000
+        px = rng.integers(0, 4096, n).astype(np.int32)
+        py = rng.integers(0, 4096, n).astype(np.int32)
+        cnt = np.ones(n, dtype=np.int64)
+        out = FinalizeTile(
+            {"maximum-tile-bytes": 5000, "increase-gamma-as-needed": True}
+        ).finalize_arrays(5, 1, 1, px, py, cnt, n)
+        assert out["tile_nbytes"] <= 5000
+        assert out["n_dropped"] == 0  # thinned by coarsening, not dropping
+        from cloudtile_ray.stages.tiles import decode_tile
+
+        assert decode_tile(out["tile_bytes"])["cnt"].sum() == n
+
+
+class TestTileOptions:
+    def test_one_tile(self, sf_tiny):
+        from cloudtile_ray.pipelines.single_step import geocoded_dataset
+        from cloudtile_ray.stages.index import AssignTiles
+
+        geo = geocoded_dataset(sf_tiny).map_batches(
+            lambda t: t.select(["doc_id", "lon", "lat"]), batch_format="pyarrow"
+        )
+        # the metro cluster tile at z5 (Chicago-ish: x=8, y=11)
+        df = geo.map_batches(
+            AssignTiles(4, 6, one_tile="5/8/11"), batch_format="pyarrow"
+        ).to_pandas()
+        assert len(df) > 0
+        assert (df.z == 5).all() and (df.x == 8).all() and (df.y == 11).all()
+
+    def test_orderings(self, sf_tiny):
+        from cloudtile_ray.pipelines.single_step import geocoded_dataset
+        from cloudtile_ray.stages.polygons import (
+            AssignPolygonTiles, decode_poly_tile, encode_poly_tiles, extract_footprints,
+        )
+
+        fp = geocoded_dataset(sf_tiny).map_batches(extract_footprints, batch_format="pyarrow")
+        assigned = fp.map_batches(AssignPolygonTiles(4, 5), batch_format="pyarrow").materialize()
+
+        def rings_of(settings):
+            tiles = encode_poly_tiles(assigned, settings=settings).to_pandas()
+            row = tiles[tiles.n_poly_features >= 3].iloc[0]
+            return decode_poly_tile(row.poly_bytes)
+
+        default = rings_of({})
+        ids = [f["doc_id"] for f in default["features"]]
+        assert ids == sorted(ids)  # preserve-input-order analog
+        rev = rings_of({"reverse": True})
+        largest = rings_of({"order-largest-first": True})
+        areas = [0.5 * abs(np.cross(f["ring"][1] - f["ring"][0], f["ring"][2] - f["ring"][0]))
+                 for f in largest["features"]]
+        hil = rings_of({"hilbert": True})
+        assert len(rev["features"]) == len(default["features"])
+        assert len(hil["features"]) == len(default["features"])
+
+    def test_label_points(self, sf_tiny):
+        from cloudtile_ray.pipelines.single_step import geocoded_dataset
+        from cloudtile_ray.stages.polygons import extract_footprints, footprints_to_label_points
+
+        fp = geocoded_dataset(sf_tiny).map_batches(extract_footprints, batch_format="pyarrow")
+        pts = fp.map_batches(footprints_to_label_points, batch_format="pyarrow").to_pandas()
+        assert len(pts) == fp.count()
+        assert set(pts.columns) == {"doc_id", "lon", "lat"}
+        # diamond centroid == the source point
+        assert pts.lon.between(-180, 180).all()
+
+    def test_extend_zooms(self, sf_tiny):
+        from cloudtile_ray.pipelines.single_step import single_step_full
+
+        res = single_step_full(
+            sf_tiny, 4, 4,
+            **{"extend-zooms-if-still-dropping": True, "maximum-tile-features": 3},
+        )
+        assert res["maximum_zoom"] > 4  # dropping at z4 -> ladder extended
+
+    def test_single_step_full_label_points_mode(self, sf_tiny):
+        from cloudtile_ray.pipelines.single_step import single_step_full
+
+        res = single_step_full(
+            sf_tiny, 4, 5, **{"convert-polygons-to-label-points": True}
+        )
+        assert res["polygons"] is None
+        assert res["points"].count() > 0
+
+
+class TestEvents:
+    def test_running_totals_monotonic(self, sf_tiny):
+        import ray.data
+
+        from cloudtile_ray.stages.events import running_totals
+
+        ds = ray.data.read_parquet(
+            f"{sf_tiny}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+        )
+        df = running_totals(ds).to_pandas()
+        assert len(df) == 1000
+        g = df.groupby("user_id")["running_cents"].max()
+        assert (g > 0).all()
+
+    def test_sessions_partition_events(self, sf_tiny):
+        import ray.data
+
+        from cloudtile_ray.stages.events import session_windows
+
+        ds = ray.data.read_parquet(
+            f"{sf_tiny}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+        )
+        df = session_windows(ds).to_pandas()
+        assert df.n_events.sum() == 1000  # every event in exactly one session
+        assert (df.start_us <= df.end_us).all()
