@@ -376,6 +376,19 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(ds, threshold=0.5)
 
 
+def q_dedup_drop(sf_dir: str):
+    """MinHash near-dup clusters -> surviving documents (keep-first)."""
+    import ray.data
+
+    from cloudtile_ray.stages.dedup import drop_near_dups, minhash_dedup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, threshold=0.5)
+    return drop_near_dups(ds, pairs).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     import ray.data
 
@@ -551,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_index": q_cell_index,
         "tiles_full": q_tiles_full,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_drop": q_dedup_drop,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,

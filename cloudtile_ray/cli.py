@@ -267,13 +267,17 @@ def run_convert(args: argparse.Namespace) -> str:
             config=args.config, suffix=args.suffix, **args.tc_kwargs,
         )
 
+    from cloudtile_ray.state.archive import write_archive
     from cloudtile_ray.state.manifest import write_tiles_resumable
 
     result = write_tiles_resumable(tiles, dest, settings=dict(settings))
+    # terminal single-file artifact (the .pmtiles analog)
+    arch = write_archive(tiles, Path(str(dest) + ".rtar"))
     return (
         f"wrote {dest}: {result['total_rows']} tiles "
         f"({len(result['written'])} partitions written, "
-        f"{len(result['skipped'])} skipped via manifest)"
+        f"{len(result['skipped'])} skipped via manifest); "
+        f"archive {dest}.rtar ({arch['n_tiles']} tiles, {arch['total_bytes']} bytes)"
     )
 
 

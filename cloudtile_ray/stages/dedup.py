@@ -186,6 +186,61 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, n_hashes: int = 64, n_bands:
     )
 
 
+def resolve_clusters(pairs: pa.Table, id_cols: tuple[str, str] = ("doc_a", "doc_b")) -> pa.Table:
+    """Near-dup pairs -> (doc_id, cluster_id, keep) via union-find on the
+    driver. Safe because the candidate pair set is already bounded by the
+    LSH bucketing (quadratic work never escapes a bucket — the guide's
+    stated condition for driver-side components); cluster_id = min doc_id
+    in the component, keep = (doc_id == cluster_id), i.e. keep-first."""
+    a = pairs.column(id_cols[0]).to_numpy(zero_copy_only=False)
+    b = pairs.column(id_cols[1]).to_numpy(zero_copy_only=False)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by min id -> deterministic roots
+            lo, hi = (rx, ry) if rx < ry else (ry, rx)
+            parent[hi] = lo
+    members = sorted(parent)
+    roots = [find(m) for m in members]
+    return pa.table(
+        {
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_id": pa.array(roots, pa.int64()),
+            "keep": pa.array([m == r for m, r in zip(members, roots)], pa.bool_()),
+        }
+    )
+
+
+def drop_near_dups(ds, pairs: pa.Table):
+    """Filter a documents dataset to drop non-keeper members of near-dup
+    clusters (broadcast the small drop-set, filter inside map_batches)."""
+    import ray
+
+    clusters = resolve_clusters(pairs)
+    drop = {
+        d
+        for d, k in zip(clusters.column("doc_id").to_pylist(), clusters.column("keep").to_pylist())
+        if not k
+    }
+    drop_ref = ray.put(drop)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        dset = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, np.fromiter(dset, dtype=np.int64)) if dset else np.ones(len(ids), bool)
+        return batch.take(pa.array(np.nonzero(keep)[0]))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
