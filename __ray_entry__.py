@@ -265,6 +265,54 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_semi_broadcast(sf_dir: str):
+    """Broadcast key-set semi join (guide pattern: ship the small side's key
+    set once via ray.put, filter inside map_batches — no shuffle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING")).column("c_custkey")
+    key_ref = ray.put(set(keys.to_pylist()))
+
+    def flt(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        m = pc.is_in(t.column("o_custkey"), value_set=pa.array(sorted(ks), pa.int64()))
+        return t.filter(m).select(["o_orderkey"])
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    return orders.map_batches(flt, batch_format="pyarrow")
+
+
+def q_pushdown_1996(sf_dir: str):
+    """Predicate pushdown at the read (row-group pruning) + monthly counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") < pa.scalar(np.datetime64("1997-01-01", "us"))),
+    )
+
+    def month(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        return t.append_column("month", pa.array(d.astype("datetime64[us]").astype(np.int64)))
+
+    return (
+        ds.map_batches(month, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["month"]), batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
 def q_user_running(sf_dir: str):
     import ray.data
 
@@ -554,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
+        "semi_broadcast": q_semi_broadcast,
+        "pushdown_1996": q_pushdown_1996,
         "user_running": q_user_running,
         "sessions": q_sessions,
         "sliding_counts": q_sliding_counts,
@@ -665,6 +715,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2""",
+        "semi_broadcast": """
+            SELECT o_orderkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')""",
+        "pushdown_1996": """
+            SELECT epoch_us(date_trunc('month', o_orderdate)) AS month,
+                   count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1""",
         "user_running": """
             SELECT user_id, event_id,
                    CAST(sum(CAST(round(value * 100) AS BIGINT))
