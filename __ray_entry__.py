@@ -424,6 +424,15 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(ds, threshold=0.5)
 
 
+def q_ngram_jaccard(sf_dir: str):
+    import ray.data
+
+    from cloudtile_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.5)
+
+
 def q_dedup_drop(sf_dir: str):
     """MinHash near-dup clusters -> surviving documents (keep-first)."""
     import ray.data
@@ -615,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiles_full": q_tiles_full,
         "minhash_pairs": q_minhash_pairs,
         "dedup_drop": q_dedup_drop,
+        "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,

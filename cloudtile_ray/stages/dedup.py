@@ -186,6 +186,48 @@ def minhash_dedup_pairs(ds, threshold: float = 0.7, n_hashes: int = 64, n_bands:
     )
 
 
+def ngram_jaccard_pairs(ds, threshold: float = 0.6, k: int = 5):
+    """n-gram Jaccard near-dup: candidate blocking by the winnowing
+    rolling-hash fingerprint (documents sharing a minimal window hash are
+    candidates — robust to local edits), then exact k-shingle Jaccard on
+    candidates only. Distinct from MinHash-LSH: deterministic single-hash
+    blocking, exact verification, no signature matrix."""
+    from cloudtile_ray.stages.text import rolling_fingerprint_batch
+
+    fps = ds.map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
+
+    cands = fps.groupby("rolling_fp").map_groups(pairs, batch_format="pyarrow").to_pandas()
+    if cands.empty:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    cands = cands.drop_duplicates()
+    need = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
+    texts = {}
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+        m = pc.is_in(b.column("doc_id"), value_set=pa.array(need))
+        sub = b.filter(m)
+        for i, t in zip(sub.column("doc_id").to_pylist(), sub.column("text").to_pylist()):
+            texts[i] = t
+    keep_a, keep_b, jac = [], [], []
+    for a, bb in cands.itertuples(index=False):
+        j = jaccard(texts[int(a)], texts[int(bb)], k=k)
+        if j >= threshold:
+            keep_a.append(int(a))
+            keep_b.append(int(bb))
+            jac.append(j)
+    return pa.table({"doc_a": pa.array(keep_a, pa.int64()),
+                     "doc_b": pa.array(keep_b, pa.int64()),
+                     "jaccard": pa.array(jac, pa.float64())})
+
+
 def resolve_clusters(pairs: pa.Table, id_cols: tuple[str, str] = ("doc_a", "doc_b")) -> pa.Table:
     """Near-dup pairs -> (doc_id, cluster_id, keep) via union-find on the
     driver. Safe because the candidate pair set is already bounded by the

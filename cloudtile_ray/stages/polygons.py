@@ -105,6 +105,48 @@ def _pd2(P: np.ndarray, A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return pd2
 
 
+def clip_rings_batched(
+    P: np.ndarray, counts: np.ndarray, w: float, s: float, e: float, n: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized Sutherland-Hodgman: clip m padded rings ``P (m, V, 2)``
+    with per-ring vertex ``counts`` against one axis-aligned box. Returns
+    (padded output rings, output counts). Exactly the same interpolation
+    arithmetic as the scalar ``_clip_axis`` (t = (bound-prev)/(cur-prev)),
+    so results are bit-identical."""
+    for axis, bound, keep_leq in ((0, e, True), (0, w, False), (1, n, True), (1, s, False)):
+        m, V, _ = P.shape
+        if m == 0 or V == 0:
+            return P, counts
+        j = np.arange(V)[None, :]
+        valid = j < counts[:, None]
+        prev_idx = (j - 1) % np.maximum(counts[:, None], 1)
+        cur = P
+        prev = np.take_along_axis(P, prev_idx[:, :, None].astype(np.int64), axis=1)
+        cv = cur[:, :, axis]
+        pv = prev[:, :, axis]
+        cur_in = (cv <= bound) if keep_leq else (cv >= bound)
+        prev_in = (pv <= bound) if keep_leq else (pv >= bound)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (bound - pv) / (cv - pv)
+            inter = prev + t[:, :, None] * (cur - prev)
+        # output slots: per input vertex, [intersection, cur] in that order
+        out = np.empty((m, 2 * V, 2), dtype=np.float64)
+        out[:, 0::2] = inter
+        out[:, 1::2] = cur
+        emit_inter = valid & (cur_in != prev_in)
+        emit_cur = valid & cur_in
+        emit = np.empty((m, 2 * V), dtype=bool)
+        emit[:, 0::2] = emit_inter
+        emit[:, 1::2] = emit_cur
+        # compact: stable-sort pushes emitted slots to the front per row
+        order = np.argsort(~emit, axis=1, kind="stable")
+        out = np.take_along_axis(out, order[:, :, None], axis=1)
+        counts = emit.sum(axis=1)
+        maxc = int(counts.max()) if m else 0
+        P = out[:, : max(maxc, 1)]
+    return P, counts
+
+
 def dp4_mask(P: np.ndarray, tol: float) -> np.ndarray:
     """Exact vectorized Douglas-Peucker keep-mask for (m, 4, 2) open
     polylines — bit-for-bit identical to ``douglas_peucker_mask`` on each
@@ -225,26 +267,31 @@ class AssignPolygonTiles:
                 P[:, :, 1] = (fy[vidx] - y0[fi][:, None]) * self.extent
                 keep = dp4_mask(P, tol) if tol > 0 else np.ones((fi.size, 4), bool)
                 Pr = np.round(P)
-                # vectorized shoelace over the kept vertices (pad unkept
-                # vertices by repeating the last kept one: duplicate points
-                # contribute zero area)
+                # two shoelaces, matching the general path exactly: the
+                # tiny-polygon CHECK uses the unrounded simplified ring, the
+                # EMITTED area is of the final rounded ring. Unkept slots
+                # padded by repeating the last kept vertex (zero-area edges).
                 order = np.argsort(~keep, axis=1, kind="stable")
-                gathered = np.take_along_axis(Pr, order[:, :, None], axis=1)
                 kcount = keep.sum(axis=1)
-                pad = gathered.copy()
-                pad[kcount == 3, 3] = pad[kcount == 3, 2]
-                xs_ = pad[:, :, 0]
-                ys_ = pad[:, :, 1]
-                area = 0.5 * np.abs(
-                    (xs_ * np.roll(ys_, -1, axis=1) - ys_ * np.roll(xs_, -1, axis=1)).sum(axis=1)
-                )
+
+                def _shoelace(src: np.ndarray) -> np.ndarray:
+                    g = np.take_along_axis(src, order[:, :, None], axis=1).copy()
+                    g[kcount == 3, 3] = g[kcount == 3, 2]
+                    xs_ = g[:, :, 0]
+                    ys_ = g[:, :, 1]
+                    return 0.5 * np.abs(
+                        (xs_ * np.roll(ys_, -1, axis=1) - ys_ * np.roll(xs_, -1, axis=1)).sum(axis=1)
+                    )
+
+                area_check = _shoelace(P)
+                area_out = _shoelace(Pr)
                 drop_tiny = (
                     np.zeros(fi.size, bool)
                     if self.s.get("no-tiny-polygon-reduction", False)
-                    else area < tiny
+                    else area_check < tiny
                 )
                 n_pts_row = np.where(drop_tiny, 0, kcount).astype(np.int64)
-                area_row = np.where(drop_tiny, 0.0, area)
+                area_row = np.where(drop_tiny, 0.0, area_out)
                 # binary ring column built directly from buffers — no
                 # per-row Python
                 keep_f = keep & ~drop_tiny[:, None]
@@ -275,9 +322,117 @@ class AssignPolygonTiles:
                         }
                     )
                 )
-            # ---- general path: clipped / many-vertex / multi-tile features
+            # ---- batched path: 4-vertex rings spanning MULTIPLE tiles —
+            # expand to (feature, tile) pairs and clip all of them at once
+            # (vectorized Sutherland-Hodgman; tile-local coords share one
+            # clip box). Simplification: n==3 rings are always fully kept
+            # (DP endpoint+fallback semantics), n==4 via dp4_mask; rarer
+            # n>=5 rings drop to the scalar path below.
+            multi = (
+                (nverts == 4) & ~((x0 == x1) & (y0 == y1))
+                & (not visval) & (not getattr(self, "_disable_fast", False))
+                & (not no_clip)
+            )
+            mi = np.nonzero(multi)[0]
+            if mi.size:
+                nxs = (x1[mi] - x0[mi] + 1).astype(np.int64)
+                nys = (y1[mi] - y0[mi] + 1).astype(np.int64)
+                per = nxs * nys
+                rep = np.repeat(np.arange(mi.size), per)
+                jloc = np.arange(int(per.sum())) - np.repeat(np.cumsum(per) - per, per)
+                dy_p = jloc % np.repeat(nys, per)
+                dx_p = jloc // np.repeat(nys, per)
+                tx_p = x0[mi][rep] + dx_p
+                ty_p = y0[mi][rep] + dy_p
+                vidx = starts[mi][rep][:, None] + np.arange(4)[None, :]
+                Pm = np.empty((len(rep), 4, 2), dtype=np.float64)
+                Pm[:, :, 0] = (fx[vidx] - tx_p[:, None]) * self.extent
+                Pm[:, :, 1] = (fy[vidx] - ty_p[:, None]) * self.extent
+                rings_c, cnts = clip_rings_batched(
+                    Pm, np.full(len(rep), 4, dtype=np.int64),
+                    -buffer_px, -buffer_px,
+                    self.extent + buffer_px, self.extent + buffer_px,
+                )
+                V = rings_c.shape[1]
+                keep_v = np.arange(V)[None, :] < cnts[:, None]
+                # simplify: exactly-4 rings vectorized; >=5 scalar; <=3 kept
+                if tol > 0:
+                    is4 = cnts == 4
+                    if is4.any():
+                        k4 = dp4_mask(rings_c[is4, :4], tol)
+                        kv = keep_v[is4]
+                        kv[:, :4] &= k4
+                        keep_v[is4] = kv
+                    for r in np.nonzero(cnts >= 5)[0]:
+                        from cloudtile_ray.geo.simplify import simplify_ring as _sr
+
+                        ring = rings_c[r, : cnts[r]]
+                        mask_r = np.zeros(V, dtype=bool)
+                        kept = _sr(ring, tolerance=tol, visvalingam=False)
+                        # map kept rows back by matching consecutive equality
+                        ki = 0
+                        for vi_ in range(int(cnts[r])):
+                            if ki < kept.shape[0] and (ring[vi_] == kept[ki]).all():
+                                mask_r[vi_] = True
+                                ki += 1
+                        keep_v[r] = mask_r
+                kc = keep_v.sum(axis=1)
+                # padded shoelaces: tiny CHECK on unrounded, EMITTED area on
+                # rounded (general-path parity)
+                order_m = np.argsort(~keep_v, axis=1, kind="stable")
+                slot = np.arange(V)[None, :]
+                lastk = np.maximum(kc - 1, 0)
+                padmask = slot >= kc[:, None]
+
+                def _shoelace_m(src: np.ndarray) -> np.ndarray:
+                    g = np.take_along_axis(src, order_m[:, :, None], axis=1)
+                    g = np.where(padmask[:, :, None], np.take_along_axis(
+                        g, np.minimum(slot, lastk[:, None])[:, :, None], axis=1
+                    ), g)
+                    xs_m = g[:, :, 0]
+                    ys_m = g[:, :, 1]
+                    return 0.5 * np.abs(
+                        (xs_m * np.roll(ys_m, -1, axis=1) - ys_m * np.roll(xs_m, -1, axis=1)).sum(axis=1)
+                    )
+
+                area_chk = _shoelace_m(rings_c)
+                area_m = _shoelace_m(np.round(rings_c))
+                empty = kc < 3
+                if not self.s.get("no-tiny-polygon-reduction", False):
+                    empty |= (~empty) & (area_chk < tiny)
+                n_pts_m = np.where(empty, 0, kc).astype(np.int64)
+                area_m = np.where(empty, 0.0, area_m)
+                keep_final = keep_v & ~empty[:, None]
+                flat_m = np.round(rings_c[keep_final]).astype(np.int32)
+                byte_counts = (n_pts_m * 8).astype(np.int32)
+                offsets_m = np.zeros(len(rep) + 1, dtype=np.int32)
+                np.cumsum(byte_counts, out=offsets_m[1:])
+                blob_col_m = pa.Array.from_buffers(
+                    pa.binary(), len(rep),
+                    [None, pa.py_buffer(offsets_m.tobytes()), pa.py_buffer(flat_m.tobytes())],
+                )
+                tks_m = wm.tile_key(
+                    np.full(len(rep), z, dtype=np.uint64),
+                    tx_p.astype(np.uint64), ty_p.astype(np.uint64),
+                )
+                fast_tables.append(
+                    pa.table(
+                        {
+                            "tile_key": pa.array(tks_m),
+                            "z": pa.array(np.full(len(rep), z, dtype=np.int64)),
+                            "x": pa.array(tx_p.astype(np.int64)),
+                            "y": pa.array(ty_p.astype(np.int64)),
+                            "doc_id": pa.array(ids[mi][rep].astype(np.int64)),
+                            "ring_blob": blob_col_m,
+                            "n_pts": pa.array(n_pts_m),
+                            "area_px": pa.array(area_m),
+                        }
+                    )
+                )
+            handled = fast | multi
+            # ---- general path: many-vertex / visvalingam / no-clip cases
             # (projection trig already hoisted into fx/fy above)
-            for i in np.nonzero(~fast)[0]:
+            for i in np.nonzero(~handled)[0]:
                 fx_s = fx[starts[i] : lon_off[i + 1]]
                 fy_s = fy[starts[i] : lon_off[i + 1]]
                 for tx in range(int(x0[i]), int(x1[i]) + 1):
