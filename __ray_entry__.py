@@ -265,6 +265,46 @@ def q_events_hourly(sf_dir: str):
     )
 
 
+def q_tile_accumulate(sf_dir: str):
+    """accumulate-attribute semantics (tippecanoe.yaml:41): per-tile sum of
+    a numeric attribute over the coalesced features at z=5."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from cloudtile_ray.stages.index import AssignTiles
+
+    def add_val(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("val", pa.array((d % 7).astype("int64")))
+
+    exploded = (
+        _geo_only(sf_dir)
+        .map_batches(add_val, batch_format="pyarrow")
+        .map_batches(AssignTiles(5, 5), batch_format="pyarrow")
+    )
+    return (
+        exploded.map_batches(lambda t: t.select(["z", "x", "y", "val"]), batch_format="pyarrow")
+        .groupby(["z", "x", "y"])
+        .aggregate(Sum("val", alias_name="sum_val"), Count(alias_name="n_docs"))
+    )
+
+
+def q_drop_rate_z(sf_dir: str):
+    """Deterministic drop-rate sampling (tippecanoe.yaml:49-53): per-zoom
+    counts with rate 0.5 below base zoom 6 — hash function is plain integer
+    arithmetic, reproduced exactly in SQL."""
+    from ray.data.aggregate import Count
+
+    from cloudtile_ray.stages.index import AssignTiles
+
+    exploded = _geo_only(sf_dir).map_batches(
+        AssignTiles(4, 6, drop_rate=0.5, base_zoom=6), batch_format="pyarrow"
+    )
+    return (
+        exploded.map_batches(lambda t: t.select(["doc_id", "z"]), batch_format="pyarrow")
+    )
+
+
 def q_semi_broadcast(sf_dir: str):
     """Broadcast key-set semi join (guide pattern: ship the small side's key
     set once via ray.put, filter inside map_batches — no shuffle)."""
@@ -611,6 +651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
+        "tile_accumulate": q_tile_accumulate,
+        "drop_rate_z": q_drop_rate_z,
         "semi_broadcast": q_semi_broadcast,
         "pushdown_1996": q_pushdown_1996,
         "user_running": q_user_running,
@@ -725,6 +767,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2""",
+        "tile_accumulate": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT CAST(z AS BIGINT) AS z, {_TILE_X} AS x, {_TILE_Y} AS y,
+                   CAST(sum(doc_id % 7) AS BIGINT) AS sum_val,
+                   count(*) AS n_docs
+            FROM geo, (VALUES (5)) zs(z)
+            GROUP BY 1, 2, 3""",
+        "drop_rate_z": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT doc_id, CAST(z AS BIGINT) AS z
+            FROM geo, (VALUES (4), (5), (6)) zs(z)
+            WHERE z >= 6
+               OR ((doc_id * 2654435761) % 2147483648) % 1000000
+                  < CASE z WHEN 5 THEN 500000 ELSE 250000 END""",
         "semi_broadcast": """
             SELECT o_orderkey FROM orders o
             WHERE EXISTS (SELECT 1 FROM customer c

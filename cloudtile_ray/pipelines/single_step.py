@@ -127,8 +127,18 @@ def single_step_full(
             pts = pts.union(
                 footprints.map_batches(footprints_to_label_points, batch_format="pyarrow")
             )
+        base_zoom = settings.get("base-zoom")
+        if base_zoom is not None and settings.get(
+            "limit-base-zoom-to-maximum-zoom", False
+        ):
+            base_zoom = min(int(base_zoom), xz)  # tippecanoe.yaml:53
         exploded = pts.map_batches(
-            index_stage.AssignTiles(mz, xz, one_tile=settings.get("one-tile")),
+            index_stage.AssignTiles(
+                mz, xz,
+                one_tile=settings.get("one-tile"),
+                drop_rate=settings.get("drop-rate"),
+                base_zoom=base_zoom,
+            ),
             batch_format="pyarrow",
         )
         return encode_tiles(exploded, settings=dict(settings))

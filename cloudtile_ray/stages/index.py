@@ -78,12 +78,18 @@ class AssignTiles:
         idx = np.nonzero(valid)[0]
         lon, lat = lon[idx], lat[idx]
         feat_hash = None
-        if self.drop_rate is not None and "url" in batch.column_names:
-            from cloudtile_ray.stages.util import stable_hash_strings
+        if self.drop_rate is not None:
+            if "doc_id" in batch.column_names:
+                # multiplicative integer hash: deterministic, vectorized,
+                # and reproducible in plain SQL
+                d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+                feat_hash = ((d * 2654435761) % (1 << 31))[idx]
+            elif "url" in batch.column_names:
+                from cloudtile_ray.stages.util import stable_hash_strings
 
-            feat_hash = (
-                stable_hash_strings(batch.column("url")).astype(np.int64) & 0x7FFFFFFF
-            )[idx]
+                feat_hash = (
+                    stable_hash_strings(batch.column("url")).astype(np.int64) & 0x7FFFFFFF
+                )[idx]
         parts = []
         for z in self.zooms:
             keep = np.arange(len(idx))
