@@ -132,9 +132,11 @@ def single_step_full(
             "limit-base-zoom-to-maximum-zoom", False
         ):
             base_zoom = min(int(base_zoom), xz)  # tippecanoe.yaml:53
+        extent = 1 << int(settings.get("full-detail", 12))  # tippecanoe.yaml:30-33
         exploded = pts.map_batches(
             index_stage.AssignTiles(
                 mz, xz,
+                extent=extent,
                 one_tile=settings.get("one-tile"),
                 drop_rate=settings.get("drop-rate"),
                 base_zoom=base_zoom,
@@ -165,7 +167,11 @@ def single_step_full(
         poly_tiles = None
     else:
         assigned = footprints.map_batches(
-            AssignPolygonTiles(minz, maxz, settings=dict(settings)), batch_format="pyarrow"
+            AssignPolygonTiles(
+                minz, maxz, settings=dict(settings),
+                extent=1 << int(settings.get("full-detail", 12)),
+            ),
+            batch_format="pyarrow"
         )
         poly_tiles = encode_poly_tiles(assigned, settings=dict(settings))
     return {"points": point_tiles, "polygons": poly_tiles, "maximum_zoom": maxz}

@@ -239,12 +239,20 @@ class AssignPolygonTiles:
             out["n_pts"].append(npts)
             out["area_px"].append(area)
 
+        no_dup = bool(self.s.get("no-duplication", False))
         for z in self.zooms:
             # bbox corners -> tile span (same float expressions as the oracle)
             x0, _ = wm.lonlat_to_tile(wmin, smin, z)
             x1, _ = wm.lonlat_to_tile(wmax, smin, z)
             _, y1 = wm.lonlat_to_tile(wmin, smin, z)  # south -> larger y
             _, y0 = wm.lonlat_to_tile(wmin, smax, z)  # north -> smaller y
+            if no_dup:
+                # tippecanoe.yaml:83: emit each feature only in the tile of
+                # its bbox center (no cross-tile duplication; geometry may
+                # clip at the edge)
+                cx, cy = wm.lonlat_to_tile((wmin + wmax) / 2.0, (smin + smax) / 2.0, z)
+                x0 = x1 = cx
+                y0 = y1 = cy
             tol = self._tolerance_px(z)
             # continuous pixel projection for ALL vertices at this zoom, once
             nfac = np.float64(1 << z)
@@ -255,8 +263,10 @@ class AssignPolygonTiles:
             # ---- vectorized fast path: 4-vertex rings whose bbox fits one
             # tile (no clip possible: both corners share the tile, so every
             # pixel lies in [0, extent)) — the dominant case by far
+            # under no-duplication a single-tile span does NOT imply the
+            # ring fits the tile -> those must go through the clip paths
             fast = (
-                (nverts == 4) & (x0 == x1) & (y0 == y1)
+                (nverts == 4) & (x0 == x1) & (y0 == y1) & (not no_dup)
                 & (not visval) & (not getattr(self, "_disable_fast", False))
             )
             fi = np.nonzero(fast)[0]
@@ -329,7 +339,7 @@ class AssignPolygonTiles:
             # (DP endpoint+fallback semantics), n==4 via dp4_mask; rarer
             # n>=5 rings drop to the scalar path below.
             multi = (
-                (nverts == 4) & ~((x0 == x1) & (y0 == y1))
+                (nverts == 4) & (no_dup | ~((x0 == x1) & (y0 == y1)))
                 & (not visval) & (not getattr(self, "_disable_fast", False))
                 & (not no_clip)
             )

@@ -45,7 +45,9 @@ from cloudtile_ray.config import TilingSettings
 from cloudtile_ray.geo import webmercator as wm
 
 TILE_MAGIC = b"RTL1"
-_PIXW = np.int64(wm.DEFAULT_EXTENT + 1)
+# pixel-key stride: must exceed any configurable extent (full-detail
+# up to 2^19); injective for px,py < 2^20 regardless of detail setting
+_PIXW = np.int64(1 << 20)
 
 
 def _coalesce_sorted(
