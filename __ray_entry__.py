@@ -446,6 +446,22 @@ def q_cell_index(sf_dir: str):
     )
 
 
+def q_hex_density(sf_dir: str):
+    """Feature density per hex cell (SURVEY.md §2.3: groupby(h3).count() —
+    feeds the "g" zoom guess and hot-tile pre-counts)."""
+    from ray.data.aggregate import Count
+
+    from cloudtile_ray.stages.index import AddCellIndexes
+
+    return (
+        _geo_only(sf_dir)
+        .map_batches(AddCellIndexes(s2_level=10, hex_res=4), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["hex_cell"]), batch_format="pyarrow")
+        .groupby("hex_cell")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 def q_tiles_full(sf_dir: str):
     from cloudtile_ray.pipelines.single_step import single_step
 
@@ -663,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # rows-only
         "cell_index": q_cell_index,
+        "hex_density": q_hex_density,
         "tiles_full": q_tiles_full,
         "minhash_pairs": q_minhash_pairs,
         "dedup_drop": q_dedup_drop,

@@ -14,7 +14,7 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
 N->4N two-cluster-size criterion; see BASELINE.md).
 
 The documents table is replicated ``$GRAFT_REPLICATE`` times (default 320
-for plain runs, 1280 for --scaling; doc_id-offset so ids stay unique and
+for plain runs, 2560 for --scaling; doc_id-offset so ids stay unique and
 the derivation stays deterministic) so the run measures pipeline
 throughput, not fixed startup overhead.
 """
@@ -146,7 +146,7 @@ def main() -> None:
         results = {}
         # scaling runs use a larger replication so the job is long enough to
         # amortize fixed session/shuffle setup (same input at both levels)
-        scale_rep = os.environ.get("GRAFT_REPLICATE", "1280")
+        scale_rep = os.environ.get("GRAFT_REPLICATE", "2560")
         for n in (8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SKIP_QUERIES="1",
                        GRAFT_REPLICATE=scale_rep)
