@@ -193,10 +193,12 @@ def run_convert(args: argparse.Namespace) -> str:
     if args.submit:
         inner = " ".join(_submit_argv(args))
         entrypoint = f"python -m cloudtile_ray.cli {inner}"
-        res = {}
+        # per-job resource request (the container-override analog,
+        # /root/reference/src/cloudtile/ecs.py:115-128)
+        res = ""
         if args.memory:
-            res["memory"] = args.memory * 1024 * 1024
-        cmd = f"ray job submit --no-wait -- {entrypoint}"
+            res = f" --entrypoint-memory {args.memory * 1024 * 1024}"
+        cmd = f"ray job submit --no-wait{res} -- {entrypoint}"
         print(cmd)
         return cmd
 

@@ -120,9 +120,10 @@ def write_tiles_resumable(
     import pyarrow.compute as pc
 
     writer = PartitionedWriter(out_dir, settings)
-    zs = sorted(
-        tiles.unique("z") if hasattr(tiles, "unique") else []
-    )
+    try:
+        zs = sorted(tiles.unique("z"))
+    except Exception:  # empty dataset -> nothing to partition
+        zs = []
     tbl = None
 
     def compute(pid: str) -> pa.Table:
