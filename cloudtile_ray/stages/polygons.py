@@ -556,9 +556,23 @@ def encode_poly_tiles(
             n_partitions = 64
 
     def add_part(batch: pa.Table) -> pa.Table:
+        # SLIM the exchange to (part, tile_key, doc_id, ring_blob): z/x/y
+        # are recomputable from tile_key, n_pts from the blob length, and
+        # the ordering anchors (area / first vertex) from the blob itself —
+        # ~45% fewer bytes through the all-to-all
         tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
         part = ((tk * np.uint64(2654435761)) % np.uint64(n_partitions)).astype(np.int64)
-        return batch.append_column("part", pa.array(part))
+        out = batch.select(["tile_key", "doc_id", "ring_blob"])
+        return out.append_column("part", pa.array(part))
+
+    def _binary_parts(rb: pa.Array) -> tuple[bytes, np.ndarray]:
+        rb = rb.combine_chunks() if isinstance(rb, pa.ChunkedArray) else rb
+        data = rb.buffers()[2]
+        data = bytes(data) if data is not None else b""
+        off = np.frombuffer(rb.buffers()[1], dtype=np.int32)[
+            rb.offset : rb.offset + len(rb) + 1
+        ].astype(np.int64)
+        return data, off
 
     def merge_part(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["part"])
@@ -567,23 +581,37 @@ def encode_poly_tiles(
         # in-tile feature ordering (tippecanoe.yaml:85-94): default is the
         # preserve-input-order analog (doc_id); area-ordered and
         # Hilbert-ordered variants selectable; ``reverse`` flips within tile
-        if s.get("order-largest-first", False) or s.get("order-smallest-first", False):
-            area = g.column("area_px").to_numpy(zero_copy_only=False)
+        need_area = s.get("order-largest-first", False) or s.get("order-smallest-first", False)
+        need_hilbert = s.get("hilbert", False)
+        if need_area or need_hilbert:
+            ring_all0, ring_off0 = _binary_parts(g.column("ring_blob"))
+            voff = (ring_off0 // 8).astype(np.int64)  # per-row vertex offsets
+            lens = np.diff(voff)
+            V = np.frombuffer(ring_all0, dtype=np.int32).astype(np.float64).reshape(-1, 2)
+        if need_area:
+            # vectorized per-ring shoelace of the stored (rounded) rings —
+            # identical to the emitted area_px by construction
+            area = np.zeros(len(tk), dtype=np.float64)
+            if V.shape[0]:
+                nxt = np.arange(1, V.shape[0] + 1)
+                ends = voff[1:][lens > 0] - 1
+                nxt[ends] = voff[:-1][lens > 0]
+                contrib = V[:, 0] * V[nxt % V.shape[0], 1] - V[:, 1] * V[nxt % V.shape[0], 0]
+                sums = np.add.reduceat(contrib, np.minimum(voff[:-1], V.shape[0] - 1))
+                sums[lens == 0] = 0.0
+                area = 0.5 * np.abs(sums)
             key2 = -area if s.get("order-largest-first", False) else area
             order = np.lexsort((ids, key2, tk))
-        elif s.get("hilbert", False):
+        elif need_hilbert:
             from cloudtile_ray.geo.webmercator import hilbert_xy2d
 
-            npts_a = g.column("n_pts").to_numpy(zero_copy_only=False)
-            rb0 = g.column("ring_blob")
-            rb0 = rb0.combine_chunks() if isinstance(rb0, pa.ChunkedArray) else rb0
-            # first vertex of each ring as the ordering anchor
             fx0 = np.zeros(len(tk), dtype=np.int64)
             fy0 = np.zeros(len(tk), dtype=np.int64)
-            for r in range(len(tk)):
-                if npts_a[r] > 0:
-                    v = np.frombuffer(rb0[r].as_py()[:8], dtype=np.int32)
-                    fx0[r], fy0[r] = int(v[0]), int(v[1])
+            nz = lens > 0
+            if nz.any():
+                firsts = V[np.minimum(voff[:-1][nz], max(V.shape[0] - 1, 0))]
+                fx0[nz] = firsts[:, 0].astype(np.int64)
+                fy0[nz] = firsts[:, 1].astype(np.int64)
             h = hilbert_xy2d(13, np.clip(fx0, 0, 8191), np.clip(fy0, 0, 8191))
             order = np.lexsort((ids, h, tk))
         else:
@@ -601,39 +629,30 @@ def encode_poly_tiles(
         tk = tk[order]
         uniq, first = np.unique(tk, return_index=True)
         bounds = np.r_[first[1:], len(tk)]
-        zs = g.column("z").to_numpy(zero_copy_only=False)
-        xs = g.column("x").to_numpy(zero_copy_only=False)
-        ys = g.column("y").to_numpy(zero_copy_only=False)
-        npts = g.column("n_pts").to_numpy(zero_copy_only=False).astype(np.int64)
+        zs_u, xs_u, ys_u = wm.unpack_tile_key(uniq)
         dids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         # columnar tile sections: header + doc_ids[] + n_pts[] + ring bytes
         # -> three array slices per TILE, no per-feature Python
-        rb = g.column("ring_blob")
-        rb = rb.combine_chunks() if isinstance(rb, pa.ChunkedArray) else rb
-        ring_all = rb.buffers()[2]
-        ring_all = bytes(ring_all) if ring_all is not None else b""
-        off_buf = rb.buffers()[1]
-        ring_off = np.frombuffer(off_buf, dtype=np.int32)[
-            rb.offset : rb.offset + len(rb) + 1
-        ].astype(np.int64)
+        ring_all, ring_off = _binary_parts(g.column("ring_blob"))
+        npts = (np.diff(ring_off) // 8).astype(np.int64)
         meta = np.empty((len(tk), 2), dtype=np.int64)
         meta[:, 0] = dids
         meta[:, 1] = npts
         out = {k: [] for k in ("z", "x", "y", "n_poly_features", "poly_nbytes", "poly_bytes")}
-        for st, en in zip(first, bounds):
+        for ti, (st, en) in enumerate(zip(first, bounds)):
             en_cap = min(en, st + max_feat)
             nfeat = int(en_cap - st)
             header = POLY_MAGIC + np.array(
-                [int(zs[st]), int(xs[st]), int(ys[st]), nfeat], dtype=np.int32
+                [int(zs_u[ti]), int(xs_u[ti]), int(ys_u[ti]), nfeat], dtype=np.int32
             ).tobytes()
             blob = (
                 header
                 + meta[st:en_cap].tobytes()
                 + ring_all[ring_off[st] : ring_off[en_cap]]
             )
-            out["z"].append(int(zs[st]))
-            out["x"].append(int(xs[st]))
-            out["y"].append(int(ys[st]))
+            out["z"].append(int(zs_u[ti]))
+            out["x"].append(int(xs_u[ti]))
+            out["y"].append(int(ys_u[ti]))
             out["n_poly_features"].append(nfeat)
             out["poly_nbytes"].append(len(blob))
             out["poly_bytes"].append(blob)
