@@ -26,6 +26,47 @@ from cloudtile_ray.sources.pages import (
 _ZONE_IDS = np.arange(N_ZONES, dtype=np.int64)
 _ZONE_NAMES = [f"zone-{j}" for j in range(N_ZONES)]
 
+# --- dedup oracle SQL building blocks -------------------------------------
+# 5-char shingle sets + sizes (ASCII corpus: chars == bytes). The static
+# generate_series + WHERE bound replaces a lateral (unsupported in this
+# DuckDB); 8192 comfortably exceeds any fixture text length.
+_SHINGLE_CTE = """
+sh AS (SELECT DISTINCT d.doc_id, substr(d.text, CAST(gs.i AS INT), 5) AS g
+       FROM documents d, generate_series(1, 8192) AS gs(i)
+       WHERE gs.i <= length(d.text) - 4),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+# exact all-pairs Jaccard >= threshold (shingle self-join). The MinHash-LSH
+# pipeline equals this whenever candidate recall is 1, which 16 bands x 4
+# rows guarantees on any corpus separating dups (J >~ 0.9) from background
+# (J <~ 0.35) — the fixture's gap is [0.31, 0.93].
+_ALLPAIRS_JACCARD = """
+inter AS (SELECT sa.doc_id AS da, sb.doc_id AS db, count(*) AS i
+          FROM sh sa JOIN sh sb ON sa.g = sb.g AND sa.doc_id < sb.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT i.da, i.db, CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) AS j
+        FROM inter i JOIN sz za ON za.doc_id = i.da
+                     JOIN sz zb ON zb.doc_id = i.db)
+"""
+
+# rolling 16-byte polynomial window hashes mod 2^64 (HUGEINT arithmetic,
+# power-of-base literals) — bit-identical to
+# cloudtile_ray.stages.text.rolling_fingerprint_batch's uint64 math.
+_ROLL_POWS = [pow(1000003, j, 1 << 64) for j in range(15, -1, -1)]
+_ROLL_TERMS = " + ".join(
+    f"CAST(ascii(substr(d.text, CAST(gs.i AS INT) + {j}, 1)) AS HUGEINT) * {_ROLL_POWS[j]}"
+    for j in range(16)
+)
+# NOTE: docs shorter than 16 bytes take a different (fold) code path not
+# expressed here; every fixture text is far longer.
+_ROLLFP_CTE = f"""
+win AS (SELECT d.doc_id, ({_ROLL_TERMS}) % 18446744073709551616 AS wh
+        FROM documents d, generate_series(1, 8192) AS gs(i)
+        WHERE gs.i <= length(d.text) - 15),
+rf AS (SELECT doc_id, min(wh) AS fp FROM win GROUP BY doc_id)
+"""
+
 # DuckDB WebMercator tile exprs — operation order matches
 # cloudtile_ray.geo.webmercator.lonlat_to_tile exactly.
 _TILE_X = "CAST(GREATEST(0.0, LEAST(CAST((1 << z) - 1 AS DOUBLE), floor((lon_mi/1000.0 + 180.0)/360.0*(1 << z)))) AS BIGINT)"
@@ -226,17 +267,21 @@ def q_top_customers(sf_dir: str):
         .groupby("o_custkey")
         .aggregate(Sum("price_cents", alias_name="total_cents"))
     )
-    # broadcast the small dimension table (ray.put once, read per batch)
+    # broadcast the small dimension table (ray.put once, read per batch);
+    # probe is a vectorized Arrow index_in + take — no per-row dict lookups
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    cust_ref = ray.put(dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())))
+    cust_ref = ray.put(cust.combine_chunks())
 
     def add_name(t: pa.Table) -> pa.Table:
-        lookup = ray.get(cust_ref)
-        keys = t.column("o_custkey").to_pylist()
-        names = [lookup.get(k) for k in keys]
-        out = t.append_column("c_name", pa.array(names, pa.string()))
+        import pyarrow.compute as pc
+
+        dim = ray.get(cust_ref)
+        idx = pc.index_in(
+            t.column("o_custkey").combine_chunks(), value_set=dim.column("c_custkey")
+        )
+        out = t.append_column("c_name", dim.column("c_name").take(idx))
         return out.rename_columns(["c_custkey", "total_cents", "c_name"])
 
     named = totals.map_batches(add_name, batch_format="pyarrow")
@@ -490,16 +535,18 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_dedup_drop(sf_dir: str):
-    """MinHash near-dup clusters -> surviving documents (keep-first)."""
+    """MinHash near-dup clusters -> surviving documents (keep-first), via
+    the hash-partitioned shuffle anti-join (the web-scale drop path —
+    VERDICT.md wrong #4; the broadcast path stays available for small drop
+    sets)."""
     import ray.data
 
     from cloudtile_ray.stages.dedup import drop_near_dups, minhash_dedup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     pairs = minhash_dedup_pairs(ds, threshold=0.5)
-    return drop_near_dups(ds, pairs).map_batches(
-        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
-    )
+    slim = ds.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    return drop_near_dups(slim, pairs, strategy="shuffle")
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -512,12 +559,40 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Near-dup vectors at cosine >= 0.95 over the fixture UNION a
+    deterministically perturbed copy of every vector (vec_id + 100000,
+    first component + 0.1 in float64): the fixture itself contains no
+    near-dups (max natural cosine ~0.51 at sf0.01), so the planted pairs
+    exercise the LSH end-to-end and the expected answer is exactly the
+    planted set — SQL-checkable with ``list_cosine_similarity``."""
+    import pyarrow as pa
     import ray.data
 
     from cloudtile_ray.stages.dedup import embedding_neardup_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, threshold=0.9)
+    def with_perturbed(t: pa.Table) -> pa.Table:
+        V = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        P = V.copy()
+        P[:, 0] += 0.1
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate([ids, ids + 100000])),
+                "embedding": pa.array(
+                    list(np.concatenate([V, P])), type=pa.list_(pa.float64(), V.shape[1])
+                ),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(with_perturbed, batch_format="pyarrow")
+    pairs = embedding_neardup_pairs(ds, threshold=0.95)
+    return pairs.map_batches(
+        lambda t: t.select(["vec_a", "vec_b"]), batch_format="pyarrow"
+    )
 
 
 def q_ivf_ann(sf_dir: str):
@@ -543,9 +618,14 @@ def q_langid(sf_dir: str):
     import ray.data
 
     from cloudtile_ray.stages.text import LangId
+    from cloudtile_ray.stages.util import worker_cached
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2).map_batches(
+
+    def langid_fn(t):
+        return worker_cached(("langid",), LangId)(t)
+
+    return ds.map_batches(langid_fn, batch_format="pyarrow").map_batches(
         lambda t: t.select(["doc_id", "lang_pred", "lang_score"]), batch_format="pyarrow"
     )
 
@@ -857,6 +937,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(6 AS BIGINT) AS z, x0 + dx AS x, y0 + dy AS y
             FROM bounds, (VALUES (0), (1)) xs(dx), (VALUES (0), (1)) ys(dy)
             WHERE x0 + dx <= x1 AND y0 + dy <= y1""",
+        "minhash_pairs": f"""
+            WITH {_SHINGLE_CTE.strip()}, {_ALLPAIRS_JACCARD.strip()}
+            SELECT da AS doc_a, db AS doc_b, j AS jaccard FROM jac
+            WHERE j >= 0.5""",
+        "ngram_jaccard": f"""
+            WITH {_ROLLFP_CTE.strip()},
+            cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+                     FROM rf a JOIN rf b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+            {_SHINGLE_CTE.strip()},
+            inter AS (SELECT c.da, c.db, count(*) AS i
+                      FROM cand c JOIN sh sa ON sa.doc_id = c.da
+                                  JOIN sh sb ON sb.doc_id = c.db AND sb.g = sa.g
+                      GROUP BY c.da, c.db)
+            SELECT i.da AS doc_a, i.db AS doc_b,
+                   CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) AS jaccard
+            FROM inter i JOIN sz za ON za.doc_id = i.da
+                         JOIN sz zb ON zb.doc_id = i.db
+            WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.5""",
+        "dedup_drop": f"""
+            WITH RECURSIVE {_SHINGLE_CTE.strip()}, {_ALLPAIRS_JACCARD.strip()},
+            prs AS (SELECT da, db FROM jac WHERE j >= 0.5),
+            edges AS (SELECT da AS a, db AS b FROM prs
+                      UNION ALL SELECT db, da FROM prs),
+            reach(node, r) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+            roots AS (SELECT node, LEAST(node, MIN(r)) AS root
+                      FROM reach GROUP BY node)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM roots WHERE node > root)""",
+        "rolling_fp": f"""
+            WITH {_ROLLFP_CTE.strip()}
+            SELECT doc_id, CAST(fp AS UBIGINT) AS rolling_fp FROM rf""",
+        "embedding_neardup": """
+            WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            p AS (SELECT vec_id + 100000 AS vec_id, [e[1] + 0.1] || e[2:] AS e
+                  FROM b),
+            u AS (SELECT * FROM b UNION ALL SELECT * FROM p)
+            SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b
+            FROM u a JOIN u bb ON a.vec_id < bb.vec_id
+            WHERE list_cosine_similarity(a.e, bb.e) >= 0.95""",
         "knn_embedding": """
             WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) qe
                        FROM embeddings WHERE vec_id < 3),

@@ -159,11 +159,22 @@ def shuffle_pip_join(
     zone_ids: np.ndarray,
     zone_names: Sequence[str],
     how: How = "inner",
+    n_salts: int = 8,
+    hot_threshold: int | None = None,
 ) -> "ray.data.Dataset":
     """Partitioned PiP join: points get a grid bucket column; each polygon is
     assigned (driver-side — the polygon side is the small side of each
     bucket) to every bucket its bbox overlaps; ``groupby(bucket)`` then
-    joins locally. Same output as the broadcast strategy (tested equal)."""
+    joins locally. Same output as the broadcast strategy (tested equal).
+
+    Skew: a density pre-count (column-pruned partial counts, tiny exchange)
+    finds hot buckets — e.g. a metro cluster landing 30% of the corpus in
+    one grid cell — and splits them into ``n_salts`` sub-partitions by a
+    content hash of the point coordinates; the bucket's polygon list is
+    replicated to every salt, so each point still joins against exactly the
+    polygons of its bucket and the output is unchanged (equality-tested
+    against broadcast).  ``hot_threshold`` defaults to 4x the mean
+    non-empty bucket count (min 65536 rows so small inputs never salt)."""
     packed = PipIndex(rings).packed
     per_bucket: dict[int, list[int]] = {}
     nx = int(np.ceil(360.0 / BUCKET_DEG))
@@ -186,19 +197,64 @@ def shuffle_pip_join(
         }
     )
 
+    # --- density pre-count: find hot buckets before the shuffle ----------
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        b = np.where(np.isnan(lon) | np.isnan(lat), np.int64(-1), _bucket_of(lon, lat))
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(ub), "n": pa.array(cnt.astype(np.int64))})
+
+    pruned = ds.map_batches(
+        lambda t: t.select(["lon", "lat"]), batch_format="pyarrow"
+    )
+    parts = [
+        t
+        for t in (
+            ray.get(r)
+            for r in pruned.map_batches(
+                bucket_counts, batch_format="pyarrow"
+            ).to_arrow_refs()
+        )
+        if t.num_columns > 0
+    ]
+    hot: set[int] = set()
+    if parts:
+        allc = pa.concat_tables(parts)
+        bs = allc.column("b").to_numpy(zero_copy_only=False)
+        ns = allc.column("n").to_numpy(zero_copy_only=False)
+        ub = np.unique(bs)
+        totals = np.zeros(len(ub), dtype=np.int64)
+        np.add.at(totals, np.searchsorted(ub, bs), ns)
+        if hot_threshold is None:
+            hot_threshold = max(65536, int(4 * totals.mean()))
+        hot = set(ub[totals > hot_threshold].tolist())
+    hot_ref = ray.put(np.fromiter(hot, dtype=np.int64) if hot else np.empty(0, np.int64))
+
     def add_bucket(batch: pa.Table) -> pa.Table:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         b = np.where(
             np.isnan(lon) | np.isnan(lat), np.int64(-1), _bucket_of(lon, lat)
         )
-        return batch.append_column("_bucket", pa.array(b))
+        hot_arr = ray.get(hot_ref)
+        salt = np.zeros(len(b), dtype=np.int64)
+        if len(hot_arr):
+            is_hot = np.isin(b, hot_arr)
+            # content hash of the point coords -> deterministic sub-split
+            mix = (
+                lon.view(np.uint64) * np.uint64(2654435761)
+                + lat.view(np.uint64) * np.uint64(40503)
+            )
+            salt[is_hot] = (mix[is_hot] % np.uint64(n_salts)).astype(np.int64)
+        out = batch.append_column("_bucket", pa.array(b))
+        return out.append_column("_salt", pa.array(salt))
 
     def join_group(group: pa.Table) -> pa.Table:
         state = ray.get(state_ref)
         bucket = int(group.column("_bucket")[0].as_py())
         pids = state["per_bucket"].get(bucket, [])
-        group = group.drop_columns(["_bucket"])
+        group = group.drop_columns(["_bucket", "_salt"])
         if not pids:
             if how == "anti" or how == "left":
                 out = group if how == "anti" else group
@@ -217,7 +273,9 @@ def shuffle_pip_join(
         )
 
     withb = ds.map_batches(add_bucket, batch_format="pyarrow")
-    return withb.groupby("_bucket").map_groups(join_group, batch_format="pyarrow")
+    return withb.groupby(["_bucket", "_salt"]).map_groups(
+        join_group, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +296,11 @@ class PartialKnn:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if batch.num_rows == 0 or "lon_mi" not in batch.column_names:
+            return pa.table(
+                {"q_id": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                 "d2": pa.array([], pa.int64())}
+            )
         lon = batch.column("lon_mi").to_numpy(zero_copy_only=False)
         lat = batch.column("lat_mi").to_numpy(zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -292,16 +355,27 @@ def knn_merge(partials: pa.Table, k: int) -> pa.Table:
     )
 
 
+def _partial_knn_ds(ds, queries_mi: np.ndarray, k: int):
+    """Stateless-task partial kNN: the query matrix rides the object store
+    once (ray.put), instances cache per worker — the stage fuses with
+    neighbors and no constructor args are pinned against actor restart."""
+    from cloudtile_ray.stages.util import worker_cached
+
+    qref = ray.put(np.asarray(queries_mi, dtype=np.int64))
+    key = ("pknn", qref.hex(), k)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = worker_cached(key, lambda: PartialKnn(ray.get(qref), k))
+        return inst(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def knn(
     ds: "ray.data.Dataset", queries_mi: np.ndarray, k: int = 5
 ) -> pa.Table:
     """Exact kNN: distributed per-batch top-k + one tiny driver merge."""
-    partials = ds.map_batches(
-        PartialKnn,
-        fn_constructor_kwargs={"queries_mi": queries_mi, "k": k},
-        batch_format="pyarrow",
-        concurrency=2,
-    )
+    partials = _partial_knn_ds(ds, queries_mi, k)
     return knn_merge(pa.concat_tables(_gather(partials)), k)
 
 
@@ -314,26 +388,72 @@ def _gather(ds) -> list[pa.Table]:
     return [t for t in tables if t.num_columns > 0]
 
 
+def build_hex_knn_index(
+    ds: "ray.data.Dataset", res: int, path: str
+) -> None:
+    """ONE pass over the corpus: hex cell per point, written as slim
+    (cell, doc_id, lon_mi, lat_mi) parquet partitioned by the res-0 parent
+    cell — the scale-path index for ``hex_bucketed_knn``.  Each ring
+    expansion then reads ONLY the partitions its candidate cells fall in
+    (partition-filter pushdown at the read) instead of re-scanning and
+    re-geocoding the corpus per ring (VERDICT.md wrong #6).  Build once,
+    query many; at 10^12 docs the index is the durable artifact."""
+    from cloudtile_ray.geo import hexgrid
+
+    def add_cells(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        valid = ~(np.isnan(lon) | np.isnan(lat))
+        idx = np.nonzero(valid)[0]
+        cell = hexgrid.latlng_to_cell(lon[idx], lat[idx], res)
+        parent = hexgrid.cell_to_parent(cell, 0).astype(np.int64) if len(idx) else np.empty(0, np.int64)
+        sub = batch.take(pa.array(idx))
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "cell_p": pa.array(parent),
+                "doc_id": sub.column("doc_id"),
+                "lon_mi": sub.column("lon_mi"),
+                "lat_mi": sub.column("lat_mi"),
+            }
+        )
+
+    ds.map_batches(add_cells, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["cell_p"]
+    )
+
+
 def hex_bucketed_knn(
     ds: "ray.data.Dataset",
     queries_mi: np.ndarray,
     k: int = 5,
     res: int = 2,
     max_rings: int = 8,
+    index_path: str | None = None,
 ) -> pa.Table:
     """Scale path: restrict the scan to hex cells within an expanding ring
     of each query (H3-bucketed kNN per SURVEY.md §2.3), then exact top-k on
-    the survivors. Ring expansion doubles until every query has >= k
-    candidates or ``max_rings`` is hit; correctness guard: a ring-r disk at
-    res covers >= r * cell_inradius, so once the k-th candidate distance is
-    below that radius the result equals exact kNN (asserted in tests
-    against the brute-force path)."""
+    the survivors.  The corpus is geocoded into a cell-partitioned index
+    ONCE (``build_hex_knn_index``); each ring expansion reads only the
+    index partitions overlapping the candidate disk.  Ring expansion
+    doubles until every query has >= k candidates or ``max_rings`` is hit;
+    correctness guard: a ring-r disk at res covers >= (r-1) *
+    cell_inradius, so once the k-th candidate distance is below that
+    radius the result equals exact kNN (asserted in tests against the
+    brute-force path)."""
+    import tempfile
+
+    import ray.data
+
     from cloudtile_ray.geo import hexgrid
 
     q = np.asarray(queries_mi, dtype=np.int64)
     qlon = q[:, 0] / 1000.0
     qlat = q[:, 1] / 1000.0
     qcells = hexgrid.latlng_to_cell(qlon, qlat, res)
+    if index_path is None:
+        index_path = tempfile.mkdtemp(prefix="hexknn_idx_")
+        build_hex_knn_index(ds, res, index_path)
     # distance (in milli-degrees) guaranteed to be fully covered by a
     # ring-r disk around the query's cell: r ring steps of at least one
     # cell inradius each, minus one cell for the query's offset from its
@@ -345,26 +465,41 @@ def hex_bucketed_knn(
         cand_cells: set[int] = set()
         for c in qcells.tolist():
             cand_cells.update(hexgrid.grid_disk(int(c), rings).tolist())
-        cand_ref = ray.put(cand_cells)
+        cand_arr = np.fromiter(cand_cells, dtype=np.uint64)
+        parents = np.unique(hexgrid.cell_to_parent(cand_arr, 0).astype(np.int64))
+        cand_ref = ray.put(cand_arr)
+
+        # partition pruning: only the res-0 parent directories that can
+        # contain a candidate cell are read at all (explicit hive paths —
+        # non-existent parents are simply absent)
+        import glob
+
+        paths = [
+            f
+            for v in parents
+            for f in sorted(glob.glob(f"{index_path}/cell_p={int(v)}/*.parquet"))
+        ]
+        if not paths:
+            rings *= 2
+            continue
+        filtered = ray.data.read_parquet(paths)
 
         def in_cells(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "cell" not in batch.column_names:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "lon_mi": pa.array([], pa.int64()),
+                     "lat_mi": pa.array([], pa.int64())}
+                )
             cells = ray.get(cand_ref)
-            lon = batch.column("lon").to_numpy(zero_copy_only=False)
-            lat = batch.column("lat").to_numpy(zero_copy_only=False)
-            valid = ~(np.isnan(lon) | np.isnan(lat))
-            hx = np.zeros(len(lon), dtype=np.uint64)
-            if valid.any():
-                hx[valid] = hexgrid.latlng_to_cell(lon[valid], lat[valid], res)
-            keep = valid & np.isin(hx, np.fromiter(cells, dtype=np.uint64))
-            return batch.take(pa.array(np.nonzero(keep)[0]))
+            hx = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+            keep = np.isin(hx, cells)
+            return batch.select(["doc_id", "lon_mi", "lat_mi"]).take(
+                pa.array(np.nonzero(keep)[0])
+            )
 
-        filtered = ds.map_batches(in_cells, batch_format="pyarrow")
-        partials = filtered.map_batches(
-            PartialKnn,
-            fn_constructor_kwargs={"queries_mi": q, "k": k},
-            batch_format="pyarrow",
-            concurrency=2,
-        )
+        survivors = filtered.map_batches(in_cells, batch_format="pyarrow")
+        partials = _partial_knn_ds(survivors, q, k)
         tables = _gather(partials)
         merged = knn_merge(pa.concat_tables(tables), k) if tables else None
         if merged is not None and merged.num_rows:
@@ -383,5 +518,9 @@ def hex_bucketed_knn(
                     return merged
         rings *= 2
     # disk search could not prove optimality (sparse region / tiny corpus):
-    # fall back to the exact distributed scan
-    return knn(ds, q, k)
+    # fall back to the exact scan over the slim index (4 columns — never
+    # the raw corpus)
+    full = ray.data.read_parquet(index_path, columns=["doc_id", "lon_mi", "lat_mi"])
+    return knn_merge(
+        pa.concat_tables(_gather(_partial_knn_ds(full, q, k))), k
+    )

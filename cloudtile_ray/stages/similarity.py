@@ -1,8 +1,9 @@
 """Similarity search over an embedding column (``list<float>``):
 brute-force cosine top-k (baseline — per-batch numpy matmul against a
 broadcast query matrix, partial top-k merged once) and an IVF-bucketed
-variant as the scale path (coarse centroids, search only the closest
-``nprobe`` inverted lists)."""
+variant as the scale path (coarse centroids, each query scans only its
+``nprobe`` nearest inverted lists — enforced per query by masking
+candidates against the probe table)."""
 
 from __future__ import annotations
 
@@ -10,32 +11,61 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from cloudtile_ray.stages.util import worker_cached
+
 
 def _normalize(V: np.ndarray) -> np.ndarray:
     return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
 
 
-class PartialCosineTopK:
-    """Per-batch top-k per query; the query matrix is fetched from the
-    object store once per actor (broadcast, never re-shipped per batch)."""
+_EMPTY_TOPK = pa.table(
+    {
+        "q_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
 
-    def __init__(self, queries_ref, k: int):
+
+class PartialCosineTopK:
+    """Per-batch top-k per query; the query matrix (and the optional
+    per-query probe table) is fetched from the object store once per worker
+    (broadcast, never re-shipped per batch).  When ``probe_ref`` is given
+    and the batch carries a ``_list`` column, a candidate only scores for
+    queries that probed its inverted list — ``nprobe`` is honored per
+    query, not as a union."""
+
+    def __init__(self, queries_ref, k: int, probe_ref=None):
         self.Q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
         self.k = k
+        self.probe = None if probe_ref is None else np.asarray(ray.get(probe_ref))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return _EMPTY_TOPK
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         V = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
         sims = _normalize(V) @ self.Q.T  # (n, Q)
+        if self.probe is not None and "_list" in batch.column_names:
+            lists = batch.column("_list").to_numpy(zero_copy_only=False)
+            # (n, Q): candidate's list is among query q's probed lists
+            allowed = (lists[:, None, None] == self.probe[None, :, :]).any(axis=2)
+            sims = np.where(allowed, sims, -np.inf)
         qs, out_ids, out_sims = [], [], []
         for qi in range(self.Q.shape[0]):
             s = sims[:, qi]
-            k = min(self.k, len(s))
-            part = np.argpartition(-s, k - 1)[:k]
+            valid = np.nonzero(s > -np.inf)[0]
+            k = min(self.k, len(valid))
+            if k == 0:
+                continue
+            sv = s[valid]
+            part = valid[np.argpartition(-sv, k - 1)[:k]]
             order = part[np.lexsort((ids[part], -s[part]))]
             qs.append(np.full(k, qi, dtype=np.int64))
             out_ids.append(ids[order])
             out_sims.append(s[order])
+        if not qs:
+            return _EMPTY_TOPK
         return pa.table(
             {
                 "q_id": pa.array(np.concatenate(qs)),
@@ -43,6 +73,18 @@ class PartialCosineTopK:
                 "cosine": pa.array(np.concatenate(out_sims)),
             }
         )
+
+
+def _partial_topk_ds(ds, qref, k: int, probe_ref=None):
+    """Stateless-task partial top-k (instance cached per worker — fuses
+    with neighbors, no actor-pool ceiling, no pinned constructor args)."""
+    key = ("ptopk", qref.hex(), k, None if probe_ref is None else probe_ref.hex())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = worker_cached(key, lambda: PartialCosineTopK(qref, k, probe_ref))
+        return inst(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def _merge_topk(partials: list[pa.Table], k: int) -> pa.Table:
@@ -57,6 +99,8 @@ def _merge_topk(partials: list[pa.Table], k: int) -> pa.Table:
         out_q.append(np.full(len(order), qi, dtype=np.int64))
         out_v.append(v[m][order])
         out_s.append(s[m][order])
+    if not out_q:
+        return _EMPTY_TOPK
     return pa.table(
         {
             "q_id": pa.array(np.concatenate(out_q)),
@@ -66,17 +110,16 @@ def _merge_topk(partials: list[pa.Table], k: int) -> pa.Table:
     )
 
 
+def _gather(ds) -> list[pa.Table]:
+    tables = [ray.get(r) for r in ds.to_arrow_refs()]
+    return [t for t in tables if t.num_columns > 0]
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
     """Exact cosine top-k: distributed partials + one tiny merge."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
-        PartialCosineTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
-        batch_format="pyarrow",
-        concurrency=2,
-    )
-    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_columns > 0]
-    return _merge_topk(tables, k)
+    partials = _partial_topk_ds(ds, qref, k)
+    return _merge_topk(_gather(partials), k)
 
 
 def ivf_topk(
@@ -89,8 +132,9 @@ def ivf_topk(
 ) -> pa.Table:
     """IVF scale path: coarse centroids from a deterministic sample (one
     k-means sweep), vectors assigned to nearest centroid inside
-    ``map_batches``, queries scan only their ``nprobe`` nearest lists.
-    Approximate — tests assert recall against ``brute_force_topk``."""
+    ``map_batches``, each query scans only its ``nprobe`` nearest lists
+    (per-query probe mask in the scoring stage).  Approximate — tests
+    assert recall against ``brute_force_topk``."""
     sample = np.stack(
         ds.limit(max(256, n_centroids * 8)).to_pandas()["embedding"].to_numpy()
     ).astype(np.float64)
@@ -106,11 +150,19 @@ def ivf_topk(
     cref = ray.put(Cn)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(Q @ Cn.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    probe_sets = [set(p.tolist()) for p in probe]
-    all_probed = sorted(set().union(*probe_sets))
-    pref = ray.put(np.asarray(all_probed, dtype=np.int64))
+    all_probed = np.unique(probe)
+    pref = ray.put(all_probed.astype(np.int64))
+    probe_ref = ray.put(probe.astype(np.int64))
 
     def filter_probed(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "_list": pa.array([], pa.int64()),
+                }
+            )
         cn = ray.get(cref)
         probed = ray.get(pref)
         V = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -121,13 +173,5 @@ def ivf_topk(
 
     filtered = ds.map_batches(filter_probed, batch_format="pyarrow")
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = filtered.map_batches(
-        PartialCosineTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
-        batch_format="pyarrow",
-        concurrency=2,
-    )
-    tables = [t for t in (ray.get(r) for r in partials.to_arrow_refs()) if t.num_columns > 0]
-    merged = _merge_topk(tables, k)
-    # keep only hits whose list was probed for that query
-    return merged
+    partials = _partial_topk_ds(filtered, qref, k, probe_ref=probe_ref)
+    return _merge_topk(_gather(partials), k)

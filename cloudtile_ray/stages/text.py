@@ -1,7 +1,8 @@
 """Text-analysis stages for the web-page corpus: token counting, quality
 scoring, language-ID, document fingerprinting. All stateless
-``map_batches`` transforms; the hot kernels are Arrow compute / pandas
-vectorized string ops (no Python row loops).
+``map_batches`` transforms; the hot kernels are Arrow compute / numpy
+vectorized ops (no Python row loops — the only remaining per-row work is
+``hashlib.md5``, which has no vectorized form).
 
 These are the "beyond the reference" training-data-pipeline operators the
 build brief requires as first-class components; the reference's only text
@@ -11,7 +12,11 @@ Exactness notes (for the DuckDB oracles): ``n_tokens`` is computed as
 ``count(' ') + 1`` which equals DuckDB's
 ``length(text) - length(replace(text, ' ', '')) + 1`` for any text;
 ``alpha_chars`` equals ``length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))``;
-``fingerprint`` is hex MD5, equal to DuckDB's ``md5(text)``.
+``fingerprint`` is hex MD5, equal to DuckDB's ``md5(text)``;
+``rolling_fp`` is the min over 16-byte windows of a base-1000003
+polynomial hash mod 2^64 — reproduced exactly in SQL with HUGEINT
+arithmetic and precomputed power-of-base literals (see
+``__ray_entry__.oracle_sql['rolling_fp']``).
 """
 
 from __future__ import annotations
@@ -19,9 +24,10 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from cloudtile_ray.stages.util import stable_hash_strings
 
 
 def token_stats_batch(batch: pa.Table) -> pa.Table:
@@ -39,31 +45,34 @@ def token_stats_batch(batch: pa.Table) -> pa.Table:
 
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Append quality-score columns: alpha_chars, alpha_ratio,
-    mean_token_len. Ratios are single divisions of exact integers, so they
-    are bit-identical to the SQL oracle's."""
-    s = batch.column("text").to_pandas()
-    alpha = s.str.count(r"[a-zA-Z]").astype(np.int64)
-    n_chars = s.str.len().astype(np.int64)
-    spaces = s.str.count(" ").astype(np.int64)
+    mean_token_len.  Pure Arrow kernels (``count_substring_regex`` for the
+    alpha count — no pandas detour); ratios are single divisions of exact
+    integers, so they are bit-identical to the SQL oracle's."""
+    text = batch.column("text")
+    alpha = pc.cast(
+        pc.count_substring_regex(text, pattern="[a-zA-Z]"), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+    spaces = pc.cast(
+        pc.count_substring(text, pattern=" "), pa.int64()
+    ).to_numpy(zero_copy_only=False)
     n_tokens = spaces + 1
-    out = batch.append_column("alpha_chars", pa.array(alpha.to_numpy()))
+    out = batch.append_column("alpha_chars", pa.array(alpha))
     out = out.append_column(
-        "alpha_ratio",
-        pa.array(alpha.to_numpy() / np.maximum(n_chars.to_numpy(), 1)),
+        "alpha_ratio", pa.array(alpha / np.maximum(n_chars, 1))
     )
     out = out.append_column(
-        "mean_token_len",
-        pa.array(
-            (n_chars.to_numpy() - spaces.to_numpy()) / np.maximum(n_tokens.to_numpy(), 1)
-        ),
+        "mean_token_len", pa.array((n_chars - spaces) / np.maximum(n_tokens, 1))
     )
     return out
 
 
 class LangId:
-    """Actor-pool language-ID: stopword-profile n-gram heuristic. The
-    profiles and compiled regex are built once per actor (``__init__``),
-    scoring is vectorized pandas per batch."""
+    """Actor-pool language-ID: stopword-profile heuristic, batch-vectorized.
+    Profiles are interned once per actor (``__init__``); per batch the
+    tokenization is Arrow (lower -> strip non-alpha -> split), the unique
+    (doc, word) pairs come from one ``np.unique``, and per-language scores
+    are ``np.bincount`` sums — no per-doc Python loop."""
 
     PROFILES = {
         "en": {"the", "and", "of", "a", "to", "in", "is", "that", "it", "for"},
@@ -74,26 +83,51 @@ class LangId:
     }
 
     def __init__(self):
-        import re
-
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.profiles = {k: frozenset(v) for k, v in self.PROFILES.items()}
+        self.langs = list(self.PROFILES)
+        self.profiles = [frozenset(self.PROFILES[k]) for k in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        s = batch.column("text").to_pandas()
-        toks = s.str.lower().str.findall(self.word)
-        preds, scores = [], []
-        for words in toks:
-            ws = set(words)
-            best, best_score = "und", 0.0
-            for lang, prof in self.profiles.items():
-                score = len(ws & prof) / max(1, len(prof))
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
-            scores.append(best_score)
-        out = batch.append_column("lang_pred", pa.array(preds, pa.string()))
-        out = out.append_column("lang_score", pa.array(scores, pa.float64()))
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            out = batch.append_column("lang_pred", pa.array([], pa.string()))
+            return out.append_column("lang_score", pa.array([], pa.float64()))
+        cleaned = pc.replace_substring_regex(
+            pc.utf8_lower(batch.column("text").combine_chunks()),
+            pattern="[^a-z]+",
+            replacement=" ",
+        )
+        words_list = pc.split_pattern(cleaned, pattern=" ")
+        flat = words_list.flatten().to_numpy(zero_copy_only=False)
+        offs = words_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        nonempty = flat != ""
+        flat, doc_of = flat[nonempty], doc_of[nonempty]
+        import pandas as pd
+
+        codes, uniques = pd.factorize(flat)
+        # unique (doc, word) pairs — set semantics per doc
+        pair_key = doc_of * np.int64(len(uniques) + 1) + codes
+        upairs = np.unique(pair_key)
+        u_doc = upairs // np.int64(len(uniques) + 1)
+        u_code = upairs % np.int64(len(uniques) + 1)
+        scores = np.zeros((n_docs, len(self.langs)), dtype=np.float64)
+        uniques_arr = np.asarray(uniques, dtype=object)
+        for li, prof in enumerate(self.profiles):
+            in_prof = np.fromiter(
+                (w in prof for w in uniques_arr), dtype=bool, count=len(uniques_arr)
+            )
+            m = in_prof[u_code]
+            counts = np.bincount(u_doc[m], minlength=n_docs)
+            scores[:, li] = counts / len(prof)
+        best = scores.argmax(axis=1)
+        best_score = scores[np.arange(n_docs), best]
+        preds = np.where(
+            best_score > 0, np.asarray(self.langs, dtype=object)[best], "und"
+        )
+        out = batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), pa.string())
+        )
+        out = out.append_column("lang_score", pa.array(best_score))
         return out
 
 
@@ -107,23 +141,41 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, pa.string()))
 
 
+_ROLL_B = np.uint64(1000003)
+
+
 def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
     """Winnowing-style rolling-hash fingerprint: min of a polynomial rolling
-    hash over byte windows — robust to local edits (used by near-dup
-    candidates). Vectorized via numpy sliding windows."""
+    hash over byte windows (mod 2^64) — robust to local edits (used for
+    near-dup candidate blocking).  Batch-vectorized: one concatenated byte
+    buffer, ``window`` strided adds (no per-doc Python except the rare
+    shorter-than-window fold)."""
     texts = batch.column("text").to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    B = np.uint64(1000003)
-    for i, t in enumerate(texts):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < window:
-            h = np.uint64(0)
-            for c in b.tolist():
-                h = h * B + np.uint64(c)
-            out[i] = h
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
-        pows = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
-        hashes = (win * pows).sum(axis=1)  # wraps mod 2^64 — deterministic
-        out[i] = hashes.min()
+    n_docs = len(texts)
+    out = np.empty(n_docs, dtype=np.uint64)
+    bufs = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    short = lens < window
+    for i in np.nonzero(short)[0]:
+        h = np.uint64(0)
+        for c in bufs[int(i)]:
+            h = h * _ROLL_B + np.uint64(c)
+        out[int(i)] = h
+    long_idx = np.nonzero(~short)[0]
+    if len(long_idx):
+        lbufs = [bufs[int(i)] for i in long_idx]
+        llens = lens[long_idx]
+        buf = np.frombuffer(b"".join(lbufs), dtype=np.uint8)
+        starts = np.concatenate([[0], np.cumsum(llens)])
+        n_win = len(buf) - window + 1
+        pows = _ROLL_B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+        h = np.zeros(n_win, dtype=np.uint64)
+        for j in range(window):
+            h += buf[j : j + n_win].astype(np.uint64) * pows[j]
+        win_pos = np.arange(n_win, dtype=np.int64)
+        doc_of = np.searchsorted(starts, win_pos, side="right") - 1
+        valid = win_pos <= starts[doc_of] + llens[doc_of] - window
+        # invalid (cross-doc) windows must never win the min
+        h = np.where(valid, h, np.uint64(0xFFFFFFFFFFFFFFFF))
+        out[long_idx] = np.minimum.reduceat(h, starts[:-1])
     return batch.append_column("rolling_fp", pa.array(out))

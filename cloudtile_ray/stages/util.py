@@ -2,8 +2,25 @@
 
 from __future__ import annotations
 
+from typing import Any, Callable
+
 import numpy as np
 import pyarrow as pa
+
+# Per-worker-process instance cache for stateless-task stages: a stateless
+# fn fuses with neighboring map stages (no actor-pool concurrency ceiling
+# on the fused chain, no constructor args pinned in the object store —
+# ray issue #53727), while the expensive setup (hash tables, planes,
+# broadcast fetches) still happens at most once per worker process.
+_WORKER_CACHE: dict[tuple, Any] = {}
+
+
+def worker_cached(key: tuple, factory: Callable[[], Any]) -> Any:
+    obj = _WORKER_CACHE.get(key)
+    if obj is None:
+        obj = factory()
+        _WORKER_CACHE[key] = obj
+    return obj
 
 
 def stable_hash_strings(arr: pa.Array | np.ndarray | list) -> np.ndarray:

@@ -247,9 +247,56 @@ class TestDedup:
     def test_simhash_finds_near_dups(self, near_dup_ds):
         from cloudtile_ray.stages.dedup import simhash_near_pairs
 
-        pairs = simhash_near_pairs(near_dup_ds, max_hamming=6)
+        pairs = simhash_near_pairs(near_dup_ds, max_hamming=6).to_pandas()
         found = set(pairs.doc_a) | set(pairs.doc_b)
         assert {2, 22, 42} <= found  # the exact-content trio at minimum
+
+    def test_bucket_cap_subsplits_hot_bucket(self, ray_session):
+        """A pathological bucket (thousands of identical docs -> one LSH
+        bucket) must not go quadratic: pairs stay O(cap * n) and the
+        bridge pairs keep the duplicate cluster connected."""
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import (
+            minhash_dedup_pairs,
+            resolve_clusters,
+        )
+
+        n = 3000
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(["same boilerplate text body here"] * n),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        pairs = minhash_dedup_pairs(ds, threshold=0.9, bucket_cap=256)
+        pt = pairs.to_pandas()
+        # quadratic would be ~4.5M pairs; capped is ~ n * cap / 2 per band
+        assert 0 < len(pt) < 1_000_000
+        clusters = resolve_clusters(pa.Table.from_pandas(pt[["doc_a", "doc_b"]]))
+        # the bridges keep all duplicates in ONE cluster, keep-first = id 0
+        roots = set(clusters.column("cluster_id").to_pylist())
+        assert roots == {0}
+        assert clusters.num_rows == n
+
+    def test_anti_join_ids_matches_broadcast(self, near_dup_ds):
+        from cloudtile_ray.stages.dedup import (
+            drop_near_dups,
+            minhash_dedup_pairs,
+        )
+
+        pairs = minhash_dedup_pairs(near_dup_ds, threshold=0.6)
+        pt = pairs.to_pandas()
+        bcast = sorted(
+            drop_near_dups(near_dup_ds, pa.Table.from_pandas(pt), strategy="broadcast")
+            .to_pandas()["doc_id"]
+        )
+        shuf = sorted(
+            drop_near_dups(near_dup_ds, pa.Table.from_pandas(pt), strategy="shuffle")
+            .to_pandas()["doc_id"]
+        )
+        assert bcast == shuf and len(bcast) < 60
 
     def test_exact_dedup_counts(self, near_dup_ds):
         from cloudtile_ray.stages.dedup import exact_dedup_keys
@@ -276,7 +323,7 @@ class TestDedup:
              "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32(), 16))}
         )
         ds = ray.data.from_arrow(t)
-        pairs = embedding_neardup_pairs(ds, threshold=0.95, dim=16)
+        pairs = embedding_neardup_pairs(ds, threshold=0.95, dim=16).to_pandas()
         assert list(pairs.columns) == ["vec_a", "vec_b", "cosine"]
         assert {(10, 30)} <= set(zip(pairs.vec_a, pairs.vec_b))
 
@@ -291,9 +338,13 @@ class TestDedup:
             {"vec_id": pa.array(np.arange(20), pa.int64()),
              "embedding": pa.array([v.tolist() for v in V], pa.list_(pa.float32(), 16))}
         )
-        pairs = embedding_neardup_pairs(ray.data.from_arrow(t), threshold=0.9999, dim=16)
-        assert list(pairs.columns) == ["vec_a", "vec_b", "cosine"]
-        assert len(pairs) == 0
+        pairs = embedding_neardup_pairs(
+            ray.data.from_arrow(t), threshold=0.9999, dim=16
+        )
+        # Dataset-level schema survives the empty result (ray's to_pandas
+        # drops columns on ANY 0-row dataset, so assert on the Dataset)
+        assert pairs.schema().names == ["vec_a", "vec_b", "cosine"]
+        assert pairs.count() == 0
 
 
 class TestSimilarity:
