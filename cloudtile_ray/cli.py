@@ -273,13 +273,13 @@ def run_convert(args: argparse.Namespace) -> str:
     from cloudtile_ray.state.manifest import write_tiles_resumable
 
     result = write_tiles_resumable(tiles, dest, settings=dict(settings))
-    # terminal single-file artifact (the .pmtiles analog)
-    arch = write_archive(tiles, Path(str(dest) + ".rtar"))
+    # terminal single-file artifact (PMTiles v3, geofile.py:239-250 parity)
+    arch = write_archive(tiles, Path(str(dest) + ".pmtiles"))
     return (
         f"wrote {dest}: {result['total_rows']} tiles "
         f"({len(result['written'])} partitions written, "
         f"{len(result['skipped'])} skipped via manifest); "
-        f"archive {dest}.rtar ({arch['n_tiles']} tiles, {arch['total_bytes']} bytes)"
+        f"archive {dest}.pmtiles ({arch['n_tiles']} tiles, {arch['total_bytes']} bytes)"
     )
 
 

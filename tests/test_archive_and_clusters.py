@@ -15,7 +15,7 @@ class TestArchive:
 
         tiles = single_step(sf_tiny, 4, 5)
         df = tiles.to_pandas()
-        path = tmp_path / "tiles.rtar"
+        path = tmp_path / "tiles.pmtiles"
         info = write_archive(tiles, path)
         assert info["n_tiles"] == len(df)
         rd = ArchiveReader(path)
@@ -32,10 +32,106 @@ class TestArchive:
     def test_not_an_archive(self, tmp_path):
         from cloudtile_ray.state.archive import ArchiveReader
 
-        p = tmp_path / "x.rtar"
+        p = tmp_path / "x.pmtiles"
         p.write_bytes(b"garbage-header-bytes")
         with pytest.raises(ValueError):
             ArchiveReader(p)
+
+    def test_header_magic_and_spec_walk(self, sf_tiny, tmp_path):
+        """The file leads with the spec'd 127-byte PMTiles v3 header and a
+        varint root directory a reader can walk z/x/y -> bytes."""
+        from cloudtile_ray.pipelines.single_step import single_step
+        from cloudtile_ray.state.archive import HEADER_SIZE, ArchiveReader, write_archive
+
+        tiles = single_step(sf_tiny, 4, 5)
+        path = tmp_path / "t.pmtiles"
+        write_archive(tiles, path)
+        raw = path.read_bytes()
+        assert raw[:7] == b"PMTiles" and raw[7] == 3
+        rd = ArchiveReader(path)
+        assert rd.min_zoom == 4 and rd.max_zoom == 5
+        assert rd.metadata["generator"] == "cloudtile_ray"
+        assert len(raw) > HEADER_SIZE
+
+    def test_varint_directory_roundtrip_with_leaves(self):
+        from cloudtile_ray.state.archive import (
+            _deserialize_directory,
+            _serialize_directory,
+        )
+
+        rng = np.random.default_rng(3)
+        ids = np.unique(rng.integers(0, 1 << 40, 5000))
+        off = 0
+        entries = []
+        for t in ids.tolist():
+            ln = int(rng.integers(10, 2000))
+            entries.append((int(t), off, ln, 1))
+            off += ln
+        blob = _serialize_directory(entries)
+        assert _deserialize_directory(blob) == entries
+
+    def test_high_zoom_ids_do_not_collide(self, ray_session, tmp_path):
+        """Regression for the round-1 RTAR packing: z=16+ must address
+        distinctly from low zooms (tile_id is cumulative-base + Hilbert)."""
+        import ray.data
+
+        from cloudtile_ray.state.archive import ArchiveReader, tile_id, write_archive
+
+        zs = [0, 1, 15, 16, 20, 26]
+        t = pa.table(
+            {
+                "z": pa.array(zs, pa.int64()),
+                "x": pa.array([0, 1, 123, 456, 99, 7], pa.int64()),
+                "y": pa.array([0, 0, 321, 654, 17, 3], pa.int64()),
+                "tile_bytes": pa.array(
+                    [f"blob-{z}".encode() for z in zs], pa.binary()
+                ),
+            }
+        )
+        ids = tile_id(
+            t.column("z").to_numpy(zero_copy_only=False),
+            t.column("x").to_numpy(zero_copy_only=False),
+            t.column("y").to_numpy(zero_copy_only=False),
+        )
+        assert len(np.unique(ids)) == len(zs)
+        path = tmp_path / "hz.pmtiles"
+        write_archive(ray.data.from_arrow(t), path)
+        rd = ArchiveReader(path)
+        for z, x, y in zip(zs, [0, 1, 123, 456, 99, 7], [0, 0, 321, 654, 17, 3]):
+            assert rd.read_tile(z, x, y) == f"blob-{z}".encode()
+        with pytest.raises(ValueError):
+            tile_id(np.array([27]), np.array([0]), np.array([0]))
+
+    def test_leaf_directories_built_and_readable(self, ray_session, tmp_path):
+        """A directory over the 16 KB root budget splits into leaf
+        directories; lookups traverse root -> leaf -> data."""
+        import ray.data
+
+        from cloudtile_ray.state.archive import ArchiveReader, write_archive
+
+        z = 12
+        n = 6000
+        xs = np.arange(n, dtype=np.int64) % 4096
+        ys = np.arange(n, dtype=np.int64) // 4096 + 7
+        t = pa.table(
+            {
+                "z": pa.array(np.full(n, z), pa.int64()),
+                "x": pa.array(xs),
+                "y": pa.array(ys),
+                "tile_bytes": pa.array(
+                    [f"b{i}".encode() for i in range(n)], pa.binary()
+                ),
+            }
+        )
+        path = tmp_path / "leafy.pmtiles"
+        info = write_archive(ray.data.from_arrow(t).repartition(4), path)
+        assert info["n_tiles"] == n
+        rd = ArchiveReader(path)
+        assert rd.leaf_len > 0  # leaves actually used
+        assert rd.is_clustered()
+        for i in [0, 1, 1234, 5999]:
+            assert rd.read_tile(z, int(xs[i]), int(ys[i])) == f"b{i}".encode()
+        assert rd.read_tile(z, 4000, 4000) is None
 
 
 class TestClusters:
