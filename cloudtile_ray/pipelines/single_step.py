@@ -84,7 +84,24 @@ def single_step(
     ).map_batches(
         index_stage.AssignTiles(int(minz), int(maxz)), batch_format="pyarrow"
     )
+    # prefilter/postfilter hooks (tippecanoe.yaml:125-127 parity): any
+    # fn(pa.Table) -> pa.Table runs before / after the tile encoder
+    prefilter = settings.get("prefilter")
+    postfilter = settings.get("postfilter")
+    for name, fn in (("prefilter", prefilter), ("postfilter", postfilter)):
+        if fn is not None and not callable(fn):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s=%r is not callable; the engine takes fn(pa.Table) -> "
+                "pa.Table here (shell-command filters are a tippecanoe "
+                "mechanism) — ignored", name, fn,
+            )
+    if callable(prefilter):
+        exploded = exploded.map_batches(prefilter, batch_format="pyarrow")
     tiles = encode_tiles(exploded, settings=dict(settings))
+    if callable(postfilter):
+        tiles = tiles.map_batches(postfilter, batch_format="pyarrow")
     if output_dir:
         name = get_output_name("documents", minz, maxz, suffix=suffix)
         tiles.write_parquet(f"{output_dir}/{name}/")

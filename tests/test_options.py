@@ -182,6 +182,43 @@ class TestTileOptions:
         assert res["points"].count() > 0
 
 
+class TestFilterHooks:
+    def test_pre_and_postfilter_drive_single_step(self, sf_tiny):
+        """tippecanoe.yaml:125-127 parity: the prefilter sees exploded
+        features before the encoder, the postfilter sees finished tiles."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from cloudtile_ray.pipelines.single_step import single_step
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            # keep only even doc_ids
+            return t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+            )
+
+        def postfilter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t.column("n_features"), 2))
+
+        base = single_step(sf_tiny, 4, 5).to_pandas()
+        pre = single_step(sf_tiny, 4, 5, prefilter=prefilter).to_pandas()
+        both = single_step(
+            sf_tiny, 4, 5, prefilter=prefilter, postfilter=postfilter
+        ).to_pandas()
+        assert pre.n_source_points.sum() < base.n_source_points.sum()
+        assert (both.n_features >= 2).all()
+        assert len(both) < len(pre)
+
+    def test_shared_borders_keys_warn(self, caplog):
+        import logging
+
+        from cloudtile_ray.config import TilingSettings
+
+        with caplog.at_level(logging.WARNING):
+            TilingSettings(**{"detect-shared-borders": True})
+        assert any("no effect" in r.message for r in caplog.records)
+
+
 class TestEvents:
     def test_running_totals_monotonic(self, sf_tiny):
         import ray.data
