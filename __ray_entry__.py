@@ -484,9 +484,13 @@ def q_cell_index(sf_dir: str):
 
     return (
         _geo_only(sf_dir)
-        .map_batches(AddCellIndexes(s2_level=16, hex_res=9), batch_format="pyarrow")
         .map_batches(
-            lambda t: t.select(["doc_id", "s2_cell", "hex_cell"]), batch_format="pyarrow"
+            AddCellIndexes(s2_level=16, hex_res=9, icosa_res=9),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            lambda t: t.select(["doc_id", "s2_cell", "hex_cell", "icosa_cell"]),
+            batch_format="pyarrow",
         )
     )
 

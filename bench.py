@@ -143,30 +143,51 @@ def main() -> None:
     replicate = int(os.environ.get("GRAFT_REPLICATE", "320"))
 
     if "--scaling" in sys.argv:
-        results = {}
-        # scaling runs use a larger replication so the job is long enough to
-        # amortize fixed session/shuffle setup (same input at both levels)
-        scale_rep = os.environ.get("GRAFT_REPLICATE", "2560")
-        for n in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SKIP_QUERIES="1",
-                       GRAFT_REPLICATE=scale_rep)
-            import subprocess
+        # Variance-controlled protocol (round-2): N interleaved (8, 32)
+        # pairs in fresh processes on the same input; per-pair efficiency
+        # (t8/t32)/4 from ADJACENT legs (machine drift hits both legs of a
+        # pair ~equally), headline value = median over pairs, spread
+        # reported alongside.  Each leg is one timed run after a full-DAG
+        # warmup.
+        import statistics
+        import subprocess
 
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            results[n] = json.loads(out.strip().splitlines()[-1])
-        t8, t32 = results[8]["value"], results[32]["value"]
-        eff = (t8 / t32) / 4.0
+        scale_rep = os.environ.get("GRAFT_REPLICATE", "2560")
+        n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "5"))
+        legs: dict[int, list[dict]] = {8: [], 32: []}
+        effs = []
+        for p in range(n_pairs):
+            pair = {}
+            for n in (8, 32):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SKIP_QUERIES="1",
+                           GRAFT_REPLICATE=scale_rep, GRAFT_REPEATS="1")
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, capture_output=True, text=True, check=True,
+                ).stdout
+                res = json.loads(out.strip().splitlines()[-1])
+                legs[n].append(res)
+                pair[n] = res
+            eff = (pair[8]["value"] / pair[32]["value"]) / 4.0
+            effs.append(round(eff, 3))
+            print(json.dumps({"pair": p, "sec_8": pair[8]["value"],
+                              "sec_32": pair[32]["value"],
+                              "efficiency": round(eff, 3)}),
+                  file=sys.stderr, flush=True)
+        med = statistics.median(effs)
         print(json.dumps({
             "metric": "scaling_efficiency_8_to_32",
-            "value": round(eff, 3),
+            "value": round(med, 3),
             "unit": "ratio",
-            "sec_8": t8,
-            "sec_32": t32,
-            "docs_per_sec_8": results[8]["docs_per_sec"],
-            "docs_per_sec_32": results[32]["docs_per_sec"],
+            "pairs": effs,
+            "spread": round(max(effs) - min(effs), 3),
+            "sec_8": [r["value"] for r in legs[8]],
+            "sec_32": [r["value"] for r in legs[32]],
+            "docs_per_sec_8_median": round(statistics.median(
+                r["docs_per_sec"] for r in legs[8]), 1),
+            "docs_per_sec_32_median": round(statistics.median(
+                r["docs_per_sec"] for r in legs[32]), 1),
+            "docs": legs[8][0]["docs"],
             "sf": sf_dir,
         }))
         return

@@ -8,7 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from cloudtile_ray.geo import hexgrid, s2, webmercator as wm
+from cloudtile_ray.geo import hexgrid, icosa, s2, webmercator as wm
 
 
 def _lonlat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -19,14 +19,22 @@ def _lonlat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 class AddCellIndexes:
-    """``map_batches`` callable appending ``s2_cell`` (uint64) and
-    ``hex_cell`` (uint64) at configured level/resolution. Null where the row
-    has no geocoded point. Plain function semantics — kept as a class only
-    to carry the configuration; still runs as stateless tasks."""
+    """``map_batches`` callable appending ``s2_cell`` (uint64), ``hex_cell``
+    (uint64, planar aperture-7 lattice) and optionally ``icosa_cell``
+    (uint64, spherical icosahedral aperture-7 — ``geo/icosa.py``) at
+    configured level/resolution. Null where the row has no geocoded point.
+    Plain function semantics — kept as a class only to carry the
+    configuration; still runs as stateless tasks."""
 
-    def __init__(self, s2_level: int = 16, hex_res: int = 9):
+    def __init__(
+        self,
+        s2_level: int = 16,
+        hex_res: int = 9,
+        icosa_res: int | None = None,
+    ):
         self.s2_level = s2_level
         self.hex_res = hex_res
+        self.icosa_res = icosa_res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon, lat, valid = _lonlat(batch)
@@ -40,6 +48,15 @@ class AddCellIndexes:
             "s2_cell", pa.array(s2c, mask=np.asarray(mask))
         )
         batch = batch.append_column("hex_cell", pa.array(hxc, mask=np.asarray(mask)))
+        if self.icosa_res is not None:
+            icc = np.zeros(len(lon), dtype=np.uint64)
+            if valid.any():
+                icc[valid] = icosa.latlng_to_cell(
+                    lon[valid], lat[valid], self.icosa_res
+                )
+            batch = batch.append_column(
+                "icosa_cell", pa.array(icc, mask=np.asarray(mask))
+            )
         return batch
 
 

@@ -124,3 +124,100 @@ class TestHexGrid:
             hexgrid.latlng_to_cell(np.array([0.0]), np.array([0.0]), 16)
         with pytest.raises(ValueError):
             s2.lonlat_to_cell(np.array([0.0]), np.array([0.0]), 31)
+
+
+class TestIcosa:
+    """Spherical icosahedral aperture-7 index (geo/icosa.py): exact
+    hierarchy invariants, determinism, and sphere-global encoding (poles,
+    dateline, face edges) — the properties a planar lattice cannot give."""
+
+    def _random_lonlat(self, n, seed=0):
+        rng = np.random.default_rng(seed)
+        lon = rng.uniform(-180, 180, n)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))  # area-uniform
+        return lon, lat
+
+    @pytest.mark.parametrize("res,min_rate", [(2, 0.95), (5, 0.99), (9, 0.999)])
+    def test_roundtrip_center(self, res, min_rate):
+        from cloudtile_ray.geo import icosa
+
+        lon, lat = self._random_lonlat(2000, seed=res)
+        cells = icosa.latlng_to_cell(lon, lat, res)
+        clon, clat = icosa.cell_to_latlng(cells)
+        again = icosa.latlng_to_cell(clon, clat, res)
+        # near-universal cell->center->cell stability; the residue is the
+        # face-edge sliver where overlapping coarse cells trade ownership
+        assert (again == cells).mean() >= min_rate
+        # and EXACT for every fixpoint cell (center owned by its own face)
+        fixpoint = icosa.get_face(again) == icosa.get_face(cells)
+        assert (again[fixpoint] == cells[fixpoint]).all()
+
+    def test_parent_of_children_is_cell(self):
+        from cloudtile_ray.geo import icosa
+
+        lon, lat = self._random_lonlat(100, seed=1)
+        for res in (1, 4, 8):
+            cells = icosa.latlng_to_cell(lon, lat, res)
+            for c in cells[:20]:
+                kids = icosa.cell_to_children(int(c))
+                assert len(kids) == 7
+                assert (icosa.cell_to_parent(kids) == c).all()
+                assert icosa.cells_contain(
+                    np.full(7, c, dtype=np.uint64), kids
+                ).all()
+
+    def test_parent_chain_and_face_stability(self):
+        from cloudtile_ray.geo import icosa
+
+        lon, lat = self._random_lonlat(300, seed=2)
+        cells = icosa.latlng_to_cell(lon, lat, 10)
+        f10 = icosa.get_face(cells)
+        for target in (7, 3, 0):
+            up = icosa.cell_to_parent(cells, target)
+            assert (icosa.get_resolution(up) == target).all()
+            assert (icosa.get_face(up) == f10).all()  # hierarchy never crosses faces
+
+    def test_grid_disk_sizes(self):
+        from cloudtile_ray.geo import icosa
+
+        c = int(icosa.latlng_to_cell(np.array([10.0]), np.array([20.0]), 6)[0])
+        for k in (0, 1, 2, 3):
+            assert len(icosa.grid_disk(c, k)) == 1 + 3 * k * (k + 1)
+
+    def test_poles_dateline_and_face_edges_encode(self):
+        from cloudtile_ray.geo import icosa
+
+        lon = np.array([0.0, 179.999, -179.999, 45.0, 0.0, 0.0])
+        lat = np.array([89.999, 10.0, 10.0, -89.999, 0.0, 0.0001])
+        cells = icosa.latlng_to_cell(lon, lat, 8)
+        # dateline neighbors land in nearby cells on the sphere (NOT the
+        # planar lattice's 360-degree-apart cells): compare decoded centers
+        clon, clat = icosa.cell_to_latlng(cells[1:3])
+        v = np.radians(clon)
+        d = np.abs(np.degrees(np.arctan2(np.sin(v[0] - v[1]), np.cos(v[0] - v[1]))))
+        assert d < 1.0  # sphere-adjacent, no seam
+        # all encodings are valid and decode close to the input
+        dlon, dlat = icosa.cell_to_latlng(cells)
+        assert np.abs(dlat - lat).max() < 2.0
+
+    def test_determinism_and_resolution_nesting_rate(self):
+        from cloudtile_ray.geo import icosa
+
+        lon, lat = self._random_lonlat(2000, seed=3)
+        a = icosa.latlng_to_cell(lon, lat, 9)
+        b = icosa.latlng_to_cell(lon, lat, 9)
+        assert (a == b).all()
+        # encode at 9 then parent to 5 == encode at 5 for the vast
+        # majority of points (aperture-7 hierarchies are not perfectly
+        # aligned — same property as real H3 — but mismatches are
+        # boundary-only)
+        up = icosa.cell_to_parent(a, 5)
+        direct = icosa.latlng_to_cell(lon, lat, 5)
+        agree = (up == direct).mean()
+        assert agree > 0.85
+
+    def test_res_validation(self):
+        from cloudtile_ray.geo import icosa
+
+        with pytest.raises(ValueError):
+            icosa.latlng_to_cell(np.array([0.0]), np.array([0.0]), 16)
