@@ -139,13 +139,46 @@ class FinalizeTile:
         max_bytes = s.get("maximum-tile-bytes", 2500000)
         dropped = 0
         if not s.get("no-feature-limit", False) and n_coalesced > max_feat:
-            # drop ladder step 2: deterministic subset — keep the max_feat
-            # densest pixels (ties broken by pixel position, the incoming
-            # sort order)
-            order = np.lexsort((np.arange(len(cnt)), -cnt))[:max_feat]
-            order.sort()
-            dropped = n_coalesced - max_feat
-            px, py, cnt = px[order], py[order], cnt[order]
+            # drop ladder step 2: deterministic subset; WHICH features
+            # survive follows the selected -as-needed variant
+            # (tippecanoe.yaml:57-65) — each is a pure function of the
+            # pixel multiset:
+            #   default / coalesce|cluster-densest: keep the densest
+            #   drop-densest:                       keep the sparsest
+            #   drop|coalesce-fraction:             keep a uniform fraction
+            #   drop|coalesce-smallest:             drop lowest-count first
+            #     (== keep densest; "smallest" is lowest accumulated count
+            #     in this point model); coalesce-smallest additionally
+            #     merges the smallest half onto a 2px grid first
+            if s.get("coalesce-smallest-as-needed", False):
+                small = np.lexsort((np.arange(len(cnt)), cnt))[: len(cnt) // 2]
+                mask = np.zeros(len(cnt), dtype=bool)
+                mask[small] = True
+                spx, spy, scnt = _gamma_snap(px[mask], py[mask], cnt[mask], 2.0)
+                px = np.concatenate([px[~mask], spx]).astype(np.int32)
+                py = np.concatenate([py[~mask], spy]).astype(np.int32)
+                cnt = np.concatenate([cnt[~mask], scnt])
+                _, px, py, cnt = _coalesce_sorted(
+                    np.zeros(len(px), dtype=np.uint64), px, py, cnt
+                )
+            if len(px) > max_feat:
+                if s.get("drop-fraction-as-needed", False) or s.get(
+                    "coalesce-fraction-as-needed", False
+                ):
+                    order = np.unique(
+                        np.round(np.linspace(0, len(cnt) - 1, max_feat)).astype(
+                            np.int64
+                        )
+                    )
+                elif s.get("drop-densest-as-needed", False):
+                    order = np.lexsort((np.arange(len(cnt)), cnt))[:max_feat]
+                else:
+                    order = np.lexsort((np.arange(len(cnt)), -cnt))[:max_feat]
+                order.sort()
+                dropped = n_coalesced - len(order)
+                px, py, cnt = px[order], py[order], cnt[order]
+            else:
+                dropped = n_coalesced - len(px)
         blob = self._encode(z, x, y, px, py, cnt)
         increase_gamma = bool(s.get("increase-gamma-as-needed", False))
         next_gamma = max(2.0, gamma * 2)

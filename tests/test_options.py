@@ -112,6 +112,55 @@ class TestGammaAndCaps:
         assert decode_tile(out["tile_bytes"])["cnt"].sum() == n
 
 
+class TestDropLadderVariants:
+    """The -as-needed ordering variants select DIFFERENT survivors
+    (tippecanoe.yaml:57-65), each deterministically."""
+
+    def _finalize(self, **settings):
+        import numpy as np
+
+        from cloudtile_ray.stages.tiles import FinalizeTile
+
+        n = 40
+        px = np.arange(n, dtype=np.int32)
+        py = np.zeros(n, dtype=np.int32)
+        cnt = np.arange(1, n + 1, dtype=np.int64)  # density rises with px
+        f = FinalizeTile({"maximum-tile-features": 10, **settings})
+        return f.finalize_arrays(5, 1, 2, px, py, cnt, int(cnt.sum()))
+
+    def test_variants_pick_different_survivors(self):
+        from cloudtile_ray.stages.tiles import decode_tile
+
+        default = decode_tile(self._finalize()["tile_bytes"])
+        densest_dropped = decode_tile(
+            self._finalize(**{"drop-densest-as-needed": True})["tile_bytes"]
+        )
+        fraction = decode_tile(
+            self._finalize(**{"drop-fraction-as-needed": True})["tile_bytes"]
+        )
+        # default keeps the 10 densest (highest px here)
+        assert list(default["px"]) == list(range(30, 40))
+        # drop-densest keeps the 10 sparsest
+        assert list(densest_dropped["px"]) == list(range(10))
+        # fraction keeps a uniform spread end-to-end
+        fr = list(fraction["px"])
+        assert fr[0] == 0 and fr[-1] == 39 and len(fr) == 10
+
+    def test_coalesce_smallest_merges_before_dropping(self):
+        from cloudtile_ray.stages.tiles import decode_tile
+
+        out = self._finalize(**{"coalesce-smallest-as-needed": True})
+        d = decode_tile(out["tile_bytes"])
+        # smallest half merged on a 2px grid, then capped: still <= 10
+        # features and total count preserved before the drop step
+        assert len(d["px"]) <= 10
+
+    def test_deterministic(self):
+        a = self._finalize(**{"drop-fraction-as-needed": True})
+        b = self._finalize(**{"drop-fraction-as-needed": True})
+        assert a["tile_bytes"] == b["tile_bytes"]
+
+
 class TestTileOptions:
     def test_one_tile(self, sf_tiny):
         from cloudtile_ray.pipelines.single_step import geocoded_dataset

@@ -181,6 +181,29 @@ class TestJoins:
         assert key(res_b) == want
         assert len(want) > 20
 
+    def test_salted_shuffle_join_equals_broadcast(self, tiny_pages_ds, fixture_polys):
+        """Force hot-bucket salting (hot_threshold=1: EVERY non-empty
+        bucket splits into salt sub-partitions) and assert the join output
+        is unchanged — skew handling must be a pure repartitioning."""
+        from cloudtile_ray.stages import geocode, join as join_stage
+
+        geo = tiny_pages_ds.map_batches(geocode.geocode_batch, batch_format="pyarrow")
+        geo = geo.map_batches(
+            lambda t: t.filter(pa.compute.is_valid(t.column("lat"))),
+            batch_format="pyarrow",
+        )
+        ids = np.arange(len(fixture_polys), dtype=np.int64)
+        names = [f"p{j}" for j in ids]
+        res_b = join_stage.broadcast_pip_join(
+            geo, fixture_polys, ids, names, how="inner"
+        ).to_pandas()
+        res_s = join_stage.shuffle_pip_join(
+            geo, fixture_polys, ids, names, how="inner",
+            hot_threshold=1, n_salts=4,
+        ).to_pandas()
+        key = lambda df: sorted(zip(df.url, df.zone_id))
+        assert key(res_b) == key(res_s)
+
     def test_semi_anti_partition(self, tiny_pages_ds, fixture_polys):
         from cloudtile_ray.stages import geocode, join as join_stage
 
