@@ -28,25 +28,42 @@ import time
 
 
 def _replicated_pages(sf_dir: str, replicate: int):
-    """documents x replicate -> pages dataset (deterministic doc_id offsets)."""
+    """documents x replicate -> pages dataset (deterministic doc_id offsets).
+
+    The replication is DISTRIBUTED: the narrow base table is broadcast once
+    (ray.put) and each task materializes its own offset copies — no 4 GB
+    single driver block and no serial repartition pass (both showed up as
+    ~10-20s of fixed overhead inside the timed section at 32 cpus)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import ray
     import ray.data
 
     from cloudtile_ray.sources.pages import build_pages_batch
 
     base = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     n = base.num_rows
-    ids = base.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    copies = []
-    for k in range(replicate):
-        t = base.set_column(0, "doc_id", pa.array(ids + k * n))
-        copies.append(t)
-    # materialize only the narrow docs table (doc_id/text/lang); the heavy
-    # html column is synthesized inside the streamed pipeline and dropped
-    # right after geocoding, so it never sits in the object store
-    docs = ray.data.from_arrow(pa.concat_tables(copies)).repartition(256).materialize()
+    base_ref = ray.put(base.combine_chunks())
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = ray.get(base_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.concat_tables(
+            [t.set_column(0, "doc_id", pa.array(ids + int(k) * n)) for k in ks]
+        )
+
+    n_blocks = int(min(replicate, 256))
+    docs = (
+        ray.data.range(replicate, override_num_blocks=n_blocks)
+        .map_batches(
+            expand,
+            batch_format="pyarrow",
+            batch_size=max(1, replicate // n_blocks),
+        )
+        .materialize()
+    )
     return docs.map_batches(build_pages_batch, batch_format="pyarrow"), n * replicate
 
 

@@ -540,13 +540,13 @@ def encode_poly_tiles(
     assigned: "ray.data.Dataset",
     settings: dict | None = None,
     n_partitions: int | None = None,
+    sort_output: bool = False,
 ) -> "ray.data.Dataset":
     """Per-tile polygon encoding with the same hashed-partition merge shape
     as the point path: one row per tile (z, x, y, n_poly_features,
     poly_nbytes, poly_bytes), features ordered by doc_id (the
     preserve-input-order analog) and capped by maximum-tile-features."""
     s = TilingSettings(**(settings or {}))
-    max_feat = int(s.get("maximum-tile-features", 20000))
     if n_partitions is None:
         try:
             import ray
@@ -554,16 +554,19 @@ def encode_poly_tiles(
             n_partitions = max(64, 2 * int(ray.cluster_resources().get("CPU", 8)))
         except Exception:
             n_partitions = 64
+    add_part, merge_part = poly_exchange_fns(dict(s), n_partitions)
+    parted = assigned.map_batches(add_part, batch_format="pyarrow")
+    tiles = parted.groupby("part").map_groups(merge_part, batch_format="pyarrow")
+    # global order is opt-in — see encode_tiles: no consumer needs it and
+    # the blob-heavy sort pass costs a full extra all-to-all
+    return tiles.sort(["z", "x", "y"]) if sort_output else tiles
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        # SLIM the exchange to (part, tile_key, doc_id, ring_blob): z/x/y
-        # are recomputable from tile_key, n_pts from the blob length, and
-        # the ordering anchors (area / first vertex) from the blob itself —
-        # ~45% fewer bytes through the all-to-all
-        tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
-        part = ((tk * np.uint64(2654435761)) % np.uint64(n_partitions)).astype(np.int64)
-        out = batch.select(["tile_key", "doc_id", "ring_blob"])
-        return out.append_column("part", pa.array(part))
+
+def poly_exchange_fns(settings: dict, n_partitions: int):
+    """(add_part, merge_part) pair for the polygon tile exchange —
+    module-level so profiling and tests can drive the stages separately."""
+    s = TilingSettings(**(settings or {}))
+    max_feat = int(s.get("maximum-tile-features", 20000))
 
     def _binary_parts(rb: pa.Array) -> tuple[bytes, np.ndarray]:
         rb = rb.combine_chunks() if isinstance(rb, pa.ChunkedArray) else rb
@@ -574,20 +577,122 @@ def encode_poly_tiles(
         ].astype(np.int64)
         return data, off
 
+    def _gather_segments(
+        data: np.ndarray, off: np.ndarray, order: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Reorder variable-length byte segments by ``order`` (vectorized
+        index build — no per-row Python).  Returns (new_data, new_off)."""
+        lens = np.diff(off)[order]
+        new_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        if new_off[-1] == 0:
+            return data[:0], new_off
+        idx = np.repeat(off[:-1][order] - new_off[:-1], lens) + np.arange(
+            new_off[-1], dtype=np.int64
+        )
+        return data[idx], new_off
+
+    _EMPTY_PACK = pa.table(
+        {
+            "part": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "payload": pa.array([], pa.binary()),
+        }
+    )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        # The exchange is ROW-BOUND in Ray's sort shuffle, so rows are
+        # packed per (batch x partition) into ONE binary row each:
+        # 11M (tile_key, doc_id, ring_blob) feature rows become
+        # n_batches x n_partitions packed rows (~10^4), which removes the
+        # per-row shuffle overhead that dominated the polygon path.
+        # Payload layout: n | tile_key u64[n] | doc_id i64[n] |
+        # ring_len i32[n] | ring bytes.
+        if batch.num_rows == 0 or "tile_key" not in batch.column_names:
+            return _EMPTY_PACK
+        tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        data_b, off = _binary_parts(batch.column("ring_blob"))
+        data = np.frombuffer(data_b, dtype=np.uint8)
+        part = ((tk * np.uint64(2654435761)) % np.uint64(n_partitions)).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        part_s = part[order]
+        data_s, off_s = _gather_segments(data, off, order)
+        tk_s, ids_s = tk[order], ids[order]
+        lens_s = np.diff(off_s).astype(np.int32)
+        uq, first = np.unique(part_s, return_index=True)
+        bounds = np.r_[first[1:], len(part_s)]
+        parts_out, nrows_out, payloads = [], [], []
+        for p, st, en in zip(uq.tolist(), first.tolist(), bounds.tolist()):
+            nrows = en - st
+            payload = (
+                np.int64(nrows).tobytes()
+                + tk_s[st:en].tobytes()
+                + ids_s[st:en].tobytes()
+                + lens_s[st:en].tobytes()
+                + data_s[off_s[st] : off_s[en]].tobytes()
+            )
+            parts_out.append(p)
+            nrows_out.append(nrows)
+            payloads.append(payload)
+        return pa.table(
+            {
+                "part": pa.array(parts_out, pa.int64()),
+                "n_rows": pa.array(nrows_out, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    def _unpack_group(g: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        tks, idss, offs, datas = [], [], [], []
+        base = 0
+        for payload in g.column("payload").to_pylist():
+            n = int(np.frombuffer(payload, dtype=np.int64, count=1)[0])
+            pos = 8
+            tks.append(np.frombuffer(payload, dtype=np.uint64, count=n, offset=pos))
+            pos += 8 * n
+            idss.append(np.frombuffer(payload, dtype=np.int64, count=n, offset=pos))
+            pos += 8 * n
+            lens = np.frombuffer(payload, dtype=np.int32, count=n, offset=pos)
+            pos += 4 * n
+            datas.append(np.frombuffer(payload, dtype=np.uint8, offset=pos))
+            offs.append(base + np.concatenate([[0], np.cumsum(lens, dtype=np.int64)]))
+            base = offs[-1][-1]
+        tk = np.concatenate(tks) if tks else np.empty(0, np.uint64)
+        ids = np.concatenate(idss) if idss else np.empty(0, np.int64)
+        data = np.concatenate(datas) if datas else np.empty(0, np.uint8)
+        if offs:
+            off = np.concatenate([o[:-1] for o in offs] + [[base]]).astype(np.int64)
+        else:
+            off = np.zeros(1, dtype=np.int64)
+        return tk, ids, data, off
+
     def merge_part(g: pa.Table) -> pa.Table:
-        g = g.drop_columns(["part"])
-        tk = g.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        tk, ids, ring_data, ring_off0 = _unpack_group(g)
         # in-tile feature ordering (tippecanoe.yaml:85-94): default is the
         # preserve-input-order analog (doc_id); area-ordered and
         # Hilbert-ordered variants selectable; ``reverse`` flips within tile
+        if len(tk) == 0:
+            return pa.table(
+                {
+                    "z": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "n_poly_features": pa.array([], pa.int64()),
+                    "poly_nbytes": pa.array([], pa.int64()),
+                    "poly_bytes": pa.array([], pa.binary()),
+                }
+            )
         need_area = s.get("order-largest-first", False) or s.get("order-smallest-first", False)
         need_hilbert = s.get("hilbert", False)
         if need_area or need_hilbert:
-            ring_all0, ring_off0 = _binary_parts(g.column("ring_blob"))
             voff = (ring_off0 // 8).astype(np.int64)  # per-row vertex offsets
             lens = np.diff(voff)
-            V = np.frombuffer(ring_all0, dtype=np.int32).astype(np.float64).reshape(-1, 2)
+            V = (
+                np.ascontiguousarray(ring_data)
+                .view(np.int32)
+                .astype(np.float64)
+                .reshape(-1, 2)
+            )
         if need_area:
             # vectorized per-ring shoelace of the stored (rounded) rings —
             # identical to the emitted area_px by construction
@@ -625,15 +730,15 @@ def encode_poly_tiles(
             for a, b in zip(fst, bnd):
                 parts_idx.append(order[a:b][::-1])
             order = np.concatenate(parts_idx)
-        g = g.take(pa.array(order))
         tk = tk[order]
+        dids = ids[order]
+        ring_all, ring_off = _gather_segments(ring_data, ring_off0, order)
+        ring_all = ring_all.tobytes()
         uniq, first = np.unique(tk, return_index=True)
         bounds = np.r_[first[1:], len(tk)]
         zs_u, xs_u, ys_u = wm.unpack_tile_key(uniq)
-        dids = g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         # columnar tile sections: header + doc_ids[] + n_pts[] + ring bytes
         # -> three array slices per TILE, no per-feature Python
-        ring_all, ring_off = _binary_parts(g.column("ring_blob"))
         npts = (np.diff(ring_off) // 8).astype(np.int64)
         meta = np.empty((len(tk), 2), dtype=np.int64)
         meta[:, 0] = dids
@@ -667,8 +772,7 @@ def encode_poly_tiles(
             }
         )
 
-    parted = assigned.map_batches(add_part, batch_format="pyarrow")
-    return parted.groupby("part").map_groups(merge_part, batch_format="pyarrow").sort(["z", "x", "y"])
+    return add_part, merge_part
 
 
 def decode_poly_tile(blob: bytes) -> dict:

@@ -30,8 +30,9 @@ dict /root/reference/tests/test_tippecanoe.py:75-85):
   round, then a per-tile second round — for the pathological case where a
   single tile's merge state should be split across workers. Both paths
   produce identical tiles (tested).
-- final ``sort(["z", "x", "y"])`` for archive layout (PMTiles-style
-  clustered ordering).
+- global output order is OPT-IN (``sort_output``): the PMTiles writer
+  clusters by spec tile_id itself, so the default skips the extra
+  blob-heavy all-to-all sort pass.
 """
 
 from __future__ import annotations
@@ -300,6 +301,7 @@ def encode_tiles(
     salted: bool = False,
     hot_threshold: int = 1 << 20,
     n_salts: int = 16,
+    sort_output: bool = False,
 ) -> "ray.data.Dataset":
     """Full tile-build DAG over an exploded (feature x zoom) dataset with
     ``tile_key/px/py`` columns. See module docstring for the design."""
@@ -361,7 +363,7 @@ def encode_tiles(
         tiles = merged.groupby("tile_key").map_groups(
             merge_round2, batch_format="pyarrow"
         )
-        return tiles.sort(["z", "x", "y"])
+        return tiles.sort(["z", "x", "y"]) if sort_output else tiles
 
     def add_part(batch: pa.Table) -> pa.Table:
         tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -374,7 +376,12 @@ def encode_tiles(
         return _finalize_flat(*_cols(g.drop_columns(["part"])), finalizer)
 
     tiles = parted.groupby("part").map_groups(merge_part, batch_format="pyarrow")
-    return tiles.sort(["z", "x", "y"])
+    # a global sort of blob-heavy tile rows is a full extra all-to-all pass
+    # (~25s at 12.8M docs/32cpus) that no consumer needs: the PMTiles
+    # writer re-sorts by spec tile_id, the resumable writer filters by
+    # zoom, and the correctness compare is order-insensitive — so it is
+    # opt-in
+    return tiles.sort(["z", "x", "y"]) if sort_output else tiles
 
 
 def decode_tile(blob: bytes) -> dict:

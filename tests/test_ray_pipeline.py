@@ -81,8 +81,15 @@ class TestFlagship:
             .map_batches(AssignTiles(4, 6), batch_format="pyarrow")
         )
         cols = ["z", "x", "y", "n_features", "n_source_points", "tile_nbytes"]
-        a = encode_tiles(ex, salted=False).to_pandas()[cols].reset_index(drop=True)
-        b = encode_tiles(ex, salted=True, hot_threshold=2, n_salts=4).to_pandas()[cols].reset_index(drop=True)
+        key = ["z", "x", "y"]
+        a = (
+            encode_tiles(ex, salted=False).to_pandas()[cols]
+            .sort_values(key).reset_index(drop=True)
+        )
+        b = (
+            encode_tiles(ex, salted=True, hot_threshold=2, n_salts=4).to_pandas()[cols]
+            .sort_values(key).reset_index(drop=True)
+        )
         pd.testing.assert_frame_equal(a, b)
 
     def test_determinism_across_batch_shapes(self, sf_tiny):
