@@ -154,6 +154,34 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
+def _spin_worker(_):
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((384, 384))
+    t_end = time.time() + 1.0
+    n = 0
+    while time.time() < t_end:
+        a = a @ a / np.abs(a).max()
+        n += 1
+    return n
+
+
+def host_calibration(n_procs: int = 16) -> float:
+    """Effective parallel compute probe: n_procs processes each matmul-spin
+    for 1s; returns total iterations/sec.  The sandbox host's deliverable
+    CPU swings ~2x between identical runs (shared infra) — recording this
+    right before each bench leg lets BASELINE.md separate engine scaling
+    from host throttling (raw AND calibration-normalized efficiencies are
+    both reported)."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(n_procs) as pool:
+        t0 = time.time()
+        counts = pool.map(_spin_worker, range(n_procs))
+        dt = time.time() - t0
+    return sum(counts) / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -171,33 +199,63 @@ def main() -> None:
 
         scale_rep = os.environ.get("GRAFT_REPLICATE", "2560")
         n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "5"))
+        settle = int(os.environ.get("GRAFT_SCALING_SETTLE", "25"))
         legs: dict[int, list[dict]] = {8: [], 32: []}
         effs = []
         for p in range(n_pairs):
             pair = {}
-            for n in (8, 32):
+            # alternate leg order across pairs: a leg that follows a long
+            # sustained burn runs measurably slower on this host (thermal /
+            # noisy-neighbor throttling), so (8,32),(32,8),... cancels the
+            # ordering bias in the median; the settle gap lets the previous
+            # session's raylet teardown + host load decay finish
+            order = (8, 32) if p % 2 == 0 else (32, 8)
+            for n in order:
+                time.sleep(settle)
+                cal = host_calibration()
+                # repeats=2 (best-of): the first full-size run in a fresh
+                # session pays a ~2x one-time cost (worker-pool growth +
+                # first-touch object-store pages) even after a small-input
+                # warmup; the second run measures steady-state throughput,
+                # which is the metric
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SKIP_QUERIES="1",
-                           GRAFT_REPLICATE=scale_rep, GRAFT_REPEATS="1")
+                           GRAFT_REPLICATE=scale_rep, GRAFT_REPEATS="2")
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True, check=True,
                 ).stdout
                 res = json.loads(out.strip().splitlines()[-1])
+                res["host_cal"] = round(cal, 1)
                 legs[n].append(res)
                 pair[n] = res
             eff = (pair[8]["value"] / pair[32]["value"]) / 4.0
             effs.append(round(eff, 3))
-            print(json.dumps({"pair": p, "sec_8": pair[8]["value"],
+            print(json.dumps({"pair": p, "order": list(order),
+                              "sec_8": pair[8]["value"],
                               "sec_32": pair[32]["value"],
+                              "cal_8": pair[8]["host_cal"],
+                              "cal_32": pair[32]["host_cal"],
                               "efficiency": round(eff, 3)}),
                   file=sys.stderr, flush=True)
         med = statistics.median(effs)
+        # calibration-normalized: scale each leg time by the host compute
+        # available right before it (t_norm = t * cal / cal_ref) so host
+        # throttling windows don't masquerade as engine (in)efficiency
+        cal_ref = max(r["host_cal"] for rs in legs.values() for r in rs)
+        norm8 = [r["value"] * r["host_cal"] / cal_ref for r in legs[8]]
+        norm32 = [r["value"] * r["host_cal"] / cal_ref for r in legs[32]]
+        effs_norm = [round((a / b) / 4.0, 3) for a, b in zip(norm8, norm32)]
         print(json.dumps({
             "metric": "scaling_efficiency_8_to_32",
             "value": round(med, 3),
             "unit": "ratio",
             "pairs": effs,
             "spread": round(max(effs) - min(effs), 3),
+            "pairs_cal_normalized": effs_norm,
+            "value_cal_normalized": round(statistics.median(effs_norm), 3),
+            "spread_cal_normalized": round(max(effs_norm) - min(effs_norm), 3),
+            "host_cal_8": [r["host_cal"] for r in legs[8]],
+            "host_cal_32": [r["host_cal"] for r in legs[32]],
             "sec_8": [r["value"] for r in legs[8]],
             "sec_32": [r["value"] for r in legs[32]],
             "docs_per_sec_8_median": round(statistics.median(

@@ -238,6 +238,46 @@ class TestJoins:
             bucketed.to_pandas().sort_values(["q_id", "doc_id"]).reset_index(drop=True),
         )
 
+    def test_hex_knn_index_prunes_partitions(self, sf_tiny, tmp_path):
+        """The cell-partitioned index really prunes: the partitions a
+        ring-1 disk selects hold far fewer rows than the corpus (the
+        VERDICT.md wrong-#6 'done' criterion: scan rows << corpus rows)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as e
+        from cloudtile_ray.geo import hexgrid
+        from cloudtile_ray.sources.pages import KNN_QUERIES_MI
+        from cloudtile_ray.stages.join import build_hex_knn_index
+
+        geo = e._geo_only(sf_tiny)
+        idx = str(tmp_path / "hexidx")
+        res = 2
+        build_hex_knn_index(geo, res, idx)
+        total = sum(
+            pq.read_metadata(f).num_rows
+            for f in glob.glob(f"{idx}/**/*.parquet", recursive=True)
+        )
+        assert total > 0
+        q = KNN_QUERIES_MI
+        qcells = hexgrid.latlng_to_cell(q[:, 0] / 1000.0, q[:, 1] / 1000.0, res)
+        cand = set()
+        for c in qcells.tolist():
+            cand.update(hexgrid.grid_disk(int(c), 1).tolist())
+        parents = {
+            int(v)
+            for v in hexgrid.cell_to_parent(
+                np.fromiter(cand, dtype=np.uint64), 0
+            ).astype(np.int64)
+        }
+        scanned = sum(
+            pq.read_metadata(f).num_rows
+            for p in parents
+            for f in glob.glob(f"{idx}/cell_p={p}/*.parquet")
+        )
+        assert scanned < total * 0.5  # ring-1 reads a strict subset
+
 
 class TestDedup:
     @pytest.fixture(scope="class")
