@@ -784,7 +784,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     prefix = f"WITH {PAGES_SQL_CTE.strip()}, {ZONES_SQL_CTE.strip()}"
     zoom_ladder = "(VALUES (4), (5), (6)) zs(z)"
+    # stopword profiles for the langid oracle, generated from the SAME dict
+    # the Ray stage uses (set membership — value order irrelevant; lang
+    # order = dict order = the Ray tie-break order)
+    from cloudtile_ray.stages.text import LangId
+
+    prof_rows = ", ".join(
+        f"({oi}, '{lang}', '{tok}')"
+        for oi, (lang, toks) in enumerate(LangId.PROFILES.items())
+        for tok in sorted(toks)
+    )
+    langid_sql = f"""
+        WITH w AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split(
+                     regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS tok
+            FROM documents) t
+          WHERE tok <> ''),
+        prof AS (SELECT * FROM (VALUES {prof_rows}) p(ord, lang, tok)),
+        langs AS (SELECT DISTINCT ord, lang FROM prof),
+        sc AS (SELECT w.doc_id, p.ord, count(*) AS c
+               FROM w JOIN prof p ON p.tok = w.tok GROUP BY 1, 2),
+        allsc AS (SELECT d.doc_id, l.ord, l.lang, COALESCE(s.c, 0) AS c
+                  FROM documents d CROSS JOIN langs l
+                  LEFT JOIN sc s ON s.doc_id = d.doc_id AND s.ord = l.ord),
+        best AS (SELECT doc_id, lang, c,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, ord) AS rn
+                 FROM allsc)
+        SELECT doc_id,
+               CASE WHEN c = 0 THEN 'und' ELSE lang END AS lang_pred,
+               CAST(c AS DOUBLE) / 10.0 AS lang_score
+        FROM best WHERE rn = 1"""
+    knn_sql = f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            q AS (SELECT CAST(q_id AS BIGINT) q_id, q_lon, q_lat
+                  FROM (VALUES (0, 0, 0), (1, -87900, 41600), (2, 100000, -45000)) qq(q_id, q_lon, q_lat)),
+            d AS (SELECT q.q_id, g.doc_id,
+                         (g.lon_mi - q.q_lon)*(g.lon_mi - q.q_lon)
+                       + (g.lat_mi - q.q_lat)*(g.lat_mi - q.q_lat) AS d2
+                  FROM geo g CROSS JOIN q),
+            r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, doc_id) rn FROM d)
+            SELECT q_id, doc_id, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn <= 5"""
     return {
+        # hex-bucketed kNN returns EXACTLY the exact-kNN answer (the ring
+        # search either proves optimality or falls back) — same oracle
+        "hex_knn": knn_sql,
+        "langid": langid_sql,
         "pages_build": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
             SELECT doc_id, url, lang,
                    CASE WHEN has_geo THEN lat_mi END AS lat_mi,

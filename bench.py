@@ -128,6 +128,9 @@ def run_headline(sf_dir: str, replicate: int, repeats: int = 1) -> dict:
     for _ in range(repeats):
         t0 = time.time()
         points, polys = _pipeline(pages)
+        # sequential consumption: concurrent execution of the two DAGs was
+        # measured SLOWER here (resource thrash between two full-width
+        # streaming executors on one node)
         n_tiles = points.count() + polys.count()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
@@ -168,11 +171,13 @@ def _spin_worker(_):
 
 def host_calibration(n_procs: int = 16) -> float:
     """Effective parallel compute probe: n_procs processes each matmul-spin
-    for 1s; returns total iterations/sec.  The sandbox host's deliverable
-    CPU swings ~2x between identical runs (shared infra) — recording this
-    right before each bench leg lets BASELINE.md separate engine scaling
-    from host throttling (raw AND calibration-normalized efficiencies are
-    both reported)."""
+    for 1s; returns total iterations/sec.  Run at EACH leg's width right
+    before the leg: on this virtualized host, pure-CPU throughput itself
+    scales only ~2.8x from 8 to 32 processes (measured; hypervisor
+    steal / shared tenancy), so the host's own (cal_32/cal_8)/4 is the
+    ceiling ANY program's measured 8->32 efficiency can reach here.
+    BASELINE.md reports raw efficiency, the per-pair host ceiling, and the
+    engine-vs-host ratio (engine speedup / host-achievable speedup)."""
     import multiprocessing as mp
 
     with mp.get_context("spawn").Pool(n_procs) as pool:
@@ -212,7 +217,7 @@ def main() -> None:
             order = (8, 32) if p % 2 == 0 else (32, 8)
             for n in order:
                 time.sleep(settle)
-                cal = host_calibration()
+                cal = host_calibration(n)  # probe at the leg's own width
                 # repeats=2 (best-of): the first full-size run in a fresh
                 # session pays a ~2x one-time cost (worker-pool growth +
                 # first-touch object-store pages) even after a small-input
@@ -238,22 +243,28 @@ def main() -> None:
                               "efficiency": round(eff, 3)}),
                   file=sys.stderr, flush=True)
         med = statistics.median(effs)
-        # calibration-normalized: scale each leg time by the host compute
-        # available right before it (t_norm = t * cal / cal_ref) so host
-        # throttling windows don't masquerade as engine (in)efficiency
-        cal_ref = max(r["host_cal"] for rs in legs.values() for r in rs)
-        norm8 = [r["value"] * r["host_cal"] / cal_ref for r in legs[8]]
-        norm32 = [r["value"] * r["host_cal"] / cal_ref for r in legs[32]]
-        effs_norm = [round((a / b) / 4.0, 3) for a, b in zip(norm8, norm32)]
+        # host ceiling per pair: the host's own pure-compute speedup from 8
+        # to 32 processes (probed immediately before each leg), /4 — the
+        # maximum efficiency ANY program could measure in that window.
+        # engine-vs-host = raw engine speedup / host-achievable speedup.
+        ceilings = [
+            round((c32 / c8) / 4.0, 3)
+            for c8, c32 in zip(
+                (r["host_cal"] for r in legs[8]),
+                (r["host_cal"] for r in legs[32]),
+            )
+        ]
+        vs_host = [round(e / c, 3) for e, c in zip(effs, ceilings)]
         print(json.dumps({
             "metric": "scaling_efficiency_8_to_32",
             "value": round(med, 3),
             "unit": "ratio",
             "pairs": effs,
             "spread": round(max(effs) - min(effs), 3),
-            "pairs_cal_normalized": effs_norm,
-            "value_cal_normalized": round(statistics.median(effs_norm), 3),
-            "spread_cal_normalized": round(max(effs_norm) - min(effs_norm), 3),
+            "host_ceiling_pairs": ceilings,
+            "engine_vs_host_pairs": vs_host,
+            "engine_vs_host_median": round(statistics.median(vs_host), 3),
+            "engine_vs_host_spread": round(max(vs_host) - min(vs_host), 3),
             "host_cal_8": [r["host_cal"] for r in legs[8]],
             "host_cal_32": [r["host_cal"] for r in legs[32]],
             "sec_8": [r["value"] for r in legs[8]],

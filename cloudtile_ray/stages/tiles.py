@@ -365,15 +365,75 @@ def encode_tiles(
         )
         return tiles.sort(["z", "x", "y"]) if sort_output else tiles
 
+    _EMPTY_PACK = pa.table(
+        {
+            "part": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "payload": pa.array([], pa.binary()),
+        }
+    )
+
     def add_part(batch: pa.Table) -> pa.Table:
+        # Ray's sort shuffle is row-bound: pack the partial rows into ONE
+        # binary row per (batch x partition) — payload layout:
+        # n | tile_key u64[n] | px i32[n] | py i32[n] | cnt i64[n] — so
+        # millions of partial rows become ~10^4 packed rows through the
+        # exchange (same trick as the polygon path)
+        if batch.num_rows == 0 or "tile_key" not in batch.column_names:
+            return _EMPTY_PACK
         tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        px = batch.column("px").to_numpy(zero_copy_only=False).astype(np.int32)
+        py = batch.column("py").to_numpy(zero_copy_only=False).astype(np.int32)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
         part = ((tk * np.uint64(2654435761)) % np.uint64(n_partitions)).astype(np.int64)
-        return batch.append_column("part", pa.array(part))
+        order = np.argsort(part, kind="stable")
+        part_s, tk_s, px_s, py_s, cnt_s = (
+            part[order], tk[order], px[order], py[order], cnt[order]
+        )
+        uq, first = np.unique(part_s, return_index=True)
+        bounds = np.r_[first[1:], len(part_s)]
+        parts_out, nrows_out, payloads = [], [], []
+        for p, st, en in zip(uq.tolist(), first.tolist(), bounds.tolist()):
+            payloads.append(
+                np.int64(en - st).tobytes()
+                + tk_s[st:en].tobytes()
+                + px_s[st:en].tobytes()
+                + py_s[st:en].tobytes()
+                + cnt_s[st:en].tobytes()
+            )
+            parts_out.append(p)
+            nrows_out.append(en - st)
+        return pa.table(
+            {
+                "part": pa.array(parts_out, pa.int64()),
+                "n_rows": pa.array(nrows_out, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
 
     parted = partials.map_batches(add_part, batch_format="pyarrow")
 
     def merge_part(g: pa.Table) -> pa.Table:
-        return _finalize_flat(*_cols(g.drop_columns(["part"])), finalizer)
+        tks, pxs, pys, cnts = [], [], [], []
+        for payload in g.column("payload").to_pylist():
+            n = int(np.frombuffer(payload, dtype=np.int64, count=1)[0])
+            pos = 8
+            tks.append(np.frombuffer(payload, dtype=np.uint64, count=n, offset=pos))
+            pos += 8 * n
+            pxs.append(np.frombuffer(payload, dtype=np.int32, count=n, offset=pos))
+            pos += 4 * n
+            pys.append(np.frombuffer(payload, dtype=np.int32, count=n, offset=pos))
+            pos += 4 * n
+            cnts.append(np.frombuffer(payload, dtype=np.int64, count=n, offset=pos))
+        if not tks:
+            return finalizer.empty_table()
+        return _finalize_flat(
+            np.concatenate(tks),
+            np.concatenate(pxs),
+            np.concatenate(pys),
+            np.concatenate(cnts),
+            finalizer,
+        )
 
     tiles = parted.groupby("part").map_groups(merge_part, batch_format="pyarrow")
     # a global sort of blob-heavy tile rows is a full extra all-to-all pass
