@@ -123,6 +123,8 @@ def run_headline(sf_dir: str, replicate: int, repeats: int = 1) -> dict:
     for d in _pipeline(warm):
         d.count()
 
+    import gc
+
     best = None
     n_tiles = 0
     for _ in range(repeats):
@@ -134,6 +136,13 @@ def run_headline(sf_dir: str, replicate: int, repeats: int = 1) -> dict:
         n_tiles = points.count() + polys.count()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
+        # release the run's datasets BEFORE the next repeat: lazily-freed
+        # plasma objects from prior repeats otherwise pile toward the
+        # object-store cap and can trigger mid-run spilling (observed as
+        # 2x straggler spikes on identical runs)
+        del points, polys
+        gc.collect()
+        time.sleep(2)
     return {"sec": best, "docs": n_docs, "tiles": n_tiles, "docs_per_sec": n_docs / best}
 
 
@@ -224,7 +233,8 @@ def main() -> None:
                 # warmup; the second run measures steady-state throughput,
                 # which is the metric
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SKIP_QUERIES="1",
-                           GRAFT_REPLICATE=scale_rep, GRAFT_REPEATS="2")
+                           GRAFT_REPLICATE=scale_rep,
+                           GRAFT_REPEATS="3" if n >= 32 else "2")
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True, check=True,
@@ -283,7 +293,8 @@ def main() -> None:
     import ray
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             object_store_memory=int(60e9))
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
