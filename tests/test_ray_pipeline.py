@@ -350,6 +350,23 @@ class TestDedup:
         assert roots == {0}
         assert clusters.num_rows == n
 
+    def test_verify_shuffle_path_equals_broadcast_path(self, near_dup_ds):
+        """broadcast_threshold=0 forces the hash-partitioned shuffle-join
+        verification (the web-scale path); it must produce exactly the
+        broadcast fast path's pairs."""
+        from cloudtile_ray.stages.dedup import minhash_dedup_pairs
+
+        fast = (
+            minhash_dedup_pairs(near_dup_ds, threshold=0.6)
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        shuf = (
+            minhash_dedup_pairs(near_dup_ds, threshold=0.6, broadcast_threshold=0)
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, shuf)
+        assert len(fast) > 0
+
     def test_anti_join_ids_matches_broadcast(self, near_dup_ds):
         from cloudtile_ray.stages.dedup import (
             drop_near_dups,
