@@ -14,10 +14,11 @@ to record level as Ray-Data-first shuffles:
   path), exploded to (band, band_hash, doc_id) rows, ``groupby`` on the
   band bucket, candidate pairs from same-bucket groups with a **bucket-size
   cap** (deterministic sub-split + chain bridges, so one hot bucket is
-  never quadratic), then **distributed** exact-Jaccard verification: the
-  candidate texts are joined to the pairs by hash-partitioned
-  ``groupby(part).map_groups`` — the driver never iterates corpus batches
-  and never holds a text.
+  never quadratic), then exact-Jaccard verification: a broadcast fast
+  path when BOTH the pair count and the filtered candidate-text bytes are
+  small (the driver then holds the bounded candidate texts once), else a
+  hash-partitioned ``groupby(part).map_groups`` shuffle join on which the
+  driver never iterates corpus batches and never holds a text.
 - SimHash: 64-bit sign-of-weighted-sum signatures, batch-vectorized via
   Arrow ``split_pattern`` + ``np.add.reduceat``; Hamming-adjacent pairs by
   4-way band blocking (any pair with distance <= 3 shares an exact 16-bit
@@ -301,32 +302,16 @@ def _collect_small(ds) -> pa.Table:
     return pa.concat_tables(tables) if tables else None
 
 
-def _verify_pairs_broadcast(ds, cands, threshold: float, k: int):
-    """Small-candidate fast path: one collection of the (ids-only) pairs ->
-    deduped pair list + needed-id set on the driver -> distributed corpus
-    filter -> collect the (bounded) candidate texts -> broadcast once ->
-    exact-Jaccard per pair inside map_batches over the pairs Dataset."""
+def _verify_pairs_broadcast(texts_ds, pairs_tbl: pa.Table, threshold: float, k: int):
+    """Small-candidate fast path: the already-filtered candidate texts
+    (``texts_ds`` — a materialized Dataset whose in-memory bytes the caller
+    has checked against the broadcast byte budget) are collected and
+    ``ray.put`` once; the exact Jaccard runs per pair inside ``map_batches``
+    over the deduped pairs Dataset.  This path DOES hold candidate texts on
+    the driver — bounded by ``broadcast_byte_budget``, not just pair count."""
     import ray
 
-    pairs_tbl = _collect_small(cands)
-    need = np.unique(
-        np.concatenate(
-            [
-                pairs_tbl.column("doc_a").to_numpy(zero_copy_only=False),
-                pairs_tbl.column("doc_b").to_numpy(zero_copy_only=False),
-            ]
-        )
-    )
-    need_ref = ray.put(need)
-
-    def filter_texts(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.isin(ids, ray.get(need_ref))
-        return batch.select(["doc_id", "text"]).take(
-            pa.array(np.nonzero(keep)[0])
-        )
-
-    texts_tbl = _collect_small(ds.map_batches(filter_texts, batch_format="pyarrow"))
+    texts_tbl = _collect_small(texts_ds)
     tref = ray.put(texts_tbl.combine_chunks() if texts_tbl is not None else None)
     a = pairs_tbl.column("doc_a").to_numpy(zero_copy_only=False)
     b = pairs_tbl.column("doc_b").to_numpy(zero_copy_only=False)
@@ -397,6 +382,7 @@ def verify_pairs_distributed(
     k: int = 5,
     n_parts: int = _N_VERIFY_PARTS,
     broadcast_threshold: int = 2_000_000,
+    broadcast_byte_budget: int = 256 << 20,
 ):
     """Exact-Jaccard verification of candidate pairs, fully distributed.
 
@@ -404,17 +390,26 @@ def verify_pairs_distributed(
     (doc_a, doc_b) candidate pairs (possibly with duplicates).  Returns a
     Dataset of (doc_a, doc_b, jaccard) for verified pairs.
 
-    Shape (the VERDICT.md #1 fix — zero driver-side corpus iteration):
+    Shape (the VERDICT.md r1 #1 fix — zero driver-side corpus iteration):
 
     1. the candidate *id set* (ids only — 8 B/doc, bounded by the LSH
        premise that candidates << corpus) is collected and broadcast;
     2. the corpus is filtered to a small (doc_id, text) Dataset inside
-       ``map_batches`` — texts never touch the driver;
-    3. two hash-partitioned ``groupby(_part).map_groups`` joins attach
-       text_a then text_b to each pair (partition key = id * Knuth mod P,
-       so every duplicate of a pair lands with its text — duplicates are
-       dropped vectorized inside the first join);
-    4. the exact Jaccard runs inside the second join's partitions.
+       ``map_batches``;
+    3. routing: when the pair count fits ``broadcast_threshold`` AND the
+       filtered texts' in-memory bytes (exact, from the materialized
+       Dataset's metadata — not an estimate) fit
+       ``broadcast_byte_budget``, the texts are collected + ``ray.put``
+       once and verification is a single map over the pairs (3 Ray
+       executions total).  Either bound failing falls through to the
+       shuffle join, so neither many-small-pairs nor few-huge-texts can
+       blow up driver/object-store memory (ADVICE r2 #1);
+    4. shuffle path: two hash-partitioned ``groupby(_part).map_groups``
+       joins attach text_a then text_b to each pair (partition key =
+       id * Knuth mod P, so every duplicate of a pair lands with its text
+       — duplicates are dropped vectorized inside the first join); the
+       exact Jaccard runs inside the second join's partitions.  On this
+       path texts never touch the driver.
     """
     import ray
 
@@ -434,35 +429,39 @@ def verify_pairs_distributed(
 
         return ray.data.from_arrow(empty)
 
-    # hybrid fast path: when the candidate pair set is small (the common
-    # case by the LSH premise), ONE collection of the (ids-only) pairs
-    # yields both the deduped pair list and the needed-id set — the whole
-    # verification is then 3 Ray executions (LSH chain, distributed text
-    # filter, verify map) instead of 5, which matters because each
-    # execution costs ~1-2 s of orchestration latency regardless of size.
-    # The corpus is still filtered distributedly and the driver never
-    # iterates corpus batches; only LSH-bounded ids + candidate texts ride
-    # ray.put.  The hash-partitioned shuffle join below stays the path for
-    # candidate sets beyond broadcast size.
+    # Needed-id set.  Within the pair gate the materialized (ids-only)
+    # pair blocks are gathered driver-side (16 B/pair, <= 32 MB at the
+    # default gate) — no extra Ray execution; beyond it only the id
+    # column rides a tiny map.
+    pairs_tbl = None
     if n_cand <= int(broadcast_threshold):
-        return _verify_pairs_broadcast(ds, cands, threshold, k)
-
-    def _ids_of(t: pa.Table) -> pa.Table:
-        if "doc_a" not in t.column_names or t.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64())})
-        return pa.table(
-            {
-                "doc_id": pa.concat_arrays(
-                    [
-                        t.column("doc_a").combine_chunks().cast(pa.int64()),
-                        t.column("doc_b").combine_chunks().cast(pa.int64()),
-                    ]
-                )
-            }
+        pairs_tbl = _collect_small(cands)
+        need = np.unique(
+            np.concatenate(
+                [
+                    pairs_tbl.column("doc_a").to_numpy(zero_copy_only=False),
+                    pairs_tbl.column("doc_b").to_numpy(zero_copy_only=False),
+                ]
+            )
         )
+    else:
 
-    cand_tbl = _collect_small(cands.map_batches(_ids_of, batch_format="pyarrow"))
-    need = np.unique(cand_tbl.column("doc_id").to_numpy(zero_copy_only=False))
+        def _ids_of(t: pa.Table) -> pa.Table:
+            if "doc_a" not in t.column_names or t.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [
+                            t.column("doc_a").combine_chunks().cast(pa.int64()),
+                            t.column("doc_b").combine_chunks().cast(pa.int64()),
+                        ]
+                    )
+                }
+            )
+
+        cand_tbl = _collect_small(cands.map_batches(_ids_of, batch_format="pyarrow"))
+        need = np.unique(cand_tbl.column("doc_id").to_numpy(zero_copy_only=False))
     need_ref = ray.put(need)
 
     def _part_of(ids: np.ndarray) -> np.ndarray:
@@ -476,8 +475,18 @@ def verify_pairs_distributed(
         sub = batch.select(["doc_id", "text"]).take(pa.array(np.nonzero(keep)[0]))
         return sub
 
-    # texts feed BOTH join phases: materialize the (small) filtered side once
+    # texts feed both the routing decision and (either) verify path:
+    # materialize the (candidate-bounded) filtered side once
     texts_ds = ds.map_batches(filter_texts, batch_format="pyarrow").materialize()
+
+    if pairs_tbl is not None and texts_ds.size_bytes() <= int(broadcast_byte_budget):
+        return _verify_pairs_broadcast(texts_ds, pairs_tbl, threshold, k)
+    if pairs_tbl is not None:
+        logger.info(
+            "verify_pairs: %d pairs within gate but candidate texts are "
+            "%d bytes > budget %d — using shuffle join",
+            n_cand, texts_ds.size_bytes(), broadcast_byte_budget,
+        )
 
     _tagged_empty = pa.table(
         {
@@ -647,6 +656,7 @@ def minhash_dedup_pairs(
     n_bands: int = 16,
     bucket_cap: int = BUCKET_CAP,
     broadcast_threshold: int = 2_000_000,
+    expand_clusters: bool = True,
 ):
     """Full MinHash-LSH near-dup pipeline -> Dataset of verified pairs
     (doc_a, doc_b, jaccard). ``ds`` must have doc_id + text.
@@ -656,7 +666,12 @@ def minhash_dedup_pairs(
     on real near-dups is effectively 1, so the exact-Jaccard verification
     makes the output equal to the exact all-pairs answer whenever the
     corpus separates dups (J >~ 0.9) from background (J <~ 0.35), which is
-    what the DuckDB oracle checks."""
+    what the DuckDB oracle checks.  For duplicate clusters larger than
+    ``bucket_cap`` (web boilerplate), the cap drops cross-chunk candidates;
+    ``expand_clusters=True`` (default) restores the missing intra-cluster
+    pairs via :func:`expand_cluster_pairs` so the equality claim holds past
+    the cap (see its docstring for the exact scope and the O(cluster^2)
+    pair-output caveat)."""
     from cloudtile_ray.stages.util import worker_cached
 
     def sig_fn(batch: pa.Table) -> pa.Table:
@@ -672,21 +687,28 @@ def minhash_dedup_pairs(
     cands = bands.groupby(["band_id", "band_hash"]).map_groups(
         lambda g: bucket_pairs(g, cap=bucket_cap), batch_format="pyarrow"
     )
-    return verify_pairs_distributed(
+    out = verify_pairs_distributed(
         ds, cands, threshold, broadcast_threshold=broadcast_threshold
     )
+    if expand_clusters:
+        out = expand_cluster_pairs(
+            ds, out, threshold, k=5, broadcast_threshold=broadcast_threshold
+        )
+    return out
 
 
 def ngram_jaccard_pairs(
     ds, threshold: float = 0.6, k: int = 5, bucket_cap: int = BUCKET_CAP,
-    broadcast_threshold: int = 2_000_000,
+    broadcast_threshold: int = 2_000_000, expand_clusters: bool = True,
 ):
     """n-gram Jaccard near-dup: candidate blocking by the winnowing
     rolling-hash fingerprint (documents sharing a minimal window hash are
     candidates — robust to local edits), then exact k-shingle Jaccard on
     candidates only, distributed.  Distinct from MinHash-LSH:
     deterministic single-hash blocking, exact verification, no signature
-    matrix.  Returns a Dataset of (doc_a, doc_b, jaccard)."""
+    matrix.  Returns a Dataset of (doc_a, doc_b, jaccard); over-cap
+    duplicate clusters are pair-completed like in
+    :func:`minhash_dedup_pairs`."""
     from cloudtile_ray.stages.text import rolling_fingerprint_batch
 
     fps = ds.map_batches(
@@ -699,9 +721,14 @@ def ngram_jaccard_pairs(
         return _capped_pairs(ids, bucket_cap, "ngram-fp")
 
     cands = fps.groupby("rolling_fp").map_groups(pairs, batch_format="pyarrow")
-    return verify_pairs_distributed(
+    out = verify_pairs_distributed(
         ds, cands, threshold, k=k, broadcast_threshold=broadcast_threshold
     )
+    if expand_clusters:
+        out = expand_cluster_pairs(
+            ds, out, threshold, k=k, broadcast_threshold=broadcast_threshold
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -749,13 +776,357 @@ def resolve_clusters(pairs, id_cols: tuple[str, str] = ("doc_a", "doc_b")) -> pa
     )
 
 
-def anti_join_ids(ds, drop_ids: np.ndarray, id_col: str = "doc_id", n_parts: int = 64):
+# ---------------------------------------------------------------------------
+# distributed connected components (alternating large-star / small-star)
+# ---------------------------------------------------------------------------
+
+_CC_PARTS = 64
+
+
+def _cc_canon(batch: pa.Table, a_col: str, b_col: str) -> pa.Table:
+    """Pairs -> canonical (hi, lo) edges with hi > lo; self-loops dropped."""
+    if a_col not in batch.column_names or batch.num_rows == 0:
+        return pa.table(
+            {"hi": pa.array([], pa.int64()), "lo": pa.array([], pa.int64())}
+        )
+    a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = np.maximum(a, b)
+    lo = np.minimum(a, b)
+    keep = hi != lo
+    return pa.table({"hi": pa.array(hi[keep]), "lo": pa.array(lo[keep])})
+
+
+def _cc_part_of(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    return (
+        (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(n_parts)
+    ).astype(np.int64)
+
+
+_CC_EDGE_EMPTY = pa.table(
+    {"hi": pa.array([], pa.int64()), "lo": pa.array([], pa.int64())}
+)
+
+
+def _cc_dedup_edges(hi: np.ndarray, lo: np.ndarray) -> pa.Table:
+    if len(hi) == 0:
+        return _CC_EDGE_EMPTY
+    order = np.lexsort((lo, hi))
+    hi, lo = hi[order], lo[order]
+    keep = np.empty(len(hi), dtype=bool)
+    keep[0] = True
+    keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+    return pa.table({"hi": pa.array(hi[keep]), "lo": pa.array(lo[keep])})
+
+
+def _cc_large_star(edges, n_parts: int):
+    """Large-star: for each node u (symmetric neighborhood N), emit
+    (v, min(N + {u})) for every neighbor v > u.  Hash-partitioned by node;
+    per-partition work is one lexsort + segment-min (no per-node Python)."""
+
+    def sym(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "hi" not in batch.column_names:
+            return pa.table(
+                {
+                    "_part": pa.array([], pa.int64()),
+                    "node": pa.array([], pa.int64()),
+                    "nbr": pa.array([], pa.int64()),
+                }
+            )
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        lo = batch.column("lo").to_numpy(zero_copy_only=False)
+        node = np.concatenate([hi, lo])
+        nbr = np.concatenate([lo, hi])
+        return pa.table(
+            {
+                "_part": pa.array(_cc_part_of(node, n_parts)),
+                "node": pa.array(node),
+                "nbr": pa.array(nbr),
+            }
+        )
+
+    def star(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy(zero_copy_only=False)
+        nbr = g.column("nbr").to_numpy(zero_copy_only=False)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        seg = np.empty(len(node), dtype=bool)
+        seg[0] = True
+        seg[1:] = node[1:] != node[:-1]
+        starts = np.nonzero(seg)[0]
+        m = np.minimum(np.minimum.reduceat(nbr, starts), node[starts])
+        m_row = m[np.cumsum(seg) - 1]
+        emit = nbr > node  # out edge (nbr, m): nbr > node >= m, so canonical
+        return _cc_dedup_edges(nbr[emit], m_row[emit])
+
+    return edges.map_batches(sym, batch_format="pyarrow").groupby("_part").map_groups(
+        star, batch_format="pyarrow"
+    )
+
+
+def _cc_small_star(edges, n_parts: int):
+    """Small-star: for each node u over its smaller neighbors N (canonical
+    edges grouped by the larger endpoint), m = min(N); emit (v, m) for
+    v in N + {u}, v != m.  Partitioning by hi makes the within-partition
+    dedup a GLOBAL dedup — the output edge set is duplicate-free, which is
+    what makes the convergence checksum stable."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "hi" not in batch.column_names:
+            return pa.table(
+                {
+                    "_part": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.int64()),
+                }
+            )
+        hi = batch.column("hi").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_part": pa.array(_cc_part_of(hi, n_parts)),
+                "hi": batch.column("hi"),
+                "lo": batch.column("lo"),
+            }
+        )
+
+    def star(g: pa.Table) -> pa.Table:
+        hi = g.column("hi").to_numpy(zero_copy_only=False)
+        lo = g.column("lo").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lo, hi))
+        hi, lo = hi[order], lo[order]
+        seg = np.empty(len(hi), dtype=bool)
+        seg[0] = True
+        seg[1:] = hi[1:] != hi[:-1]
+        starts = np.nonzero(seg)[0]
+        m = np.minimum.reduceat(lo, starts)
+        m_row = m[np.cumsum(seg) - 1]
+        # neighbors v != m point to m (v > m since m is the segment min)
+        nz = lo != m_row
+        out_hi = np.concatenate([lo[nz], hi[starts]])
+        out_lo = np.concatenate([m_row[nz], m])
+        return _cc_dedup_edges(out_hi, out_lo)
+
+    return edges.map_batches(tag, batch_format="pyarrow").groupby("_part").map_groups(
+        star, batch_format="pyarrow"
+    )
+
+
+def _cc_checksum(edges_m) -> tuple[int, int]:
+    """(count, order-independent hash) of a globally-deduped edge Dataset —
+    one tiny map over materialized blocks, metadata-sized collection."""
+    def chk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "hi" not in batch.column_names:
+            return pa.table(
+                {"n": pa.array([], pa.int64()), "s": pa.array([], pa.uint64())}
+            )
+        hi = batch.column("hi").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = batch.column("lo").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = hi * np.uint64(2654435761) + lo * np.uint64(40503)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                # uint64 wrap is a deterministic mod-2^64 sum
+                "s": pa.array([v.sum(dtype=np.uint64)], pa.uint64()),
+            }
+        )
+
+    t = _collect_small(edges_m.map_batches(chk, batch_format="pyarrow"))
+    if t is None or t.num_rows == 0:
+        return (0, 0)
+    n = int(pc.sum(t.column("n")).as_py() or 0)
+    s = int(
+        np.sum(
+            t.column("s").to_numpy(zero_copy_only=False).astype(np.uint64),
+            dtype=np.uint64,
+        )
+    )
+    return (n, s)
+
+
+def resolve_clusters_distributed(
+    pairs,
+    id_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    n_parts: int = _CC_PARTS,
+    max_rounds: int = 50,
+):
+    """Near-dup pairs Dataset -> labels Dataset (doc_id, cluster_id, keep),
+    fully distributed — zero driver-side pair collection (VERDICT.md r2 #1).
+
+    Connected components by alternating large-star / small-star rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"):
+    each round is two hash-partitioned groupby exchanges over (hi, lo) id
+    pairs only, converging in O(log^2 n) rounds to star graphs whose
+    centers are the component minima.  Convergence is detected by an
+    order-independent checksum over the (globally deduped) edge set — a
+    metadata-sized collection per round.  cluster_id = min doc_id of the
+    component; keep = (doc_id == cluster_id), matching
+    :func:`resolve_clusters` exactly (property-tested against it)."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    label_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_()),
+        }
+    )
+    if isinstance(pairs, pa.Table):
+        pairs = ray.data.from_arrow(pairs)
+    edges = pairs.map_batches(
+        lambda t: _cc_canon(t, *id_cols), batch_format="pyarrow"
+    ).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(label_empty)
+    prev = None
+    for _ in range(max_rounds):
+        edges = _cc_large_star(edges, n_parts).materialize()
+        edges = _cc_small_star(edges, n_parts).materialize()
+        cur = _cc_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        logger.warning(
+            "resolve_clusters_distributed: no convergence in %d rounds", max_rounds
+        )
+    # star edges (member, root) -> labels; the groupby dedups the root
+    # rows (one per leaf) and is a no-op for leaves (single row each)
+
+    def to_labels(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "hi" not in batch.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        hi = batch.column("hi").combine_chunks()
+        lo = batch.column("lo").combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([hi.cast(pa.int64()), lo.cast(pa.int64())]),
+                "cluster_id": pa.concat_arrays(
+                    [lo.cast(pa.int64()), lo.cast(pa.int64())]
+                ),
+            }
+        )
+
+    labels = (
+        edges.map_batches(to_labels, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+    )
+
+    def add_keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return label_empty
+        return batch.append_column(
+            "keep", pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+        )
+
+    return labels.map_batches(add_keep, batch_format="pyarrow")
+
+
+def expand_cluster_pairs(
+    ds,
+    verified,
+    threshold: float,
+    k: int = 5,
+    collect_gate: int = 5_000_000,
+    broadcast_threshold: int = 2_000_000,
+):
+    """Recover intra-cluster pairs that bucket caps dropped (ADVICE r2 #2).
+
+    ``_capped_pairs`` omits cross-chunk candidates inside over-cap LSH
+    buckets (keeping chain bridges), so a genuine duplicate cluster larger
+    than the cap yields a connected component whose verified PAIR set is
+    incomplete.  This pass resolves components from the verified pairs,
+    checks each component for pair-completeness (s*(s-1)/2), generates the
+    missing intra-cluster pairs, exact-verifies them through the same
+    distributed verifier, and unions them in.  When every component is
+    already complete (no bucket was capped — the common case) the only
+    cost is one driver collection of the (deliverable-sized) pair set.
+
+    Scope: pair enumeration is inherently O(sum cluster_size^2); above
+    ``collect_gate`` verified pairs this pass logs and returns the input
+    unchanged — at that scale use cluster-level dedup
+    (:func:`drop_near_dups`) instead of pair output.  Residual
+    incompleteness: a dropped cross-chunk candidate whose endpoints end up
+    in two DIFFERENT final components is not recovered (it was the only
+    potential link); this requires a capped bucket of mostly-non-duplicate
+    docs, outside the LSH premise."""
+    import ray.data
+
+    verified = verified.materialize()
+    n = verified.count()
+    if n == 0:
+        return verified
+    if n > collect_gate:
+        logger.warning(
+            "expand_cluster_pairs: %d verified pairs exceed gate %d — "
+            "returning un-expanded pairs (pair enumeration is O(cluster^2); "
+            "use drop_near_dups for cluster-level dedup at this scale)",
+            n, collect_gate,
+        )
+        return verified
+    tbl = _collect_small(verified)
+    a = tbl.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    clusters = resolve_clusters(tbl)
+    doc_ids = clusters.column("doc_id").to_numpy(zero_copy_only=False)  # sorted
+    cl_ids = clusters.column("cluster_id").to_numpy(zero_copy_only=False)
+    roots, cl_code, sizes = np.unique(cl_ids, return_inverse=True, return_counts=True)
+    pair_cl = cl_code[np.searchsorted(doc_ids, a)]
+    have = np.bincount(pair_cl, minlength=len(roots))
+    want = sizes.astype(np.int64) * (sizes.astype(np.int64) - 1) // 2
+    incomplete = np.nonzero(have < want)[0]
+    if len(incomplete) == 0:
+        return verified
+    miss_a, miss_b = [], []
+    for ci in incomplete:
+        members = np.sort(doc_ids[cl_code == ci])
+        s = len(members)
+        local = {int(m): i for i, m in enumerate(members.tolist())}
+        sel = pair_cl == ci
+        ex_key = np.array(
+            [local[int(x)] * s + local[int(y)] for x, y in zip(a[sel], b[sel])],
+            dtype=np.int64,
+        )
+        ia, ib = np.triu_indices(s, k=1)
+        all_key = ia.astype(np.int64) * s + ib
+        missing = ~np.isin(all_key, ex_key)
+        miss_a.append(members[ia[missing]])
+        miss_b.append(members[ib[missing]])
+    miss_a = np.concatenate(miss_a)
+    miss_b = np.concatenate(miss_b)
+    logger.info(
+        "expand_cluster_pairs: %d incomplete clusters, verifying %d recovered pairs",
+        len(incomplete), len(miss_a),
+    )
+    n_chunks = max(1, min(64, len(miss_a) // 4096 + 1))
+    bnds = np.linspace(0, len(miss_a), n_chunks + 1).astype(np.int64)
+    cands = ray.data.from_arrow(
+        [
+            pa.table(
+                {"doc_a": pa.array(miss_a[s0:e0]), "doc_b": pa.array(miss_b[s0:e0])}
+            )
+            for s0, e0 in zip(bnds[:-1], bnds[1:])
+            if e0 > s0
+        ]
+    )
+    extra = verify_pairs_distributed(
+        ds, cands, threshold, k=k, broadcast_threshold=broadcast_threshold
+    )
+    return verified.union(extra)
+
+
+def anti_join_ids(ds, drop_ids, id_col: str = "doc_id", n_parts: int = 64):
     """Hash-partitioned shuffle anti-join: keep ``ds`` rows whose ``id_col``
     is NOT in ``drop_ids``.  Both sides are shuffled by ``hash(id) % P`` and
     the filter runs per partition — no broadcast of the drop set, so it
-    scales to drop sets far beyond worker memory (VERDICT.md wrong #4).
-    Project ``ds`` down to the columns you need first: the corpus side of
-    this exchange moves every column it carries."""
+    scales to drop sets far beyond worker memory (VERDICT.md r1 #4).
+    ``drop_ids`` may be a numpy id array (small sets) or a Dataset with an
+    ``id_col`` column (web-scale sets — the ids then never touch the
+    driver).  Project ``ds`` down to the columns you need first: the corpus
+    side of this exchange moves every column it carries."""
     import ray.data
 
     schema = ds.schema()
@@ -772,16 +1143,30 @@ def anti_join_ids(ds, drop_ids: np.ndarray, id_col: str = "doc_id", n_parts: int
         out = batch.append_column("_part", pa.array(_part_of(ids)))
         return out.append_column("_drop", pa.array(np.zeros(len(ids), dtype=bool)))
 
-    drop_tbl_cols = {}
-    drop_ids = np.asarray(drop_ids, dtype=np.int64)
-    for n in names:
-        if n == id_col:
-            drop_tbl_cols[n] = pa.array(drop_ids)
-        else:
-            drop_tbl_cols[n] = pa.nulls(len(drop_ids), type=types[n])
-    drop_tbl_cols["_part"] = pa.array(_part_of(drop_ids))
-    drop_tbl_cols["_drop"] = pa.array(np.ones(len(drop_ids), dtype=bool))
-    drop_side = ray.data.from_arrow(pa.table(drop_tbl_cols))
+    def _drop_tbl(drop_arr: np.ndarray) -> pa.Table:
+        cols = {}
+        for n in names:
+            if n == id_col:
+                cols[n] = pa.array(drop_arr)
+            else:
+                cols[n] = pa.nulls(len(drop_arr), type=types[n])
+        cols["_part"] = pa.array(_part_of(drop_arr))
+        cols["_drop"] = pa.array(np.ones(len(drop_arr), dtype=bool))
+        return pa.table(cols)
+
+    if isinstance(drop_ids, np.ndarray) or isinstance(drop_ids, (list, tuple)):
+        drop_side = ray.data.from_arrow(
+            _drop_tbl(np.asarray(drop_ids, dtype=np.int64))
+        )
+    else:  # Dataset drop side: tag distributedly, ids stay off the driver
+        drop_side = drop_ids.map_batches(
+            lambda t: _drop_tbl(
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            if id_col in t.column_names and t.num_rows
+            else _drop_tbl(np.empty(0, np.int64)),
+            batch_format="pyarrow",
+        )
 
     def filter_part(g: pa.Table) -> pa.Table:
         is_drop = g.column("_drop").to_numpy(zero_copy_only=False)
@@ -803,18 +1188,30 @@ def anti_join_ids(ds, drop_ids: np.ndarray, id_col: str = "doc_id", n_parts: int
 
 def drop_near_dups(ds, pairs, strategy: str = "broadcast"):
     """Filter a documents dataset to drop non-keeper members of near-dup
-    clusters.  ``strategy="broadcast"`` ships the (small) drop-id set via
-    ``ray.put`` and filters inside ``map_batches`` — right when the drop
-    set fits in worker memory.  ``strategy="shuffle"`` runs the
-    hash-partitioned anti-join instead — right at web scale where the drop
-    set itself is huge."""
+    clusters.  ``strategy="broadcast"`` resolves clusters with driver
+    union-find (the small-input fast path) and ships the drop-id set via
+    ``ray.put`` — right when pairs and drop set fit in driver/worker
+    memory.  ``strategy="shuffle"`` is the web-scale path: cluster
+    resolution runs as distributed connected components
+    (:func:`resolve_clusters_distributed`) and the drop side stays a
+    Dataset through the hash-partitioned anti-join — the driver never
+    collects a pair or a drop id (VERDICT.md r2 #1)."""
     import ray
+
+    if strategy == "shuffle":
+        labels = resolve_clusters_distributed(pairs)
+
+        def drops_only(batch: pa.Table) -> pa.Table:
+            if "keep" not in batch.column_names or batch.num_rows == 0:
+                return pa.table({"doc_id": pa.array([], pa.int64())})
+            return batch.filter(pc.invert(batch.column("keep"))).select(["doc_id"])
+
+        drop_ds = labels.map_batches(drops_only, batch_format="pyarrow")
+        return anti_join_ids(ds, drop_ds)
 
     clusters = resolve_clusters(pairs)
     keep_mask = clusters.column("keep").to_numpy(zero_copy_only=False)
     drop_ids = clusters.column("doc_id").to_numpy(zero_copy_only=False)[~keep_mask]
-    if strategy == "shuffle":
-        return anti_join_ids(ds, drop_ids)
     drop_ref = ray.put(np.asarray(drop_ids, dtype=np.int64))
 
     def flt(batch: pa.Table) -> pa.Table:

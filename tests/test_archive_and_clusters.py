@@ -161,6 +161,91 @@ class TestClusters:
         out = drop_near_dups(docs, self._pairs([(0, 7), (7, 8)])).to_pandas()
         assert sorted(out.doc_id) == [0, 1, 2, 3, 4, 5, 6, 9]  # 7, 8 dropped
 
+    def test_distributed_cc_matches_union_find_random(self, ray_session):
+        """resolve_clusters_distributed (alternating large-star/small-star)
+        must produce byte-identical labels to driver union-find on random
+        graphs with chains, dup edges and reversed edges."""
+        import numpy as np
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import (
+            _collect_small,
+            resolve_clusters,
+            resolve_clusters_distributed,
+        )
+
+        rng = np.random.default_rng(3)
+        ids = rng.choice(1_000_000, size=1500, replace=False)
+        edges, pos = [], 0
+        while pos < len(ids):
+            sz = int(rng.integers(1, 25))
+            chunk = ids[pos : pos + sz]
+            edges += [(int(chunk[i]), int(chunk[i + 1])) for i in range(len(chunk) - 1)]
+            pos += sz
+        extra = rng.integers(0, len(ids), size=(200, 2))
+        edges += [(int(ids[i]), int(ids[j])) for i, j in extra]
+        edges += [(b, a) for a, b in edges[:50]]  # reversed dups
+        tbl = self._pairs(edges)
+        ds = ray.data.from_arrow([tbl.slice(i, 131) for i in range(0, tbl.num_rows, 131)])
+        ref = resolve_clusters(tbl).sort_by("doc_id")
+        dist = _collect_small(resolve_clusters_distributed(ds)).sort_by("doc_id")
+        assert dist.column("doc_id").to_pylist() == ref.column("doc_id").to_pylist()
+        assert dist.column("cluster_id").to_pylist() == ref.column("cluster_id").to_pylist()
+        assert dist.column("keep").to_pylist() == ref.column("keep").to_pylist()
+
+    def test_distributed_cc_million_pairs(self, ray_session):
+        """Scale check (VERDICT r2 #1 done-criterion): >= 1e6 synthetic
+        pairs resolve through the distributed path and match union-find."""
+        import numpy as np
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import (
+            _collect_small,
+            resolve_clusters,
+            resolve_clusters_distributed,
+        )
+
+        rng = np.random.default_rng(11)
+        n_nodes = 400_000
+        # ring-ish components of ~8 nodes + 600k random intra-range edges
+        a = np.arange(n_nodes - 1, dtype=np.int64)
+        b = a + 1
+        mask = (b % 8) != 0  # break into chains of 8
+        a, b = a[mask], b[mask]
+        ra = rng.integers(0, n_nodes, 650_000)
+        rb = (ra // 8) * 8 + rng.integers(0, 8, 650_000)  # same-chain randoms
+        all_a = np.concatenate([a, ra]).astype(np.int64)
+        all_b = np.concatenate([b, rb]).astype(np.int64)
+        assert len(all_a) >= 1_000_000
+        tbl = pa.table({"doc_a": pa.array(all_a), "doc_b": pa.array(all_b)})
+        ds = ray.data.from_arrow(
+            [tbl.slice(i, 100_000) for i in range(0, tbl.num_rows, 100_000)]
+        )
+        dist = _collect_small(resolve_clusters_distributed(ds)).sort_by("doc_id")
+        ref = resolve_clusters(tbl).sort_by("doc_id")
+        assert dist.num_rows == ref.num_rows
+        assert (
+            dist.column("cluster_id").to_numpy()
+            == ref.column("cluster_id").to_numpy()
+        ).all()
+
+    def test_drop_near_dups_shuffle_is_fully_distributed(self, ray_session):
+        """strategy='shuffle' routes through resolve_clusters_distributed +
+        Dataset-side anti-join and must equal the broadcast result."""
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import drop_near_dups
+
+        docs = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                      "text": pa.array([f"d{i}" for i in range(30)])})
+        ).repartition(3)
+        pairs = self._pairs([(0, 7), (7, 8), (12, 15), (20, 21), (21, 22), (22, 20)])
+        bcast = sorted(drop_near_dups(docs, pairs, strategy="broadcast").to_pandas().doc_id)
+        shuf = sorted(drop_near_dups(docs, pairs, strategy="shuffle").to_pandas().doc_id)
+        assert bcast == shuf
+        assert 7 not in shuf and 8 not in shuf and 15 not in shuf
+
     def test_end_to_end_minhash_dedup(self, ray_session):
         import ray.data
 

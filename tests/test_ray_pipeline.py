@@ -340,7 +340,12 @@ class TestDedup:
             }
         )
         ds = ray.data.from_arrow(t).repartition(4)
-        pairs = minhash_dedup_pairs(ds, threshold=0.9, bucket_cap=256)
+        # expand_clusters=False: this test asserts the CAPPED candidate
+        # shape; the expansion pass (tested separately) would restore the
+        # full quadratic pair set for this all-duplicates cluster.
+        pairs = minhash_dedup_pairs(
+            ds, threshold=0.9, bucket_cap=256, expand_clusters=False
+        )
         pt = pairs.to_pandas()
         # quadratic would be ~4.5M pairs; capped is ~ n * cap / 2 per band
         assert 0 < len(pt) < 1_000_000
@@ -349,6 +354,62 @@ class TestDedup:
         roots = set(clusters.column("cluster_id").to_pylist())
         assert roots == {0}
         assert clusters.num_rows == n
+
+    def test_expand_clusters_restores_capped_pairs(self, ray_session):
+        """A duplicate cluster bigger than bucket_cap loses cross-chunk
+        candidate pairs to the cap; expand_cluster_pairs (default on) must
+        restore the complete s*(s-1)/2 intra-cluster pair set (ADVICE r2
+        #2 — pair-level exactness past the cap)."""
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import minhash_dedup_pairs
+
+        n = 100
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(["identical boilerplate body text here"] * n),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        capped = minhash_dedup_pairs(
+            ds, threshold=0.9, bucket_cap=16, expand_clusters=False
+        ).to_pandas()
+        assert len(capped) < n * (n - 1) // 2  # the cap really truncated
+        full = minhash_dedup_pairs(
+            ds, threshold=0.9, bucket_cap=16, expand_clusters=True
+        ).to_pandas()
+        assert len(full) == n * (n - 1) // 2
+        assert (full.jaccard == 1.0).all()
+
+    def test_verify_byte_budget_routes_to_shuffle(self, near_dup_ds):
+        """A candidate set within the PAIR gate but over the BYTE budget
+        must fall through to the shuffle join (ADVICE r2 #1) and still
+        produce identical pairs."""
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import verify_pairs_distributed
+
+        cands = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([1, 2, 1], pa.int64()),
+                    "doc_b": pa.array([21, 22, 41], pa.int64()),
+                }
+            )
+        )
+        fast = (
+            verify_pairs_distributed(near_dup_ds, cands, 0.6)
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        shuf = (
+            verify_pairs_distributed(
+                near_dup_ds, cands, 0.6, broadcast_byte_budget=0
+            )
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(fast, shuf)
+        assert len(fast) > 0
 
     def test_verify_shuffle_path_equals_broadcast_path(self, near_dup_ds):
         """broadcast_threshold=0 forces the hash-partitioned shuffle-join
