@@ -1021,6 +1021,46 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fp": f"""
             WITH {_ROLLFP_CTE.strip()}
             SELECT doc_id, CAST(fp AS UBIGINT) AS rolling_fp FROM rf""",
+        # SimHash reproduced exactly in SQL: per-token base-1000003
+        # polynomial byte hash mod 2^64 (HUGEINT list_reduce), signed
+        # bit-sums with multiplicity, bits repacked MSB-first by a second
+        # list_reduce; the pair answer is brute-force all-pairs Hamming<=3
+        # — a STRONGER check than the engine's 4x16-bit band blocking,
+        # since it also proves the blocking misses nothing (pigeonhole).
+        "simhash_pairs": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            th AS (
+              SELECT doc_id,
+                     CAST(list_reduce(
+                       [CAST(0 AS HUGEINT)] ||
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ord(substr(w, i, 1)) AS HUGEINT)),
+                       (h, c) -> (h * 1000003 + c) % 18446744073709551616
+                     ) AS UBIGINT) AS h
+              FROM toks
+            ),
+            bits AS (
+              SELECT doc_id, bb.b AS b,
+                     SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM th, (SELECT unnest(range(64)) AS b) bb
+              GROUP BY doc_id, bb.b
+            ),
+            sh AS (
+              SELECT doc_id,
+                     CAST(list_reduce(
+                       [CAST(0 AS HUGEINT)] ||
+                       list(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT)
+                                 ELSE CAST(0 AS HUGEINT) END ORDER BY b DESC),
+                       (h, x) -> h * 2 + x
+                     ) AS UBIGINT) AS simhash
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         "embedding_neardup": """
             WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),

