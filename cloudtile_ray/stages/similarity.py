@@ -130,16 +130,37 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
 ) -> pa.Table:
-    """IVF scale path: coarse centroids from a deterministic sample (one
-    k-means sweep), vectors assigned to nearest centroid inside
+    """IVF scale path: coarse centroids from a deterministic HASH-MOD
+    sample (one k-means sweep), vectors assigned to nearest centroid inside
     ``map_batches``, each query scans only its ``nprobe`` nearest lists
     (per-query probe mask in the scoring stage).  Approximate — tests
-    assert recall against ``brute_force_topk``."""
+    assert recall against ``brute_force_topk``.
+
+    Sampling (VERDICT.md r2 #3): ``hash(vec_id) % K == 0`` inside
+    ``map_batches``, gathered as Arrow — every partition contributes
+    proportionally, so partition-correlated layouts (per-domain embedding
+    shards, cluster-sorted files) cannot collapse the centroid seed the
+    way a first-rows ``limit()`` sample silently does."""
+    target = max(256, n_centroids * 8)
+    n_total = ds.count()  # parquet metadata op — no scan
+    K = max(1, int(n_total) // target)
+
+    def hash_sample(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(0x9E3779B97F4A7C15)
+        keep = (h % np.uint64(K)) == 0
+        return batch.select(["embedding"]).take(pa.array(np.nonzero(keep)[0]))
+
+    stbl = pa.concat_tables(
+        _gather(ds.map_batches(hash_sample, batch_format="pyarrow"))
+    )
     sample = np.stack(
-        ds.limit(max(256, n_centroids * 8)).to_pandas()["embedding"].to_numpy()
+        stbl.column("embedding").to_numpy(zero_copy_only=False)
     ).astype(np.float64)
     rng = np.random.default_rng(seed)
-    C = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    C = sample[rng.choice(len(sample), n_centroids, replace=len(sample) < n_centroids)]
     for _ in range(5):  # few Lloyd sweeps on the sample
         assign = np.argmax(_normalize(sample) @ _normalize(C).T, axis=1)
         for c in range(n_centroids):

@@ -12,7 +12,13 @@ import pyarrow as pa
 # on the fused chain, no constructor args pinned in the object store —
 # ray issue #53727), while the expensive setup (hash tables, planes,
 # broadcast fetches) still happens at most once per worker process.
-_WORKER_CACHE: dict[tuple, Any] = {}
+# Bounded LRU (ADVICE r2 #4): per-query keys (e.g. a fresh query-matrix
+# ref per kNN call) would otherwise pin every past query's state in every
+# worker for the process lifetime.
+from collections import OrderedDict
+
+_WORKER_CACHE: "OrderedDict[tuple, Any]" = OrderedDict()
+_WORKER_CACHE_MAX = 16
 
 
 def worker_cached(key: tuple, factory: Callable[[], Any]) -> Any:
@@ -20,6 +26,10 @@ def worker_cached(key: tuple, factory: Callable[[], Any]) -> Any:
     if obj is None:
         obj = factory()
         _WORKER_CACHE[key] = obj
+        while len(_WORKER_CACHE) > _WORKER_CACHE_MAX:
+            _WORKER_CACHE.popitem(last=False)
+    else:
+        _WORKER_CACHE.move_to_end(key)
     return obj
 
 
