@@ -687,6 +687,35 @@ def q_poly_tiles(sf_dir: str):
     )
 
 
+def q_line_assign_z6(sf_dir: str):
+    """LineString tile assignment at z=6 (bbox overlap — exactly
+    reproducible by integer-arithmetic SQL, same structure as
+    poly_assign_z6; the line source is the data-polyline chevron on
+    doc_id % 7 == 3 geo rows)."""
+    from cloudtile_ray.stages.lines import AssignLineTiles, extract_lines
+
+    ln = _geocoded(sf_dir).map_batches(extract_lines, batch_format="pyarrow")
+    assigned = ln.map_batches(AssignLineTiles(6, 6), batch_format="pyarrow")
+    return assigned.map_batches(
+        lambda t: t.select(["doc_id", "z", "x", "y"]), batch_format="pyarrow"
+    )
+
+
+def q_line_tiles(sf_dir: str):
+    """Per-tile rollup of clipped+simplified line features across the z4-6
+    ladder (rows-only; open-path clipping can split a line into multiple
+    parts, which SQL cannot cheaply reproduce)."""
+    from cloudtile_ray.stages.lines import (
+        AssignLineTiles,
+        extract_lines,
+        line_tiles_summary,
+    )
+
+    ln = _geocoded(sf_dir).map_batches(extract_lines, batch_format="pyarrow")
+    assigned = ln.map_batches(AssignLineTiles(4, 6), batch_format="pyarrow")
+    return line_tiles_summary(assigned)
+
+
 def q_raster_roundtrip(sf_dir: str):
     """Rasterize the zone polygons onto per-zone grids and vectorize back —
     returns per-zone cell counts (rows-only; geometric op)."""
@@ -778,6 +807,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_roundtrip": q_raster_roundtrip,
         "poly_assign_z6": q_poly_assign_z6,
         "poly_tiles": q_poly_tiles,
+        "line_assign_z6": q_line_assign_z6,
+        "line_tiles": q_line_tiles,
     }
 
 
@@ -987,6 +1018,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(6 AS BIGINT) AS z, x0 + dx AS x, y0 + dy AS y
             FROM bounds, (VALUES (0), (1)) xs(dx), (VALUES (0), (1)) ys(dy)
             WHERE x0 + dx <= x1 AND y0 + dy <= y1""",
+        "line_assign_z6": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            lns AS (SELECT doc_id, lat_mi, lon_mi,
+                           300 + (doc_id * 11) % 150 AS dx,
+                           150 + (doc_id * 5) % 120 AS dy
+                    FROM geo WHERE doc_id % 7 = 3),
+            bounds AS (SELECT doc_id,
+              CAST(GREATEST(0.0, LEAST(63.0, floor(((lon_mi - dx)/1000.0 + 180.0)/360.0*64))) AS BIGINT) AS x0,
+              CAST(GREATEST(0.0, LEAST(63.0, floor(((lon_mi + dx)/1000.0 + 180.0)/360.0*64))) AS BIGINT) AS x1,
+              CAST(GREATEST(0.0, LEAST(63.0, floor((1.0 - ln(tan(radians((lat_mi + dy)/1000.0)) + 1.0/cos(radians((lat_mi + dy)/1000.0)))/pi())/2.0*64))) AS BIGINT) AS y0,
+              CAST(GREATEST(0.0, LEAST(63.0, floor((1.0 - ln(tan(radians((lat_mi - dy)/1000.0)) + 1.0/cos(radians((lat_mi - dy)/1000.0)))/pi())/2.0*64))) AS BIGINT) AS y1
+              FROM lns)
+            SELECT doc_id, CAST(6 AS BIGINT) AS z, x0 + dxs AS x, y0 + dys AS y
+            FROM bounds, (VALUES (0), (1)) xs(dxs), (VALUES (0), (1)) ys(dys)
+            WHERE x0 + dxs <= x1 AND y0 + dys <= y1""",
         "minhash_pairs": f"""
             WITH {_SHINGLE_CTE.strip()}, {_ALLPAIRS_JACCARD.strip()}
             SELECT da AS doc_a, db AS doc_b, j AS jaccard FROM jac

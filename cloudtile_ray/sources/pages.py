@@ -18,6 +18,11 @@ Derivation rules (m = doc_id):
   only in HTML data attributes (exercises the HTML geocode path)
 - m % 5 == 0 rows additionally carry a polygon footprint in HTML
   (``data-footprint="lon_mi lat_mi,..."``, a diamond around the point)
+- m % 7 == 3 rows additionally carry a LineString polyline in HTML
+  (``data-polyline="lon_mi lat_mi,..."``, a 3-point chevron:
+  (lon-dx, lat-dy) -> (lon, lat+dy) -> (lon+dx, lat-dy) with
+  dx = 300 + (m*11) % 150, dy = 150 + (m*5) % 120 — all integer mi so the
+  ``line_assign_z6`` oracle reproduces the bbox exactly)
 - ``text`` is the *unmodified* documents.text — the byte-identity
   invariant column (input_hint); ``lang`` passes through likewise
 - warc_ts = 2024-01-01T00:00:00 + m seconds
@@ -55,6 +60,7 @@ def derive_geo_arrays(doc_id: np.ndarray) -> dict[str, np.ndarray]:
         "in_url": ~no_geo & ((m % 3) != 2),
         "in_html": ~no_geo & ((m % 3) == 2),
         "has_footprint": ~no_geo & ((m % 5) == 0),
+        "has_line": ~no_geo & ((m % 7) == 3),
     }
 
 
@@ -100,8 +106,23 @@ def build_pages_batch(batch: pa.Table) -> pa.Table:
         pa.array(g["has_footprint"]), fp,
         pa.array(np.full(len(m), "", dtype=object), type=pa.string()),
     )
+    # 3-point chevron polyline for every 7th geo row (the LineString
+    # feature class): dx/dy integer mi per the module docstring
+    ldx = 300 + (m * 11) % 150
+    ldy = 150 + (m * 5) % 120
+    ln = pc.binary_join_element_wise(
+        ' data-polyline="',
+        s(g["lon_mi"] - ldx), " ", s(g["lat_mi"] - ldy),
+        ",", s(g["lon_mi"]), " ", s(g["lat_mi"] + ldy),
+        ",", s(g["lon_mi"] + ldx), " ", s(g["lat_mi"] - ldy),
+        '"', "",
+    )
+    ln = pc.if_else(
+        pa.array(g["has_line"]), ln,
+        pa.array(np.full(len(m), "", dtype=object), type=pa.string()),
+    )
     html = pc.binary_join_element_wise(
-        "<html><body", data_attr, fp, "><p>", batch.column("text"), "</p></body></html>", ""
+        "<html><body", data_attr, fp, ln, "><p>", batch.column("text"), "</p></body></html>", ""
     )
     ts = pa.array(EPOCH_2024_US + m * 1_000_000).cast(pa.timestamp("us"))
     return pa.table(

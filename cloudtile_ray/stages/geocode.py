@@ -28,6 +28,7 @@ _URL_LAT_DEC = r"[?&]lat=(-?[0-9]+\.[0-9]+)"
 _URL_LON_DEC = r"[?&]lon=(-?[0-9]+\.[0-9]+)"
 _TEXT_COORD = r"located at (-?[0-9]+\.[0-9]+), (-?[0-9]+\.[0-9]+)"
 _FOOTPRINT = r'data-footprint="([-0-9 ,.]+)"'
+_POLYLINE = r'data-polyline="([-0-9 ,.]+)"'
 
 
 def _extract_one(arr: pa.Array, pattern: str) -> pa.Array:
@@ -60,6 +61,7 @@ def geocode_batch(batch: pa.Table) -> pa.Table:
     lon = pc.coalesce(pc.divide(pc.cast(lon_mi, pa.float64()), 1000.0), lon_dec)
 
     footprint = _extract_one(html, _FOOTPRINT)
+    polyline = _extract_one(html, _POLYLINE)
 
     out = batch
     for name, col in [
@@ -69,6 +71,7 @@ def geocode_batch(batch: pa.Table) -> pa.Table:
         ("lon", lon),
         ("has_geo", pc.is_valid(lat)),
         ("footprint_mi", footprint),
+        ("line_mi", polyline),
     ]:
         out = out.append_column(name, col)
     return out

