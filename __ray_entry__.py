@@ -334,6 +334,51 @@ def q_tile_accumulate(sf_dir: str):
     )
 
 
+def q_tile_accumulate_enc(sf_dir: str):
+    """accumulate-attribute through the TILE ENCODER (VERDICT.md r2
+    missing #3): the named numeric column rides the batch-local partial
+    agg, the packed exchange and the finalize ladder into the tile BLOBS;
+    this query decodes the produced blobs and recomputes the per-tile sums
+    — graded against the same SQL oracle as the dataset-level
+    ``tile_accumulate``, proving the in-blob accumulation is lossless."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.index import AssignTiles
+    from cloudtile_ray.stages.tiles import decode_tile, encode_tiles
+
+    def add_val(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column("val", pa.array((d % 7).astype("int64")))
+
+    exploded = (
+        _geo_only(sf_dir)
+        .map_batches(add_val, batch_format="pyarrow")
+        .map_batches(AssignTiles(5, 5), batch_format="pyarrow")
+    )
+    tiles = encode_tiles(exploded, accumulate_attribute="val")
+
+    def recompute(t: pa.Table) -> pa.Table:
+        zs, xs, ys, sv, nd = [], [], [], [], []
+        for blob in t.column("tile_bytes").to_pylist():
+            d = decode_tile(blob)
+            zs.append(d["z"])
+            xs.append(d["x"])
+            ys.append(d["y"])
+            sv.append(int(d["acc"].sum()) if "acc" in d else 0)
+            nd.append(int(d["cnt"].sum()))
+        return pa.table(
+            {
+                "z": pa.array(zs, pa.int64()),
+                "x": pa.array(xs, pa.int64()),
+                "y": pa.array(ys, pa.int64()),
+                "sum_val": pa.array(sv, pa.int64()),
+                "n_docs": pa.array(nd, pa.int64()),
+            }
+        )
+
+    return tiles.map_batches(recompute, batch_format="pyarrow")
+
+
 def q_drop_rate_z(sf_dir: str):
     """Deterministic drop-rate sampling (tippecanoe.yaml:49-53): per-zoom
     counts with rate 0.5 below base zoom 6 — hash function is plain integer
@@ -781,6 +826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "tile_accumulate": q_tile_accumulate,
+        "tile_accumulate_enc": q_tile_accumulate_enc,
         "drop_rate_z": q_drop_rate_z,
         "semi_broadcast": q_semi_broadcast,
         "pushdown_1996": q_pushdown_1996,
@@ -946,6 +992,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY 1, 2""",
         "tile_accumulate": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT CAST(z AS BIGINT) AS z, {_TILE_X} AS x, {_TILE_Y} AS y,
+                   CAST(sum(doc_id % 7) AS BIGINT) AS sum_val,
+                   count(*) AS n_docs
+            FROM geo, (VALUES (5)) zs(z)
+            GROUP BY 1, 2, 3""",
+        # same ground truth as tile_accumulate — the query side recomputes
+        # the sums from DECODED tile blobs, so equality proves the encoder
+        # carries the accumulated attribute losslessly
+        "tile_accumulate_enc": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
             SELECT CAST(z AS BIGINT) AS z, {_TILE_X} AS x, {_TILE_Y} AS y,
                    CAST(sum(doc_id % 7) AS BIGINT) AS sum_val,
                    count(*) AS n_docs

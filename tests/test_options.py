@@ -293,3 +293,66 @@ class TestEvents:
         df = session_windows(ds).to_pandas()
         assert df.n_events.sum() == 1000  # every event in exactly one session
         assert (df.start_us <= df.end_us).all()
+
+
+class TestAccumulateAttribute:
+    def _exploded(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(9)
+        n = 5000
+        z = np.full(n, 5, dtype=np.uint64)
+        x = rng.integers(0, 4, n).astype(np.uint64)
+        y = rng.integers(0, 4, n).astype(np.uint64)
+        from cloudtile_ray.geo import webmercator as wm
+
+        t = pa.table(
+            {
+                "tile_key": pa.array(wm.tile_key(z, x, y)),
+                "px": pa.array(rng.integers(0, 256, n).astype(np.int32)),
+                "py": pa.array(rng.integers(0, 256, n).astype(np.int32)),
+                "val": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+            }
+        ), n
+        return t
+
+    def test_accumulate_rides_encoder_and_salted_path(self, ray_session):
+        """The accumulated attribute must survive the packed exchange AND
+        the salted two-round merge, with per-tile sums equal to the raw
+        groupby ground truth."""
+        import ray.data
+
+        from cloudtile_ray.stages.tiles import decode_tile, encode_tiles
+
+        t, n = self._exploded(ray_session)
+        df = t.to_pandas()
+        truth = df.groupby("tile_key").val.sum().to_dict()
+        ds = ray.data.from_arrow([t.slice(i, 500) for i in range(0, n, 500)])
+        for salted in (False, True):
+            tiles = encode_tiles(
+                ds, accumulate_attribute="val", salted=salted
+            ).to_pandas()
+            from cloudtile_ray.geo import webmercator as wm
+
+            got = {}
+            for _, row in tiles.iterrows():
+                d = decode_tile(row.tile_bytes)
+                k = int(wm.tile_key(np.uint64(d["z"]), np.uint64(d["x"]), np.uint64(d["y"])))
+                got[k] = int(d["acc"].sum())
+            assert got == {int(k): int(v) for k, v in truth.items()}, f"salted={salted}"
+
+    def test_accumulate_survives_gamma_and_caps(self, ray_session):
+        """Thinning merges must conserve the accumulated total (drops may
+        remove it, so run with generous caps + aggressive gamma)."""
+        import ray.data
+
+        from cloudtile_ray.stages.tiles import decode_tile, encode_tiles
+
+        t, n = self._exploded(ray_session)
+        total = int(t.column("val").to_pandas().sum())
+        ds = ray.data.from_arrow(t)
+        tiles = encode_tiles(
+            ds, settings={"gamma": 64}, accumulate_attribute="val"
+        ).to_pandas()
+        got = sum(int(decode_tile(b)["acc"].sum()) for b in tiles.tile_bytes)
+        assert got == total
