@@ -182,16 +182,9 @@ class TilingSettings(UserDict):
         key = key.replace("_", "-")
         if key not in ALL_OPTIONS:
             raise KeyError(f"{key} is not a valid tiling setting")
-        if key in ("detect-shared-borders", "grid-low-zooms") and value:
-            # accepted for reference-grammar parity (tippecanoe.yaml:78-80)
-            # but the behavior is not implemented — never silently no-op
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "tiling option %r is accepted for parity but has no effect "
-                "in this engine (shared-border detection is not implemented)",
-                key,
-            )
+        # detect-shared-borders / grid-low-zooms are implemented in the
+        # polygon path (stages/polygons.py: shared_border_simplify runs in
+        # the per-tile merge; grid snap in AssignPolygonTiles._tile_ring)
         # cross-validate zoom pair; "g" ("guess") escapes the check
         # (tippecanoe.py:44-57 — both assignment orders covered)
         if key == "minimum-zoom" and not _is_guess(value):

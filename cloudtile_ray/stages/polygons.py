@@ -187,10 +187,21 @@ class AssignPolygonTiles:
         self.max_zoom = max_zoom
         self.extent = extent
         self.s = TilingSettings(**(settings or {}))
+        # grid-low-zooms (tippecanoe.yaml:79): below max zoom, snap ring
+        # vertices to a stairstep grid of extent/256 cells.  Routed through
+        # the scalar path (the vectorized fast paths skip the snap).
+        self._grid_low = bool(self.s.get("grid-low-zooms", False))
+        if self._grid_low:
+            self._disable_fast = True
 
     def _tolerance_px(self, z: int) -> float:
         s = self.s
         if s.get("no-line-simplification", False):
+            return 0.0
+        if s.get("detect-shared-borders", False):
+            # deferred: with shared-border detection the simplification must
+            # see ALL of a tile's features together, so it runs in the
+            # per-tile merge (encode_poly_tiles), not per feature here
             return 0.0
         simp = float(s.get("simplification", 10))
         if z >= self.max_zoom:
@@ -440,12 +451,17 @@ class AssignPolygonTiles:
             handled = fast | multi
             # ---- general path: many-vertex / visvalingam / no-clip cases
             # (projection trig already hoisted into fx/fy above)
+            grid = (
+                max(1, self.extent >> 8)
+                if self._grid_low and z < self.max_zoom
+                else 0
+            )
             for i in np.nonzero(~handled)[0]:
                 fx_s = fx[starts[i] : lon_off[i + 1]]
                 fy_s = fy[starts[i] : lon_off[i + 1]]
                 for tx in range(int(x0[i]), int(x1[i]) + 1):
                     for ty in range(int(y0[i]), int(y1[i]) + 1):
-                        ring_px = self._tile_ring(fx_s, fy_s, tx, ty, buffer_px, no_clip, tol, tiny, visval)
+                        ring_px = self._tile_ring(fx_s, fy_s, tx, ty, buffer_px, no_clip, tol, tiny, visval, grid)
                         emit(
                             int(wm.tile_key(np.uint64(z), np.uint64(tx), np.uint64(ty))),
                             z, tx, ty, int(ids[i]),
@@ -482,10 +498,12 @@ class AssignPolygonTiles:
             }
         )
 
-    def _tile_ring(self, fx_s, fy_s, tx, ty, buffer_px, no_clip, tol, tiny, visval):
+    def _tile_ring(self, fx_s, fy_s, tx, ty, buffer_px, no_clip, tol, tiny, visval, grid=0):
         """Project an (already zoom-projected) ring into one tile's pixel
         frame, clip to the buffered tile box, simplify, drop tiny
-        polygons. Same float expressions as the fast path."""
+        polygons. Same float expressions as the fast path.  ``grid`` > 0
+        (grid-low-zooms) snaps output vertices to that stairstep grid,
+        dropping consecutive duplicates."""
         px = (fx_s - tx) * self.extent
         py = (fy_s - ty) * self.extent
         ring_px = np.c_[px, py]
@@ -500,7 +518,117 @@ class AssignPolygonTiles:
                 return np.empty((0, 2))
         if ring_px.shape[0] < 3:
             return np.empty((0, 2))
-        return np.round(ring_px)
+        out = np.round(ring_px)
+        if grid:
+            out = np.round(out / grid) * grid
+            keep = np.ones(len(out), dtype=bool)
+            keep[1:] = (out[1:] != out[:-1]).any(axis=1)
+            out = out[keep]
+            if len(out) < 3:
+                return np.empty((0, 2))
+        return out
+
+
+def shared_border_simplify(rings: list[np.ndarray], tol: float) -> list[np.ndarray]:
+    """``detect-shared-borders`` (tippecanoe.yaml:78): simplify all rings of
+    one tile so that borders shared between features keep coincident
+    vertices on both sides — no slivers after simplification.
+
+    Method: hash every undirected edge (integer pixel endpoints) across the
+    tile's features; split each ring into maximal chains of consecutive
+    edges with the same shared/unshared status; shared chains are
+    canonicalized (direction-normalized vertex sequence) and
+    Douglas-Peucker-simplified ONCE, with the kept-vertex mask applied to
+    every feature using the chain (reversed when traversed the other way);
+    unshared chains simplify independently.  Deterministic: a pure function
+    of the tile's ring multiset."""
+    from cloudtile_ray.geo.simplify import douglas_peucker_mask
+
+    if tol <= 0 or not rings:
+        return rings
+    from collections import defaultdict
+
+    edge_users: dict[tuple, int] = defaultdict(int)
+    ring_edges: list[list[tuple]] = []
+    for ring in rings:
+        n = len(ring)
+        edges = []
+        for i in range(n):
+            a = (int(ring[i][0]), int(ring[i][1]))
+            b = (int(ring[(i + 1) % n][0]), int(ring[(i + 1) % n][1]))
+            edges.append((a, b) if a <= b else (b, a))
+        ring_edges.append(edges)
+        for k in set(edges):
+            edge_users[k] += 1
+
+    chain_cache: dict[tuple, np.ndarray] = {}
+
+    def simplify_chain(verts: np.ndarray, is_shared: bool) -> np.ndarray:
+        """DP keep-mask for one open chain; shared chains resolve through
+        the direction-normalized cache so every user gets the same kept
+        subset."""
+        if len(verts) <= 2:
+            return np.ones(len(verts), dtype=bool)
+        if not is_shared:
+            return douglas_peucker_mask(verts.astype(np.float64), tol)
+        fwd = tuple(map(tuple, verts.tolist()))
+        rev = fwd[::-1]
+        if rev < fwd:
+            key, flipped = rev, True
+        else:
+            key, flipped = fwd, False
+        mask = chain_cache.get(key)
+        if mask is None:
+            canon = np.asarray(key, dtype=np.float64)
+            mask = douglas_peucker_mask(canon, tol)
+            chain_cache[key] = mask
+        return mask[::-1] if flipped else mask
+
+    out: list[np.ndarray] = []
+    for ring, edges in zip(rings, ring_edges):
+        n = len(ring)
+        if n < 3:
+            out.append(ring)
+            continue
+        shared = np.array([edge_users[k] >= 2 for k in edges])
+        # rotate so chains never wrap around index 0
+        change = np.nonzero(shared != np.roll(shared, 1))[0]
+        start = int(change[0]) if len(change) else 0
+        kept_parts: list[np.ndarray] = []
+        i = 0
+        while i < n:
+            flag = shared[(start + i) % n]
+            j = i
+            while j < n and shared[(start + j) % n] == flag:
+                j += 1
+            vidx = [(start + t) % n for t in range(i, j + 1)]  # j-i edges -> +1 verts
+            verts = ring[np.array(vidx) % n]
+            mask = simplify_chain(verts, bool(flag))
+            kept = verts[mask]
+            # drop the junction vertex (last) — the next chain re-adds it;
+            # the final chain's last vertex is the ring start, also dropped
+            kept_parts.append(kept[:-1])
+            i = j
+        new_ring = np.concatenate(kept_parts) if kept_parts else ring
+        out.append(new_ring if len(new_ring) >= 3 else ring)
+    return out
+
+
+def shared_tolerance_px(settings: "TilingSettings | dict", z: int) -> float:
+    """The per-zoom simplification tolerance for tile-time (deferred)
+    simplification — same ladder as AssignPolygonTiles._tolerance_px, with
+    max-zoom read from the settings (``maximum-zoom``; absent means every
+    zoom is below max)."""
+    s = settings if isinstance(settings, TilingSettings) else TilingSettings(**settings)
+    if s.get("no-line-simplification", False):
+        return 0.0
+    simp = float(s.get("simplification", 10))
+    mz = s.get("maximum-zoom")
+    if mz is not None and not isinstance(mz, str) and z >= int(mz):
+        if s.get("simplify-only-low-zooms", False):
+            return 0.0
+        simp = float(s.get("simplification-at-maximum-zoom", simp))
+    return simp
 
 
 def footprints_to_label_points(batch: pa.Table) -> pa.Table:
@@ -741,6 +869,7 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
         meta = np.empty((len(tk), 2), dtype=np.int64)
         meta[:, 0] = dids
         meta[:, 1] = npts
+        detect_shared = bool(s.get("detect-shared-borders", False))
         out = {k: [] for k in ("z", "x", "y", "n_poly_features", "poly_nbytes", "poly_bytes")}
         for ti, (st, en) in enumerate(zip(first, bounds)):
             en_cap = min(en, st + max_feat)
@@ -748,11 +877,31 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
             header = POLY_MAGIC + np.array(
                 [int(zs_u[ti]), int(xs_u[ti]), int(ys_u[ti]), nfeat], dtype=np.int32
             ).tobytes()
-            blob = (
-                header
-                + meta[st:en_cap].tobytes()
-                + ring_all[ring_off[st] : ring_off[en_cap]]
-            )
+            if detect_shared:
+                # deferred tile-time simplification: all of the tile's
+                # features together, shared chains simplified once
+                tolz = shared_tolerance_px(s, int(zs_u[ti]))
+                rings = [
+                    np.frombuffer(
+                        ring_all[ring_off[j] : ring_off[j + 1]], dtype=np.int32
+                    ).reshape(-1, 2)
+                    for j in range(st, en_cap)
+                ]
+                new_rings = shared_border_simplify(rings, tolz)
+                meta_t = np.empty((nfeat, 2), dtype=np.int64)
+                meta_t[:, 0] = meta[st:en_cap, 0]
+                meta_t[:, 1] = [len(r) for r in new_rings]
+                blob = (
+                    header
+                    + meta_t.tobytes()
+                    + b"".join(np.ascontiguousarray(r, dtype=np.int32).tobytes() for r in new_rings)
+                )
+            else:
+                blob = (
+                    header
+                    + meta[st:en_cap].tobytes()
+                    + ring_all[ring_off[st] : ring_off[en_cap]]
+                )
             out["z"].append(int(zs_u[ti]))
             out["x"].append(int(xs_u[ti]))
             out["y"].append(int(ys_u[ti]))

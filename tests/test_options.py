@@ -258,14 +258,120 @@ class TestFilterHooks:
         assert (both.n_features >= 2).all()
         assert len(both) < len(pre)
 
-    def test_shared_borders_keys_warn(self, caplog):
+    def test_shared_borders_accepted_without_warning(self, caplog):
+        """detect-shared-borders is now IMPLEMENTED (per-tile chain
+        simplification) — the r2 parity warning must be gone."""
         import logging
 
         from cloudtile_ray.config import TilingSettings
 
         with caplog.at_level(logging.WARNING):
-            TilingSettings(**{"detect-shared-borders": True})
-        assert any("no effect" in r.message for r in caplog.records)
+            s = TilingSettings(**{"detect-shared-borders": True, "grid-low-zooms": True})
+        assert s.get("detect-shared-borders") is True
+        assert not any("no effect" in r.message for r in caplog.records)
+
+    def test_shared_border_simplify_keeps_borders_coincident(self):
+        """Two polygons sharing a multi-vertex border: independent DP (runs
+        per whole ring with different chord contexts) diverges on the
+        border; shared-border mode must keep identical border vertices on
+        both sides, and must simplify away a near-collinear border vertex
+        identically."""
+        from cloudtile_ray.geo.simplify import douglas_peucker_mask
+        from cloudtile_ray.stages.polygons import shared_border_simplify
+
+        # shared border x=100 from (100,0) to (100,200) with a wiggle at
+        # (103,100); left poly is a big box, right poly a thin sliver
+        border = [(100, 0), (103, 100), (100, 200)]
+        left = np.array([(0, 0)] + border + [(0, 200)][::-1], dtype=np.int64)
+        left = np.array([(0, 0), (100, 0), (103, 100), (100, 200), (0, 200)], dtype=np.int64)
+        right = np.array([(100, 0), (400, 0), (400, 200), (100, 200), (103, 100)][::-1], dtype=np.int64)
+        # make right's ring traverse the border in the OPPOSITE direction:
+        right = np.array([(400, 0), (400, 200), (100, 200), (103, 100), (100, 0)], dtype=np.int64)
+        out = shared_border_simplify([left, right], tol=10.0)
+        sl = {tuple(v) for v in out[0].tolist()}
+        sr = {tuple(v) for v in out[1].tolist()}
+        border_l = sl & {(100, 0), (103, 100), (100, 200)}
+        border_r = sr & {(100, 0), (103, 100), (100, 200)}
+        # the wiggle (3px < tol 10) must be simplified away on BOTH sides
+        assert (103, 100) not in sl and (103, 100) not in sr
+        assert border_l == border_r == {(100, 0), (100, 200)}
+        # endpoints of the shared chain survive on both
+        assert {(100, 0), (100, 200)} <= sl and {(100, 0), (100, 200)} <= sr
+
+    def test_shared_border_beats_independent_simplification(self):
+        """Construct a case where per-ring DP keeps DIFFERENT border
+        vertices for the two neighbors (sliver) and assert shared-border
+        mode makes them identical."""
+        from cloudtile_ray.stages.polygons import shared_border_simplify
+
+        rng = np.random.default_rng(2)
+        ys = np.arange(0, 220, 20)
+        wiggle = rng.integers(-6, 7, len(ys))
+        border = np.stack([100 + wiggle, ys], axis=1)
+        left = np.concatenate([[[0, 0]], border, [[0, 200]]]).astype(np.int64)
+        right = np.concatenate([[[400, 0]], [[400, 200]], border[::-1]]).astype(np.int64)
+        out = shared_border_simplify([left, right], tol=8.0)
+        border_set = {tuple(v) for v in border.tolist()}
+        kept_l = [tuple(v) for v in out[0].tolist() if tuple(v) in border_set]
+        kept_r = [tuple(v) for v in out[1].tolist() if tuple(v) in border_set]
+        assert kept_l == kept_r[::-1] and len(kept_l) >= 2
+
+    def test_shared_borders_end_to_end_tile_encode(self, ray_session):
+        """detect-shared-borders through the full assign -> packed exchange
+        -> per-tile merge path: adjacent polygons' shared wiggly border is
+        simplified once, coincident on both decoded features."""
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.polygons import (
+            AssignPolygonTiles,
+            decode_poly_tile,
+            encode_poly_tiles,
+        )
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "fp_lon": pa.array(
+                    [[10.0, 10.2, 10.21, 10.2, 10.0], [10.2, 10.4, 10.4, 10.2, 10.21]],
+                    pa.list_(pa.float64()),
+                ),
+                "fp_lat": pa.array(
+                    [[40.0, 40.0, 40.1, 40.2, 40.2], [40.0, 40.0, 40.2, 40.2, 40.1]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        st = {"detect-shared-borders": True, "maximum-zoom": 7, "tiny-polygon-size": 0}
+        assigned = ray.data.from_arrow(t).map_batches(
+            AssignPolygonTiles(6, 6, settings=st), batch_format="pyarrow"
+        )
+        tiles = encode_poly_tiles(assigned, settings=st).to_pandas()
+        assert len(tiles) == 1
+        d = decode_poly_tile(tiles.poly_bytes.iloc[0])
+        rings = {f["doc_id"]: {tuple(v) for v in f["ring"].tolist()} for f in d["features"]}
+        b1 = {p for p in rings[1] if abs(p[0] - 3331) < 20}
+        b2 = {p for p in rings[2] if abs(p[0] - 3331) < 20}
+        assert b1 == b2 == {(3331, 748), (3331, 938)}  # wiggle gone, coincident
+
+    def test_grid_low_zooms_snaps_vertices(self, ray_session):
+        import pyarrow as pa
+
+        from cloudtile_ray.stages.polygons import AssignPolygonTiles
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "fp_lon": pa.array([[10.0, 10.4, 10.4, 10.0]], pa.list_(pa.float64())),
+                "fp_lat": pa.array([[40.0, 40.0, 40.3, 40.3]], pa.list_(pa.float64())),
+            }
+        )
+        out = AssignPolygonTiles(5, 6, settings={"grid-low-zooms": True})(t)
+        grid = 4096 >> 8
+        for z, blob in zip(out.column("z").to_pylist(), out.column("ring_blob").to_pylist()):
+            ring = np.frombuffer(blob, dtype=np.int32)
+            if z < 6 and len(ring):
+                assert (ring % grid == 0).all()  # snapped below max zoom
 
 
 class TestEvents:
