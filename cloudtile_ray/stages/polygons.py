@@ -690,9 +690,17 @@ def encode_poly_tiles(
 
 def poly_exchange_fns(settings: dict, n_partitions: int):
     """(add_part, merge_part) pair for the polygon tile exchange —
-    module-level so profiling and tests can drive the stages separately."""
+    module-level so profiling and tests can drive the stages separately.
+
+    ``order-by`` / ``order-descending-by`` (tippecanoe.yaml:89-90): when
+    set to an attribute name, the assigned rows must carry an int64 column
+    of that name (attach it with a ``map_batches`` join on doc_id before
+    encoding); its values ride the packed exchange and drive the in-tile
+    feature order (ties broken by doc_id — deterministic)."""
     s = TilingSettings(**(settings or {}))
     max_feat = int(s.get("maximum-tile-features", 20000))
+    order_by = s.get("order-by") or s.get("order-descending-by")
+    order_desc = bool(s.get("order-descending-by"))
 
     def _binary_parts(rb: pa.Array) -> tuple[bytes, np.ndarray]:
         rb = rb.combine_chunks() if isinstance(rb, pa.ChunkedArray) else rb
@@ -731,12 +739,21 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
         # 11M (tile_key, doc_id, ring_blob) feature rows become
         # n_batches x n_partitions packed rows (~10^4), which removes the
         # per-row shuffle overhead that dominated the polygon path.
-        # Payload layout: n | tile_key u64[n] | doc_id i64[n] |
-        # ring_len i32[n] | ring bytes.
+        # Payload layout: n | has_ord | tile_key u64[n] | doc_id i64[n] |
+        # [ordval i64[n] |] ring_len i32[n] | ring bytes.
         if batch.num_rows == 0 or "tile_key" not in batch.column_names:
             return _EMPTY_PACK
         tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ordv = None
+        if order_by:
+            if order_by not in batch.column_names:
+                raise KeyError(
+                    f"order-by attribute {order_by!r} missing from assigned "
+                    "rows — attach it (map_batches join on doc_id) before "
+                    "encode_poly_tiles"
+                )
+            ordv = batch.column(order_by).to_numpy(zero_copy_only=False).astype(np.int64)
         data_b, off = _binary_parts(batch.column("ring_blob"))
         data = np.frombuffer(data_b, dtype=np.uint8)
         part = ((tk * np.uint64(2654435761)) % np.uint64(n_partitions)).astype(np.int64)
@@ -744,6 +761,7 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
         part_s = part[order]
         data_s, off_s = _gather_segments(data, off, order)
         tk_s, ids_s = tk[order], ids[order]
+        ordv_s = ordv[order] if ordv is not None else None
         lens_s = np.diff(off_s).astype(np.int32)
         uq, first = np.unique(part_s, return_index=True)
         bounds = np.r_[first[1:], len(part_s)]
@@ -752,8 +770,10 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
             nrows = en - st
             payload = (
                 np.int64(nrows).tobytes()
+                + np.int64(0 if ordv_s is None else 1).tobytes()
                 + tk_s[st:en].tobytes()
                 + ids_s[st:en].tobytes()
+                + (ordv_s[st:en].tobytes() if ordv_s is not None else b"")
                 + lens_s[st:en].tobytes()
                 + data_s[off_s[st] : off_s[en]].tobytes()
             )
@@ -768,16 +788,24 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
             }
         )
 
-    def _unpack_group(g: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        tks, idss, offs, datas = [], [], [], []
+    def _unpack_group(g: pa.Table):
+        tks, idss, ordvs, offs, datas = [], [], [], [], []
+        any_ord = False
         base = 0
         for payload in g.column("payload").to_pylist():
             n = int(np.frombuffer(payload, dtype=np.int64, count=1)[0])
-            pos = 8
+            has_ord = int(np.frombuffer(payload, dtype=np.int64, count=1, offset=8)[0])
+            pos = 16
             tks.append(np.frombuffer(payload, dtype=np.uint64, count=n, offset=pos))
             pos += 8 * n
             idss.append(np.frombuffer(payload, dtype=np.int64, count=n, offset=pos))
             pos += 8 * n
+            if has_ord:
+                any_ord = True
+                ordvs.append(np.frombuffer(payload, dtype=np.int64, count=n, offset=pos))
+                pos += 8 * n
+            else:
+                ordvs.append(np.zeros(n, dtype=np.int64))
             lens = np.frombuffer(payload, dtype=np.int32, count=n, offset=pos)
             pos += 4 * n
             datas.append(np.frombuffer(payload, dtype=np.uint8, offset=pos))
@@ -785,15 +813,16 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
             base = offs[-1][-1]
         tk = np.concatenate(tks) if tks else np.empty(0, np.uint64)
         ids = np.concatenate(idss) if idss else np.empty(0, np.int64)
+        ordv = np.concatenate(ordvs) if (ordvs and any_ord) else None
         data = np.concatenate(datas) if datas else np.empty(0, np.uint8)
         if offs:
             off = np.concatenate([o[:-1] for o in offs] + [[base]]).astype(np.int64)
         else:
             off = np.zeros(1, dtype=np.int64)
-        return tk, ids, data, off
+        return tk, ids, data, off, ordv
 
     def merge_part(g: pa.Table) -> pa.Table:
-        tk, ids, ring_data, ring_off0 = _unpack_group(g)
+        tk, ids, ring_data, ring_off0, ordv = _unpack_group(g)
         # in-tile feature ordering (tippecanoe.yaml:85-94): default is the
         # preserve-input-order analog (doc_id); area-ordered and
         # Hilbert-ordered variants selectable; ``reverse`` flips within tile
@@ -808,8 +837,11 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
                     "poly_bytes": pa.array([], pa.binary()),
                 }
             )
-        need_area = s.get("order-largest-first", False) or s.get("order-smallest-first", False)
-        need_hilbert = s.get("hilbert", False)
+        attr_ordered = order_by and ordv is not None
+        need_area = (
+            s.get("order-largest-first", False) or s.get("order-smallest-first", False)
+        ) and not attr_ordered
+        need_hilbert = s.get("hilbert", False) and not attr_ordered
         if need_area or need_hilbert:
             voff = (ring_off0 // 8).astype(np.int64)  # per-row vertex offsets
             lens = np.diff(voff)
@@ -845,6 +877,10 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
                 fy0[nz] = firsts[:, 1].astype(np.int64)
             h = hilbert_xy2d(13, np.clip(fx0, 0, 8191), np.clip(fy0, 0, 8191))
             order = np.lexsort((ids, h, tk))
+        elif attr_ordered:
+            # order-by / order-descending-by on the named attribute values
+            # carried through the exchange (ties -> doc_id)
+            order = np.lexsort((ids, -ordv if order_desc else ordv, tk))
         else:
             order = np.lexsort((ids, tk))
         if s.get("reverse", False):

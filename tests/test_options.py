@@ -354,6 +354,51 @@ class TestFilterHooks:
         b2 = {p for p in rings[2] if abs(p[0] - 3331) < 20}
         assert b1 == b2 == {(3331, 748), (3331, 938)}  # wiggle gone, coincident
 
+    def test_order_by_named_attribute(self, ray_session):
+        """order-by / order-descending-by on an arbitrary attribute column
+        (tippecanoe.yaml:89-90): values ride the packed exchange and drive
+        in-tile feature order; ties break by doc_id."""
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.polygons import (
+            AssignPolygonTiles,
+            decode_poly_tile,
+            encode_poly_tiles,
+        )
+
+        # four small polygons in the same z6 tile with ranks 3,1,2,1
+        lons = [[10.00, 10.01, 10.01, 10.00], [10.05, 10.06, 10.06, 10.05],
+                [10.10, 10.11, 10.11, 10.10], [10.15, 10.16, 10.16, 10.15]]
+        lats = [[40.00, 40.00, 40.01, 40.01]] * 4
+        ranks = [3, 1, 2, 1]
+        t = pa.table(
+            {
+                "doc_id": pa.array([11, 12, 13, 14], pa.int64()),
+                "fp_lon": pa.array(lons, pa.list_(pa.float64())),
+                "fp_lat": pa.array(lats, pa.list_(pa.float64())),
+            }
+        )
+
+        def add_rank(b: pa.Table) -> pa.Table:
+            lut = {11: 3, 12: 1, 13: 2, 14: 1}
+            d = b.column("doc_id").to_pylist()
+            return b.append_column("rank", pa.array([lut[v] for v in d], pa.int64()))
+
+        base = ray.data.from_arrow(t).map_batches(
+            AssignPolygonTiles(6, 6, settings={"tiny-polygon-size": 0}),
+            batch_format="pyarrow",
+        ).map_batches(add_rank, batch_format="pyarrow")
+        asc = encode_poly_tiles(base, settings={"order-by": "rank", "tiny-polygon-size": 0}).to_pandas()
+        d = decode_poly_tile(asc.poly_bytes.iloc[0])
+        got = [f["doc_id"] for f in d["features"]]
+        assert got == [12, 14, 13, 11]  # rank asc, ties by doc_id
+        desc = encode_poly_tiles(
+            base, settings={"order-descending-by": "rank", "tiny-polygon-size": 0}
+        ).to_pandas()
+        d2 = decode_poly_tile(desc.poly_bytes.iloc[0])
+        assert [f["doc_id"] for f in d2["features"]] == [11, 13, 12, 14]
+
     def test_grid_low_zooms_snaps_vertices(self, ray_session):
         import pyarrow as pa
 
