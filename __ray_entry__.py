@@ -705,6 +705,32 @@ def q_hex_knn(sf_dir: str):
     return hex_bucketed_knn(_geo_only(sf_dir), KNN_QUERIES_MI, k=5, res=2)
 
 
+# extended kNN query set for the SPHERICAL index: the 3 standard points
+# plus dateline-straddling and near-pole queries where the planar hexgrid
+# has seams (all integer milli-degrees; the metric stays planar, so the
+# same exact-kNN SQL shape grades it)
+ICOSA_KNN_QUERIES_MI = np.array(
+    [
+        [0, 0],
+        [-87900, 41600],
+        [100000, -45000],
+        [179900, 41600],
+        [-179950, -84900],
+        [500, 84900],
+    ],
+    dtype=np.int64,
+)
+
+
+def q_icosa_knn(sf_dir: str):
+    """Cell-bucketed kNN on the spherical icosahedral index — cross-face
+    cap pruning, no dateline/pole seam (VERDICT.md r2 #8).  Returns exactly
+    the exact-kNN answer (ring proof or fallback)."""
+    from cloudtile_ray.stages.join import icosa_bucketed_knn
+
+    return icosa_bucketed_knn(_geo_only(sf_dir), ICOSA_KNN_QUERIES_MI, k=5, res=2)
+
+
 def q_poly_assign_z6(sf_dir: str):
     """Polygon footprint tile assignment at z=6 (bbox overlap — exactly
     reproducible by integer-arithmetic SQL)."""
@@ -853,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_roundtrip": q_raster_roundtrip,
         "poly_assign_z6": q_poly_assign_z6,
         "poly_tiles": q_poly_tiles,
+        "icosa_knn": q_icosa_knn,
         "line_assign_z6": q_line_assign_z6,
         "line_tiles": q_line_tiles,
     }
@@ -903,10 +930,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM geo g CROSS JOIN q),
             r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, doc_id) rn FROM d)
             SELECT q_id, doc_id, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn <= 5"""
+    icosa_knn_sql = f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            q AS (SELECT CAST(q_id AS BIGINT) q_id, q_lon, q_lat
+                  FROM (VALUES (0, 0, 0), (1, -87900, 41600), (2, 100000, -45000),
+                               (3, 179900, 41600), (4, -179950, -84900),
+                               (5, 500, 84900)) qq(q_id, q_lon, q_lat)),
+            d AS (SELECT q.q_id, g.doc_id,
+                         (g.lon_mi - q.q_lon)*(g.lon_mi - q.q_lon)
+                       + (g.lat_mi - q.q_lat)*(g.lat_mi - q.q_lat) AS d2
+                  FROM geo g CROSS JOIN q),
+            r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, doc_id) rn FROM d)
+            SELECT q_id, doc_id, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn <= 5"""
     return {
         # hex-bucketed kNN returns EXACTLY the exact-kNN answer (the ring
         # search either proves optimality or falls back) — same oracle
         "hex_knn": knn_sql,
+        # spherical-index kNN over the extended (dateline + pole) query
+        # set — same exact-kNN shape, planar metric
+        "icosa_knn": icosa_knn_sql,
         "langid": langid_sql,
         "pages_build": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
             SELECT doc_id, url, lang,

@@ -275,6 +275,107 @@ def grid_disk(cell: int, k: int) -> np.ndarray:
     )
 
 
+# angular circumradius of a face (face center -> farthest vertex), radians
+_FACE_CIRCUM_RAD = float(
+    np.arccos(np.clip((_CENTERS @ _VERTS.T).min(axis=1), -1, 1)).max()
+)
+# gnomonic->angular distortion bound inside a face + slack (1/cos^2 at the
+# farthest relevant angle, capped at 45 deg)
+_GNOMONIC_DISTORT = 2.2
+
+
+def spacing_angle_deg(res: int) -> float:
+    """Angular lattice spacing (degrees) at ``res`` near a face center —
+    the minimum; spacing grows away from the center under the gnomonic
+    projection, so this is the conservative figure for coverage maths."""
+    return float(np.degrees(np.arctan(BASE_SPACING / abs(_C) ** res)))
+
+
+def cell_circum_deg(res: int) -> float:
+    """Upper bound (degrees) on the angular distance from any res-cell's
+    center to the farthest point of the cell: one lattice spacing at the
+    face center x the gnomonic distortion bound."""
+    return spacing_angle_deg(res) * _GNOMONIC_DISTORT
+
+
+def cells_in_cap(lng: float, lat: float, cover_radius_deg: float, res: int) -> np.ndarray:
+    """CROSS-FACE cap enumeration (VERDICT.md r2 #8): every cell id that
+    ``latlng_to_cell`` can emit for ANY point within ``cover_radius_deg``
+    of (lng, lat) is in the returned set — across face boundaries, at the
+    poles and over the dateline.
+
+    Guarantee (the kNN ring-search coverage proof): a point u within the
+    cap maps to a cell whose center is within ``cell_circum_deg(res)`` of
+    u, hence within cap_radius = cover + circum of the query; every face
+    whose territory can hold such a center is visited, and on each face
+    the lattice is enumerated out to the gnomonic image of the cap with
+    the distortion bound — a deliberate SUPERSET (no ownership filter:
+    boundary-sliver cells that canonicalization leaves on a neighboring
+    face are enumerated from that face's lattice directly)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    v = _lonlat_to_xyz(np.asarray([lng]), np.asarray([lat]))[0]
+    circ = np.radians(cell_circum_deg(res))
+    cap = np.radians(cover_radius_deg) + circ
+    # faces whose circumcap intersects the search cap
+    cos_need = np.cos(min(np.pi, cap + _FACE_CIRCUM_RAD))
+    faces = np.nonzero(_CENTERS @ v >= cos_need)[0]
+    spacing_g = BASE_SPACING / abs(_C) ** res
+    out = []
+    for f in faces.tolist():
+        d = float(v @ _CENTERS[f])
+        if d <= 0.2:  # cap center behind/along this face's horizon: the
+            # face is only reachable when the cap is huge — enumerate the
+            # whole face territory instead of projecting the far point
+            x = y = 0.0
+            g_rad = np.tan(_FACE_CIRCUM_RAD) + (
+                min(cap, np.pi / 2 * 0.98) * _GNOMONIC_DISTORT
+            )
+        else:
+            p = v / d - _CENTERS[f]
+            x = float(p @ _E1[f])
+            y = float(p @ _E2[f])
+            g_rad = min(cap, np.pi / 2 * 0.98) * _GNOMONIC_DISTORT
+        # axial coords of the projected cap center on face f's lattice —
+        # the SAME transform as _round_in_face: the res-r lattice is the
+        # base lattice scaled and ROTATED by the complex similarity C^res
+        zeta = (x + 1j * y) * (_C**res) / BASE_SPACING
+        rf = zeta.imag / _OMEGA.imag
+        qf = zeta.real - rf * _OMEGA.real
+        M = int(np.ceil(g_rad / spacing_g)) + 2
+        q0, r0 = int(round(qf)), int(round(rf))
+        qq, rr = np.meshgrid(
+            np.arange(q0 - M, q0 + M + 1), np.arange(r0 - M, r0 + M + 1)
+        )
+        qq = qq.ravel().astype(np.int64)
+        rr = rr.ravel().astype(np.int64)
+        # hex-metric prune of the square enumeration (cheap)
+        dq, dr = qq - q0, rr - r0
+        hexd = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+        keep = hexd <= M
+        qq, rr = qq[keep], rr[keep]
+        ctr = _center_xyz(np.full(len(qq), f, dtype=np.int64), qq, rr, res)
+        near = ctr @ v >= np.cos(cap)
+        if near.any():
+            out.append(
+                _pack(res, np.full(int(near.sum()), f, dtype=np.int64), qq[near], rr[near])
+            )
+    if not out:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(out))
+
+
+def grid_disk_cross(cell: int, k: int) -> np.ndarray:
+    """Cross-face grid disk: all cells (any face) within ~k lattice steps
+    of ``cell`` — the spherical-cap formulation of :func:`grid_disk`, with
+    no same-face caveat.  Radius = k x the angular spacing plus one cell
+    circumradius of slack."""
+    res = int(get_resolution(np.asarray([cell], dtype=np.uint64))[0])
+    lng, lat = cell_to_latlng(np.asarray([cell], dtype=np.uint64))
+    radius = k * spacing_angle_deg(res) + cell_circum_deg(res)
+    return cells_in_cap(float(lng[0]), float(lat[0]), radius, res)
+
+
 def cells_contain(parents, descendants) -> np.ndarray:
     """Vectorized: is ``parents[i]`` an ancestor of ``descendants[i]``?"""
     pres = get_resolution(np.atleast_1d(parents))

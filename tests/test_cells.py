@@ -221,3 +221,48 @@ class TestIcosa:
 
         with pytest.raises(ValueError):
             icosa.latlng_to_cell(np.array([0.0]), np.array([0.0]), 16)
+
+    def test_cells_in_cap_covers_all_points(self):
+        """Coverage guarantee of the cross-face cap enumeration: every
+        point within the cover radius maps (latlng_to_cell) to an
+        enumerated cell — across face edges, at the poles, over the
+        dateline (the kNN ring-search correctness premise)."""
+        from cloudtile_ray.geo import icosa
+
+        rng = np.random.default_rng(7)
+        cases = [(179.9, 0.0), (-179.9, 30.0), (0.0, 89.5), (10.0, -89.5), (0.0, 0.0)]
+        cases += [
+            (float(rng.uniform(-180, 180)), float(rng.uniform(-89, 89)))
+            for _ in range(10)
+        ]
+        for lng, lat in cases:
+            res = int(rng.integers(1, 5))
+            radius = float(rng.uniform(0.5, 6.0))
+            cells = icosa.cells_in_cap(lng, lat, radius, res)
+            v = icosa._lonlat_to_xyz(np.array([lng]), np.array([lat]))[0]
+            a = np.array([1.0, 0, 0]) if abs(v[0]) < 0.9 else np.array([0, 1.0, 0])
+            e1 = np.cross(v, a)
+            e1 /= np.linalg.norm(e1)
+            e2 = np.cross(v, e1)
+            n = 150
+            ang = np.radians(radius) * np.sqrt(rng.uniform(0, 1, n))
+            az = rng.uniform(0, 2 * np.pi, n)
+            pts = (
+                np.cos(ang)[:, None] * v
+                + np.sin(ang)[:, None] * (np.cos(az)[:, None] * e1 + np.sin(az)[:, None] * e2)
+            )
+            plng, plat = icosa._xyz_to_lonlat(pts)
+            pc = icosa.latlng_to_cell(plng, plat, res)
+            assert np.isin(pc, cells).all(), (lng, lat, res, radius)
+
+    def test_grid_disk_cross_superset_of_same_face(self):
+        from cloudtile_ray.geo import icosa
+
+        c = int(icosa.latlng_to_cell(np.array([12.0]), np.array([45.0]), 3)[0])
+        same_face = icosa.grid_disk(c, 2)
+        cross = icosa.grid_disk_cross(c, 2)
+        # the cross-face disk contains at least the near part of the
+        # same-face disk (cells beyond the face edge are extra)
+        inter = np.isin(same_face, cross)
+        assert inter.mean() > 0.9
+        assert len(cross) >= len(same_face)
