@@ -20,13 +20,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_URL_LAT = r"[?&]lat_mi=(-?[0-9]+)"
-_URL_LON = r"[?&]lon_mi=(-?[0-9]+)"
-_HTML_LAT = r'data-lat-mi="(-?[0-9]+)"'
-_HTML_LON = r'data-lon-mi="(-?[0-9]+)"'
-_URL_LAT_DEC = r"[?&]lat=(-?[0-9]+\.[0-9]+)"
-_URL_LON_DEC = r"[?&]lon=(-?[0-9]+\.[0-9]+)"
-_TEXT_COORD = r"located at (-?[0-9]+\.[0-9]+), (-?[0-9]+\.[0-9]+)"
+# PAIRED extractions: the corpus always writes lat/lon adjacently (URL
+# query string and HTML data attrs), so each pair is ONE RE2 pass with two
+# capture groups instead of two full scans — geocode runs 6 regex passes
+# total, and every pass matters: this stage scans every html byte of the
+# corpus (a whole extra pass cost ~15% of the r2 headline).
+_URL_PAIR = r"[?&]lat_mi=(?P<lat>-?[0-9]+)&lon_mi=(?P<lon>-?[0-9]+)"
+_HTML_PAIR = r'data-lat-mi="(?P<lat>-?[0-9]+)" data-lon-mi="(?P<lon>-?[0-9]+)"'
+_URL_DEC_PAIR = r"[?&]lat=(?P<lat>-?[0-9]+\.[0-9]+)&lon=(?P<lon>-?[0-9]+\.[0-9]+)"
 _FOOTPRINT = r'data-footprint="([-0-9 ,.]+)"'
 _POLYLINE = r'data-polyline="([-0-9 ,.]+)"'
 
@@ -37,20 +38,26 @@ def _extract_one(arr: pa.Array, pattern: str) -> pa.Array:
     return pc.struct_field(m, "g")
 
 
+def _extract_pair(arr: pa.Array, pattern: str) -> tuple[pa.Array, pa.Array]:
+    m = pc.extract_regex(arr, pattern=pattern)
+    return pc.struct_field(m, "lat"), pc.struct_field(m, "lon")
+
+
 def geocode_batch(batch: pa.Table) -> pa.Table:
     url = batch.column("url")
     html = pc.cast(batch.column("html"), pa.string())
     text = batch.column("text")
 
     # integer milli-degree paths (exact; driver-facing)
-    lat_mi = pc.cast(_extract_one(url, _URL_LAT), pa.int64())
-    lon_mi = pc.cast(_extract_one(url, _URL_LON), pa.int64())
-    lat_mi = pc.coalesce(lat_mi, pc.cast(_extract_one(html, _HTML_LAT), pa.int64()))
-    lon_mi = pc.coalesce(lon_mi, pc.cast(_extract_one(html, _HTML_LON), pa.int64()))
+    u_lat, u_lon = _extract_pair(url, _URL_PAIR)
+    h_lat, h_lon = _extract_pair(html, _HTML_PAIR)
+    lat_mi = pc.coalesce(pc.cast(u_lat, pa.int64()), pc.cast(h_lat, pa.int64()))
+    lon_mi = pc.coalesce(pc.cast(u_lon, pa.int64()), pc.cast(h_lon, pa.int64()))
 
     # decimal-degree fallbacks (engine-generated fixtures / realistic pages)
-    lat_dec = pc.cast(_extract_one(url, _URL_LAT_DEC), pa.float64())
-    lon_dec = pc.cast(_extract_one(url, _URL_LON_DEC), pa.float64())
+    d_lat, d_lon = _extract_pair(url, _URL_DEC_PAIR)
+    lat_dec = pc.cast(d_lat, pa.float64())
+    lon_dec = pc.cast(d_lon, pa.float64())
     tm = pc.extract_regex(
         text, pattern=r"located at (?P<lat>-?[0-9]+\.[0-9]+), (?P<lon>-?[0-9]+\.[0-9]+)"
     )
