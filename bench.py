@@ -214,10 +214,21 @@ def main() -> None:
         scale_rep = os.environ.get("GRAFT_REPLICATE", "2560")
         n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "5"))
         settle = int(os.environ.get("GRAFT_SCALING_SETTLE", "25"))
+        # drift gate (round-3): a pair is only ACCEPTED when a fixed-width
+        # (8-proc) host probe taken immediately before each of its two legs
+        # agrees within GRAFT_SCALING_DRIFT (default 20%) — a pair whose
+        # legs ran in different host-throughput windows measures the host,
+        # not the engine (r2's 0.62 spread traces to exactly such pairs).
+        # Rejected pairs are re-run up to a retry budget and reported.
+        drift_tol = float(os.environ.get("GRAFT_SCALING_DRIFT", "0.2"))
+        max_retries = int(os.environ.get("GRAFT_SCALING_RETRIES", "2"))
         legs: dict[int, list[dict]] = {8: [], 32: []}
         effs = []
-        for p in range(n_pairs):
+        rejected = []
+
+        def run_pair(p: int) -> tuple[dict, list[float]]:
             pair = {}
+            probes = []
             # alternate leg order across pairs: a leg that follows a long
             # sustained burn runs measurably slower on this host (thermal /
             # noisy-neighbor throttling), so (8,32),(32,8),... cancels the
@@ -226,6 +237,7 @@ def main() -> None:
             order = (8, 32) if p % 2 == 0 else (32, 8)
             for n in order:
                 time.sleep(settle)
+                probes.append(host_calibration(8))  # fixed-width drift probe
                 cal = host_calibration(n)  # probe at the leg's own width
                 # repeats=2 (best-of): the first full-size run in a fresh
                 # session pays a ~2x one-time cost (worker-pool growth +
@@ -241,18 +253,33 @@ def main() -> None:
                 ).stdout
                 res = json.loads(out.strip().splitlines()[-1])
                 res["host_cal"] = round(cal, 1)
-                legs[n].append(res)
+                res["drift_probe"] = round(probes[-1], 1)
                 pair[n] = res
-            eff = (pair[8]["value"] / pair[32]["value"]) / 4.0
-            effs.append(round(eff, 3))
-            print(json.dumps({"pair": p, "order": list(order),
-                              "sec_8": pair[8]["value"],
-                              "sec_32": pair[32]["value"],
-                              "cal_8": pair[8]["host_cal"],
-                              "cal_32": pair[32]["host_cal"],
-                              "efficiency": round(eff, 3)}),
-                  file=sys.stderr, flush=True)
+                pair["order"] = list(order)
+            return pair, probes
+
+        for p in range(n_pairs):
+            for attempt in range(max_retries + 1):
+                pair, probes = run_pair(p)
+                drift = abs(probes[1] - probes[0]) / max(probes)
+                eff = (pair[8]["value"] / pair[32]["value"]) / 4.0
+                rec = {"pair": p, "attempt": attempt, "order": pair["order"],
+                       "sec_8": pair[8]["value"], "sec_32": pair[32]["value"],
+                       "cal_8": pair[8]["host_cal"], "cal_32": pair[32]["host_cal"],
+                       "drift": round(drift, 3), "efficiency": round(eff, 3)}
+                print(json.dumps(rec), file=sys.stderr, flush=True)
+                if drift <= drift_tol or attempt == max_retries:
+                    if drift > drift_tol:
+                        rec["accepted_on_budget"] = True
+                    legs[8].append(pair[8])
+                    legs[32].append(pair[32])
+                    effs.append(round(eff, 3))
+                    break
+                rejected.append(rec)
         med = statistics.median(effs)
+        effs_sorted = sorted(effs)
+        trimmed = effs_sorted[1:-1] if len(effs_sorted) >= 4 else effs_sorted
+        trimmed_spread = round(max(trimmed) - min(trimmed), 3) if trimmed else 0.0
         # host ceiling per pair: the host's own pure-compute speedup from 8
         # to 32 processes (probed immediately before each leg), /4 — the
         # maximum efficiency ANY program could measure in that window.
@@ -271,6 +298,10 @@ def main() -> None:
             "unit": "ratio",
             "pairs": effs,
             "spread": round(max(effs) - min(effs), 3),
+            "trimmed_spread": trimmed_spread,
+            "trimmed_median": round(statistics.median(trimmed), 3) if trimmed else None,
+            "rejected_pairs": rejected,
+            "drift_tol": drift_tol,
             "host_ceiling_pairs": ceilings,
             "engine_vs_host_pairs": vs_host,
             "engine_vs_host_median": round(statistics.median(vs_host), 3),
