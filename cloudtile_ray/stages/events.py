@@ -12,7 +12,6 @@ ties deterministically, so output is reproducible at any parallelism.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -27,42 +26,63 @@ def prep_events(batch: pa.Table) -> pa.Table:
 
 def running_totals(ds) -> "ray.data.Dataset":
     """Per-user running sum of value_cents in (ts, event_id) order —
-    the cumulative-window operator."""
+    the cumulative-window operator.  Arrow-native group fn (lexsort +
+    cumsum; VERDICT.md r2 minor #5 — no pandas detour)."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"])
-        g["running_cents"] = g["value_cents"].cumsum()
-        return g[["user_id", "event_id", "running_cents"]]
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        return pa.table(
+            {
+                "user_id": g.column("user_id").take(pa.array(order)),
+                "event_id": pa.array(eid[order]),
+                "running_cents": pa.array(np.cumsum(val[order])),
+            }
+        )
 
     return (
         ds.map_batches(prep_events, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_groups(per_user, batch_format="pyarrow")
     )
 
 
 def session_windows(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
     """Per-user session windows: a new session starts when the gap since
     the previous event exceeds ``gap_us``. Output one row per session with
-    start/end and event count — the session-window operator."""
+    start/end and event count — the session-window operator.  Arrow-native
+    group fn (lexsort + reduceat over session boundaries)."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"])
-        new = (g["ts_us"].diff().fillna(gap_us + 1) > gap_us).astype(np.int64)
-        g["session_seq"] = new.cumsum()
-        agg = g.groupby("session_seq").agg(
-            start_us=("ts_us", "min"),
-            end_us=("ts_us", "max"),
-            n_events=("event_id", "count"),
-            sum_cents=("value_cents", "sum"),
-        ).reset_index()
-        agg.insert(0, "user_id", g["user_id"].iloc[0])
-        return agg
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_s, val_s = ts[order], val[order]
+        n = len(ts_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = np.diff(ts_s) > gap_us
+        starts = np.nonzero(new)[0]
+        bounds = np.r_[starts[1:], n]
+        uid = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid, dtype=np.int64)),
+                "session_seq": pa.array(np.arange(1, len(starts) + 1)),
+                "start_us": pa.array(ts_s[starts]),
+                "end_us": pa.array(ts_s[bounds - 1]),
+                "n_events": pa.array((bounds - starts).astype(np.int64)),
+                "sum_cents": pa.array(np.add.reduceat(val_s, starts).astype(np.int64)),
+            }
+        )
 
     return (
         ds.map_batches(prep_events, batch_format="pyarrow")
         .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_groups(per_user, batch_format="pyarrow")
     )
 
 
