@@ -114,9 +114,10 @@ def single_step_full(
     maximum_zoom: int = 7,
     **kwargs,
 ) -> dict:
-    """Point AND polygon tile tables from one shared geocode pass (the
-    geocoded slim projection is materialized once — small columns only —
-    and both branches stream from it)."""
+    """Point, polygon AND line tile tables from one shared geocode pass
+    (the geocoded slim projection is materialized once — small columns
+    only — and all three feature-class branches stream from it)."""
+    from cloudtile_ray.stages.lines import AssignLineTiles, extract_lines
     from cloudtile_ray.stages.polygons import (
         AssignPolygonTiles,
         encode_poly_tiles,
@@ -128,7 +129,7 @@ def single_step_full(
     minz, maxz = (int(z) for z in settings.zoom_range)
 
     geo = geocoded_dataset(sf_dir).map_batches(
-        lambda t: t.select(["doc_id", "lon", "lat", "footprint_mi"]),
+        lambda t: t.select(["doc_id", "lon", "lat", "footprint_mi", "line_mi"]),
         batch_format="pyarrow",
     ).materialize()
 
@@ -191,4 +192,20 @@ def single_step_full(
             batch_format="pyarrow"
         )
         poly_tiles = encode_poly_tiles(assigned, settings=dict(settings))
-    return {"points": point_tiles, "polygons": poly_tiles, "maximum_zoom": maxz}
+    if settings.get("drop-lines", False):
+        line_tiles = None
+    else:
+        lines_assigned = geo.map_batches(extract_lines, batch_format="pyarrow").map_batches(
+            AssignLineTiles(
+                minz, maxz, settings=dict(settings),
+                extent=1 << int(settings.get("full-detail", 12)),
+            ),
+            batch_format="pyarrow",
+        )
+        line_tiles = lines_assigned
+    return {
+        "points": point_tiles,
+        "polygons": poly_tiles,
+        "lines": line_tiles,
+        "maximum_zoom": maxz,
+    }

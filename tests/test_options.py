@@ -230,6 +230,16 @@ class TestTileOptions:
         assert res["polygons"] is None
         assert res["points"].count() > 0
 
+    def test_single_step_full_includes_lines(self, sf_tiny):
+        """All three feature classes from one shared geocode pass;
+        drop-lines removes the line branch."""
+        from cloudtile_ray.pipelines.single_step import single_step_full
+
+        res = single_step_full(sf_tiny, 5, 6)
+        assert res["lines"] is not None and res["lines"].count() > 0
+        dropped = single_step_full(sf_tiny, 5, 6, **{"drop-lines": True})
+        assert dropped["lines"] is None
+
 
 class TestFilterHooks:
     def test_pre_and_postfilter_drive_single_step(self, sf_tiny):
