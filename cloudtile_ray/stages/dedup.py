@@ -1060,13 +1060,15 @@ def expand_cluster_pairs(
     if n == 0:
         return verified
     if n > collect_gate:
-        logger.warning(
-            "expand_cluster_pairs: %d verified pairs exceed gate %d — "
-            "returning un-expanded pairs (pair enumeration is O(cluster^2); "
-            "use drop_near_dups for cluster-level dedup at this scale)",
+        logger.info(
+            "expand_cluster_pairs: %d verified pairs exceed the driver gate "
+            "%d — switching to the distributed expansion path",
             n, collect_gate,
         )
-        return verified
+        return expand_cluster_pairs_distributed(
+            ds, verified, threshold, k=k,
+            broadcast_threshold=broadcast_threshold,
+        )
     tbl = _collect_small(verified)
     a = tbl.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
     b = tbl.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1114,6 +1116,124 @@ def expand_cluster_pairs(
     )
     extra = verify_pairs_distributed(
         ds, cands, threshold, k=k, broadcast_threshold=broadcast_threshold
+    )
+    return verified.union(extra)
+
+
+def _pair_keys_void(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a, b) int64 pair -> 16-byte void view usable with np.isin —
+    collision-free composite set key (no 2^32 id assumption)."""
+    m = np.empty(len(a), dtype=[("a", "<i8"), ("b", "<i8")])
+    m["a"] = a
+    m["b"] = b
+    return m.view("V16").ravel()
+
+
+def expand_cluster_pairs_distributed(
+    ds,
+    verified,
+    threshold: float,
+    k: int = 5,
+    n_parts: int = _N_VERIFY_PARTS,
+    cluster_cap: int = 100_000,
+    broadcast_threshold: int = 2_000_000,
+):
+    """Distributed variant of :func:`expand_cluster_pairs` — zero driver
+    pair collection; this is the path for web-scale corpora where the
+    verified pair set itself is O(corpus).
+
+    1. labels = :func:`resolve_clusters_distributed` (hash-partitioned
+       large-star/small-star CC — pairs never touch the driver);
+    2. all intra-cluster pairs are enumerated inside
+       ``groupby(cluster_id).map_groups`` (a cluster's pair set is the
+       deliverable, so the O(cluster^2) emission is output-sized, not
+       waste; clusters above ``cluster_cap`` are truncated with a warning
+       — a single 10^5+-doc boilerplate cluster means 10^10 output pairs,
+       which no pair-level deliverable can carry);
+    3. already-verified pairs are removed by a hash-partitioned anti-join
+       on the (doc_a, doc_b) composite key (both copies of a pair land in
+       the same partition; set subtraction is a vectorized ``np.isin``
+       over 16-byte void keys);
+    4. the surviving candidates run through the same distributed
+       exact-Jaccard verifier (near-dup Jaccard is not transitive, so
+       recovered intra-cluster pairs still need verification) and are
+       unioned in.
+
+    For clusters that were never capped the anti-join leaves nothing, so
+    the verify stage sees zero candidates — the steady-state cost is the
+    CC rounds plus two small exchanges over id-only rows."""
+    import ray.data
+
+    labels = resolve_clusters_distributed(verified, n_parts=n_parts)
+
+    def cluster_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2 or "doc_id" not in g.column_names:
+            return _pairs_schema()
+        ids = np.sort(
+            g.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if len(ids) > cluster_cap:
+            logger.warning(
+                "expand_cluster_pairs_distributed: cluster of %d docs exceeds "
+                "cap %d; intra-cluster pairs truncated to the first %d members",
+                len(ids), cluster_cap, cluster_cap,
+            )
+            ids = ids[:cluster_cap]
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
+
+    all_pairs = labels.groupby("cluster_id").map_groups(
+        cluster_pairs, batch_format="pyarrow"
+    )
+
+    _aj_empty = pa.table(
+        {
+            "_part": pa.array([], pa.int64()),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "_have": pa.array([], pa.bool_()),
+        }
+    )
+
+    def _tag(batch: pa.Table, have: bool) -> pa.Table:
+        if "doc_a" not in batch.column_names or batch.num_rows == 0:
+            return _aj_empty
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (
+            (a * np.uint64(2654435761) ^ b * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(n_parts)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_part": pa.array(part),
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "_have": pa.array(np.full(batch.num_rows, have)),
+            }
+        )
+
+    tagged = all_pairs.map_batches(
+        lambda t: _tag(t, False), batch_format="pyarrow"
+    ).union(
+        verified.map_batches(
+            lambda t: _tag(t.select(["doc_a", "doc_b"]), True),
+            batch_format="pyarrow",
+        )
+    )
+
+    def missing_only(g: pa.Table) -> pa.Table:
+        have = g.column("_have").to_numpy(zero_copy_only=False)
+        a = g.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = _pair_keys_void(a, b)
+        fresh = ~have & ~np.isin(keys, keys[have])
+        return pa.table({"doc_a": pa.array(a[fresh]), "doc_b": pa.array(b[fresh])})
+
+    cands = tagged.groupby("_part").map_groups(missing_only, batch_format="pyarrow")
+    extra = verify_pairs_distributed(
+        ds, cands, threshold, k=k, n_parts=n_parts,
+        broadcast_threshold=broadcast_threshold,
     )
     return verified.union(extra)
 

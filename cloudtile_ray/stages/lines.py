@@ -110,6 +110,15 @@ def clip_polyline_to_box(
                 continue
             vals = part[:, axis]
             inside = vals <= bound if keep_leq else vals >= bound
+            # vectorized fast paths: a part fully inside this half-plane
+            # passes through untouched; fully outside vanishes.  The scalar
+            # split loop below only ever runs on parts that actually cross
+            # the boundary — the rare case for tile-sized lines.
+            if inside.all():
+                nxt.append(part)
+                continue
+            if not inside.any():
+                continue
             cur: list[np.ndarray] = []
             for i in range(part.shape[0]):
                 if i > 0 and inside[i] != inside[i - 1]:

@@ -417,6 +417,54 @@ class TestDedup:
         assert len(full) == n * (n - 1) // 2
         assert (full.jaccard == 1.0).all()
 
+    def test_expand_clusters_distributed_matches_driver(self, ray_session):
+        """The fully distributed expansion (CC labels -> per-cluster pair
+        enumeration -> hash-partitioned anti-join -> distributed verify)
+        must produce exactly the driver-path pair set — including the
+        verification step rejecting non-transitive low-Jaccard pairs."""
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import (
+            expand_cluster_pairs,
+            expand_cluster_pairs_distributed,
+            minhash_dedup_pairs,
+            verify_pairs_distributed,
+        )
+
+        n = 80
+        # two genuine duplicate clusters plus distinct background docs
+        texts = (
+            ["cluster one shares this exact boilerplate body"] * 30
+            + ["cluster two repeats a different template text"] * 30
+            + [f"unique background document number {i} with its own words" for i in range(n - 60)]
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        capped = minhash_dedup_pairs(
+            ds, threshold=0.9, bucket_cap=8, expand_clusters=False
+        ).materialize()
+
+        def norm(d):
+            return (
+                d.to_pandas()
+                .sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+            )
+
+        driver = norm(
+            expand_cluster_pairs(ds, capped, 0.9, k=5)
+        )
+        dist = norm(
+            expand_cluster_pairs_distributed(ds, capped, 0.9, k=5)
+        )
+        assert len(driver) == 2 * (30 * 29 // 2)
+        pd.testing.assert_frame_equal(driver, dist)
+
     def test_verify_byte_budget_routes_to_shuffle(self, near_dup_ds):
         """A candidate set within the PAIR gate but over the BYTE budget
         must fall through to the shuffle join (ADVICE r2 #1) and still
