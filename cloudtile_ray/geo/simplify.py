@@ -53,6 +53,66 @@ def douglas_peucker_mask(pts: np.ndarray, tolerance: float) -> np.ndarray:
     return keep
 
 
+def dp_mask_padded(P: np.ndarray, cnts: np.ndarray, tolerance: float) -> np.ndarray:
+    """Vectorized Douglas-Peucker over a padded ``(R, V, 2)`` batch of
+    small polylines/rings with per-row vertex counts ``cnts``.
+
+    Produces bit-identical keep masks to :func:`douglas_peucker_mask`
+    applied row-by-row (same float expressions, same first-max argmax
+    tie-break), with zero per-ring Python: the recursion is simulated
+    breadth-first — each round processes EVERY ring's active (a, b)
+    segments at once, so the loop count is bounded by the recursion depth
+    (<= V), not by the number of rings.  Built for the clip outputs of the
+    batched polygon/line paths, where V is small (a clipped quad has <= 8
+    vertices) and R is the whole (feature, tile) pair set."""
+    P = np.asarray(P, dtype=np.float64)
+    R, V = P.shape[0], P.shape[1]
+    keep = np.zeros((R, V), dtype=bool)
+    if R == 0 or V == 0:
+        return keep
+    cnts = np.asarray(cnts, dtype=np.int64)
+    rows = np.nonzero(cnts > 0)[0]
+    keep[rows, 0] = True
+    keep[rows, cnts[rows] - 1] = True
+    tol2 = tolerance * tolerance
+    # active segments: (ring, a, b) with at least one interior vertex
+    seg_r = np.nonzero(cnts >= 3)[0]
+    seg_a = np.zeros(len(seg_r), dtype=np.int64)
+    seg_b = cnts[seg_r] - 1
+    offs = np.arange(1, max(V - 1, 2), dtype=np.int64)
+    while len(seg_r):
+        idx = seg_a[:, None] + offs[None, :]
+        m_valid = idx < seg_b[:, None]
+        idx_c = np.minimum(idx, seg_b[:, None] - 1)
+        px = P[seg_r[:, None], idx_c, 0]
+        py = P[seg_r[:, None], idx_c, 1]
+        ax = P[seg_r, seg_a, 0][:, None]
+        ay = P[seg_r, seg_a, 1][:, None]
+        bx = P[seg_r, seg_b, 0][:, None]
+        by = P[seg_r, seg_b, 1][:, None]
+        dx = bx - ax
+        dy = by - ay
+        L2 = dx * dx + dy * dy
+        cross = (px - ax) * dy - (py - ay) * dx
+        d2 = np.where(
+            L2 == 0.0,
+            (px - ax) ** 2 + (py - ay) ** 2,
+            cross * cross / np.where(L2 == 0.0, 1.0, L2),
+        )
+        d2 = np.where(m_valid, d2, -1.0)
+        i = np.argmax(d2, axis=1)
+        d2max = d2[np.arange(len(seg_r)), i]
+        split = d2max > tol2
+        m = seg_a + 1 + i
+        keep[seg_r[split], m[split]] = True
+        r2 = np.concatenate([seg_r[split], seg_r[split]])
+        a2 = np.concatenate([seg_a[split], m[split]])
+        b2 = np.concatenate([m[split], seg_b[split]])
+        good = (b2 - a2) >= 2
+        seg_r, seg_a, seg_b = r2[good], a2[good], b2[good]
+    return keep
+
+
 def visvalingam_mask(pts: np.ndarray, min_area: float, min_keep: int = 3) -> np.ndarray:
     """Boolean keep-mask under Visvalingam-Whyatt: repeatedly drop the
     vertex whose triangle with its neighbors has the smallest effective

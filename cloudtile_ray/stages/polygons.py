@@ -382,19 +382,21 @@ class AssignPolygonTiles:
                         kv = keep_v[is4]
                         kv[:, :4] &= k4
                         keep_v[is4] = kv
-                    for r in np.nonzero(cnts >= 5)[0]:
-                        from cloudtile_ray.geo.simplify import simplify_ring as _sr
+                    big = np.nonzero(cnts >= 5)[0]
+                    if big.size:
+                        from cloudtile_ray.geo.simplify import dp_mask_padded
 
-                        ring = rings_c[r, : cnts[r]]
-                        mask_r = np.zeros(V, dtype=bool)
-                        kept = _sr(ring, tolerance=tol, visvalingam=False)
-                        # map kept rows back by matching consecutive equality
-                        ki = 0
-                        for vi_ in range(int(cnts[r])):
-                            if ki < kept.shape[0] and (ring[vi_] == kept[ki]).all():
-                                mask_r[vi_] = True
-                                ki += 1
-                        keep_v[r] = mask_r
+                        kb = dp_mask_padded(rings_c[big], cnts[big], tol)
+                        # ring-validity floor (simplify_ring parity): DP
+                        # always keeps both endpoints, so a collapsed mask
+                        # has exactly 2 kept — restore the first unkept
+                        ks = kb.sum(axis=1)
+                        fix = np.nonzero(ks < 3)[0]
+                        if fix.size:
+                            kb[fix, np.argmax(~kb[fix], axis=1)] = True
+                        keep_v[big] = kb & (
+                            np.arange(V)[None, :] < cnts[big][:, None]
+                        )
                 kc = keep_v.sum(axis=1)
                 # padded shoelaces: tiny CHECK on unrounded, EMITTED area on
                 # rounded (general-path parity)

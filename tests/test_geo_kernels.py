@@ -151,6 +151,28 @@ class TestSimplify:
         out = simplify.simplify_ring(ring, tolerance=10.0)
         assert out.shape[0] >= 3
 
+    def test_dp_mask_padded_matches_scalar(self):
+        """dp_mask_padded must be bit-identical to douglas_peucker_mask
+        row-by-row over random small rings of mixed lengths — including
+        degenerate repeated-point rows (L2 == 0 chords)."""
+        rng = np.random.default_rng(7)
+        R, V = 500, 9
+        P = np.zeros((R, V, 2))
+        cnts = rng.integers(1, V + 1, size=R)
+        for r in range(R):
+            c = cnts[r]
+            P[r, :c] = np.round(rng.uniform(-50, 4146, size=(c, 2)), 1)
+            if r % 11 == 0 and c >= 3:  # duplicate endpoints -> L2 == 0
+                P[r, c - 1] = P[r, 0]
+            if r % 17 == 0 and c >= 4:  # interior duplicate run
+                P[r, 2] = P[r, 1]
+        for tol in (0.0, 3.0, 40.0, 1e6):
+            got = simplify.dp_mask_padded(P, cnts, tol)
+            for r in range(R):
+                want = simplify.douglas_peucker_mask(P[r, : cnts[r]], tol)
+                assert (got[r, : cnts[r]] == want).all(), (r, tol)
+                assert not got[r, cnts[r]:].any()
+
     def test_visvalingam_drops_small_triangles(self):
         pts = np.array([[0, 0], [1, 0.01], [2, 0], [3, 4], [4, 0]], dtype=float)
         mask = simplify.visvalingam_mask(pts, min_area=0.5)
