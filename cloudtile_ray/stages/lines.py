@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 from cloudtile_ray.config import TilingSettings
 from cloudtile_ray.geo import webmercator as wm
-from cloudtile_ray.geo.simplify import douglas_peucker_mask
+from cloudtile_ray.geo.simplify import douglas_peucker_mask, dp_mask_padded
 
 
 def parse_coord_lists(col: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, pa.Array]:
@@ -139,16 +139,34 @@ def clip_polyline_to_box(
     return parts
 
 
-def encode_parts_blob(parts: list[np.ndarray]) -> tuple[bytes, int, int]:
-    """Pack rounded parts as int32: [n_parts, cnt_0, x, y, ..., cnt_1, ...].
-    Returns (blob, total_pts, n_parts)."""
+def encode_parts_flat(parts: list[np.ndarray]) -> tuple[np.ndarray, int, int]:
+    """Pack rounded parts as an int32 array: [n_parts, cnt_0, x, y, ...,
+    cnt_1, ...].  Returns (flat, total_pts, n_parts)."""
     pieces = [np.array([len(parts)], dtype=np.int32)]
     total = 0
     for p in parts:
         pieces.append(np.array([p.shape[0]], dtype=np.int32))
         pieces.append(np.round(p).astype(np.int32).ravel())
         total += p.shape[0]
-    return np.concatenate(pieces).tobytes(), total, len(parts)
+    return np.concatenate(pieces), total, len(parts)
+
+
+def encode_parts_blob(parts: list[np.ndarray]) -> tuple[bytes, int, int]:
+    """Pack rounded parts as int32: [n_parts, cnt_0, x, y, ..., cnt_1, ...].
+    Returns (blob, total_pts, n_parts)."""
+    flat, total, n = encode_parts_flat(parts)
+    return flat.tobytes(), total, n
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
 
 
 def decode_parts_blob(blob: bytes) -> list[np.ndarray]:
@@ -202,7 +220,215 @@ class AssignLineTiles:
             }
         )
 
+    # How many vertices a line may have and still ride the padded
+    # vectorized path; longer lines (rare) take the scalar fallback so the
+    # padded work matrix stays bounded at batch x LONG_VERTS x 2 floats.
+    LONG_VERTS = 512
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized assignment: tile-range arithmetic, the all-inside
+        clip test, Douglas-Peucker (via :func:`dp_mask_padded`) and blob
+        encoding (one flat int32 buffer wrapped zero-copy as an Arrow
+        binary column) all run over the whole (feature, tile) pair set at
+        once.  Only pairs whose line actually crosses the buffered tile
+        boundary — or lines longer than ``LONG_VERTS`` — drop to the
+        scalar kernels.  Bit-identical to :meth:`call_scalar` (the
+        original per-pair loop, kept as the parity reference): same float
+        expressions, same emit order (zoom-major, then feature, then tx,
+        then ty)."""
+        if self.s.get("drop-lines", False) or batch.num_rows == 0:
+            return self._empty()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+
+        def list_col(name: str):
+            col = batch.column(name)
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        fl, ft = list_col("ln_lon"), list_col("ln_lat")
+        lon_off = fl.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lon_val = fl.values.to_numpy(zero_copy_only=False)
+        lat_val = ft.values.to_numpy(zero_copy_only=False)
+        starts = lon_off[:-1]
+        nverts = np.diff(lon_off)
+        if len(lon_val) == 0:
+            return self._empty()
+        idx = np.minimum(starts, len(lon_val) - 1)
+        wmin = np.minimum.reduceat(lon_val, idx)
+        wmax = np.maximum.reduceat(lon_val, idx)
+        smin = np.minimum.reduceat(lat_val, idx)
+        smax = np.maximum.reduceat(lat_val, idx)
+        buffer_px = float(self.s.get("buffer", 5))
+        no_clip = bool(self.s.get("no-clipping", False))
+        w_b = s_b = -buffer_px
+        e_b = n_b = self.extent + buffer_px
+        valid = np.nonzero(nverts >= 2)[0]
+        if len(valid) == 0:
+            return self._empty()
+
+        # zoom-free base coords (scalar path computes fx = base * nfac with
+        # the same expression order, so per-zoom scaling is bit-identical)
+        blon_flat = (lon_val + 180.0) / 360.0
+        lat_rad = np.radians(np.clip(lat_val, wm.MIN_LAT, wm.MAX_LAT))
+        blat_flat = (1.0 - np.log(np.tan(lat_rad) + 1.0 / np.cos(lat_rad)) / np.pi) / 2.0
+
+        is_vec = nverts[valid] <= self.LONG_VERTS
+        vec_feats = valid[is_vec]
+        vecpos = np.full(len(valid), -1, dtype=np.int64)
+        vecpos[is_vec] = np.arange(int(is_vec.sum()))
+        V = int(nverts[vec_feats].max()) if len(vec_feats) else 0
+        if V:
+            idxm = starts[vec_feats][:, None] + np.arange(V)[None, :]
+            idxc = np.minimum(idxm, len(lon_val) - 1)
+            bx = blon_flat[idxc]
+            by = blat_flat[idxc]
+            vmask = np.arange(V)[None, :] < nverts[vec_feats][:, None]
+
+        chunks: list[pa.Table] = []
+        for z in self.zooms:
+            x0, _ = wm.lonlat_to_tile(wmin, smin, z)
+            x1, _ = wm.lonlat_to_tile(wmax, smin, z)
+            _, y1 = wm.lonlat_to_tile(wmin, smin, z)  # south -> larger y
+            _, y0 = wm.lonlat_to_tile(wmin, smax, z)  # north -> smaller y
+            tol = self._tolerance_px(z)
+            nfac = np.float64(1 << z)
+            nx = (x1 - x0 + 1)[valid]
+            ny = (y1 - y0 + 1)[valid]
+            npairs = nx * ny
+            tot = int(npairs.sum())
+            if tot == 0:
+                continue
+            pf = np.repeat(np.arange(len(valid)), npairs)
+            k = _ragged_arange(npairs)
+            nyp = ny[pf]
+            ptx = x0[valid][pf] + k // nyp  # tx-major, ty-minor: loop order
+            pty = y0[valid][pf] + k % nyp
+            feat = valid[pf]
+
+            vecrow = vecpos[pf]
+            cand = vecrow >= 0
+            allin = np.zeros(tot, dtype=bool)
+            allout = np.zeros(tot, dtype=bool)
+            pxp = pyp = None
+            if cand.any() and V:
+                rows = vecrow[cand]
+                pxp = (bx[rows] * nfac - ptx[cand][:, None]) * self.extent
+                pyp = (by[rows] * nfac - pty[cand][:, None]) * self.extent
+                vm = vmask[rows]
+                if no_clip:
+                    allin[cand] = True
+                else:
+                    inside = (
+                        (pxp >= w_b) & (pxp <= e_b) & (pyp >= s_b) & (pyp <= n_b)
+                    ) | ~vm
+                    allin[cand] = inside.all(axis=1)
+                    # every valid vertex strictly outside ONE half-plane ->
+                    # the Sutherland-Hodgman pass for that plane provably
+                    # returns [], so the pair emits an empty geometry row
+                    # (header [0]) without touching the scalar clipper —
+                    # the dominant case for bbox-spanning lines.
+                    nvm = ~vm
+                    allout[cand] = (
+                        ((pxp > e_b) | nvm).all(axis=1)
+                        | ((pxp < w_b) | nvm).all(axis=1)
+                        | ((pyp > n_b) | nvm).all(axis=1)
+                        | ((pyp < s_b) | nvm).all(axis=1)
+                    )
+            vsel = np.nonzero(allin)[0]
+            osel = np.nonzero(allout & ~allin)[0]
+            ssel = np.nonzero(~allin & ~allout)[0]
+
+            lens = np.zeros(tot, dtype=np.int64)
+            npts_col = np.zeros(tot, dtype=np.int64)
+            nparts_col = np.zeros(tot, dtype=np.int64)
+
+            cnt_k = keep = P = None
+            if len(vsel):
+                cpos = np.cumsum(cand) - 1  # pair idx -> row in pxp/pyp
+                vc = cpos[vsel]
+                P = np.stack([pxp[vc], pyp[vc]], axis=2)
+                vrows = vecrow[vsel]
+                if tol > 0:
+                    keep = dp_mask_padded(P, nverts[feat[vsel]], tol)
+                    keep &= vmask[vrows]
+                else:
+                    keep = vmask[vrows]
+                cnt_k = keep.sum(axis=1).astype(np.int64)
+                lens[vsel] = 2 + 2 * cnt_k
+                npts_col[vsel] = cnt_k
+                nparts_col[vsel] = 1
+
+            if len(osel):
+                lens[osel] = 1  # header [0]: no parts (flat is zero-filled)
+
+            sflat: dict[int, np.ndarray] = {}
+            if len(ssel):
+                fx_flat = blon_flat * nfac
+                fy_flat = blat_flat * nfac
+            for j in ssel:
+                i = feat[j]
+                sl = slice(starts[i], lon_off[i + 1])
+                px = (fx_flat[sl] - ptx[j]) * self.extent
+                py = (fy_flat[sl] - pty[j]) * self.extent
+                line_px = np.c_[px, py]
+                if no_clip:
+                    parts = [line_px]
+                else:
+                    parts = clip_polyline_to_box(line_px, w_b, s_b, e_b, n_b)
+                if tol > 0:
+                    parts = [p[douglas_peucker_mask(p, tol)] for p in parts]
+                parts = [p for p in parts if p.shape[0] >= 2]
+                arr, n_pts, n_parts = encode_parts_flat(parts)
+                sflat[int(j)] = arr
+                lens[j] = len(arr)
+                npts_col[j] = n_pts
+                nparts_col[j] = n_parts
+
+            off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+            flat = np.zeros(int(off[-1]), dtype=np.int32)
+            if len(vsel):
+                sv = off[vsel]
+                flat[sv] = 1
+                flat[sv + 1] = cnt_k.astype(np.int32)
+                ptvals = 2 * cnt_k
+                pos = np.repeat(sv + 2, ptvals) + _ragged_arange(ptvals)
+                xk = np.round(P[..., 0])[keep]
+                yk = np.round(P[..., 1])[keep]
+                inter = np.empty(xk.size * 2, dtype=np.float64)
+                inter[0::2] = xk
+                inter[1::2] = yk
+                flat[pos] = inter.astype(np.int32)
+            for j, arr in sflat.items():
+                flat[off[j] : off[j] + len(arr)] = arr
+            boffs = (off * 4).astype(np.int32)
+            blob_col = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                tot,
+                [None, pa.py_buffer(boffs.tobytes()), pa.py_buffer(flat.tobytes())],
+            )
+            chunks.append(
+                pa.table(
+                    {
+                        "tile_key": pa.array(
+                            wm.tile_key(np.full(tot, z, dtype=np.uint64), ptx, pty)
+                        ),
+                        "z": pa.array(np.full(tot, z, dtype=np.int64)),
+                        "x": pa.array(ptx.astype(np.int64)),
+                        "y": pa.array(pty.astype(np.int64)),
+                        "doc_id": pa.array(ids[feat].astype(np.int64)),
+                        "line_blob": blob_col,
+                        "n_pts": pa.array(npts_col),
+                        "n_parts": pa.array(nparts_col),
+                    }
+                )
+            )
+        if not chunks:
+            return self._empty()
+        return pa.concat_tables(chunks).combine_chunks()
+
+    def call_scalar(self, batch: pa.Table) -> pa.Table:
+        """The original per-(feature, tile) scalar loop — kept as the
+        bit-parity reference for :meth:`__call__` (asserted equal in
+        tests/test_geo_kernels.py)."""
         if self.s.get("drop-lines", False) or batch.num_rows == 0:
             return self._empty()
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)

@@ -285,3 +285,63 @@ class TestLines:
         for blob in out.column("line_blob").to_pylist():
             for part in decode_parts_blob(blob):
                 assert (part >= -5).all() and (part <= 4096 + 5).all()
+
+    def test_assign_line_tiles_vectorized_matches_scalar(self):
+        """The vectorized __call__ must be bit-identical (values, blobs,
+        row order) to call_scalar across: multi-tile spans, boundary
+        crossers, degenerate 0/1-vertex rows, duplicate points, lines
+        longer than LONG_VERTS (scalar routing), no-clipping, and tol=0."""
+        import pyarrow as pa
+
+        from cloudtile_ray.stages.lines import AssignLineTiles
+
+        rng = np.random.default_rng(11)
+        lons, lats, ids = [], [], []
+        for r in range(300):
+            ids.append(r)
+            if r % 23 == 0:
+                lons.append([])  # empty line
+                lats.append([])
+                continue
+            if r % 29 == 0:
+                lons.append([12.5])  # single vertex
+                lats.append([-7.25])
+                continue
+            n = int(rng.integers(2, 40))
+            if r % 37 == 0:
+                n = 600  # > LONG_VERTS -> scalar routing
+            # walk: small steps keep most lines in 1 tile; occasional big
+            # jumps span many tiles and cross buffered boundaries
+            scale = 8.0 if r % 5 == 0 else 0.05
+            lon0, lat0 = rng.uniform(-170, 170), rng.uniform(-80, 80)
+            dl = rng.normal(0, scale, size=(n, 2)).cumsum(axis=0)
+            lon = np.clip(lon0 + dl[:, 0], -179.9, 179.9)
+            lat = np.clip(lat0 + dl[:, 1], -84.9, 84.9)
+            if r % 13 == 0 and n >= 4:
+                lon[2], lat[2] = lon[1], lat[1]  # duplicate interior point
+            lons.append(np.round(lon, 4).tolist())
+            lats.append(np.round(lat, 4).tolist())
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "ln_lon": pa.array(lons, pa.list_(pa.float64())),
+                "ln_lat": pa.array(lats, pa.list_(pa.float64())),
+            }
+        )
+        for settings in (
+            None,
+            {"no-clipping": True},
+            {"no-line-simplification": True},
+            {"simplification": 200},
+            {"buffer": 0},
+        ):
+            stage = AssignLineTiles(3, 6, settings=settings)
+            got = stage(t).combine_chunks()
+            want = stage.call_scalar(t).combine_chunks()
+            assert got.schema == want.schema, settings
+            assert got.num_rows == want.num_rows, settings
+            for col in want.column_names:
+                assert got.column(col).to_pylist() == want.column(col).to_pylist(), (
+                    settings,
+                    col,
+                )
