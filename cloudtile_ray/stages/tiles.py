@@ -399,23 +399,33 @@ def encode_tiles(
         from ray.data.aggregate import Sum
 
         partials = partials.materialize()  # reused: hot count + merge
-        counts = (
+        # Hot-tile detection stays dataset-side: the per-tile count table
+        # is O(tiles) (10^8+ at z<=16) — only the (tiny) over-threshold set
+        # is collected to the driver (VERDICT.md r2 wrong #4; same shape as
+        # the shuffle-PiP density pre-count in join.py).
+        import pyarrow.compute as _pc
+
+        def _only_hot(t: pa.Table) -> pa.Table:
+            return t.filter(_pc.greater(t.column("n"), hot_threshold))
+
+        hot_tbl = (
             partials.groupby("tile_key")
             .aggregate(Sum("cnt", alias_name="n"))
-            .to_pandas()
+            .map_batches(_only_hot, batch_format="pyarrow")
+            .take_all()
         )
-        hot = set(
-            counts.loc[counts["n"] > hot_threshold, "tile_key"].astype(np.uint64).tolist()
+        hot = np.sort(
+            np.array([r["tile_key"] for r in hot_tbl], dtype=np.uint64)
         )
         hot_ref = ray.put(hot)
 
         def add_salt(batch: pa.Table) -> pa.Table:
-            hot_set = ray.get(hot_ref)
+            hot_keys = ray.get(hot_ref)
             tk = batch.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
             px = batch.column("px").to_numpy(zero_copy_only=False).astype(np.int64)
             salt = np.zeros(len(tk), dtype=np.int64)
-            if hot_set:
-                is_hot = np.isin(tk, np.fromiter(hot_set, dtype=np.uint64))
+            if len(hot_keys):
+                is_hot = np.isin(tk, hot_keys)
                 # deterministic sub-split of a hot tile by pixel hash
                 salt[is_hot] = (
                     (px[is_hot] * 2654435761) % n_salts
