@@ -222,6 +222,12 @@ def main() -> None:
         # Rejected pairs are re-run up to a retry budget and reported.
         drift_tol = float(os.environ.get("GRAFT_SCALING_DRIFT", "0.2"))
         max_retries = int(os.environ.get("GRAFT_SCALING_RETRIES", "2"))
+        # window gate (round-3): a pair whose own host-ceiling probe
+        # ((cal_32/cal_8)/4 — the max efficiency ANY program could measure
+        # in that window) is below this floor is rejected+retried like a
+        # drifted pair: a stably-throttled window caps the measurement at
+        # the host, not the engine.  0 disables.
+        min_ceiling = float(os.environ.get("GRAFT_SCALING_MIN_CEILING", "0"))
         legs: dict[int, list[dict]] = {8: [], 32: []}
         effs = []
         rejected = []
@@ -263,13 +269,16 @@ def main() -> None:
                 pair, probes = run_pair(p)
                 drift = abs(probes[1] - probes[0]) / max(probes)
                 eff = (pair[8]["value"] / pair[32]["value"]) / 4.0
+                ceiling = (pair[32]["host_cal"] / pair[8]["host_cal"]) / 4.0
                 rec = {"pair": p, "attempt": attempt, "order": pair["order"],
                        "sec_8": pair[8]["value"], "sec_32": pair[32]["value"],
                        "cal_8": pair[8]["host_cal"], "cal_32": pair[32]["host_cal"],
+                       "ceiling": round(ceiling, 3),
                        "drift": round(drift, 3), "efficiency": round(eff, 3)}
                 print(json.dumps(rec), file=sys.stderr, flush=True)
-                if drift <= drift_tol or attempt == max_retries:
-                    if drift > drift_tol:
+                ok = drift <= drift_tol and ceiling >= min_ceiling
+                if ok or attempt == max_retries:
+                    if not ok:
                         rec["accepted_on_budget"] = True
                     legs[8].append(pair[8])
                     legs[32].append(pair[32])
