@@ -139,6 +139,91 @@ def clip_polyline_to_box(
     return parts
 
 
+def clip_polylines_batch(
+    P: np.ndarray,
+    owner: np.ndarray,
+    w: float,
+    s: float,
+    e: float,
+    n: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batched open-path clip of MANY polylines at once — the whole-stream
+    equivalent of :func:`clip_polyline_to_box`, bit-identical values.
+
+    ``P`` is the (N, 2) float64 concatenation of every line's vertices and
+    ``owner`` the per-vertex line index (non-decreasing).  Four half-plane
+    passes run as flat array ops: each pass computes the inside mask, the
+    crossing interpolations (same ``t = (bound - prev) / (cur - prev)``
+    expressions as the scalar clipper, so emitted floats are identical),
+    and scatters [crossing?, point-if-inside] per input vertex via one
+    cumsum.  Part splits (exit/re-entry) are tracked with a dense part-id
+    column; sub-2-point parts are dropped at the END rather than per pass
+    (a <=1-point part cannot grow in later passes, so the final part set
+    and values match the scalar clipper exactly).
+
+    Returns ``(pts, part_of, owner_of)``: the clipped flat points, the
+    dense part id per point (contiguous ascending runs, grouped by owner in
+    input order), and each point's owner — with every part guaranteed
+    >= 2 points."""
+    pid = owner.astype(np.int64).copy()
+    own = owner.astype(np.int64)
+    for axis, bound, keep_leq in (
+        (0, e, True),
+        (0, w, False),
+        (1, n, True),
+        (1, s, False),
+    ):
+        N = P.shape[0]
+        if N == 0:
+            break
+        vals = P[:, axis]
+        inside = vals <= bound if keep_leq else vals >= bound
+        has_prev = np.zeros(N, dtype=bool)
+        has_prev[1:] = pid[1:] == pid[:-1]
+        crossing = np.zeros(N, dtype=bool)
+        crossing[1:] = inside[1:] != inside[:-1]
+        crossing &= has_prev
+        cnt = crossing.astype(np.int64) + inside.astype(np.int64)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        total = int(off[-1])
+        outP = np.empty((total, 2), dtype=np.float64)
+        out_orig = np.empty(total, dtype=np.int64)
+        out_own = np.empty(total, dtype=np.int64)
+        ci = np.nonzero(crossing)[0]
+        if len(ci):
+            t = (bound - vals[ci - 1]) / (vals[ci] - vals[ci - 1])
+            outP[off[ci]] = P[ci - 1] + t[:, None] * (P[ci] - P[ci - 1])
+            out_orig[off[ci]] = pid[ci]
+            out_own[off[ci]] = own[ci]
+        ki = np.nonzero(inside)[0]
+        pos_k = off[ki] + crossing[ki]
+        outP[pos_k] = P[ki]
+        out_orig[pos_k] = pid[ki]
+        out_own[pos_k] = own[ki]
+        brk = np.zeros(total, dtype=bool)
+        if total:
+            brk[0] = True
+            brk[1:] = out_orig[1:] != out_orig[:-1]
+            # an ENTERING crossing starts a new part (scalar: cur = [x])
+            brk[off[ci[inside[ci]]]] = True
+        P = outP
+        pid = np.cumsum(brk) - 1 if total else np.zeros(0, dtype=np.int64)
+        own = out_own
+    if P.shape[0] == 0:
+        return P, np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    # drop parts with < 2 points (deferred from the scalar clipper's
+    # per-pass close) and re-densify part ids
+    first = np.concatenate([[True], pid[1:] != pid[:-1]])
+    starts = np.nonzero(first)[0]
+    lens = np.diff(np.concatenate([starts, [P.shape[0]]]))
+    keep_part = lens >= 2
+    keep_pt = np.repeat(keep_part, lens)
+    P = P[keep_pt]
+    own = own[keep_pt]
+    new_pid = np.repeat(np.cumsum(keep_part) - 1, lens)[keep_pt]
+    return P, new_pid, own
+
+
 def encode_parts_flat(parts: list[np.ndarray]) -> tuple[np.ndarray, int, int]:
     """Pack rounded parts as an int32 array: [n_parts, cnt_0, x, y, ...,
     cnt_1, ...].  Returns (flat, total_pts, n_parts)."""
@@ -360,11 +445,56 @@ class AssignLineTiles:
             if len(osel):
                 lens[osel] = 1  # header [0]: no parts (flat is zero-filled)
 
+            # boundary-crossing pairs of padded features: batched clip +
+            # padded DP + offset-scatter encode — no per-pair Python
+            ssel_vec = ssel[vecrow[ssel] >= 0] if len(ssel) else ssel
+            ssel_long = ssel[vecrow[ssel] < 0] if len(ssel) else ssel
+            part_owner = None
+            if len(ssel_vec):
+                cposs = np.cumsum(cand) - 1
+                sc = cposs[ssel_vec]
+                vm_s = vmask[vecrow[ssel_vec]]
+                cnts_s = nverts[feat[ssel_vec]]
+                Pin = np.empty((int(cnts_s.sum()), 2), dtype=np.float64)
+                Pin[:, 0] = pxp[sc][vm_s]
+                Pin[:, 1] = pyp[sc][vm_s]
+                owner_in = np.repeat(np.arange(len(ssel_vec)), cnts_s)
+                cp, pidp, ownp = clip_polylines_batch(
+                    Pin, owner_in, w_b, s_b, e_b, n_b
+                )
+                npl = len(ssel_vec)
+                if len(cp):
+                    firstp = np.concatenate([[True], pidp[1:] != pidp[:-1]])
+                    pstarts = np.nonzero(firstp)[0]
+                    plens = np.diff(np.concatenate([pstarts, [len(cp)]]))
+                    part_owner = ownp[pstarts]
+                    Vp = int(plens.max())
+                    pidx = np.minimum(
+                        pstarts[:, None] + np.arange(Vp)[None, :], len(cp) - 1
+                    )
+                    Pp = cp[pidx]
+                    pmask = np.arange(Vp)[None, :] < plens[:, None]
+                    if tol > 0:
+                        pkeep = dp_mask_padded(Pp, plens, tol) & pmask
+                    else:
+                        pkeep = pmask
+                    pcnt = pkeep.sum(axis=1).astype(np.int64)
+                    nparts_pp = np.bincount(part_owner, minlength=npl)
+                    npts_pp = np.bincount(
+                        part_owner, weights=pcnt, minlength=npl
+                    ).astype(np.int64)
+                else:
+                    nparts_pp = np.zeros(npl, dtype=np.int64)
+                    npts_pp = np.zeros(npl, dtype=np.int64)
+                lens[ssel_vec] = 1 + nparts_pp + 2 * npts_pp
+                npts_col[ssel_vec] = npts_pp
+                nparts_col[ssel_vec] = nparts_pp
+
             sflat: dict[int, np.ndarray] = {}
-            if len(ssel):
+            if len(ssel_long):
                 fx_flat = blon_flat * nfac
                 fy_flat = blat_flat * nfac
-            for j in ssel:
+            for j in ssel_long:
                 i = feat[j]
                 sl = slice(starts[i], lon_off[i + 1])
                 px = (fx_flat[sl] - ptx[j]) * self.extent
@@ -397,6 +527,27 @@ class AssignLineTiles:
                 inter[0::2] = xk
                 inter[1::2] = yk
                 flat[pos] = inter.astype(np.int32)
+            if len(ssel_vec):
+                flat[off[ssel_vec]] = nparts_pp.astype(np.int32)
+                if part_owner is not None and len(part_owner):
+                    seg = 1 + 2 * pcnt
+                    cs = np.cumsum(seg) - seg  # global exclusive cumsum
+                    pfirst = np.concatenate(
+                        [[True], part_owner[1:] != part_owner[:-1]]
+                    )
+                    runs = np.diff(
+                        np.concatenate([np.nonzero(pfirst)[0], [len(part_owner)]])
+                    )
+                    rel = cs - np.repeat(cs[pfirst], runs)
+                    ppos = off[ssel_vec][part_owner] + 1 + rel
+                    flat[ppos] = pcnt.astype(np.int32)
+                    cposn = np.repeat(ppos + 1, 2 * pcnt) + _ragged_arange(2 * pcnt)
+                    xkp = np.round(Pp[..., 0])[pkeep]
+                    ykp = np.round(Pp[..., 1])[pkeep]
+                    interp = np.empty(xkp.size * 2, dtype=np.float64)
+                    interp[0::2] = xkp
+                    interp[1::2] = ykp
+                    flat[cposn] = interp.astype(np.int32)
             for j, arr in sflat.items():
                 flat[off[j] : off[j] + len(arr)] = arr
             boffs = (off * 4).astype(np.int32)
