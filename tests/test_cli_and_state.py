@@ -120,7 +120,8 @@ class TestManage:
         assert out2.startswith("skipped (identical md5)")  # s3.py:128-132
         src.write_bytes(b"changed bytes")
         assert cli.manage_upload(str(src)).startswith("uploaded")
-        monkeypatch.chdir(tmp_path / "dl") if (tmp_path / "dl").mkdir() else None
+        (tmp_path / "dl").mkdir()
+        monkeypatch.chdir(tmp_path / "dl")
         got = cli.manage_download("data.parquet")
         assert got.startswith("downloaded")
         with pytest.raises(FileNotFoundError):
