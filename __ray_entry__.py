@@ -788,8 +788,16 @@ def q_line_tiles(sf_dir: str):
 
 
 def q_raster_roundtrip(sf_dir: str):
-    """Rasterize the zone polygons onto per-zone grids and vectorize back —
-    returns per-zone cell counts (rows-only; geometric op)."""
+    """Rasterize each zone polygon onto a 16x16 grid over its bbox padded
+    by 25% per side (so border cells are empty and the counts are
+    non-trivial), vectorize the grid back to rings, re-rasterize, and
+    report both cell counts.  ORACLE-checked: on a rectangle ring the
+    even-odd center-sampling test reduces exactly to the half-open box
+    predicate w <= cx < e AND s <= cy < n (vertical edges cross for
+    cy in [s, n), and x-parity is odd for cx in [w, e)), so the count is
+    pure arithmetic over the 16 center coordinates — replayed in SQL with
+    the same float expressions; roundtrip_cells == filled_cells by the
+    tested rasterize(vectorize(g)) == g invariant."""
     import pyarrow as pa
     import ray.data
 
@@ -804,9 +812,12 @@ def q_raster_roundtrip(sf_dir: str):
             r = rings[j][0]
             w, s = r[:, 0].min(), r[:, 1].min()
             e, n = r[:, 0].max(), r[:, 1].max()
-            g = rasterize(rings[j], (w, s, e, n), 16, 16)
-            rr = vectorize(g, (w, s, e, n))
-            g2 = rasterize(rr, (w, s, e, n), 16, 16)
+            pw = 0.25 * (e - w)
+            ph = 0.25 * (n - s)
+            b = (w - pw, s - ph, e + pw, n + ph)
+            g = rasterize(rings[j], b, 16, 16)
+            rr = vectorize(g, b)
+            g2 = rasterize(rr, b, 16, 16)
             filled.append(int(g.sum()))
             filled2.append(int(g2.sum()))
         return pa.table(
@@ -921,6 +932,74 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN c = 0 THEN 'und' ELSE lang END AS lang_pred,
                CAST(c AS DOUBLE) / 10.0 AS lang_score
         FROM best WHERE rn = 1"""
+    # hex_density oracle: replay hexgrid.latlng_to_cell(lon, lat, 4) in SQL
+    # (geo/hexgrid.py:80-89).  For a FIXED res the aperture-7 similarity
+    # power C^res is one complex constant — computed here with the ENGINE'S
+    # OWN expressions and inlined as float64 literals (repr round-trips
+    # exactly), so the SQL replays the same multiply/divide/round float
+    # ops: zeta = (lon + i*lat) * C^res / 10; axial solve via omega;
+    # cube-round with round_even (numpy round = banker's rounding); pack
+    # res<<60 | (q+2^29)<<30 | (r+2^29).
+    from cloudtile_ray.geo import hexgrid as _hx
+
+    _hres = 4
+    _cc = _hx._C ** _hres
+    _omr, _omi = _hx._OMEGA.real, _hx._OMEGA.imag
+    hex_density_sql = f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+        pt AS (SELECT doc_id, lon_mi/1000.0 AS lon, lat_mi/1000.0 AS lat FROM geo),
+        zt AS (SELECT doc_id,
+                 (lon * {_cc.real!r} - lat * {_cc.imag!r}) / 10.0 AS zre,
+                 (lon * {_cc.imag!r} + lat * {_cc.real!r}) / 10.0 AS zim
+               FROM pt),
+        ax AS (SELECT doc_id, zim / {_omi!r} AS rf,
+                      zre - (zim / {_omi!r}) * {_omr!r} AS qf
+               FROM zt),
+        rq AS (SELECT doc_id, qf, rf, -qf - rf AS sf,
+                      round_even(qf, 0) AS q0, round_even(rf, 0) AS r0,
+                      round_even(-qf - rf, 0) AS s0
+               FROM ax),
+        fx AS (SELECT doc_id,
+                 CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf)
+                      THEN -r0 - s0 ELSE q0 END AS q1,
+                 CASE WHEN NOT (abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf))
+                           AND abs(r0-rf) > abs(s0-sf)
+                      THEN -q0 - s0 ELSE r0 END AS r1
+               FROM rq),
+        cells AS (SELECT doc_id,
+                    CAST({_hres} AS UBIGINT) * CAST(1152921504606846976 AS UBIGINT)
+                    + CAST(CAST(q1 AS BIGINT) + 536870912 AS UBIGINT)
+                      * CAST(1073741824 AS UBIGINT)
+                    + CAST(CAST(r1 AS BIGINT) + 536870912 AS UBIGINT) AS hex_cell
+                  FROM fx)
+        SELECT hex_cell, count(*) AS n_docs FROM cells GROUP BY 1"""
+    # raster_roundtrip oracle: the zone rings are rectangles (zone_rings,
+    # sources/pages.py:192-204), where even-odd center sampling
+    # (geo/raster.py:17-47) reduces to the half-open box predicate — see
+    # q_raster_roundtrip's docstring.  Center coords mirror rasterize's
+    # float expressions; roundtrip == filled by the vectorize invariant.
+    raster_sql = f"""WITH {ZONES_SQL_CTE.strip()},
+        zb AS (SELECT zone_id,
+                 (west_mi - 0.5)/1000.0 AS w, (south_mi - 0.5)/1000.0 AS s,
+                 (east_mi + 0.5)/1000.0 AS e, (north_mi + 0.5)/1000.0 AS n
+               FROM zones),
+        pb AS (SELECT zone_id, w, s, e, n,
+                 w - 0.25*(e - w) AS wp, e + 0.25*(e - w) AS ep,
+                 s - 0.25*(n - s) AS sp, n + 0.25*(n - s) AS npp
+               FROM zb),
+        gx AS (SELECT zone_id, count(*) AS nx
+               FROM pb, generate_series(0, 15) g(i)
+               WHERE wp + ((i + 0.5) * (ep - wp)) / 16.0 >= w
+                 AND wp + ((i + 0.5) * (ep - wp)) / 16.0 < e
+               GROUP BY 1),
+        gy AS (SELECT zone_id, count(*) AS ny
+               FROM pb, generate_series(0, 15) g(i)
+               WHERE npp - ((i + 0.5) * (npp - sp)) / 16.0 >= s
+                 AND npp - ((i + 0.5) * (npp - sp)) / 16.0 < n
+               GROUP BY 1)
+        SELECT pb.zone_id,
+               COALESCE(nx, 0) * COALESCE(ny, 0) AS filled_cells,
+               COALESCE(nx, 0) * COALESCE(ny, 0) AS roundtrip_cells
+        FROM pb LEFT JOIN gx USING (zone_id) LEFT JOIN gy USING (zone_id)"""
     knn_sql = f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
             q AS (SELECT CAST(q_id AS BIGINT) q_id, q_lon, q_lat
                   FROM (VALUES (0, 0, 0), (1, -87900, 41600), (2, 100000, -45000)) qq(q_id, q_lon, q_lat)),
@@ -948,6 +1027,8 @@ def oracle_sql() -> dict[str, str]:
         # spherical-index kNN over the extended (dateline + pole) query
         # set — same exact-kNN shape, planar metric
         "icosa_knn": icosa_knn_sql,
+        "hex_density": hex_density_sql,
+        "raster_roundtrip": raster_sql,
         "langid": langid_sql,
         "pages_build": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
             SELECT doc_id, url, lang,
