@@ -125,15 +125,25 @@ def run_headline(sf_dir: str, replicate: int, repeats: int = 1) -> dict:
 
     import gc
 
+    import pyarrow as pa
+
+    def _batch_count(t: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array([t.num_rows], pa.int64())})
+
     best = None
     n_tiles = 0
     for _ in range(repeats):
         t0 = time.time()
         points, polys = _pipeline(pages)
-        # sequential consumption: concurrent execution of the two DAGs was
-        # measured SLOWER here (resource thrash between two full-width
-        # streaming executors on one node)
-        n_tiles = points.count() + polys.count()
+        # single-executor consumption: reduce each branch to per-batch row
+        # counts and union them, so ONE streaming executor schedules both
+        # DAGs with shared backpressure (two concurrent full-width
+        # executors measured slower — resource thrash; strictly sequential
+        # counts measured ~5% slower — idle tail between executions)
+        u = points.map_batches(_batch_count, batch_format="pyarrow").union(
+            polys.map_batches(_batch_count, batch_format="pyarrow")
+        )
+        n_tiles = sum(r["k"] for r in u.take_all())
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
         # release the run's datasets BEFORE the next repeat: lazily-freed
