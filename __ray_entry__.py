@@ -476,6 +476,79 @@ def q_sliding_counts(sf_dir: str):
     return sliding_window_counts(ds, width_us=7_200_000_000, step_us=3_600_000_000)
 
 
+def q_asof_purchase(sf_dir: str):
+    """Temporal as-of join: each 'click' event's latest strictly-prior
+    'purchase' by the same user (reference has no temporal ops — this is
+    the custom-operator family the brief requires: composition of one
+    groupby shuffle + a vectorized in-group merge)."""
+    import ray.data
+
+    from cloudtile_ray.stages.events import asof_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return asof_join(ds, "click", "purchase")
+
+
+def q_interval_join(sf_dir: str):
+    """Range join: all events falling inside any session window of users
+    0-9 (the small interval side is computed dataset-side, collected,
+    indexed into a time-bucket IntervalIndex and broadcast)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cloudtile_ray.stages.events import interval_join, session_windows
+
+    ev_cols = ["event_id", "ts", "user_id", "value"]
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=ev_cols)
+    sess = session_windows(ev, gap_us=3_600_000_000)
+
+    def to_ivl(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.less(t.column("user_id"), 10))
+        return pa.table(
+            {
+                "ivl_user": s.column("user_id"),
+                "ivl_seq": s.column("session_seq"),
+                "start_us": s.column("start_us"),
+                "end_us": s.column("end_us"),
+            }
+        )
+
+    ivl = sess.map_batches(to_ivl, batch_format="pyarrow")
+    probe = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=ev_cols)
+    return interval_join(probe, ivl)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus-wide top-20 tokens (partial pre-agg combiner ->
+    vocab-sized groupby-sum -> sort + limit)."""
+    import ray.data
+
+    from cloudtile_ray.stages.text import heavy_hitters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters(ds, k=20)
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of event value (integer cents) via distributed
+    bracket-refinement selection — no global sort."""
+    import ray.data
+
+    from cloudtile_ray.stages.events import prep_events
+    from cloudtile_ray.stages.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(prep_events, batch_format="pyarrow")
+    return exact_quantiles(
+        ds, "value_cents", {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    )
+
+
 def q_attr_transform(sf_dir: str):
     import ray.data
 
@@ -870,6 +943,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running": q_user_running,
         "sessions": q_sessions,
         "sliding_counts": q_sliding_counts,
+        "asof_purchase": q_asof_purchase,
+        "interval_join": q_interval_join,
+        "heavy_hitters": q_heavy_hitters,
+        "value_quantiles": q_value_quantiles,
         "attr_transform": q_attr_transform,
         "feature_filter": q_feature_filter,
         "knn_embedding": q_knn_embedding,
@@ -1178,6 +1255,49 @@ def oracle_sql() -> dict[str, str]:
             FROM w
             WHERE window_start_us <= ts_us AND ts_us < window_start_us + 7200000000
             GROUP BY 1, 2""",
+        "asof_purchase": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+                       FROM events),
+            l AS (SELECT * FROM e WHERE event_type = 'click'),
+            r AS (SELECT * FROM e WHERE event_type = 'purchase'),
+            j AS (SELECT l.event_id AS left_id, r.event_id AS right_id,
+                         l.ts_us - r.ts_us AS lag_us,
+                         row_number() OVER (PARTITION BY l.event_id
+                                            ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+                  FROM l JOIN r ON r.user_id = l.user_id
+                    AND (r.ts_us < l.ts_us
+                         OR (r.ts_us = l.ts_us AND r.event_id < l.event_id)))
+            SELECT l.user_id, l.event_id AS left_id,
+                   coalesce(j.right_id, -1) AS right_id,
+                   coalesce(j.lag_us, -1) AS lag_us
+            FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+              ON j.left_id = l.event_id""",
+        "interval_join": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+            g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                                   OR ts_us - lag(ts_us) OVER w > 3600000000
+                                 THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                  FROM g),
+            ivl AS (SELECT user_id AS ivl_user, session_seq AS ivl_seq,
+                           min(ts_us) AS start_us, max(ts_us) AS end_us
+                    FROM s WHERE user_id < 10 GROUP BY 1, 2)
+            SELECT i.ivl_user, i.ivl_seq, e.event_id
+            FROM ivl i JOIN e ON e.ts_us BETWEEN i.start_us AND i.end_us""",
+        "heavy_hitters": """
+            WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text),
+                                                              '[^a-z0-9]+')) AS tok
+                          FROM documents)
+            SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+        "value_quantiles": """
+            SELECT quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS p90,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99
+            FROM events""",
         "attr_transform": """
             SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size FROM part""",
         "feature_filter": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}

@@ -86,6 +86,178 @@ def session_windows(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
     )
 
 
+def asof_join(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
+    """Per-user as-of join: attach to each ``left_type`` event the latest
+    ``right_type`` event strictly prior in (ts, event_id) order (event_id
+    breaks ts ties; ids are globally unique so the order is total).
+
+    Ray-Data-first shape: one hash-partitioned ``groupby(user_id)``
+    (the only shuffle), then a fully vectorized merge inside each group —
+    lexsort both sides together and read the running right-count at each
+    left position.  No per-row Python, no driver materialization.
+
+    Scale note (documented partitioning assumption): per-user event
+    series must fit one group task, the same bound every per-user window
+    here relies on; a pathological hot user would be salted by time range
+    with a carry-forward row per range boundary.
+
+    Output: (user_id, left_id, right_id, lag_us) with right_id = -1 and
+    lag_us = -1 when no prior right event exists (real lags are >= 0, so
+    the sentinel never collides).
+    """
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_s, eid_s, et_s = ts[order], eid[order], et[order]
+        is_r = et_s == right_type
+        lpos = np.nonzero(et_s == left_type)[0]
+        if lpos.size == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "left_id": pa.array([], type=pa.int64()),
+                    "right_id": pa.array([], type=pa.int64()),
+                    "lag_us": pa.array([], type=pa.int64()),
+                }
+            )
+        # rights strictly before position p (a left is never a right, so
+        # the inclusive cumsum at p already excludes p itself)
+        n_before = np.cumsum(is_r)[lpos]
+        rpos = np.nonzero(is_r)[0]
+        right_id = np.full(lpos.size, -1, dtype=np.int64)
+        lag = np.full(lpos.size, -1, dtype=np.int64)
+        hit = n_before > 0
+        match = rpos[n_before[hit] - 1]
+        right_id[hit] = eid_s[match]
+        lag[hit] = ts_s[lpos[hit]] - ts_s[match]
+        uid = g.column("user_id")[0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(lpos.size, uid, dtype=np.int64)),
+                "left_id": pa.array(eid_s[lpos]),
+                "right_id": pa.array(right_id),
+                "lag_us": pa.array(lag),
+            }
+        )
+
+    return (
+        ds.map_batches(prep_events, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
+class IntervalIndex:
+    """Broadcastable index over (possibly overlapping) [start, end] closed
+    intervals: a coarse time-bucket grid maps each bucket to the interval
+    ids that overlap it, so a point probe compares against only its
+    bucket's candidates instead of all K intervals.
+
+    Built once on the driver from the (small) interval side, shipped via
+    ``ray.put`` and read zero-copy in every map task — the broadcast-join
+    pattern; a large interval side would instead time-range-partition
+    both sides on the same grid and join per partition.
+    """
+
+    def __init__(self, starts: np.ndarray, ends: np.ndarray, ids: np.ndarray):
+        if np.any(ends < starts):
+            raise ValueError("interval end < start")
+        self.starts = starts.astype(np.int64)
+        self.ends = ends.astype(np.int64)
+        self.ids = ids
+        # Bucket width: wide enough that the total (bucket, interval)
+        # expansion stays O(K) — at least the median interval length AND
+        # at least 1/(4K) of the covered range (degenerate point-intervals
+        # would otherwise make the median 0 and the grid unbounded).
+        k = max(1, len(self.starts))
+        rng = (
+            int(self.ends.max()) - int(self.starts.min()) + 1 if len(starts) else 1
+        )
+        med = int(np.median(self.ends - self.starts)) if len(starts) else 0
+        span = max(1, med, rng // (4 * k))
+        self.bucket_us = span
+        b0 = self.starts // span
+        b1 = self.ends // span
+        counts = (b1 - b0 + 1).astype(np.int64)
+        # (bucket, interval_idx) pairs, one per bucket an interval overlaps
+        ivl_idx = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        step = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(offs[:-1], counts)
+        buckets = np.repeat(b0, counts) + step
+        o = np.argsort(buckets, kind="stable")
+        self._bk = buckets[o]
+        self._bi = ivl_idx[o]
+
+    def probe(self, ts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized point-in-interval lookup: returns (point_row_idx,
+        interval_idx) pairs for every containment.  Work is grouped by
+        bucket — one slice compare per distinct bucket in the batch."""
+        b = ts // self.bucket_us
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        uniq, first = np.unique(bs, return_index=True)
+        bounds = np.r_[first[1:], len(bs)]
+        out_p, out_i = [], []
+        lo = np.searchsorted(self._bk, uniq, side="left")
+        hi = np.searchsorted(self._bk, uniq, side="right")
+        for u in range(len(uniq)):
+            cand = self._bi[lo[u] : hi[u]]
+            if cand.size == 0:
+                continue
+            pts = order[first[u] : bounds[u]]
+            t = ts[pts]
+            m = (self.starts[cand][None, :] <= t[:, None]) & (
+                t[:, None] <= self.ends[cand][None, :]
+            )
+            pi, ii = np.nonzero(m)
+            out_p.append(pts[pi])
+            out_i.append(cand[ii])
+        if not out_p:
+            z = np.array([], dtype=np.int64)
+            return z, z
+        return np.concatenate(out_p), np.concatenate(out_i)
+
+
+def interval_join(ds, intervals_ds) -> "ray.data.Dataset":
+    """Range join: every event whose ts falls inside any interval of the
+    (small) ``intervals_ds`` side — columns (ivl_user, ivl_seq, start_us,
+    end_us) — emits one row per containment.  The interval side is
+    collected (it is an aggregate-sized table), indexed once into an
+    :class:`IntervalIndex`, broadcast with ``ray.put``, and probed
+    vectorized per batch; the big side streams.
+    """
+    import ray
+
+    small = intervals_ds.to_pandas()
+    idx = IntervalIndex(
+        small["start_us"].to_numpy(),
+        small["end_us"].to_numpy(),
+        np.arange(len(small), dtype=np.int64),
+    )
+    users = small["ivl_user"].to_numpy().astype(np.int64)
+    seqs = small["ivl_seq"].to_numpy().astype(np.int64)
+    ref = ray.put((idx, users, seqs))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ix, us, sq = ray.get(ref)
+        ts = batch.column("ts_us").to_numpy(zero_copy_only=False)
+        pi, ii = ix.probe(ts)
+        return pa.table(
+            {
+                "ivl_user": pa.array(us[ii]),
+                "ivl_seq": pa.array(sq[ii]),
+                "event_id": batch.column("event_id").take(pa.array(pi)),
+            }
+        )
+
+    return ds.map_batches(prep_events, batch_format="pyarrow").map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
 def sliding_window_counts(ds, width_us: int, step_us: int) -> "ray.data.Dataset":
     """Per-event-type sliding-window counts (window start stepped by
     ``step_us``; each event lands in width/step consecutive windows) —

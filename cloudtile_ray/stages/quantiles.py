@@ -1,0 +1,153 @@
+"""Exact distributed quantiles without a global sort.
+
+``exact_quantiles`` computes value-exact order statistics of an integer
+column by iterative bracket refinement (distributed selection): each round
+is ONE streaming histogram pass over the column — per-batch
+``np.searchsorted`` + ``bincount`` partials merged through a tiny
+``groupby(bin).sum`` — after which every quantile's value bracket shrinks
+by ~``bucket_count``x.  An integer domain of width W resolves in
+ceil(log_B W) passes (2 passes for cent-valued data), each touching only
+the 8-byte column, versus the all-to-all shuffle a full ``ds.sort`` would
+cost.  The final bracket (<= ``collect_threshold`` rows) is filtered out
+and resolved locally.  All active quantiles share each pass (their cut
+sets are unioned), so p50/p90/p99 together still cost ~2 scans.
+
+Rank convention: rank(q) = ceil(q*n) - 1 (0-indexed over the ascending
+sort) — verified equal to DuckDB's ``quantile_disc`` on boundary probes,
+so the DuckDB oracle compares value-exact.
+
+Scale notes: the projected column is materialized once so the log(W)
+passes do not re-execute upstream stages (8 bytes/row -> 8 TB per 10^12
+rows, spillable across a cluster's object stores; pass
+``materialize=False`` to re-scan the lazy pipeline per pass instead).
+All histogram state (<= ~512 bins x #quantiles) is driver-tiny; the cut
+array rides into tasks as a closure over a small numpy array.
+
+The reference has no quantile operator (it is a tiling CLI); this is one
+of the "beyond the reference" training-data-pipeline operators the build
+brief requires (corpus length/score percentile cuts).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _histogram_pass(ds, column: str, cuts: np.ndarray) -> np.ndarray:
+    """One streaming pass: dense global counts per bin, where bin j holds
+    integer values in (cuts[j-1], cuts[j]] (bin 0 = (-inf, cuts[0]], bin
+    len(cuts) = (cuts[-1], +inf)); ``searchsorted(cuts, v, 'left')`` =
+    #cuts < v is exactly that bin index for integer v and integer cuts."""
+    m = len(cuts) + 1
+    cuts_local = cuts.copy()
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cuts_local, v, side="left")
+        cnt = np.bincount(idx, minlength=m)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = np.zeros(m, dtype=np.int64)
+    out[rows["bin"].to_numpy()] = rows["cnt"].to_numpy()
+    return out
+
+
+def _collect_bracket(slim, column: str, lo: int, hi: int) -> np.ndarray:
+    """Filter values in [lo, hi] (a bracket already proven small) and
+    return them sorted on the driver."""
+
+    def keep(t: pa.Table, a: int = lo, z: int = hi) -> pa.Table:
+        col = t.column(column)
+        return t.filter(pc.and_(pc.greater_equal(col, a), pc.less_equal(col, z)))
+
+    parts = [
+        t.column(column).to_numpy(zero_copy_only=False)
+        for t in slim.map_batches(keep, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    return np.sort(np.concatenate(parts or [np.array([], dtype=np.int64)]))
+
+
+def exact_quantiles(
+    ds,
+    column: str,
+    qs: dict[str, float],
+    bucket_count: int = 128,
+    collect_threshold: int = 65536,
+    materialize: bool = True,
+) -> pa.Table:
+    """Exact quantiles of integer ``column`` at the given {name: q}
+    fractions; returns a one-row Arrow table with one int64 column per
+    name.  See module docstring for the algorithm and rank convention."""
+    from ray.data.aggregate import Count, Max, Min
+
+    slim = ds.map_batches(lambda t: t.select([column]), batch_format="pyarrow")
+    if materialize:
+        slim = slim.materialize()
+    stats = slim.aggregate(Count(), Min(column), Max(column))
+    n = int(stats["count()"])
+    if n == 0:
+        raise ValueError("exact_quantiles on an empty dataset")
+    glo, ghi = int(stats[f"min({column})"]), int(stats[f"max({column})"])
+
+    # per-quantile state: value bracket [lo, hi] and target rank within it
+    state = {name: [glo, ghi, max(0, math.ceil(q * n) - 1)] for name, q in qs.items()}
+    done: dict[str, int] = {}
+
+    for _ in range(64):
+        for name, (lo, hi, r) in list(state.items()):
+            if name not in done and lo == hi:
+                done[name] = lo
+        active = [k for k in state if k not in done]
+        if not active:
+            break
+        # shared cut set across all active brackets -> one pass serves all.
+        # lo-1 is always a cut so "values < lo" occupy whole bins and the
+        # rank offset below is exact (integer domain).
+        cut_list = []
+        for name in active:
+            lo, hi, _r = state[name]
+            c = np.unique(np.linspace(lo, hi, bucket_count + 1).astype(np.int64))
+            cut_list.append(np.concatenate(([lo - 1], c[:-1])))
+        cuts = np.unique(np.concatenate(cut_list))
+        hist = _histogram_pass(slim, column, cuts)
+        cum = np.concatenate(([0], np.cumsum(hist)))
+        for name in active:
+            lo, hi, r = state[name]
+            base_bin = int(np.searchsorted(cuts, lo, side="left"))
+            r_abs = int(cum[base_bin]) + r  # cum[base_bin] == #values < lo
+            b = int(np.searchsorted(cum[1:], r_abs + 1, side="left"))
+            new_lo = int(cuts[b - 1]) + 1 if b >= 1 else lo
+            new_hi = int(cuts[b]) if b < len(cuts) else hi
+            new_lo, new_hi = max(new_lo, lo), min(new_hi, hi)
+            new_r = int(r_abs - cum[b])
+            if new_lo == new_hi:
+                done[name] = new_lo
+            elif cum[b + 1] - cum[b] <= collect_threshold:
+                vals = _collect_bracket(slim, column, new_lo, new_hi)
+                done[name] = int(vals[new_r])
+            else:
+                state[name] = [new_lo, new_hi, new_r]
+    else:
+        raise RuntimeError("exact_quantiles failed to converge")
+
+    return pa.table({name: pa.array([done[name]], type=pa.int64()) for name in qs})

@@ -179,3 +179,46 @@ def rolling_fingerprint_batch(batch: pa.Table, window: int = 16) -> pa.Table:
         h = np.where(valid, h, np.uint64(0xFFFFFFFFFFFFFFFF))
         out[long_idx] = np.minimum.reduceat(h, starts[:-1])
     return batch.append_column("rolling_fp", pa.array(out))
+
+
+def token_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch token-frequency partials — the combiner half of the
+    heavy-hitters operator: lowercase, split on non-alphanumeric runs
+    (Arrow RE2 kernel, identical semantics to DuckDB's
+    ``regexp_split_to_array(lower(text), '[^a-z0-9]+')``), then collapse
+    to (tok, n) with ``value_counts`` so the shuffle moves one row per
+    distinct token per batch instead of one per occurrence."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text")), pattern="[^a-z0-9]+"
+    )
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = pc.value_counts(flat)
+    return pa.table(
+        {
+            "tok": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
+def heavy_hitters(ds, k: int = 20) -> "ray.data.Dataset":
+    """Exact top-``k`` most frequent tokens across the corpus.
+
+    Shape: batch-local partial counts (above) -> one hash-partitioned
+    ``groupby(tok).sum`` over the vocabulary (corpus-sized input collapses
+    to vocab-sized — the partial pre-agg is what keeps the shuffle small)
+    -> distributed sort on (n desc, tok asc) -> ``limit(k)``.  The sort
+    runs over the aggregated vocab table, not the corpus; ties at the
+    rank-k boundary are broken by token so the answer is deterministic.
+    """
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(token_count_partials, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "tok"], descending=[True, False]).limit(k)

@@ -1,0 +1,205 @@
+"""Round-3 additions: as-of join, interval (range) join, heavy hitters,
+exact distributed quantiles.  Each is checked against a brute-force
+in-memory oracle on a deterministic synthetic fixture, plus the
+shape/edge properties the distributed form relies on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events_table(n_users: int = 7, per_user: int = 40, seed: int = 7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    n = n_users * per_user
+    user = np.repeat(np.arange(n_users, dtype=np.int64), per_user)
+    ts = rng.integers(0, 10_000, size=n).astype(np.int64) * 1_000_000
+    # force some exact ts ties within and across users
+    ts[1] = ts[0]
+    ts[2] = ts[0]
+    types = np.array(["click", "purchase", "view"])[rng.integers(0, 3, size=n)]
+    eid = rng.permutation(n).astype(np.int64)
+    val = rng.integers(0, 50_000, size=n).astype(np.float64) / 100.0
+    import pandas as pd
+
+    return pa.table(
+        {
+            "event_id": eid,
+            "ts": pd.to_datetime(ts, unit="us"),
+            "user_id": user,
+            "event_type": types,
+            "value": val,
+        }
+    )
+
+
+def _brute_asof(t: pa.Table, lt: str, rt: str):
+    ts = t.column("ts").to_pandas().astype("datetime64[us]").astype(np.int64).to_numpy()
+    eid = t.column("event_id").to_numpy()
+    uid = t.column("user_id").to_numpy()
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    out = {}
+    for i in np.nonzero(et == lt)[0]:
+        best = None
+        for j in np.nonzero((et == rt) & (uid == uid[i]))[0]:
+            if (ts[j], eid[j]) < (ts[i], eid[i]):
+                if best is None or (ts[j], eid[j]) > (ts[best], eid[best]):
+                    best = j
+        out[int(eid[i])] = (
+            (int(eid[best]), int(ts[i] - ts[best])) if best is not None else (-1, -1)
+        )
+    return out
+
+
+class TestAsofJoin:
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.events import asof_join
+
+        t = _events_table()
+        res = asof_join(ray.data.from_arrow(t), "click", "purchase").to_pandas()
+        want = _brute_asof(t, "click", "purchase")
+        got = {
+            int(r.left_id): (int(r.right_id), int(r.lag_us))
+            for r in res.itertuples()
+        }
+        assert got == want
+        # sentinel never collides: every matched lag is >= 0
+        assert (res.loc[res.right_id >= 0, "lag_us"] >= 0).all()
+
+    def test_no_rights(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.events import asof_join
+
+        t = _events_table()
+        res = asof_join(ray.data.from_arrow(t), "click", "nosuch").to_pandas()
+        assert (res.right_id == -1).all() and (res.lag_us == -1).all()
+        assert len(res) == (np.array(t.column("event_type")) == "click").sum()
+
+
+class TestIntervalIndex:
+    def test_probe_matches_brute(self):
+        from cloudtile_ray.stages.events import IntervalIndex
+
+        rng = np.random.default_rng(3)
+        starts = rng.integers(0, 1_000, 50).astype(np.int64)
+        ends = starts + rng.integers(0, 300, 50).astype(np.int64)
+        idx = IntervalIndex(starts, ends, np.arange(50, dtype=np.int64))
+        ts = rng.integers(-50, 1_400, 500).astype(np.int64)
+        pi, ii = idx.probe(ts)
+        got = set(zip(pi.tolist(), ii.tolist()))
+        want = {
+            (p, i)
+            for p in range(len(ts))
+            for i in range(50)
+            if starts[i] <= ts[p] <= ends[i]
+        }
+        assert got == want
+
+    def test_point_intervals_bounded_grid(self):
+        # degenerate zero-length intervals must not explode the bucket grid
+        from cloudtile_ray.stages.events import IntervalIndex
+
+        starts = np.array([0, 10_000_000_000], dtype=np.int64)
+        ends = starts.copy()
+        idx = IntervalIndex(starts, ends, np.arange(2, dtype=np.int64))
+        assert len(idx._bk) <= 16
+        pi, ii = idx.probe(np.array([0, 5, 10_000_000_000], dtype=np.int64))
+        assert set(zip(pi.tolist(), ii.tolist())) == {(0, 0), (2, 1)}
+
+    def test_end_before_start_rejected(self):
+        from cloudtile_ray.stages.events import IntervalIndex
+
+        with pytest.raises(ValueError):
+            IntervalIndex(
+                np.array([5], dtype=np.int64),
+                np.array([4], dtype=np.int64),
+                np.array([0], dtype=np.int64),
+            )
+
+
+class TestHeavyHitters:
+    def test_exact_topk(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.text import heavy_hitters
+
+        docs = [
+            "the cat sat on the mat",
+            "The DOG!  the dog, the dog...",
+            "cat and dog and bird",
+            "zzz 123 zzz-123 ZZZ",
+        ]
+        t = pa.table({"text": docs})
+        res = heavy_hitters(ray.data.from_arrow(t), k=4).to_pandas()
+        # brute force
+        import re
+        from collections import Counter
+
+        c = Counter()
+        for d in docs:
+            c.update(x for x in re.split("[^a-z0-9]+", d.lower()) if x)
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        assert list(map(tuple, res[["tok", "n"]].itertuples(index=False))) == want
+
+    def test_tie_break_deterministic(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.text import heavy_hitters
+
+        t = pa.table({"text": ["b a", "a b", "c d"]})
+        res = heavy_hitters(ray.data.from_arrow(t), k=3).to_pandas()
+        assert res["tok"].tolist() == ["a", "b", "c"]
+
+
+class TestExactQuantiles:
+    @pytest.mark.parametrize("n", [1, 7, 1000])
+    def test_matches_rank_definition(self, ray_session, n):
+        import math
+
+        import ray.data
+
+        from cloudtile_ray.stages.quantiles import exact_quantiles
+
+        rng = np.random.default_rng(n)
+        v = rng.integers(-10_000, 10_000, size=n).astype(np.int64)
+        t = pa.table({"x": v})
+        qs = {"p10": 0.1, "p50": 0.5, "p99": 0.99}
+        res = exact_quantiles(
+            ray.data.from_arrow(t), "x", qs, bucket_count=8, collect_threshold=4
+        )
+        sv = np.sort(v)
+        for name, q in qs.items():
+            want = int(sv[max(0, math.ceil(q * n) - 1)])
+            assert res.column(name)[0].as_py() == want, name
+
+    def test_duplicated_values(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.quantiles import exact_quantiles
+
+        v = np.repeat(np.array([5, 5, 5, 9], dtype=np.int64), 100)
+        res = exact_quantiles(
+            ray.data.from_arrow(pa.table({"x": v})),
+            "x",
+            {"p50": 0.5, "p90": 0.9},
+            bucket_count=4,
+            collect_threshold=2,
+        )
+        assert res.column("p50")[0].as_py() == 5
+        assert res.column("p90")[0].as_py() == 9
+
+    def test_empty_raises(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.quantiles import exact_quantiles
+
+        with pytest.raises(ValueError):
+            exact_quantiles(
+                ray.data.from_arrow(pa.table({"x": pa.array([], type=pa.int64())})),
+                "x",
+                {"p50": 0.5},
+            )
