@@ -549,6 +549,23 @@ def q_value_quantiles(sf_dir: str):
     )
 
 
+def q_embed_clusters(sf_dir: str):
+    """Semantic clustering: distributed Lloyd's k-means over the embedding
+    column (fixed-point int64 accumulators -> bit-deterministic at any
+    parallelism), then broadcast assignment.  Rows-only: the fit is
+    iterative and not SQL-expressible; determinism and planted-cluster
+    recovery are asserted in tests/test_new_ops.py."""
+    import ray.data
+
+    from cloudtile_ray.stages.similarity import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    C = kmeans_fit(ds, n_clusters=8, n_iter=5)
+    return kmeans_assign(ds, C)
+
+
 def q_attr_transform(sf_dir: str):
     import ray.data
 
@@ -768,7 +785,9 @@ def q_media_decode(sf_dir: str):
 
     from cloudtile_ray.stages.multimodal import decode_media, synthesize_media_table
 
-    ds = ray.data.from_arrow(synthesize_media_table(200))
+    # split the one in-memory fixture block so the actor pool actually
+    # fans out (a parquet corpus arrives multi-block on its own)
+    ds = ray.data.from_arrow(synthesize_media_table(200)).repartition(4)
     return decode_media(ds, fake=True)
 
 
@@ -960,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,
+        "embed_clusters": q_embed_clusters,
         "langid": q_langid,
         "rolling_fp": q_rolling_fp,
         "media_decode": q_media_decode,

@@ -196,3 +196,140 @@ def ivf_topk(
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = _partial_topk_ds(filtered, qref, k, probe_ref=probe_ref)
     return _merge_topk(_gather(partials), k)
+
+
+def _hash_mod_sample(ds, target: int) -> np.ndarray:
+    """Deterministic hash-mod embedding sample (every partition contributes
+    proportionally — same rationale as ivf_topk's seeding)."""
+    n_total = ds.count()
+    K = max(1, int(n_total) // max(1, target))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ids * np.uint64(0x9E3779B97F4A7C15)
+        m = (h % np.uint64(K)) == 0
+        return batch.select(["embedding"]).take(pa.array(np.nonzero(m)[0]))
+
+    t = pa.concat_tables(_gather(ds.map_batches(keep, batch_format="pyarrow")))
+    return np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+
+
+def kmeans_fit(
+    ds,
+    n_clusters: int = 8,
+    n_iter: int = 10,
+    seed: int = 42,
+    scale_bits: int = 20,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the embedding column (cosine
+    geometry: rows are unit-normalized before everything).
+
+    Scale shape: centroids init from a hash-mod sample; each sweep is ONE
+    streaming pass — per-batch partials of (cluster, count, per-dim vector
+    sum) merged through a tiny ``groupby(cluster).map_groups`` (n_clusters
+    rows reach the driver, never vectors).
+
+    Bit-determinism: partial vector sums are accumulated as FIXED-POINT
+    int64 (``round(v * 2**scale_bits)``), so the merge is exact integer
+    addition — associative and commutative — and the fitted centroids are
+    bit-identical at any parallelism, batch shape, or reduction order
+    (float partial sums would drift with block order and could flip
+    boundary assignments run-to-run).  Unit vectors scaled by 2^20 on
+    <= 2^43-row clusters stay far from int64 overflow.
+    """
+    sample = _hash_mod_sample(ds, target=max(256, n_clusters * 8))
+    rng = np.random.default_rng(seed)
+    C = _normalize(
+        sample[rng.choice(len(sample), n_clusters, replace=len(sample) < n_clusters)]
+    )
+    scale = float(1 << scale_bits)
+
+    for _ in range(n_iter):
+        cref = ray.put(C)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "embedding" not in batch.column_names:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                        "sums": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            cn = ray.get(cref)
+            V = _normalize(
+                np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                    np.float64
+                )
+            )
+            a = np.argmax(V @ cn.T, axis=1)
+            Vq = np.rint(V * scale).astype(np.int64)
+            rows_c, rows_n, rows_s = [], [], []
+            for c in np.unique(a):
+                m = a == c
+                rows_c.append(int(c))
+                rows_n.append(int(m.sum()))
+                rows_s.append(Vq[m].sum(axis=0, dtype=np.int64).tolist())
+            return pa.table(
+                {
+                    "cluster": pa.array(rows_c, pa.int64()),
+                    "cnt": pa.array(rows_n, pa.int64()),
+                    "sums": pa.array(rows_s, pa.list_(pa.int64())),
+                }
+            )
+
+        def merge(g: pa.Table) -> pa.Table:
+            s = np.stack(g.column("sums").to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            )
+            return pa.table(
+                {
+                    "cluster": g.column("cluster").slice(0, 1),
+                    "cnt": pa.array([int(g.column("cnt").to_numpy().sum())]),
+                    "sums": pa.array([s.sum(axis=0, dtype=np.int64).tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        stats = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(merge, batch_format="pyarrow")
+            .to_pandas()
+        )
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for r in stats.itertuples():
+            newC[int(r.cluster)] = np.array(r.sums, dtype=np.float64) / (
+                scale * r.cnt
+            )
+        C = _normalize(newC)
+    return C
+
+
+def kmeans_assign(ds, centroids: np.ndarray):
+    """Assign every vector to its nearest (cosine) centroid — a stateless
+    broadcast ``map_batches``; returns (vec_id, cluster)."""
+    cref = ray.put(_normalize(np.asarray(centroids, dtype=np.float64)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        cn = ray.get(cref)
+        V = _normalize(
+            np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(np.argmax(V @ cn.T, axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
