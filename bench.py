@@ -207,6 +207,28 @@ def host_calibration(n_procs: int = 16) -> float:
     return sum(counts) / dt
 
 
+def host_mem_calibration(size_mb: int = 16) -> float:
+    """Dense fresh-memory bandwidth probe (MB/s touched): numpy arange +
+    add over a new buffer.  Detects a DISTINCT host throttle mode from the
+    matmul probe: on 2026-08-17 this host served dense writes to fresh
+    pages at ~5 MB/s (normal: GB/s) for an extended window while
+    cache-resident matmul ran at FULL speed — the CPU probe read a healthy
+    0.86 ceiling while the engine benched 4-5x slow.  Any engine wall
+    number measured with mem_mbps below ~1000 reflects the host's memory
+    subsystem, not the engine; bench records this next to the CPU probe
+    and the scaling protocol gates pairs on it
+    (GRAFT_SCALING_MIN_MEMBW)."""
+    import numpy as np
+
+    n = size_mb * (1 << 20) // 8
+    t0 = time.time()
+    a = np.arange(n, dtype=np.int64)
+    b = a + 1
+    dt = max(time.time() - t0, 1e-9)
+    del a, b
+    return (2 * size_mb) / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -239,6 +261,10 @@ def main() -> None:
         # drifted pair: a stably-throttled window caps the measurement at
         # the host, not the engine.  0 disables.
         min_ceiling = float(os.environ.get("GRAFT_SCALING_MIN_CEILING", "0"))
+        # memory-bandwidth gate: reject pairs measured in a window where
+        # dense fresh-page writes are throttled (see host_mem_calibration —
+        # the matmul ceiling does NOT see this mode).  0 disables.
+        min_membw = float(os.environ.get("GRAFT_SCALING_MIN_MEMBW", "1000"))
         legs: dict[int, list[dict]] = {8: [], 32: []}
         effs = []
         rejected = []
@@ -256,6 +282,7 @@ def main() -> None:
                 time.sleep(settle)
                 probes.append(host_calibration(8))  # fixed-width drift probe
                 cal = host_calibration(n)  # probe at the leg's own width
+                membw = host_mem_calibration()
                 # repeats=2 (best-of): the first full-size run in a fresh
                 # session pays a ~2x one-time cost (worker-pool growth +
                 # first-touch object-store pages) even after a small-input
@@ -270,6 +297,7 @@ def main() -> None:
                 ).stdout
                 res = json.loads(out.strip().splitlines()[-1])
                 res["host_cal"] = round(cal, 1)
+                res["host_membw"] = round(membw, 1)
                 res["drift_probe"] = round(probes[-1], 1)
                 pair[n] = res
                 pair["order"] = list(order)
@@ -284,10 +312,17 @@ def main() -> None:
                 rec = {"pair": p, "attempt": attempt, "order": pair["order"],
                        "sec_8": pair[8]["value"], "sec_32": pair[32]["value"],
                        "cal_8": pair[8]["host_cal"], "cal_32": pair[32]["host_cal"],
+                       "membw_8": pair[8]["host_membw"],
+                       "membw_32": pair[32]["host_membw"],
                        "ceiling": round(ceiling, 3),
                        "drift": round(drift, 3), "efficiency": round(eff, 3)}
                 print(json.dumps(rec), file=sys.stderr, flush=True)
-                ok = drift <= drift_tol and ceiling >= min_ceiling
+                ok = (
+                    drift <= drift_tol
+                    and ceiling >= min_ceiling
+                    and min(pair[8]["host_membw"], pair[32]["host_membw"])
+                    >= min_membw
+                )
                 if ok or attempt == max_retries:
                     if not ok:
                         rec["accepted_on_budget"] = True
@@ -328,6 +363,8 @@ def main() -> None:
             "engine_vs_host_spread": round(max(vs_host) - min(vs_host), 3),
             "host_cal_8": [r["host_cal"] for r in legs[8]],
             "host_cal_32": [r["host_cal"] for r in legs[32]],
+            "host_membw_8": [r.get("host_membw") for r in legs[8]],
+            "host_membw_32": [r.get("host_membw") for r in legs[32]],
             "sec_8": [r["value"] for r in legs[8]],
             "sec_32": [r["value"] for r in legs[32]],
             "docs_per_sec_8_median": round(statistics.median(
@@ -356,6 +393,7 @@ def main() -> None:
 
     pq.read_table(f"{sf_dir}/documents.parquet")
 
+    membw = host_mem_calibration()
     repeats = int(os.environ.get("GRAFT_REPEATS", "2"))  # best-of-2: skip the fresh-session first-run penalty
     headline = run_headline(sf_dir, replicate, repeats=repeats)
     queries = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries(sf_dir)
@@ -369,6 +407,7 @@ def main() -> None:
         "docs": headline["docs"],
         "tiles": headline["tiles"],
         "docs_per_sec": round(headline["docs_per_sec"], 1),
+        "host_membw_mbps": round(membw, 1),
     }))
     ray.shutdown()
 
