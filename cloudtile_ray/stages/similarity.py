@@ -227,6 +227,8 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Distributed Lloyd's k-means over the embedding column (cosine
     geometry: rows are unit-normalized before everything).
+    Beyond-the-reference training-data operator (semantic clustering /
+    curriculum bucketing); the reference has no vector ops at all.
 
     Scale shape: centroids init from a hash-mod sample; each sweep is ONE
     streaming pass — per-batch partials of (cluster, count, per-dim vector

@@ -205,7 +205,10 @@ def token_count_partials(batch: pa.Table) -> pa.Table:
 
 
 def heavy_hitters(ds, k: int = 20) -> "ray.data.Dataset":
-    """Exact top-``k`` most frequent tokens across the corpus.
+    """Exact top-``k`` most frequent tokens across the corpus
+    (beyond-the-reference training-data operator; the reference's only
+    text handling is attribute casting,
+    /root/reference/src/cloudtile/tippecanoe.yaml:38-45).
 
     Shape: batch-local partial counts (above) -> one hash-partitioned
     ``groupby(tok).sum`` over the vocabulary (corpus-sized input collapses
