@@ -716,16 +716,46 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
     def _gather_segments(
         data: np.ndarray, off: np.ndarray, order: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Reorder variable-length byte segments by ``order`` (vectorized
-        index build — no per-row Python).  Returns (new_data, new_off)."""
-        lens = np.diff(off)[order]
-        new_off = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        if new_off[-1] == 0:
-            return data[:0], new_off
-        idx = np.repeat(off[:-1][order] - new_off[:-1], lens) + np.arange(
-            new_off[-1], dtype=np.int64
-        )
-        return data[idx], new_off
+        """Reorder variable-length byte segments by ``order``.  Implemented
+        as an Arrow binary-array ``take``: one C++ gather with a single
+        output allocation, replacing a numpy per-byte index build
+        (np.repeat + arange + fancy-index) that allocated 16 index bytes
+        per payload byte — the merge path's dominant memory traffic, and
+        pathological under host membw throttling (BASELINE.md mode #2).
+        Returns (new_data: uint8, new_off: int64)."""
+        m = len(order)
+        n = len(off) - 1
+        total = int(off[-1])
+        if m == 0 or total == 0:
+            lens = np.diff(off)[order]
+            return (
+                np.empty(0, np.uint8),
+                np.concatenate([[0], np.cumsum(lens)]).astype(np.int64),
+            )
+        if total < (1 << 31):
+            seg = pa.Array.from_buffers(
+                pa.binary(),
+                n,
+                [None, pa.py_buffer(off.astype(np.int32)), pa.py_buffer(data)],
+            )
+        else:
+            seg = pa.Array.from_buffers(
+                pa.large_binary(),
+                n,
+                [None, pa.py_buffer(np.ascontiguousarray(off, dtype=np.int64)), pa.py_buffer(data)],
+            )
+        out = seg.take(pa.array(order, type=pa.int64()))
+        ob = out.buffers()
+        odt = np.int32 if out.type == pa.binary() else np.int64
+        new_off = np.frombuffer(ob[1], dtype=odt)[
+            out.offset : out.offset + m + 1
+        ].astype(np.int64)
+        base = int(new_off[0])
+        new_off = new_off - base
+        if ob[2] is None:
+            return np.empty(0, np.uint8), new_off
+        dat = np.frombuffer(ob[2], dtype=np.uint8)[base : base + int(new_off[-1])]
+        return dat, new_off
 
     _EMPTY_PACK = pa.table(
         {
