@@ -927,7 +927,8 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
         tk = tk[order]
         dids = ids[order]
         ring_all, ring_off = _gather_segments(ring_data, ring_off0, order)
-        ring_all = ring_all.tobytes()
+        # stays a uint8 view; per-tile slices convert to bytes below — no
+        # extra whole-buffer copy between the gather and the blob builds
         uniq, first = np.unique(tk, return_index=True)
         bounds = np.r_[first[1:], len(tk)]
         zs_u, xs_u, ys_u = wm.unpack_tile_key(uniq)
@@ -951,7 +952,10 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
                 tolz = shared_tolerance_px(s, int(zs_u[ti]))
                 rings = [
                     np.frombuffer(
-                        ring_all[ring_off[j] : ring_off[j + 1]], dtype=np.int32
+                        np.ascontiguousarray(
+                            ring_all[ring_off[j] : ring_off[j + 1]]
+                        ),
+                        dtype=np.int32,
                     ).reshape(-1, 2)
                     for j in range(st, en_cap)
                 ]
@@ -968,7 +972,7 @@ def poly_exchange_fns(settings: dict, n_partitions: int):
                 blob = (
                     header
                     + meta[st:en_cap].tobytes()
-                    + ring_all[ring_off[st] : ring_off[en_cap]]
+                    + ring_all[ring_off[st] : ring_off[en_cap]].tobytes()
                 )
             out["z"].append(int(zs_u[ti]))
             out["x"].append(int(xs_u[ti]))
