@@ -549,6 +549,134 @@ def q_value_quantiles(sf_dir: str):
     )
 
 
+def q_url_dedup(sf_dir: str):
+    """URL canonicalization dedup: two crawl-style variants per page
+    (tracking param / case+slash noise) collapse to one canonical row."""
+    from cloudtile_ray.pipelines.single_step import pages_dataset
+    from cloudtile_ray.stages.dedup import url_dedup, url_variants
+
+    pages = pages_dataset(sf_dir)
+    variants = pages.map_batches(
+        lambda t: t.select(["doc_id", "url"]), batch_format="pyarrow"
+    ).map_batches(url_variants, batch_format="pyarrow")
+    return url_dedup(variants)
+
+
+def q_quality_filter(sf_dir: str):
+    """C4-style quality gate over the exact quality signals (alpha ratio,
+    token count band, mean token length band) — the doc ids that survive.
+    Thresholds compare bit-identical floats on both sides (the `quality`
+    oracle proves the signal parity)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cloudtile_ray.stages.text import quality_batch, token_stats_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def keep(t):
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("alpha_ratio"), 0.82),
+                pc.less_equal(t.column("mean_token_len"), 12.0),
+            ),
+            pc.and_(
+                pc.greater_equal(t.column("n_tokens"), 15),
+                pc.less_equal(t.column("n_tokens"), 100000),
+            ),
+        )
+        return t.filter(m).select(["doc_id"])
+
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow").map_batches(
+        quality_batch, batch_format="pyarrow"
+    ).map_batches(keep, batch_format="pyarrow")
+
+
+def q_length_band(sf_dir: str):
+    """Percentile length cut (composition: exact_quantiles drives a
+    filter): docs whose n_chars lies in [p05, p95]."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cloudtile_ray.stages.quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    q = exact_quantiles(ds, "n_chars", {"p05": 0.05, "p95": 0.95})
+    lo = q.column("p05")[0].as_py()
+    hi = q.column("p95")[0].as_py()
+
+    def keep(t):
+        c = t.column("n_chars")
+        return t.filter(
+            pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+        ).select(["doc_id"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_repetition_stats(sf_dir: str):
+    """Per-doc token-repetition signals (Gopher-style quality rules):
+    n_tokens / n_unique / most-frequent-token count, all integers."""
+    import ray.data
+
+    from cloudtile_ray.stages.text import token_repetition_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_repetition_batch, batch_format="pyarrow")
+
+
+def q_top_terms(sf_dir: str):
+    """Per-doc most-distinctive term: argmax over (tf DESC, df ASC, tk
+    ASC) — integer-ordered TF-IDF surrogate, exact SQL replay via a
+    window row_number."""
+    import ray.data
+
+    from cloudtile_ray.stages.text import top_terms
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return top_terms(ds)
+
+
+def q_geo_redact(sf_dir: str):
+    """Location-privacy scrub: coordinate query params in page URLs
+    replaced with a REDACTED token; per-row redaction count."""
+    from cloudtile_ray.pipelines.single_step import pages_dataset
+    from cloudtile_ray.stages.geocode import redact_geo_urls
+
+    pages = pages_dataset(sf_dir)
+    return pages.map_batches(
+        lambda t: t.select(["doc_id", "url"]), batch_format="pyarrow"
+    ).map_batches(redact_geo_urls, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["doc_id", "scrubbed_url", "n_redactions"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language rebalancing sample (id-hash buckets;
+    partition- and parallelism-independent)."""
+    import ray.data
+
+    from cloudtile_ray.stages.sampling import hash_stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return hash_stratified_sample(
+        ds, rates={"en": 0.25, "de": 0.5, "*": 0.8}, group_col="lang"
+    )
+
+
+def q_train_split(sf_dir: str):
+    """Reproducible train/val split tag from the same id-hash bucket."""
+    import ray.data
+
+    from cloudtile_ray.stages.sampling import hash_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return hash_split(ds, val_frac=0.1)
+
+
 def q_embed_clusters(sf_dir: str):
     """Semantic clustering: distributed Lloyd's k-means over the embedding
     column (fixed-point int64 accumulators -> bit-deterministic at any
@@ -966,6 +1094,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "heavy_hitters": q_heavy_hitters,
         "value_quantiles": q_value_quantiles,
+        "url_dedup": q_url_dedup,
+        "quality_filter": q_quality_filter,
+        "length_band": q_length_band,
+        "repetition_stats": q_repetition_stats,
+        "top_terms": q_top_terms,
+        "geo_redact": q_geo_redact,
+        "stratified_sample": q_stratified_sample,
+        "train_split": q_train_split,
         "attr_transform": q_attr_transform,
         "feature_filter": q_feature_filter,
         "knn_embedding": q_knn_embedding,
@@ -1318,6 +1454,81 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS p90,
                    quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99
             FROM events""",
+        "url_dedup": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            v AS (
+              SELECT doc_id,
+                     CASE WHEN in_url THEN url || '&utm_source=feed'
+                          ELSE url || '?utm_source=feed' END AS u
+              FROM pages_url
+              UNION ALL
+              SELECT doc_id,
+                     CASE WHEN in_url THEN upper(url)
+                          ELSE upper(url) || '/' END
+              FROM pages_url
+            ),
+            c AS (SELECT doc_id,
+                         regexp_replace(
+                           regexp_replace(lower(u), '[?&]utm_[a-z_]+=[^&]*$', ''),
+                           '/$', '') AS canon_url
+                  FROM v)
+            SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   count(*) AS n_variants
+            FROM c GROUP BY 1""",
+        "quality_filter": """
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) AS alpha_ratio,
+                     length(text) - (length(text) - length(replace(text, ' ', ''))) AS nonspace,
+                     length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+              FROM documents)
+            SELECT doc_id FROM q
+            WHERE alpha_ratio >= 0.82
+              AND CAST(nonspace AS DOUBLE) / GREATEST(n_tokens, 1) <= 12.0
+              AND n_tokens BETWEEN 15 AND 100000""",
+        "length_band": """
+            WITH b AS (SELECT quantile_disc(n_chars, 0.05) AS lo,
+                              quantile_disc(n_chars, 0.95) AS hi
+                       FROM documents)
+            SELECT doc_id FROM documents, b
+            WHERE n_chars BETWEEN lo AND hi""",
+        "repetition_stats": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                         FROM documents),
+                 c AS (SELECT doc_id, tk, count(*) AS n FROM tok GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   count(*) AS n_unique,
+                   CAST(max(n) AS BIGINT) AS top_tok_n
+            FROM c GROUP BY 1""",
+        "top_terms": """
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                         FROM documents),
+                 tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+                 dft AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1)
+            SELECT tf.doc_id, tf.tk, tf.tf, dft.df
+            FROM tf JOIN dft USING (tk)
+            QUALIFY row_number() OVER (
+                PARTITION BY tf.doc_id
+                ORDER BY tf.tf DESC, dft.df ASC, tf.tk ASC) = 1""",
+        "geo_redact": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT doc_id,
+                   regexp_replace(url, 'lat_mi=-?[0-9]+&lon_mi=-?[0-9]+',
+                                  'coords=REDACTED', 'g') AS scrubbed_url,
+                   CAST(length(url) - length(regexp_replace(url,
+                        'lat_mi=-?[0-9]+&lon_mi=-?[0-9]+', '', 'g')) > 0 AS BIGINT)
+                       AS n_redactions
+            FROM pages_url""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 7919) % 10000 <
+                  CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                            ELSE 8000 END""",
+        "train_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN (doc_id * 7919) % 10000 < 1000
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents""",
         "attr_transform": """
             SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size FROM part""",
         "feature_filter": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}

@@ -1648,3 +1648,68 @@ def embedding_neardup_pairs(
             )
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (web-pipeline operator; the reference's only
+# identity notion is per-file md5, /root/reference/src/cloudtile/s3.py:211)
+# ---------------------------------------------------------------------------
+
+
+def canonicalize_urls(batch: pa.Table, col: str = "url") -> pa.Table:
+    """Append ``canon_url``: lowercase, strip terminal utm_* tracking
+    params, strip a trailing slash.  Pure Arrow RE2 kernels, so the DuckDB
+    oracle replays it verbatim (same regex dialect)."""
+    import pyarrow.compute as pc
+
+    u = pc.utf8_lower(batch.column(col))
+    u = pc.replace_substring_regex(u, pattern=r"[?&]utm_[a-z_]+=[^&]*$", replacement="")
+    u = pc.replace_substring_regex(u, pattern=r"/$", replacement="")
+    return batch.append_column("canon_url", u)
+
+
+def url_variants(batch: pa.Table) -> pa.Table:
+    """Emit two crawl-style variants per page: one with a tracking param
+    appended ('&' when the url already has a query, else '?'), one
+    uppercased (plus a trailing slash when query-free).  These collapse to
+    one row each under :func:`canonicalize_urls` — the fixture for
+    ``url_dedup``."""
+    import pyarrow.compute as pc
+
+    u = batch.column("url")
+    ids = batch.column("doc_id")
+    has_q = pc.match_substring(u, "?")
+    va = pc.binary_join_element_wise(
+        u, pc.if_else(has_q, "&utm_source=feed", "?utm_source=feed"), ""
+    )
+    vb = pc.binary_join_element_wise(
+        pc.utf8_upper(u), pc.if_else(has_q, "", "/"), ""
+    )
+    return pa.table(
+        {
+            "doc_id": pa.concat_arrays(
+                [ids.combine_chunks(), ids.combine_chunks()]
+            ),
+            "url": pa.concat_arrays(
+                [va.combine_chunks() if isinstance(va, pa.ChunkedArray) else va,
+                 vb.combine_chunks() if isinstance(vb, pa.ChunkedArray) else vb]
+            ),
+        }
+    )
+
+
+def url_dedup(ds) -> "ray.data.Dataset":
+    """Collapse URL variants to canonical form: canonicalize per batch,
+    then ONE hash-partitioned groupby over canon_url (keep min doc_id +
+    variant count).  Same scale shape as exact text dedup — the shuffle
+    key is the canonical url, pre-shrunk batch-side."""
+    from ray.data.aggregate import Count, Min
+
+    return (
+        ds.map_batches(canonicalize_urls, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["canon_url", "doc_id"]), batch_format="pyarrow"
+        )
+        .groupby("canon_url")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_variants"))
+    )

@@ -103,3 +103,25 @@ def parse_footprints(footprint_mi: pa.Array) -> list[np.ndarray | None]:
         )
         out.append(pts / 1000.0)
     return out
+
+
+def redact_geo_urls(batch: pa.Table, col: str = "url") -> pa.Table:
+    """Location-privacy scrub (the geospatial flavour of a PII-redaction
+    stage): replace coordinate query parameters embedded in URLs with a
+    REDACTED token and count the redactions per row.  The inverse of
+    :func:`geocode_batch`'s URL extraction — a corpus published for
+    training must not leak per-page geolocation.
+
+    Pure Arrow RE2 kernels (one match-count + one global replace per
+    batch, no row loop); DuckDB's ``regexp_replace(..., 'g')`` is the
+    same RE2 dialect, so the oracle replays it byte-for-byte."""
+    import pyarrow.compute as pc
+
+    pat = r"lat_mi=-?[0-9]+&lon_mi=-?[0-9]+"
+    u = batch.column(col)
+    n = pc.cast(pc.count_substring_regex(u, pattern=pat), pa.int64())
+    scrubbed = pc.replace_substring_regex(
+        u, pattern=pat, replacement="coords=REDACTED"
+    )
+    out = batch.append_column("scrubbed_url", scrubbed)
+    return out.append_column("n_redactions", n)

@@ -141,26 +141,8 @@ def ivf_topk(
     proportionally, so partition-correlated layouts (per-domain embedding
     shards, cluster-sorted files) cannot collapse the centroid seed the
     way a first-rows ``limit()`` sample silently does."""
-    target = max(256, n_centroids * 8)
-    n_total = ds.count()  # parquet metadata op — no scan
-    K = max(1, int(n_total) // target)
-
-    def hash_sample(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
-            return pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ids * np.uint64(0x9E3779B97F4A7C15)
-        keep = (h % np.uint64(K)) == 0
-        return batch.select(["embedding"]).take(pa.array(np.nonzero(keep)[0]))
-
-    stbl = pa.concat_tables(
-        _gather(ds.map_batches(hash_sample, batch_format="pyarrow"))
-    )
-    sample = np.stack(
-        stbl.column("embedding").to_numpy(zero_copy_only=False)
-    ).astype(np.float64)
-    rng = np.random.default_rng(seed)
-    C = sample[rng.choice(len(sample), n_centroids, replace=len(sample) < n_centroids)]
+    sample = _hash_mod_sample(ds, target=max(256, n_centroids * 8))
+    C = _farthest_point_init(sample, n_centroids)
     for _ in range(5):  # few Lloyd sweeps on the sample
         assign = np.argmax(_normalize(sample) @ _normalize(C).T, axis=1)
         for c in range(n_centroids):
@@ -200,22 +182,52 @@ def ivf_topk(
 
 def _hash_mod_sample(ds, target: int) -> np.ndarray:
     """Deterministic hash-mod embedding sample (every partition contributes
-    proportionally — same rationale as ivf_topk's seeding)."""
+    proportionally — same rationale as ivf_topk's seeding).  Rows are
+    sorted by ``vec_id`` before returning: Ray Data's streaming executor
+    does NOT preserve block order (``preserve_order`` defaults off), so
+    gather order varies run-to-run under load — a seeded ``rng.choice``
+    over an unsorted sample would pick different rows each run."""
     n_total = ds.count()
     K = max(1, int(n_total) // max(1, target))
 
     def keep(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "vec_id" not in batch.column_names:
-            return pa.table({"embedding": pa.array([], pa.list_(pa.float32()))})
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                }
+            )
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
         h = ids * np.uint64(0x9E3779B97F4A7C15)
         m = (h % np.uint64(K)) == 0
-        return batch.select(["embedding"]).take(pa.array(np.nonzero(m)[0]))
+        return batch.select(["vec_id", "embedding"]).take(pa.array(np.nonzero(m)[0]))
 
     t = pa.concat_tables(_gather(ds.map_batches(keep, batch_format="pyarrow")))
-    return np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False), kind="stable")
+    X = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)).astype(
         np.float64
     )
+    return X[order]
+
+
+def _farthest_point_init(sample: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k-means++-style seeding: start from the sample row
+    with the largest norm, then greedily add the point least similar
+    (cosine) to every centroid chosen so far.  No RNG — a seeded random
+    choice over a well-separated fixture can still drop two seeds in one
+    cluster and converge to a local minimum; farthest-point traversal
+    cannot, and it is reproducible independent of sample row order."""
+    S = _normalize(sample)
+    if len(S) <= k:
+        return S[np.argsort(-np.linalg.norm(sample, axis=1), kind="stable")][:k]
+    idx = [int(np.argmax(np.linalg.norm(sample, axis=1)))]
+    best_sim = S @ S[idx[0]]
+    for _ in range(k - 1):
+        nxt = int(np.argmin(best_sim))
+        idx.append(nxt)
+        best_sim = np.maximum(best_sim, S @ S[nxt])
+    return S[idx]
 
 
 def kmeans_fit(
@@ -244,10 +256,7 @@ def kmeans_fit(
     <= 2^43-row clusters stay far from int64 overflow.
     """
     sample = _hash_mod_sample(ds, target=max(256, n_clusters * 8))
-    rng = np.random.default_rng(seed)
-    C = _normalize(
-        sample[rng.choice(len(sample), n_clusters, replace=len(sample) < n_clusters)]
-    )
+    C = _farthest_point_init(sample, n_clusters)
     scale = float(1 << scale_bits)
 
     for _ in range(n_iter):

@@ -225,3 +225,105 @@ def heavy_hitters(ds, k: int = 20) -> "ray.data.Dataset":
         .aggregate(Sum("n", alias_name="n"))
     )
     return counts.sort(["n", "tok"], descending=[True, False]).limit(k)
+
+
+def token_repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-document token-repetition stats (Gopher-style repetition
+    signals for quality filtering): ``n_tokens``, ``n_unique`` and
+    ``top_tok_n`` (occurrences of the most frequent token).  Purely
+    integer outputs so the DuckDB oracle (``string_split`` + unnest +
+    two GROUP BYs) matches bit-for-bit.
+
+    Vectorized shape: one Arrow literal-space split, ``dictionary_encode``
+    to integer token codes (C++ hash table, no Python string loop), then
+    a single ``np.unique`` over ``doc_index * vocab + code`` composite
+    keys and ``np.maximum.reduceat`` over the grouped counts.  Stateless
+    per-batch — each document sits wholly inside one row, so the stats
+    never cross batches and the stage needs no shuffle at all."""
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy().astype(np.int64)
+    vocab = len(de.dictionary)
+    parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    pair, cnt = np.unique(parent * max(vocab, 1) + codes, return_counts=True)
+    pu = pair // max(vocab, 1)
+    starts = np.flatnonzero(np.r_[True, pu[1:] != pu[:-1]])
+    n_unique = np.zeros(len(lens), dtype=np.int64)
+    top = np.zeros(len(lens), dtype=np.int64)
+    if len(pair):
+        owners = pu[starts]
+        n_unique[owners] = np.diff(np.r_[starts, len(pu)])
+        top[owners] = np.maximum.reduceat(cnt, starts)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(lens),
+            "n_unique": pa.array(n_unique),
+            "top_tok_n": pa.array(top),
+        }
+    )
+
+
+def doc_term_freqs(batch: pa.Table) -> pa.Table:
+    """Explode each document into unique ``(doc_id, tk, tf)`` rows — the
+    map side of :func:`top_terms`.  Same dictionary-encode machinery as
+    :func:`token_repetition_batch`; output is one row per distinct token
+    per document (so downstream ``groupby(tk).count`` IS document
+    frequency — no count-distinct needed)."""
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy().astype(np.int64)
+    vocab = max(len(de.dictionary), 1)
+    parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    pair, cnt = np.unique(parent * vocab + codes, return_counts=True)
+    doc_ids = batch.column("doc_id").to_numpy()[pair // vocab]
+    tk = pc.take(de.dictionary, pa.array(pair % vocab))
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "tk": tk,
+            "tf": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def top_terms(ds) -> "ray.data.Dataset":
+    """Per-document most-DISTINCTIVE term: the token maximising
+    ``(tf DESC, df ASC, tk ASC)`` — highest in-document frequency, rarest
+    across the corpus, lexicographic tie-break.  The classic TF-IDF
+    argmax reshaped to pure integer ordering so the DuckDB oracle
+    (window ``row_number()`` over the same triple) matches exactly —
+    float ``ln()`` scores are NOT bit-portable across engines, integer
+    triples are.
+
+    Scale shape: per-batch explode to unique (doc, tk, tf) rows (combiner
+    above) -> ONE hash shuffle on ``tk`` where ``map_groups`` annotates
+    document frequency (= group size, since rows are per-doc-unique) ->
+    ONE hash shuffle on ``doc_id`` picking the argmax row vectorized.
+    Both shuffles move the distinct-token-per-doc table (~n_tokens/3
+    rows), never raw text; no driver-side state of any kind."""
+
+    def attach_df(g: pa.Table) -> pa.Table:
+        return g.append_column(
+            "df", pa.array(np.full(g.num_rows, g.num_rows, dtype=np.int64))
+        )
+
+    def pick_top(g: pa.Table) -> pa.Table:
+        tf = g.column("tf").to_numpy()
+        df = g.column("df").to_numpy()
+        tk = g.column("tk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tk, df, -tf))  # primary last: tf desc, df asc, tk asc
+        i = int(order[0])
+        return g.take(pa.array([i])).select(["doc_id", "tk", "tf", "df"])
+
+    freqs = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
+    with_df = freqs.groupby("tk").map_groups(attach_df, batch_format="pyarrow")
+    return with_df.groupby("doc_id").map_groups(pick_top, batch_format="pyarrow")

@@ -253,3 +253,106 @@ class TestKMeans:
         c1 = kmeans_fit(ray.data.from_arrow(t).repartition(2), n_clusters=3, n_iter=6)
         c2 = kmeans_fit(ray.data.from_arrow(t).repartition(11), n_clusters=3, n_iter=6)
         assert np.array_equal(c1, c2)  # bit-identical, not just close
+
+
+class TestTokenRepetition:
+    def test_matches_python_counter(self):
+        from collections import Counter
+
+        from cloudtile_ray.stages.text import token_repetition_batch
+
+        texts = ["a b a c a", "x", "", "q q q q", "one two three two"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        out = token_repetition_batch(t).to_pydict()
+        for i, s in enumerate(texts):
+            c = Counter(s.split(" "))  # '' -> [''] like string_split
+            toks = s.split(" ")
+            assert out["n_tokens"][i] == len(toks)
+            assert out["n_unique"][i] == len(c)
+            assert out["top_tok_n"][i] == max(c.values())
+
+
+class TestTopTerms:
+    def test_matches_brute(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.text import top_terms
+
+        texts = ["rare common common", "common common common",
+                 "rare rare unique", "zeta zeta common rare"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        got = (
+            top_terms(ray.data.from_arrow(t).repartition(3))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # brute force: (tf desc, df asc, tk asc)
+        from collections import Counter
+        dfc = Counter()
+        tfs = []
+        for s in texts:
+            c = Counter(s.split(" "))
+            tfs.append(c)
+            dfc.update(c.keys())
+        for i, c in enumerate(tfs):
+            best = min(c.items(), key=lambda kv: (-kv[1], dfc[kv[0]], kv[0]))
+            assert got.loc[i, "tk"] == best[0], (i, got.loc[i])
+            assert got.loc[i, "tf"] == best[1]
+            assert got.loc[i, "df"] == dfc[best[0]]
+
+
+class TestSampling:
+    def test_stratified_partition_independent(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.sampling import hash_stratified_sample
+
+        t = pa.table({
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "lang": pa.array(["en", "de", "fr", "zh"][i % 4] for i in range(1000)),
+        })
+        rates = {"en": 0.25, "de": 0.5, "*": 0.8}
+        a = hash_stratified_sample(ray.data.from_arrow(t).repartition(2), rates)
+        b = hash_stratified_sample(ray.data.from_arrow(t).repartition(13), rates)
+        ia = sorted(a.to_pandas()["doc_id"])
+        ib = sorted(b.to_pandas()["doc_id"])
+        assert ia == ib
+        # rates actually bite per group
+        df = a.to_pandas()
+        n_en = (df["lang"] == "en").sum()
+        n_fr = (df["lang"] == "fr").sum()
+        assert 0 < n_en < 250 and n_en / 250 < 0.4
+        assert n_fr / 250 > 0.6
+
+    def test_split_stable_and_disjoint(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.sampling import hash_split
+
+        t = pa.table({"doc_id": pa.array(range(500), pa.int64())})
+        df = hash_split(ray.data.from_arrow(t), val_frac=0.2).to_pandas()
+        assert set(df["split"]) == {"train", "val"}
+        frac = (df["split"] == "val").mean()
+        assert 0.1 < frac < 0.3
+        df2 = hash_split(ray.data.from_arrow(t).repartition(7), val_frac=0.2).to_pandas()
+        m = df.merge(df2, on="doc_id")
+        assert (m["split_x"] == m["split_y"]).all()
+
+
+class TestGeoRedact:
+    def test_scrubs_and_counts(self):
+        from cloudtile_ray.stages.geocode import redact_geo_urls
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "url": pa.array([
+                "https://site1.example/geo/0?lat_mi=41600&lon_mi=-87900",
+                "https://site2.example/p/1",
+            ]),
+        })
+        out = redact_geo_urls(t).to_pydict()
+        assert out["scrubbed_url"][0] == "https://site1.example/geo/0?coords=REDACTED"
+        assert out["scrubbed_url"][1] == "https://site2.example/p/1"
+        assert out["n_redactions"] == [1, 0]
+        assert "lat_mi" not in out["scrubbed_url"][0]
