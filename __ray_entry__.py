@@ -677,6 +677,46 @@ def q_train_split(sf_dir: str):
     return hash_split(ds, val_frac=0.1)
 
 
+CONTAMINATION_PROBES = ["merge batch", "window spark", "quantum flux"]
+
+
+def q_contamination(sf_dir: str):
+    """Decontamination screen: every doc containing any probe phrase
+    (broadcast probe set, per-batch Arrow substring kernels, no shuffle)."""
+    import ray.data
+
+    from cloudtile_ray.stages.text import contamination_scan
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return contamination_scan(ds, CONTAMINATION_PROBES)
+
+
+def q_bigrams(sf_dir: str):
+    """Top-20 corpus bigrams: batch-local positional pairing + value_counts
+    combiner, vocab-sized groupby-sum, deterministic tie-break."""
+    import ray.data
+
+    from cloudtile_ray.stages.text import bigram_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_counts(ds, k=20)
+
+
+def q_seq_pack(sf_dir: str):
+    """Sequence packing: global exclusive prefix-sum of n_chars in doc_id
+    order (two-level segmented scan, no global sort) -> training chunk id."""
+    import ray.data
+
+    from cloudtile_ray.stages.scan import sequence_pack
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return sequence_pack(ds, budget=4096).map_batches(
+        lambda t: t.select(["doc_id", "prefix", "chunk_id"]), batch_format="pyarrow"
+    )
+
+
 def q_embed_clusters(sf_dir: str):
     """Semantic clustering: distributed Lloyd's k-means over the embedding
     column (fixed-point int64 accumulators -> bit-deterministic at any
@@ -1102,6 +1142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_redact": q_geo_redact,
         "stratified_sample": q_stratified_sample,
         "train_split": q_train_split,
+        "contamination": q_contamination,
+        "bigrams": q_bigrams,
+        "seq_pack": q_seq_pack,
         "attr_transform": q_attr_transform,
         "feature_filter": q_feature_filter,
         "knn_embedding": q_knn_embedding,
@@ -1528,6 +1571,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang,
                    CASE WHEN (doc_id * 7919) % 10000 < 1000
                         THEN 'val' ELSE 'train' END AS split
+            FROM documents""",
+        "contamination": """
+            SELECT doc_id, p AS probe
+            FROM documents,
+                 (SELECT unnest(['merge batch', 'window spark', 'quantum flux']) AS p)
+            WHERE contains(text, p)""",
+        "bigrams": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                 p AS (SELECT doc_id, unnest(l) AS tk,
+                              generate_subscripts(l, 1) AS i FROM t),
+                 b AS (SELECT a.tk || ' ' || c.tk AS bigram
+                       FROM p a JOIN p c ON a.doc_id = c.doc_id AND c.i = a.i + 1)
+            SELECT bigram, count(*) AS n FROM b GROUP BY 1
+            ORDER BY n DESC, bigram ASC LIMIT 20""",
+        "seq_pack": """
+            SELECT doc_id,
+                   CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS prefix,
+                   CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) // 4096 AS chunk_id
             FROM documents""",
         "attr_transform": """
             SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size FROM part""",

@@ -327,3 +327,90 @@ def top_terms(ds) -> "ray.data.Dataset":
     freqs = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
     with_df = freqs.groupby("tk").map_groups(attach_df, batch_format="pyarrow")
     return with_df.groupby("doc_id").map_groups(pick_top, batch_format="pyarrow")
+
+
+def contamination_scan(ds, probes: list[str]) -> "ray.data.Dataset":
+    """Benchmark-decontamination screen: find every document containing
+    any of a small set of probe strings (eval-set n-grams, canary
+    phrases).  Emits one ``(doc_id, probe)`` row per hit.
+
+    Scale shape: the probe list is tiny and fixed — broadcast once via
+    ``ray.put``, scanned per batch with Arrow's ``match_substring``
+    kernel (one vectorized pass per probe, no row loop, no shuffle).
+    The corpus streams; output is hit-sized.  DuckDB oracle: a VALUES
+    cross join with ``contains()``."""
+    import ray
+
+    pref = ray.put(list(probes))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ps = _ray.get(pref)
+        text = batch.column("text")
+        ids = batch.column("doc_id")
+        out_ids, out_probe = [], []
+        for p in ps:  # len(ps) is O(10-1000): per-probe vectorized kernel
+            m = pc.match_substring(text, p)
+            hit = ids.filter(m)
+            if len(hit):
+                out_ids.append(
+                    hit.combine_chunks() if isinstance(hit, pa.ChunkedArray) else hit
+                )
+                out_probe.append(
+                    pa.array([p] * len(hit), pa.string())
+                )
+        if not out_ids:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "probe": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([a.cast(pa.int64()) for a in out_ids]),
+                "probe": pa.concat_arrays(out_probe),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def bigram_counts(ds, k: int = 20) -> "ray.data.Dataset":
+    """Exact top-``k`` corpus bigrams (phrase mining).  Same
+    partial-combine shape as :func:`heavy_hitters`: per batch, adjacent
+    token pairs are formed positionally from the flattened split (numpy
+    shift within document boundaries — vectorized, no row loop) and
+    pre-counted with ``value_counts``; one vocab-sized
+    ``groupby(bigram).sum`` and a tiny sort+limit finish it."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        # positions of each doc's last token: a bigram never crosses docs
+        ends = np.cumsum(lens) - 1
+        keep = np.ones(n, dtype=bool)
+        keep[ends] = False  # drop pairs (last-of-doc, first-of-next)
+        left = flat.slice(0, n - 1).filter(pa.array(keep[: n - 1]))
+        right = flat.slice(1).filter(pa.array(keep[: n - 1]))
+        big = pc.binary_join_element_wise(left, right, " ")
+        vc = pc.value_counts(
+            big.combine_chunks() if isinstance(big, pa.ChunkedArray) else big
+        )
+        return pa.table(
+            {"bigram": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)

@@ -356,3 +356,93 @@ class TestGeoRedact:
         assert out["scrubbed_url"][1] == "https://site2.example/p/1"
         assert out["n_redactions"] == [1, 0]
         assert "lat_mi" not in out["scrubbed_url"][0]
+
+
+class TestContamination:
+    def test_finds_planted_probes(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.text import contamination_scan
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "clean document here",
+                "contains the secret canary phrase ok",
+                "secret canary phrase and eval question one",
+                "nothing to see",
+            ]),
+        })
+        got = contamination_scan(
+            ray.data.from_arrow(t).repartition(2),
+            ["secret canary phrase", "eval question one", "absent"],
+        ).to_pandas().sort_values(["doc_id", "probe"]).reset_index(drop=True)
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (1, "secret canary phrase"),
+            (2, "eval question one"),
+            (2, "secret canary phrase"),
+        ]
+
+
+class TestBigrams:
+    def test_matches_brute(self, ray_session):
+        from collections import Counter
+
+        import ray.data
+
+        from cloudtile_ray.stages.text import bigram_counts
+
+        texts = ["a b c a b", "b c b c", "x", "a b"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        got = bigram_counts(ray.data.from_arrow(t).repartition(3), k=50).to_pandas()
+        want = Counter()
+        for s in texts:
+            w = s.split(" ")
+            want.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+        assert dict(zip(got["bigram"], got["n"])) == dict(want)
+        # deterministic order: n desc, bigram asc
+        key = list(zip(-got["n"], got["bigram"]))
+        assert key == sorted(key)
+
+
+class TestPrefixSum:
+    def test_exclusive_prefix_cross_partition(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.scan import ordered_prefix_sum
+
+        rng = np.random.default_rng(3)
+        ids = rng.permutation(5000).astype(np.int64)  # scrambled order
+        vals = rng.integers(0, 100, size=5000).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(ids), "v": pa.array(vals)})
+        got = (
+            ordered_prefix_sum(
+                ray.data.from_arrow(t).repartition(9), "v", bucket=257
+            )
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        order = np.argsort(ids, kind="stable")
+        want = np.zeros(5000, dtype=np.int64)
+        want[order[1:]] = np.cumsum(vals[order])[:-1]
+        df = dict(zip(ids, want))
+        assert (got["prefix"].to_numpy() == [df[i] for i in got["doc_id"]]).all()
+
+    def test_sequence_pack_chunks_monotone(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.scan import sequence_pack
+
+        t = pa.table({
+            "doc_id": pa.array(range(100), pa.int64()),
+            "n_chars": pa.array([300] * 100, pa.int64()),
+        })
+        got = (
+            sequence_pack(ray.data.from_arrow(t), val_col="n_chars", budget=1000,
+                          bucket=17)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # 300 chars/doc, 1000 budget: chunk advances every 3-4 docs, monotone
+        assert got.loc[0, "chunk_id"] == 0
+        assert (np.diff(got["chunk_id"]) >= 0).all()
+        assert got["chunk_id"].iloc[-1] == (99 * 300) // 1000
