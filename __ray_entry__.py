@@ -717,6 +717,99 @@ def q_seq_pack(sf_dir: str):
     )
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain crawl rollup: page count, geo-URL count, distinct
+    languages.  Batch-local (domain, lang) pre-agg -> domain-lang-sized
+    groupby -> per-domain rollup; the corpus never reaches the shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from cloudtile_ray.pipelines.single_step import pages_dataset
+    from cloudtile_ray.stages.geocode import extract_domain
+
+    pages = pages_dataset(sf_dir)
+
+    def preagg(t: pa.Table) -> pa.Table:
+        t = extract_domain(t.select(["url", "lang"]))
+        geo = pc.cast(pc.match_substring(t.column("url"), "lat_mi="), pa.int64())
+        t2 = pa.table(
+            {"domain": t.column("domain"), "lang": t.column("lang"), "geo": geo}
+        )
+        g = t2.group_by(["domain", "lang"]).aggregate(
+            [("geo", "sum"), ("geo", "count")]
+        )
+        return g.rename_columns(["domain", "lang", "n_geo", "n_pages"])
+
+    def rollup(g: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "domain": g.column("domain").slice(0, 1),
+                "n_pages": pa.array(
+                    [int(np.sum(g.column("n_pages").to_numpy()))], pa.int64()
+                ),
+                "n_geo": pa.array(
+                    [int(np.sum(g.column("n_geo").to_numpy()))], pa.int64()
+                ),
+                "n_langs": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    per_dl = (
+        pages.map_batches(preagg, batch_format="pyarrow")
+        .groupby(["domain", "lang"])
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"), Sum("n_geo", alias_name="n_geo")
+        )
+    )
+    return per_dl.groupby("domain").map_groups(rollup, batch_format="pyarrow")
+
+
+def q_lang_quantiles(sf_dir: str):
+    """Per-language length percentiles (p50/p90, quantile_disc rank
+    semantics: index ceil(q*n)-1 on the ascending sort)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def qgroup(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("n_chars").to_numpy())
+        n = len(v)
+        idx = lambda q: v[max(int(np.ceil(q * n)) - 1, 0)]  # noqa: E731
+        return pa.table(
+            {
+                "lang": g.column("lang").slice(0, 1),
+                "p50": pa.array([int(idx(0.5))], pa.int64()),
+                "p90": pa.array([int(idx(0.9))], pa.int64()),
+            }
+        )
+
+    return ds.groupby("lang").map_groups(qgroup, batch_format="pyarrow")
+
+
+def q_decontaminated(sf_dir: str):
+    """Decontamination drop: corpus ids minus every probe hit — the scan
+    feeds the hash-partitioned shuffle anti-join (drop ids never touch
+    the driver)."""
+    import ray.data
+
+    from cloudtile_ray.stages.dedup import anti_join_ids
+    from cloudtile_ray.stages.text import contamination_scan
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hits = contamination_scan(ds, CONTAMINATION_PROBES).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+    ids = ds.map_batches(lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    return anti_join_ids(ids, hits)
+
+
 def q_embed_clusters(sf_dir: str):
     """Semantic clustering: distributed Lloyd's k-means over the embedding
     column (fixed-point int64 accumulators -> bit-deterministic at any
@@ -1145,6 +1238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "bigrams": q_bigrams,
         "seq_pack": q_seq_pack,
+        "domain_stats": q_domain_stats,
+        "lang_quantiles": q_lang_quantiles,
+        "decontaminated": q_decontaminated,
         "attr_transform": q_attr_transform,
         "feature_filter": q_feature_filter,
         "knn_embedding": q_knn_embedding,
@@ -1585,6 +1681,23 @@ def oracle_sql() -> dict[str, str]:
                        FROM p a JOIN p c ON a.doc_id = c.doc_id AND c.i = a.i + 1)
             SELECT bigram, count(*) AS n FROM b GROUP BY 1
             ORDER BY n DESC, bigram ASC LIMIT 20""",
+        "domain_stats": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS domain,
+                   count(*) AS n_pages,
+                   CAST(sum(CASE WHEN contains(url, 'lat_mi=') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_geo,
+                   count(DISTINCT lang) AS n_langs
+            FROM pages_url GROUP BY 1""",
+        "lang_quantiles": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90
+            FROM documents GROUP BY 1""",
+        "decontaminated": """
+            SELECT doc_id FROM documents
+            WHERE NOT (contains(text, 'merge batch')
+                    OR contains(text, 'window spark')
+                    OR contains(text, 'quantum flux'))""",
         "seq_pack": """
             SELECT doc_id,
                    CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id

@@ -125,3 +125,14 @@ def redact_geo_urls(batch: pa.Table, col: str = "url") -> pa.Table:
     )
     out = batch.append_column("scrubbed_url", scrubbed)
     return out.append_column("n_redactions", n)
+
+
+def extract_domain(batch: pa.Table, col: str = "url") -> pa.Table:
+    """Append ``domain`` extracted from the URL (one Arrow RE2
+    ``extract_regex`` pass; DuckDB replays it with ``regexp_extract``).
+    Crawl-ops staple: per-domain rollups drive politeness budgets and
+    domain-level quality decisions."""
+    import pyarrow.compute as pc
+
+    st = pc.extract_regex(batch.column(col), pattern=r"^https://(?P<domain>[^/]+)/")
+    return batch.append_column("domain", pc.struct_field(st, "domain"))

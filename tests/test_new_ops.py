@@ -446,3 +446,16 @@ class TestPrefixSum:
         assert got.loc[0, "chunk_id"] == 0
         assert (np.diff(got["chunk_id"]) >= 0).all()
         assert got["chunk_id"].iloc[-1] == (99 * 300) // 1000
+
+
+class TestDomainExtract:
+    def test_extracts(self):
+        from cloudtile_ray.stages.geocode import extract_domain
+
+        t = pa.table({"url": pa.array([
+            "https://site42.example/geo/7?lat_mi=1&lon_mi=2",
+            "https://a.b.c/p/9",
+        ])})
+        assert extract_domain(t).column("domain").to_pylist() == [
+            "site42.example", "a.b.c",
+        ]
