@@ -810,6 +810,42 @@ def q_decontaminated(sf_dir: str):
     return anti_join_ids(ids, hits)
 
 
+def q_doc_embed_join(sf_dir: str):
+    """Big-big equi-join: attach each document's embedding (first
+    component) via Ray's hash-partitioned Dataset.join — both sides
+    shuffle by key, no broadcast."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cloudtile_ray.stages.relational import hash_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    def dim0(t: pa.Table) -> pa.Table:
+        e = t.column("embedding")
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "dim0": pc.cast(pc.list_element(e, 0), pa.float64()),
+            }
+        )
+
+    # list<float> payloads are not joinable (Arrow hash-join limitation,
+    # see stages/relational.py) — project to the scalar BEFORE the shuffle,
+    # which is also the smaller exchange.
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(dim0, batch_format="pyarrow")
+    j = hash_join(docs, emb, on=("doc_id",), right_on=("vec_id",), num_partitions=16)
+    return j.map_batches(
+        lambda t: t.select(["doc_id", "lang", "dim0"]), batch_format="pyarrow"
+    )
+
+
 def q_embed_clusters(sf_dir: str):
     """Semantic clustering: distributed Lloyd's k-means over the embedding
     column (fixed-point int64 accumulators -> bit-deterministic at any
@@ -1238,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "bigrams": q_bigrams,
         "seq_pack": q_seq_pack,
+        "doc_embed_join": q_doc_embed_join,
         "domain_stats": q_domain_stats,
         "lang_quantiles": q_lang_quantiles,
         "decontaminated": q_decontaminated,
@@ -1681,6 +1718,9 @@ def oracle_sql() -> dict[str, str]:
                        FROM p a JOIN p c ON a.doc_id = c.doc_id AND c.i = a.i + 1)
             SELECT bigram, count(*) AS n FROM b GROUP BY 1
             ORDER BY n DESC, bigram ASC LIMIT 20""",
+        "doc_embed_join": """
+            SELECT d.doc_id, d.lang, CAST(e.embedding[1] AS DOUBLE) AS dim0
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id""",
         "domain_stats": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
             SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS domain,
                    count(*) AS n_pages,

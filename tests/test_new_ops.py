@@ -459,3 +459,38 @@ class TestDomainExtract:
         assert extract_domain(t).column("domain").to_pylist() == [
             "site42.example", "a.b.c",
         ]
+
+
+class TestHashJoin:
+    def test_join_types(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import hash_join
+
+        left = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                         "a": pa.array(["w", "x", "y", "z"])})
+        right = pa.table({"kk": pa.array([2, 3, 3, 5], pa.int64()),
+                          "b": pa.array([20, 30, 31, 50], pa.int64())})
+        L = ray.data.from_arrow(left).repartition(2)
+        R = ray.data.from_arrow(right).repartition(3)
+
+        inner = hash_join(L, R, on=("k",), right_on=("kk",),
+                          num_partitions=4).to_pandas()
+        assert sorted(zip(inner["k"], inner["b"])) == [(2, 20), (3, 30), (3, 31)]
+
+        semi = hash_join(L, R, on=("k",), right_on=("kk",), how="semi",
+                         num_partitions=4).to_pandas()
+        assert sorted(semi["k"]) == [2, 3]
+
+        anti = hash_join(L, R, on=("k",), right_on=("kk",), how="anti",
+                         num_partitions=4).to_pandas()
+        assert sorted(anti["k"]) == [1, 4]
+
+    def test_bad_how_rejected(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import hash_join
+
+        ds = ray.data.range(3)
+        with pytest.raises(ValueError):
+            hash_join(ds, ds, on=("id",), how="cross")
