@@ -769,28 +769,17 @@ def q_domain_stats(sf_dir: str):
 
 def q_lang_quantiles(sf_dir: str):
     """Per-language length percentiles (p50/p90, quantile_disc rank
-    semantics: index ceil(q*n)-1 on the ascending sort)."""
-    import numpy as np
-    import pyarrow as pa
+    semantics) via the grouped bracket-refinement scan — all languages
+    and quantiles share each streaming histogram pass; no language's
+    corpus ever assembles in one task."""
     import ray.data
+
+    from cloudtile_ray.stages.quantiles import grouped_quantiles
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
-
-    def qgroup(g: pa.Table) -> pa.Table:
-        v = np.sort(g.column("n_chars").to_numpy())
-        n = len(v)
-        idx = lambda q: v[max(int(np.ceil(q * n)) - 1, 0)]  # noqa: E731
-        return pa.table(
-            {
-                "lang": g.column("lang").slice(0, 1),
-                "p50": pa.array([int(idx(0.5))], pa.int64()),
-                "p90": pa.array([int(idx(0.9))], pa.int64()),
-            }
-        )
-
-    return ds.groupby("lang").map_groups(qgroup, batch_format="pyarrow")
+    return grouped_quantiles(ds, "lang", "n_chars", {"p50": 0.5, "p90": 0.9})
 
 
 def q_decontaminated(sf_dir: str):

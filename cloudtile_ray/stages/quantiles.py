@@ -151,3 +151,208 @@ def exact_quantiles(
         raise RuntimeError("exact_quantiles failed to converge")
 
     return pa.table({name: pa.array([done[name]], type=pa.int64()) for name in qs})
+
+
+def grouped_quantiles(
+    ds,
+    group_col: str,
+    column: str,
+    qs: dict[str, float],
+    bucket_count: int = 128,
+    collect_threshold: int = 65536,
+    materialize: bool = True,
+) -> pa.Table:
+    """Exact per-group quantiles: one row per group, one int64 column per
+    quantile name.  The bracket-refinement loop of :func:`exact_quantiles`
+    run for ALL groups simultaneously — every round is still ONE streaming
+    pass (per-batch: split rows by group, searchsorted against that
+    group's cut set, bincount; merged through a (group, bin)-keyed
+    groupby-sum whose result is G x bins rows on the driver).
+
+    Scale envelope: built for SMALL group cardinality over HUGE groups
+    (languages, sources, buckets — G <= ~10^4; driver state is G x bins).
+    A per-language percentile cut over 10^12 docs is exactly this shape —
+    a ``groupby(lang).map_groups`` would put one language's entire corpus
+    in one task.  For the opposite regime (millions of tiny groups, e.g.
+    per-domain) use ``groupby(...).map_groups`` with an in-group sort:
+    there each group fits a task trivially and driver-side G x bins state
+    would not.
+    """
+    import ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    slim = ds.map_batches(
+        lambda t: t.select([group_col, column]), batch_format="pyarrow"
+    )
+    if materialize:
+        slim = slim.materialize()
+    stats = (
+        slim.groupby(group_col)
+        .aggregate(Count(), Min(column), Max(column))
+        .to_pandas()
+    )
+    if not len(stats):
+        raise ValueError("grouped_quantiles on an empty dataset")
+    groups = stats[group_col].tolist()
+    n_of = dict(zip(groups, stats["count()"].astype(int)))
+    lo_of = dict(zip(groups, stats[f"min({column})"].astype(int)))
+    hi_of = dict(zip(groups, stats[f"max({column})"].astype(int)))
+
+    # state[(g, name)] = [lo, hi, rank-within-bracket]
+    state = {
+        (g, name): [lo_of[g], hi_of[g], max(0, math.ceil(q * n_of[g]) - 1)]
+        for g in groups
+        for name, q in qs.items()
+    }
+    done: dict[tuple, int] = {}
+
+    def _pass(cuts_by_group: dict) -> dict:
+        """One streaming histogram pass; returns {group: dense counts}."""
+        cref = ray.put(cuts_by_group)
+
+        def part(batch: pa.Table) -> pa.Table:
+            cbg = ray.get(cref)
+            gcol = batch.column(group_col)
+            if isinstance(gcol, pa.ChunkedArray):
+                gcol = gcol.combine_chunks()
+            de = gcol.dictionary_encode()
+            codes = de.indices.to_numpy()
+            vals = batch.column(column).to_numpy(zero_copy_only=False)
+            out_g, out_b, out_c = [], [], []
+            for code in np.unique(codes):
+                g = de.dictionary[int(code)].as_py()
+                cuts = cbg.get(g)
+                if cuts is None:
+                    continue
+                v = vals[codes == code]
+                idx = np.searchsorted(cuts, v, side="left")
+                cnt = np.bincount(idx, minlength=len(cuts) + 1)
+                nz = np.nonzero(cnt)[0]
+                out_g.extend([g] * len(nz))
+                out_b.append(nz.astype(np.int64))
+                out_c.append(cnt[nz].astype(np.int64))
+            if not out_g:
+                return pa.table(
+                    {
+                        group_col: pa.array([], pa.string()),
+                        "bin": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    group_col: pa.array(out_g),
+                    "bin": pa.array(np.concatenate(out_b)),
+                    "cnt": pa.array(np.concatenate(out_c)),
+                }
+            )
+
+        rows = (
+            slim.map_batches(part, batch_format="pyarrow")
+            .groupby([group_col, "bin"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        hists = {}
+        for g, sub in rows.groupby(group_col):
+            m = len(cuts_by_group[g]) + 1
+            h = np.zeros(m, dtype=np.int64)
+            h[sub["bin"].to_numpy()] = sub["cnt"].to_numpy()
+            hists[g] = h
+        return hists
+
+    def _collect_group_brackets(brackets: dict) -> dict:
+        """brackets: {group: (lo, hi)} all proven small; one filtered scan
+        returns {group: sorted values}."""
+        bref = ray.put(brackets)
+
+        def keep(t: pa.Table) -> pa.Table:
+            bk = ray.get(bref)
+            gcol = t.column(group_col)
+            if isinstance(gcol, pa.ChunkedArray):
+                gcol = gcol.combine_chunks()
+            de = gcol.dictionary_encode()
+            codes = de.indices.to_numpy()
+            vals = t.column(column).to_numpy(zero_copy_only=False)
+            m = np.zeros(len(vals), dtype=bool)
+            for code in np.unique(codes):
+                g = de.dictionary[int(code)].as_py()
+                if g in bk:
+                    lo, hi = bk[g]
+                    sel = codes == code
+                    m[sel] = (vals[sel] >= lo) & (vals[sel] <= hi)
+            return t.filter(pa.array(m))
+
+        got: dict[str, list] = {g: [] for g in brackets}
+        for t in slim.map_batches(keep, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            gv = t.column(group_col).to_numpy(zero_copy_only=False)
+            vv = t.column(column).to_numpy(zero_copy_only=False)
+            for g in np.unique(gv):
+                got[g].append(vv[gv == g])
+        return {
+            g: np.sort(np.concatenate(parts or [np.array([], dtype=np.int64)]))
+            for g, parts in got.items()
+        }
+
+    for _ in range(64):
+        for key, (lo, hi, _r) in list(state.items()):
+            if key not in done and lo == hi:
+                done[key] = lo
+        active = [k for k in state if k not in done]
+        if not active:
+            break
+        cuts_by_group: dict = {}
+        for g, name in active:
+            lo, hi, _r = state[(g, name)]
+            c = np.unique(np.linspace(lo, hi, bucket_count + 1).astype(np.int64))
+            cs = np.concatenate(([lo - 1], c[:-1]))
+            cuts_by_group.setdefault(g, []).append(cs)
+        cuts_by_group = {
+            g: np.unique(np.concatenate(v)) for g, v in cuts_by_group.items()
+        }
+        hists = _pass(cuts_by_group)
+        to_collect: dict = {}
+        for g, name in active:
+            lo, hi, r = state[(g, name)]
+            cuts = cuts_by_group[g]
+            cum = np.concatenate(([0], np.cumsum(hists[g])))
+            base_bin = int(np.searchsorted(cuts, lo, side="left"))
+            r_abs = int(cum[base_bin]) + r
+            b = int(np.searchsorted(cum[1:], r_abs + 1, side="left"))
+            new_lo = int(cuts[b - 1]) + 1 if b >= 1 else lo
+            new_hi = int(cuts[b]) if b < len(cuts) else hi
+            new_lo, new_hi = max(new_lo, lo), min(new_hi, hi)
+            new_r = int(r_abs - cum[b])
+            if new_lo == new_hi:
+                done[(g, name)] = new_lo
+            elif cum[b + 1] - cum[b] <= collect_threshold:
+                state[(g, name)] = [new_lo, new_hi, new_r]
+                prev = to_collect.get(g)
+                to_collect[g] = (
+                    (min(prev[0], new_lo), max(prev[1], new_hi))
+                    if prev
+                    else (new_lo, new_hi)
+                )
+            else:
+                state[(g, name)] = [new_lo, new_hi, new_r]
+        if to_collect:
+            vals_of = _collect_group_brackets(to_collect)
+            for g, name in list(state.keys()):
+                if (g, name) in done or g not in vals_of:
+                    continue
+                lo, hi, r = state[(g, name)]
+                clo, chi = to_collect[g]
+                if lo >= clo and hi <= chi:
+                    v = vals_of[g]
+                    sub = v[(v >= lo) & (v <= hi)]
+                    done[(g, name)] = int(sub[r])
+    else:
+        raise RuntimeError("grouped_quantiles failed to converge")
+
+    order = sorted(groups)
+    cols = {group_col: pa.array(order)}
+    for name in qs:
+        cols[name] = pa.array([done[(g, name)] for g in order], type=pa.int64())
+    return pa.table(cols)

@@ -28,6 +28,65 @@ _HOW = {
     "anti": "left_anti",
 }
 
+_shuffle_patch_applied = False
+
+
+def _patch_ray_hash_shuffle_schema_broadcast() -> None:
+    """Fix a Ray 2.49 hash-shuffle defect that breaks ``Dataset.join``
+    whenever a join input contains an empty block.
+
+    The join operator broadcasts each side's schema to the aggregator
+    actors via empty shards sent by the FIRST shuffle task of that side
+    (``hash_shuffle.py:584``, ``send_empty_blocks=True``) and marks the
+    side as broadcast as soon as that task is *submitted*.  Two composed
+    defects break this: (a) ``_shuffle_block`` early-returns on zero-row
+    blocks (``hash_shuffle.py:223``) without sending anything, and (b)
+    Ray's hash aggregate emits ZERO-COLUMN empty blocks for partitions
+    with no groups, so even broadcasting one would ship no schema.  When
+    such a block is scheduled first — a groupby whose output partitions
+    outnumber its groups makes this likely — the schema never reaches
+    the aggregators, every join partition that received no real shard
+    finalizes a zero-column table, and Arrow's join rejects it with "No
+    match for key field".  (``map_batches`` cannot repair this either:
+    Ray never invokes the UDF on empty blocks, and
+    ``repartition(target_num_rows_per_block=...)`` forwards empty blocks
+    too — both verified on 2.49.2.)
+
+    The fix: drop zero-row blocks from every input bundle before the
+    shuffle operator sees them (block metadata carries ``num_rows``, so
+    this fetches nothing).  Empty blocks contribute no rows to any
+    hash-shuffled op, and the schema broadcast then always rides a real
+    block.  A side whose blocks are ALL empty still reproduces the
+    upstream error — Ray cannot join a schema-less dataset — but that
+    requires a genuinely empty join input.  Idempotent; applied lazily
+    by :func:`hash_join`."""
+    global _shuffle_patch_applied
+    if _shuffle_patch_applied:
+        return
+    from ray.data._internal.execution.interfaces import RefBundle
+    from ray.data._internal.execution.operators import hash_shuffle as hs
+
+    original = hs.HashShufflingOperatorBase._do_add_input_inner
+
+    def _do_add_input_inner_fixed(self, input_bundle, input_index):
+        kept = [
+            (ref, meta)
+            for ref, meta in input_bundle.blocks
+            if meta.num_rows is None or meta.num_rows > 0
+        ]
+        if len(kept) != len(input_bundle.blocks):
+            if not kept:
+                return
+            input_bundle = RefBundle(
+                blocks=tuple(kept),
+                schema=input_bundle.schema,
+                owns_blocks=input_bundle.owns_blocks,
+            )
+        return original(self, input_bundle, input_index)
+
+    hs.HashShufflingOperatorBase._do_add_input_inner = _do_add_input_inner_fixed
+    _shuffle_patch_applied = True
+
 
 def hash_join(
     left,
@@ -35,16 +94,30 @@ def hash_join(
     on: Sequence[str],
     right_on: Optional[Sequence[str]] = None,
     how: str = "inner",
-    num_partitions: int = 64,
+    num_partitions: Optional[int] = None,
 ):
     """Join two Datasets on key columns.  ``how`` is one of
     inner/left/right/full/semi/anti (mapped onto Ray's join types).
     Project both sides down to needed columns BEFORE calling — every
     carried column rides the shuffle.  Arrow's hash join rejects nested
     (``list<...>``) payload columns: pre-project them to scalars, or pack
-    them to a ``binary`` column and decode after the join."""
+    them to a ``binary`` column and decode after the join.
+
+    Applies :func:`_patch_ray_hash_shuffle_schema_broadcast` so inputs
+    containing empty blocks (aggregated or filtered sides) join
+    correctly."""
     if how not in _HOW:
         raise ValueError(f"how={how!r}; expected one of {sorted(_HOW)}")
+    _patch_ray_hash_shuffle_schema_broadcast()
+    if num_partitions is None:
+        # Ray's join runs one aggregator pool sized to the partition
+        # count; on a small cluster an oversized count stalls waiting for
+        # actor slots.  Default to ~2 partitions per CPU (min 4) and let
+        # big-data callers pass an explicit count sized to their data.
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_partitions = max(4, 2 * cpus)
     return left.join(
         right,
         join_type=_HOW[how],

@@ -305,16 +305,19 @@ def top_terms(ds) -> "ray.data.Dataset":
     triples are.
 
     Scale shape: per-batch explode to unique (doc, tk, tf) rows (combiner
-    above) -> ONE hash shuffle on ``tk`` where ``map_groups`` annotates
-    document frequency (= group size, since rows are per-doc-unique) ->
-    ONE hash shuffle on ``doc_id`` picking the argmax row vectorized.
-    Both shuffles move the distinct-token-per-doc table (~n_tokens/3
-    rows), never raw text; no driver-side state of any kind."""
+    above) -> document frequency via ``groupby(tk).count`` (vocab-sized
+    result, combiner-backed — a stopword's count folds in partials, it
+    never assembles its 10^12 member rows anywhere) -> df attached by a
+    hash-partitioned ``Dataset.join`` on tk (per-task memory bounded by
+    partition count, not by the hottest token) -> ONE hash shuffle on
+    ``doc_id`` picking the argmax vectorized (per-doc groups are small by
+    construction).  An earlier draft attached df with
+    ``groupby(tk).map_groups``; that materializes every document
+    containing 'the' in ONE task at web scale — the join keeps hot
+    tokens streaming."""
+    from ray.data.aggregate import Count
 
-    def attach_df(g: pa.Table) -> pa.Table:
-        return g.append_column(
-            "df", pa.array(np.full(g.num_rows, g.num_rows, dtype=np.int64))
-        )
+    from cloudtile_ray.stages.relational import hash_join
 
     def pick_top(g: pa.Table) -> pa.Table:
         tf = g.column("tf").to_numpy()
@@ -325,7 +328,8 @@ def top_terms(ds) -> "ray.data.Dataset":
         return g.take(pa.array([i])).select(["doc_id", "tk", "tf", "df"])
 
     freqs = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
-    with_df = freqs.groupby("tk").map_groups(attach_df, batch_format="pyarrow")
+    dfs = freqs.groupby("tk").aggregate(Count(alias_name="df"))
+    with_df = hash_join(freqs, dfs, on=("tk",))
     return with_df.groupby("doc_id").map_groups(pick_top, batch_format="pyarrow")
 
 

@@ -494,3 +494,22 @@ class TestHashJoin:
         ds = ray.data.range(3)
         with pytest.raises(ValueError):
             hash_join(ds, ds, on=("id",), how="cross")
+
+    def test_aggregated_side_with_empty_blocks(self, ray_session):
+        # Regression: a groupby-aggregate side has more output partitions
+        # than groups, so it carries empty blocks; Ray 2.49's join skips
+        # the schema broadcast when an empty block shuffles first and the
+        # aggregators then build zero-column partitions Arrow rejects.
+        # hash_join's coalesce_empty_blocks guard must absorb this.
+        import ray.data
+        from ray.data.aggregate import Count
+
+        from cloudtile_ray.stages.relational import hash_join
+
+        t = pa.table({"k": pa.array([i % 3 for i in range(60)], pa.int64()),
+                      "v": pa.array(range(60), pa.int64())})
+        L = ray.data.from_arrow(t).repartition(4)
+        R = L.groupby("k").aggregate(Count(alias_name="n"))
+        out = hash_join(L, R, on=("k",), num_partitions=16).to_pandas()
+        assert len(out) == 60
+        assert sorted(out["n"].unique()) == [20]
