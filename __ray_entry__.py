@@ -702,6 +702,47 @@ def q_bigrams(sf_dir: str):
     return bigram_counts(ds, k=20)
 
 
+def q_dup_ngrams(sf_dir: str):
+    """Exact-substring-dedup core (Lee et al. 2022): per doc, how many of
+    its 8-token spans occur >= 2 times corpus-wide.  Token-scale gram-hash
+    partials -> one hash groupby -> duplicated-vocab semi join -> doc-sized
+    rollup; gram hashes are SQL-replayable (HUGEINT polynomial)."""
+    import ray.data
+
+    from cloudtile_ray.stages.ngrams import dup_ngram_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dup_ngram_stats(ds, n=8)
+
+
+def q_lang_top_docs(sf_dir: str):
+    """Per-language top-5 longest documents — distributed
+    ROW_NUMBER-over-PARTITION: batch-local top-k combiner bounds the
+    shuffle at k x groups x batches rows."""
+    import ray.data
+
+    from cloudtile_ray.stages.relational import grouped_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return grouped_topk(ds, "lang", "n_chars", k=5, descending=True, tie_col="doc_id")
+
+
+def q_keyword_search(sf_dir: str):
+    """Conjunctive token-exact keyword search (inverted-index probe
+    semantics): broadcast terms, per-batch Arrow equality kernels +
+    reduceat, zero shuffle, hit-sized output."""
+    import ray.data
+
+    from cloudtile_ray.stages.text import keyword_search
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars", "text"]
+    )
+    return keyword_search(ds, ["dup", "spark", "merge"])
+
+
 def q_seq_pack(sf_dir: str):
     """Sequence packing: global exclusive prefix-sum of n_chars in doc_id
     order (two-level segmented scan, no global sort) -> training chunk id."""
@@ -1267,6 +1308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "lang_quantiles": q_lang_quantiles,
         "decontaminated": q_decontaminated,
+        "dup_ngrams": q_dup_ngrams,
+        "lang_top_docs": q_lang_top_docs,
+        "keyword_search": q_keyword_search,
         "attr_transform": q_attr_transform,
         "feature_filter": q_feature_filter,
         "knn_embedding": q_knn_embedding,
@@ -1727,6 +1771,53 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (contains(text, 'merge batch')
                     OR contains(text, 'window spark')
                     OR contains(text, 'quantum flux'))""",
+        # duplicated-span stats: the SAME base-1000003 polynomial hash mod
+        # 2^64 the engine computes — per-token char fold, then an n=8
+        # token-hash fold per window (HUGEINT list_reduce both times), so
+        # any hash collision collides identically on both sides
+        "dup_ngrams": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id, pos,
+                     list_reduce(
+                       [CAST(0 AS HUGEINT)] ||
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ord(substr(w, i, 1)) AS HUGEINT)),
+                       (h, c) -> (h * 1000003 + c) % 18446744073709551616
+                     ) AS h
+              FROM toks
+            ),
+            doc_th AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th GROUP BY doc_id),
+            grams AS (
+              SELECT doc_id,
+                     CAST(list_reduce(
+                       [CAST(0 AS HUGEINT)] || hs[i:i+7],
+                       (a, c) -> (a * 1000003 + c) % 18446744073709551616
+                     ) AS UBIGINT) AS gh
+              FROM (SELECT doc_id, hs, unnest(range(1, len(hs) - 6)) AS i FROM doc_th)
+            ),
+            freq AS (SELECT gh, count(*) AS c FROM grams GROUP BY gh)
+            SELECT g.doc_id,
+                   count(*) AS n_spans,
+                   CAST(sum(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_dup_spans
+            FROM grams g JOIN freq f USING (gh)
+            GROUP BY g.doc_id""",
+        "lang_top_docs": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 5""",
+        "keyword_search": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE list_contains(string_split(text, ' '), 'dup')
+              AND list_contains(string_split(text, ' '), 'spark')
+              AND list_contains(string_split(text, ' '), 'merge')""",
         "seq_pack": """
             SELECT doc_id,
                    CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id

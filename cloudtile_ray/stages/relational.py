@@ -125,3 +125,54 @@ def hash_join(
         on=tuple(on),
         right_on=tuple(right_on) if right_on is not None else None,
     )
+
+
+def grouped_topk(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    descending: bool = True,
+    tie_col: Optional[str] = None,
+):
+    """Per-group top-``k`` rows — the distributed form of SQL's
+    ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY order_col) <= k``
+    (beyond-the-reference relational operator; the reference's only
+    ordering is tippecanoe's in-tile feature order,
+    /root/reference/src/cloudtile/tippecanoe.yaml:86-90).
+
+    Scale shape: a batch-local combiner first cuts every batch to at most
+    ``k`` rows per group present (one ``np.lexsort``, no Python loop), so
+    the groupby shuffle moves at most ``k x groups x batches`` rows — not
+    the corpus; a per-group ``map_groups`` then applies the same
+    selection exactly.  Ties beyond ``tie_col`` would make the answer
+    nondeterministic, so ``tie_col`` (ascending, must be unique per
+    group, e.g. a row id) is required for an oracle-exact result."""
+    import pyarrow as pa
+
+    def _topk(batch: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        if batch.num_rows == 0:
+            return batch
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(order_col).to_numpy(zero_copy_only=False)
+        keys = [v]
+        if tie_col is not None:
+            keys = [batch.column(tie_col).to_numpy(zero_copy_only=False), v]
+        if descending:
+            keys[-1] = -keys[-1].astype(np.float64, copy=False) if v.dtype.kind == "f" else -v.astype(np.int64)
+        # lexsort: last key is primary -> (group, order, tie)
+        order = np.lexsort(keys + [g])
+        gs = g[order]
+        first = np.empty(len(gs), dtype=bool)
+        first[0] = True
+        first[1:] = gs[1:] != gs[:-1]
+        starts = np.nonzero(first)[0]
+        rank = np.arange(len(gs)) - np.repeat(starts, np.diff(np.append(starts, len(gs))))
+        keep = order[rank < k]
+        keep.sort()  # preserve input order within the batch
+        return batch.take(pa.array(keep, type=pa.int64()))
+
+    partial = ds.map_batches(_topk, batch_format="pyarrow")
+    return partial.groupby(group_col).map_groups(_topk, batch_format="pyarrow")

@@ -418,3 +418,42 @@ def bigram_counts(ds, k: int = 20) -> "ray.data.Dataset":
         .aggregate(Sum("n", alias_name="n"))
     )
     return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
+
+
+def keyword_search(ds, terms: list[str]) -> "ray.data.Dataset":
+    """Conjunctive (AND) token-exact keyword search: documents containing
+    EVERY term as a whole token (the probe side of an inverted-index
+    lookup; complements :func:`contamination_scan`'s substring-OR).
+
+    Scale shape: the term list is broadcast once via ``ray.put``; each
+    batch runs one Arrow ``equal`` kernel per term over the flattened
+    token array and reduces per doc with ``np.logical_or.reduceat`` — no
+    shuffle, hit-sized output, corpus streams.  DuckDB oracle:
+    ``list_contains(string_split(text, ' '), term)`` conjunction."""
+    import ray
+
+    tref = ray.put([str(t) for t in terms])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ts = _ray.get(tref)
+        out_cols = ["doc_id", "lang", "n_chars"]
+        if batch.num_rows == 0:
+            return batch.select(out_cols)
+        words = pc.split_pattern(batch.column("text").combine_chunks(), pattern=" ")
+        flat = words.flatten()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = offs[1:] > offs[:-1]
+        ok = np.ones(batch.num_rows, dtype=bool)
+        for t in ts:  # O(len(terms)) vectorized kernels
+            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            has = np.zeros(batch.num_rows, dtype=bool)
+            if len(eq):
+                # reduceat repeats the next run for empty docs; mask them
+                red = np.logical_or.reduceat(eq, np.minimum(offs[:-1], len(eq) - 1))
+                has = red & nonempty
+            ok &= has
+        return batch.select(out_cols).filter(pa.array(ok))
+
+    return ds.map_batches(scan, batch_format="pyarrow")

@@ -513,3 +513,142 @@ class TestHashJoin:
         out = hash_join(L, R, on=("k",), num_partitions=16).to_pandas()
         assert len(out) == 60
         assert sorted(out["n"].unique()) == [20]
+
+
+class TestDupNgrams:
+    def _brute(self, docs: list[str], n: int):
+        from collections import Counter
+
+        grams: Counter = Counter()
+        per_doc: list[list[tuple[str, ...]]] = []
+        for d in docs:
+            toks = d.split(" ")
+            g = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            per_doc.append(g)
+            grams.update(g)
+        out = {}
+        for i, g in enumerate(per_doc):
+            if g:
+                out[i] = (len(g), sum(1 for x in g if grams[x] >= 2))
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.ngrams import dup_ngram_stats
+
+        rng = np.random.default_rng(11)
+        vocab = ["a", "b", "c", "d", "e", "f"]
+        docs = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(1, 20))))
+            for _ in range(60)
+        ]
+        docs.append(docs[5])  # exact duplicate -> every span duplicated
+        t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()), "text": docs})
+        n = 4
+        res = (
+            dup_ngram_stats(ray.data.from_arrow(t).repartition(7), n=n)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        want = self._brute(docs, n)
+        assert set(res.index) == set(want)
+        for i, (ns, nd) in want.items():
+            assert (res.loc[i, "n_spans"], res.loc[i, "n_dup_spans"]) == (ns, nd)
+
+    def test_short_docs_excluded_and_zero_dups(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.ngrams import dup_ngram_stats
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": ["a b", "p q r s t", "u v w x y"],
+            }
+        )
+        res = dup_ngram_stats(ray.data.from_arrow(t), n=4).to_pandas()
+        res = res.set_index("doc_id").sort_index()
+        assert list(res.index) == [1, 2]  # doc 0 has < 4 tokens
+        assert res["n_spans"].tolist() == [2, 2]
+        assert res["n_dup_spans"].tolist() == [0, 0]
+
+
+class TestGroupedTopk:
+    def test_matches_window_function(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import grouped_topk
+
+        rng = np.random.default_rng(3)
+        n = 500
+        t = pa.table(
+            {
+                "rid": pa.array(range(n), pa.int64()),
+                "grp": pa.array(rng.integers(0, 12, n).astype("int64")),
+                "val": pa.array(rng.integers(0, 40, n).astype("int64")),
+            }
+        )
+        res = (
+            grouped_topk(
+                ray.data.from_arrow(t).repartition(9), "grp", "val", k=3,
+                descending=True, tie_col="rid",
+            )
+            .to_pandas()
+            .sort_values(["grp", "rid"])
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """SELECT rid, grp, val FROM (
+                 SELECT *, row_number() OVER (PARTITION BY grp
+                     ORDER BY val DESC, rid) AS rn FROM t)
+               WHERE rn <= 3 ORDER BY grp, rid"""
+        ).df()
+        assert res[["rid", "grp", "val"]].values.tolist() == want.values.tolist()
+
+    def test_ascending(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import grouped_topk
+
+        t = pa.table(
+            {
+                "rid": pa.array([0, 1, 2, 3], pa.int64()),
+                "grp": pa.array([0, 0, 0, 1], pa.int64()),
+                "val": pa.array([5, 1, 3, 9], pa.int64()),
+            }
+        )
+        res = (
+            grouped_topk(ray.data.from_arrow(t), "grp", "val", k=2,
+                         descending=False, tie_col="rid")
+            .to_pandas()
+            .sort_values(["grp", "val"])
+        )
+        assert res["rid"].tolist() == [1, 2, 3]
+
+
+class TestKeywordSearch:
+    def test_token_and_semantics(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.text import keyword_search
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "lang": ["en"] * 5,
+                "n_chars": pa.array([10] * 5, pa.int64()),
+                "text": [
+                    "spark merge join",          # both terms
+                    "spark only here",           # missing merge
+                    "sparkle merged",            # substrings, not tokens
+                    "merge then spark again",    # both
+                    "",                          # empty doc
+                ],
+            }
+        )
+        res = keyword_search(ray.data.from_arrow(t).repartition(3), ["spark", "merge"])
+        got = sorted(res.to_pandas()["doc_id"].tolist())
+        assert got == [0, 3]
