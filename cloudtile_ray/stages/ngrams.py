@@ -26,22 +26,23 @@ Scale shape (what each stage moves at 100 TB):
    Python).  Windows are pre-aggregated to ``(doc_id, gh, k)`` within the
    batch, so the shuffle moves one 24-byte row per *distinct* gram per
    doc-batch, never a gram string.
-2. **Frequency**: ``groupby(gh).sum(k)`` — the one token-scale all-to-all,
-   over fixed-width rows.
-3. **Attach**: hash-partitioned :func:`~cloudtile_ray.stages.relational.hash_join`
-   of the gram partials against the frequency table (both sides big ->
-   shuffle join, never a broadcast; the full table, not a ``c >= 2``
-   pre-filter, so a duplicate-free corpus never produces an all-empty
-   join side — Ray 2.49 cannot schema-broadcast one).
-4. **Rollup**: per-doc span totals from a separate streaming pass (one
-   list-length kernel) are unioned with the per-doc duplicated-span
-   partials and summed by ONE doc-sized ``groupby`` — zero-dup docs keep
-   ``n_dup_spans = 0`` without an outer join.
-
-The gram partials Dataset is consumed twice (frequency + attach); Ray
-re-executes the lineage rather than materializing a token-scale
-intermediate — two streaming corpus passes instead of pinning
-O(tokens) in the object store.
+2. **Gram-bucket rollup**: ONE token-scale exchange, keyed by
+   ``gh % num_buckets`` — a SMALL-cardinality bucket key, not the
+   near-unique hash itself.  Ray's ``groupby().aggregate()`` machinery
+   runs Python per *group*; with grams (groups ~= rows) that is Python
+   per row — measured ~400us/row on 2.49.2.  Bucketing instead gives
+   ``map_groups`` a few hundred groups, and corpus-wide frequencies and
+   per-doc duplicated-span counts are computed *inside* each bucket with
+   two ``np.lexsort`` + ``reduceat`` passes (every occurrence of a gram
+   hash lands in the same bucket, so in-bucket counts ARE corpus-wide
+   counts).  This is the engine's established wide-op shape (the packed
+   tile exchange, ``scan.py``'s bucketed prefix sums).
+3. **Doc-bucket rollup**: the per-bucket ``(doc_id, n_dup_spans)``
+   partials union with per-doc span totals from a separate streaming
+   pass (one list-length kernel), and a second bucket exchange on
+   ``doc_id % num_buckets`` sums both counters per doc — zero-dup docs
+   keep ``n_dup_spans = 0`` without an outer join, and no Ray join or
+   AggregateFn appears anywhere in the DAG.
 
 Grouping on the 64-bit hash instead of the gram string is exact by
 construction against the oracle: DuckDB replays the *same* polynomial
@@ -155,62 +156,123 @@ def span_totals(batch: pa.Table, n: int) -> pa.Table:
     )
 
 
-def dup_ngram_stats(ds, n: int = 8) -> "ray.data.Dataset":
+def _per_key_sums(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(unique keys, per-key sums) via one stable sort + ``reduceat``."""
+    order = np.argsort(keys, kind="stable")
+    ks, vs = keys[order], vals[order]
+    new = np.empty(len(ks), dtype=bool)
+    new[0] = True
+    new[1:] = ks[1:] != ks[:-1]
+    starts = np.nonzero(new)[0]
+    return ks[starts], np.add.reduceat(vs, starts)
+
+
+def _gh_bucket_rollup(t: pa.Table) -> pa.Table:
+    """Inside one gram-hash bucket (which holds EVERY corpus occurrence of
+    its gram hashes): corpus-wide count per gh via sort+reduceat, then
+    per-doc sums of the multiplicities of duplicated (c >= 2) grams."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_dup_spans": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    gh = t.column("gh").to_numpy(zero_copy_only=False)
+    k = t.column("k").to_numpy(zero_copy_only=False)
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(gh, kind="stable")
+    ghs, ks, ds_ = gh[order], k[order], doc[order]
+    new = np.empty(len(ghs), dtype=bool)
+    new[0] = True
+    new[1:] = ghs[1:] != ghs[:-1]
+    starts = np.nonzero(new)[0]
+    sizes = np.diff(np.append(starts, len(ghs)))
+    totals = np.add.reduceat(ks, starts)
+    c_per_row = np.repeat(totals, sizes)
+    dup = c_per_row >= 2
+    if not dup.any():
+        return empty
+    d_ids, d_sums = _per_key_sums(ds_[dup], ks[dup])
+    return pa.table(
+        {"doc_id": pa.array(d_ids), "n_dup_spans": pa.array(d_sums.astype(np.int64))}
+    )
+
+
+def _doc_bucket_rollup(t: pa.Table) -> pa.Table:
+    """Inside one doc bucket: per-doc sums of both partial counters."""
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_spans": pa.array([], pa.int64()),
+                "n_dup_spans": pa.array([], pa.int64()),
+            }
+        )
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+    ns = t.column("n_spans").to_numpy(zero_copy_only=False)
+    nd = t.column("n_dup_spans").to_numpy(zero_copy_only=False)
+    ids, s1 = _per_key_sums(doc, ns)
+    _, s2 = _per_key_sums(doc, nd)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "n_spans": pa.array(s1.astype(np.int64)),
+            "n_dup_spans": pa.array(s2.astype(np.int64)),
+        }
+    )
+
+
+def dup_ngram_stats(ds, n: int = 8, num_buckets: int | None = None) -> "ray.data.Dataset":
     """Per-document duplicated-span statistics:
     ``(doc_id, n_spans, n_dup_spans)`` where a span is duplicated iff its
     n-gram occurs >= 2 times corpus-wide (see module docstring for the
-    distributed shape)."""
-    from ray.data.aggregate import Sum
+    distributed shape).  ``num_buckets`` sizes both bucket exchanges;
+    default 4x cluster CPUs — raise it so one bucket's gram rows fit a
+    worker's heap (rows/bucket ~= total grams / num_buckets)."""
+    if num_buckets is None:
+        import ray
 
-    from cloudtile_ray.stages.relational import hash_join
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_buckets = max(64, 4 * cpus)
+
+    def add_gh_bucket(t: pa.Table) -> pa.Table:
+        b = t.column("gh").to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
 
     grams = ds.map_batches(
-        lambda b: dup_ngram_partials(b, n), batch_format="pyarrow"
+        lambda b: add_gh_bucket(dup_ngram_partials(b, n)), batch_format="pyarrow"
     )
-    freq = (
-        grams.map_batches(
-            lambda t: t.select(["gh", "k"]), batch_format="pyarrow"
+    dup_parts = (
+        grams.groupby("bucket")
+        .map_groups(_gh_bucket_rollup, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_spans": pa.array(np.zeros(t.num_rows, np.int64)),
+                    "n_dup_spans": t.column("n_dup_spans"),
+                }
+            ),
+            batch_format="pyarrow",
         )
-        .groupby("gh")
-        .aggregate(Sum("k", alias_name="c"))
     )
-    # Join grams against the FULL frequency table (mirrors the oracle's
-    # `JOIN freq USING (gh)`), not a pre-filtered duplicated-vocab side:
-    # a corpus with zero duplicated grams would make that side entirely
-    # empty, which Ray's hash join cannot schema-broadcast (see
-    # relational._patch_ray_hash_shuffle_schema_broadcast).  The freq side
-    # is distinct-gram-sized fixed-width rows — the same order as the
-    # grams side already riding this shuffle.
-    hits = hash_join(grams, freq, on=("gh",), how="inner")
-
-    def dup_part(t: pa.Table) -> pa.Table:
-        is_dup = pc.greater_equal(t.column("c"), 2)
-        kdup = pc.if_else(is_dup, t.column("k"), pa.scalar(0, pa.int64()))
-        return pa.table(
+    tot_parts = ds.map_batches(lambda b: span_totals(b, n), batch_format="pyarrow").map_batches(
+        lambda t: pa.table(
             {
-                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-                "n_spans": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
-                "n_dup_spans": pc.cast(kdup, pa.int64()),
+                "doc_id": t.column("doc_id"),
+                "n_spans": t.column("n_spans"),
+                "n_dup_spans": pa.array(np.zeros(t.num_rows, np.int64)),
             }
-        )
-
-    totals = ds.map_batches(lambda b: span_totals(b, n), batch_format="pyarrow")
-
-    def tot_part(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-                "n_spans": pc.cast(t.column("n_spans"), pa.int64()),
-                "n_dup_spans": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
-            }
-        )
-
-    # zero-dup docs need no outer join: union the two partial streams and
-    # let ONE doc-sized groupby sum both counters
-    parts = totals.map_batches(tot_part, batch_format="pyarrow").union(
-        hits.map_batches(dup_part, batch_format="pyarrow")
+        ),
+        batch_format="pyarrow",
     )
-    return parts.groupby("doc_id").aggregate(
-        Sum("n_spans", alias_name="n_spans"),
-        Sum("n_dup_spans", alias_name="n_dup_spans"),
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        b = t.column("doc_id").to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    parts = tot_parts.union(dup_parts).map_batches(
+        add_doc_bucket, batch_format="pyarrow"
+    )
+    return parts.groupby("bucket").map_groups(
+        _doc_bucket_rollup, batch_format="pyarrow"
     )
