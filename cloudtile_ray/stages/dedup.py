@@ -64,14 +64,19 @@ BUCKET_CAP = 1024
 
 def exact_dedup_keys(ds, key_expr_col: str, id_col: str = "doc_id"):
     """Keep-first exact dedup: -> (key, keep_id, n_dups). The shuffle moves
-    only the key + id columns."""
-    from ray.data.aggregate import Count, Min
+    only the key + id columns, and the keys are near-unique — so the
+    aggregate runs through the bucket exchange + Arrow C++ hash aggregation
+    (:func:`cloudtile_ray.stages.relational.bucketed_group_aggregate`), not
+    Ray's per-group-Python AggregateFn path."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
 
     pruned = ds.map_batches(
         lambda t: t.select([key_expr_col, id_col]), batch_format="pyarrow"
     )
-    return pruned.groupby(key_expr_col).aggregate(
-        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
+    return bucketed_group_aggregate(
+        pruned,
+        [key_expr_col],
+        [(id_col, "min", "keep_id"), (id_col, "count", "n_dups")],
     )
 
 
@@ -1700,16 +1705,18 @@ def url_variants(batch: pa.Table) -> pa.Table:
 
 def url_dedup(ds) -> "ray.data.Dataset":
     """Collapse URL variants to canonical form: canonicalize per batch,
-    then ONE hash-partitioned groupby over canon_url (keep min doc_id +
-    variant count).  Same scale shape as exact text dedup — the shuffle
-    key is the canonical url, pre-shrunk batch-side."""
-    from ray.data.aggregate import Count, Min
+    then ONE hash-partitioned exchange over canon_url (keep min doc_id +
+    variant count).  Same scale shape as exact text dedup — near-unique
+    string keys, so the aggregate uses the bucket exchange + Arrow C++
+    hash aggregation (see
+    :func:`cloudtile_ray.stages.relational.bucketed_group_aggregate`)."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
 
-    return (
-        ds.map_batches(canonicalize_urls, batch_format="pyarrow")
-        .map_batches(
-            lambda t: t.select(["canon_url", "doc_id"]), batch_format="pyarrow"
-        )
-        .groupby("canon_url")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_variants"))
+    slim = ds.map_batches(canonicalize_urls, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["canon_url", "doc_id"]), batch_format="pyarrow"
+    )
+    return bucketed_group_aggregate(
+        slim,
+        ["canon_url"],
+        [("doc_id", "min", "doc_id"), ("doc_id", "count", "n_variants")],
     )
