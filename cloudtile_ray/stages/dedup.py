@@ -281,6 +281,74 @@ def bucket_pairs(group: pa.Table, cap: int = BUCKET_CAP) -> pa.Table:
     return _capped_pairs(ids, cap, "minhash-lsh")
 
 
+def grouped_buckets_apply(ds, key_cols: list[str], bucket_fn, num_parts: int | None = None):
+    """Apply ``bucket_fn`` to every (key_cols) LSH bucket through ONE
+    small-cardinality part exchange.
+
+    LSH bucket keys are near-unique (buckets ~= docs x bands / mean
+    bucket size), and both ``groupby(keys).map_groups`` and Ray's
+    AggregateFn path run per-GROUP Python machinery — several hundred us
+    per bucket, hours of pure overhead at web scale (see
+    ``relational.bucketed_group_aggregate``).  Here the exchange is keyed
+    by ``hash(keys) % num_parts`` (a few hundred groups), and inside each
+    part ONE numpy lexsort finds the bucket boundaries; ``bucket_fn``
+    then runs on each bucket's contiguous slice.  Every occurrence of a
+    bucket key hashes to the same part, so bucket contents are complete.
+
+    ``key_cols`` must be integer-typed (band ids / band hashes / cell
+    ids).  ``bucket_fn`` receives each bucket as an Arrow table slice
+    (same columns as ``ds``, minus the ``_part`` key) and must return an
+    Arrow table; called once on an empty slice to pin the output schema
+    when a part holds only singleton-free buckets."""
+    if num_parts is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_parts = max(64, 4 * cpus)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], pa.int64()))
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for kc in key_cols:
+            ch = t.column(kc).to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = h * np.uint64(1000003) + ch * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(num_parts)).astype(np.int64))
+        )
+
+    def per_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"]).combine_chunks()
+        if g.num_rows == 0:
+            return bucket_fn(g)
+        keys = [
+            g.column(kc).to_numpy(zero_copy_only=False) for kc in key_cols
+        ]
+        order = np.lexsort(keys[::-1])
+        sorted_g = g.take(pa.array(order))
+        ks = [k[order] for k in keys]
+        change = np.zeros(len(order), dtype=bool)
+        change[0] = True
+        for k in ks:
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], len(order))
+        outs = []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:  # singleton buckets emit nothing
+                outs.append(bucket_fn(sorted_g.slice(int(s), int(e - s))))
+        outs = [o for o in outs if o.num_rows > 0]
+        if not outs:
+            return bucket_fn(sorted_g.slice(0, 0))
+        return pa.concat_tables(outs)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact k-shingle Jaccard (verification step)."""
     sa = {text_a[i : i + k] for i in range(max(1, len(text_a) - k + 1))}
@@ -689,8 +757,8 @@ def minhash_dedup_pairs(
     bands = sigs.map_batches(
         lambda t: explode_bands(t, n_bands), batch_format="pyarrow"
     )
-    cands = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: bucket_pairs(g, cap=bucket_cap), batch_format="pyarrow"
+    cands = grouped_buckets_apply(
+        bands, ["band_id", "band_hash"], lambda g: bucket_pairs(g, cap=bucket_cap)
     )
     out = verify_pairs_distributed(
         ds, cands, threshold, broadcast_threshold=broadcast_threshold
@@ -725,7 +793,7 @@ def ngram_jaccard_pairs(
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
         return _capped_pairs(ids, bucket_cap, "ngram-fp")
 
-    cands = fps.groupby("rolling_fp").map_groups(pairs, batch_format="pyarrow")
+    cands = grouped_buckets_apply(fps, ["rolling_fp"], pairs)
     out = verify_pairs_distributed(
         ds, cands, threshold, k=k, broadcast_threshold=broadcast_threshold
     )
@@ -1461,9 +1529,7 @@ def simhash_near_pairs(ds, max_hamming: int = 3, bucket_cap: int = BUCKET_CAP):
         )
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    raw = exploded.groupby(["band_id", "band_val"]).map_groups(
-        pairs, batch_format="pyarrow"
-    )
+    raw = grouped_buckets_apply(exploded, ["band_id", "band_val"], pairs)
 
     # cross-band dedupe, distributed: partition by hash(doc_a), drop dups
     def add_part(batch: pa.Table) -> pa.Table:
@@ -1599,9 +1665,7 @@ def embedding_neardup_pairs(
             }
         )
 
-    raw = bucketed.groupby(["table_id", "bucket"]).map_groups(
-        pairs, batch_format="pyarrow"
-    )
+    raw = grouped_buckets_apply(bucketed, ["table_id", "bucket"], pairs)
 
     def add_part(batch: pa.Table) -> pa.Table:
         if "vec_a" not in batch.column_names or batch.num_rows == 0:

@@ -309,28 +309,54 @@ def top_terms(ds) -> "ray.data.Dataset":
     result, combiner-backed — a stopword's count folds in partials, it
     never assembles its 10^12 member rows anywhere) -> df attached by a
     hash-partitioned ``Dataset.join`` on tk (per-task memory bounded by
-    partition count, not by the hottest token) -> ONE hash shuffle on
-    ``doc_id`` picking the argmax vectorized (per-doc groups are small by
-    construction).  An earlier draft attached df with
-    ``groupby(tk).map_groups``; that materializes every document
-    containing 'the' in ONE task at web scale — the join keeps hot
-    tokens streaming."""
-    from ray.data.aggregate import Count
+    partition count, not by the hottest token) -> ONE doc-bucket exchange
+    picking every bucket's per-doc argmax with Arrow's C++ multi-key sort
+    (doc ids are near-unique keys, so this avoids both Ray's per-group
+    AggregateFn Python and a per-doc ``map_groups`` call — see
+    ``relational.bucketed_group_aggregate`` for the measured cost).  An
+    earlier draft attached df with ``groupby(tk).map_groups``; that
+    materializes every document containing 'the' in ONE task at web
+    scale — the join keeps hot tokens streaming."""
+    import ray
 
-    from cloudtile_ray.stages.relational import hash_join
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
 
-    def pick_top(g: pa.Table) -> pa.Table:
-        tf = g.column("tf").to_numpy()
-        df = g.column("df").to_numpy()
-        tk = g.column("tk").to_numpy(zero_copy_only=False)
-        order = np.lexsort((tk, df, -tf))  # primary last: tf desc, df asc, tk asc
-        i = int(order[0])
-        return g.take(pa.array([i])).select(["doc_id", "tk", "tf", "df"])
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    num_buckets = max(64, 4 * cpus)
 
     freqs = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
-    dfs = freqs.groupby("tk").aggregate(Count(alias_name="df"))
+    dfs = bucketed_group_aggregate(freqs, ["tk"], [("doc_id", "count", "df")])
     with_df = hash_join(freqs, dfs, on=("tk",))
-    return with_df.groupby("doc_id").map_groups(pick_top, batch_format="pyarrow")
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        b = t.column("doc_id").to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("_bkt", pa.array(b.astype(np.int64)))
+
+    def pick_top_bucket(g: pa.Table) -> pa.Table:
+        g = g.select(["doc_id", "tk", "tf", "df"]).combine_chunks()
+        if g.num_rows == 0:
+            return g
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("tf", "descending"),
+                ("df", "ascending"),
+                ("tk", "ascending"),
+            ],
+        )
+        d_s = pc.take(g.column("doc_id"), idx).to_numpy(zero_copy_only=False)
+        first = np.empty(len(d_s), dtype=bool)
+        first[0] = True
+        first[1:] = d_s[1:] != d_s[:-1]
+        keep = idx.to_numpy(zero_copy_only=False)[first]
+        return g.take(pa.array(np.sort(keep)))
+
+    return (
+        with_df.map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(pick_top_bucket, batch_format="pyarrow")
+    )
 
 
 def contamination_scan(ds, probes: list[str]) -> "ray.data.Dataset":
