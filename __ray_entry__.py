@@ -251,7 +251,6 @@ def q_top_customers(sf_dir: str):
     import pyarrow as pa
     import ray
     import ray.data
-    from ray.data.aggregate import Sum
 
     def cents(t: pa.Table) -> pa.Table:
         p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
@@ -262,10 +261,14 @@ def q_top_customers(sf_dir: str):
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    totals = (
-        orders.map_batches(cents, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("price_cents", alias_name="total_cents"))
+    # custkey is near-unique at corpus scale: bucket exchange + Arrow C++
+    # sum (see cloudtile_ray.stages.relational.bucketed_group_aggregate)
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    totals = bucketed_group_aggregate(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("price_cents", "sum", "total_cents")],
     )
     # broadcast the small dimension table (ray.put once, read per batch);
     # probe is a vectorized Arrow index_in + take — no per-row dict lookups

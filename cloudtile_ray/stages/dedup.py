@@ -1035,7 +1035,6 @@ def resolve_clusters_distributed(
     component; keep = (doc_id == cluster_id), matching
     :func:`resolve_clusters` exactly (property-tested against it)."""
     import ray.data
-    from ray.data.aggregate import Min
 
     label_empty = pa.table(
         {
@@ -1082,10 +1081,14 @@ def resolve_clusters_distributed(
             }
         )
 
-    labels = (
-        edges.map_batches(to_labels, batch_format="pyarrow")
-        .groupby("doc_id")
-        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+    # near-unique node ids: bucket exchange + Arrow C++ min, not Ray's
+    # per-group AggregateFn path (see relational.bucketed_group_aggregate)
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    labels = bucketed_group_aggregate(
+        edges.map_batches(to_labels, batch_format="pyarrow"),
+        ["doc_id"],
+        [("cluster_id", "min", "cluster_id")],
     )
 
     def add_keep(batch: pa.Table) -> pa.Table:
