@@ -1,18 +1,57 @@
 """Stream-shaped operators over the ordered ``events`` table, expressed per
 the Ray Data batch model (no watermarks — the reference is strictly batch
 too, SURVEY.md §2.3 "streaming-only: absent"): the input is treated as a
-partitioned log, partitioned by ``user_id`` and sorted by (ts, event_id)
-within each partition via ``groupby(user_id).map_groups``.
+partitioned log, partitioned by ``user_id % num_buckets`` and sorted by
+(user_id, ts, event_id) within each partition, with every per-user window
+computed SEGMENTED over the bucket (one lexsort; per-user boundaries via
+change flags; cumsum/reduceat offsets per segment).
+
+Why buckets and not ``groupby(user_id)``: user ids are near-unique keys at
+corpus scale, and Ray's group machinery (map_groups and AggregateFn alike)
+runs Python per group — several hundred us per user, hours of overhead at
+10^9 users (measured on 2.49.2; see
+``relational.bucketed_group_aggregate``).  The bucket exchange keys on a
+few hundred values and the segmented kernels do the per-user work
+vectorized.
 
 Ordering assumption (documented per the guide): results are functions of
 the per-user event sequence ordered by (ts, event_id) — event_id breaks ts
 ties deterministically, so output is reproducible at any parallelism.
+Per-user series must fit one bucket task alongside its bucket peers — the
+same bound the per-user windows need anyway; a hot user would be salted by
+time range with a carry-forward row per boundary.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+
+def _n_user_buckets() -> int:
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(64, 4 * cpus)
+
+
+def _add_user_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    u = batch.column("user_id").to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "_ubkt", pa.array((u % num_buckets).astype(np.int64))
+    )
+
+
+def _user_segments(u_s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(segment starts, per-row segment-start index) for a user-sorted
+    array."""
+    n = len(u_s)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = u_s[1:] != u_s[:-1]
+    starts = np.nonzero(new)[0]
+    sizes = np.diff(np.append(starts, n))
+    return starts, np.repeat(starts, sizes)
 
 
 def prep_events(batch: pa.Table) -> pa.Table:
@@ -26,26 +65,42 @@ def prep_events(batch: pa.Table) -> pa.Table:
 
 def running_totals(ds) -> "ray.data.Dataset":
     """Per-user running sum of value_cents in (ts, event_id) order —
-    the cumulative-window operator.  Arrow-native group fn (lexsort +
-    cumsum; VERDICT.md r2 minor #5 — no pandas detour)."""
+    the cumulative-window operator.  Segmented cumsum over a user bucket
+    (one lexsort; per-user base subtracted via the segment-start index;
+    no pandas detour, no per-user Python)."""
+    nb = _n_user_buckets()
 
-    def per_user(g: pa.Table) -> pa.Table:
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "running_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
         ts = g.column("ts_us").to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
         val = g.column("value_cents").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
+        order = np.lexsort((eid, ts, uid))
+        u_s, eid_s, val_s = uid[order], eid[order], val[order]
+        cs = np.cumsum(val_s)
+        _, seg_start = _user_segments(u_s)
+        run = cs - cs[seg_start] + val_s[seg_start]
         return pa.table(
             {
-                "user_id": g.column("user_id").take(pa.array(order)),
-                "event_id": pa.array(eid[order]),
-                "running_cents": pa.array(np.cumsum(val[order])),
+                "user_id": pa.array(u_s),
+                "event_id": pa.array(eid_s),
+                "running_cents": pa.array(run),
             }
         )
 
     return (
         ds.map_batches(prep_events, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -55,23 +110,46 @@ def session_windows(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
     start/end and event count — the session-window operator.  Arrow-native
     group fn (lexsort + reduceat over session boundaries)."""
 
-    def per_user(g: pa.Table) -> pa.Table:
+    nb = _n_user_buckets()
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_seq": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "sum_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
         ts = g.column("ts_us").to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
         val = g.column("value_cents").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts_s, val_s = ts[order], val[order]
+        order = np.lexsort((eid, ts, uid))
+        u_s, ts_s, val_s = uid[order], ts[order], val[order]
         n = len(ts_s)
         new = np.empty(n, dtype=bool)
         new[0] = True
-        new[1:] = np.diff(ts_s) > gap_us
+        # a session breaks on a user change OR an over-gap step
+        new[1:] = (u_s[1:] != u_s[:-1]) | (np.diff(ts_s) > gap_us)
         starts = np.nonzero(new)[0]
         bounds = np.r_[starts[1:], n]
-        uid = g.column("user_id")[0].as_py()
+        sess_user = u_s[starts]
+        # session_seq restarts at 1 per user: rank of each session within
+        # its user's run of sessions
+        first = np.empty(len(starts), dtype=bool)
+        first[0] = True
+        first[1:] = sess_user[1:] != sess_user[:-1]
+        ufirst = np.nonzero(first)[0]
+        usizes = np.diff(np.append(ufirst, len(starts)))
+        seq = np.arange(len(starts), dtype=np.int64) - np.repeat(ufirst, usizes) + 1
         return pa.table(
             {
-                "user_id": pa.array(np.full(len(starts), uid, dtype=np.int64)),
-                "session_seq": pa.array(np.arange(1, len(starts) + 1)),
+                "user_id": pa.array(sess_user),
+                "session_seq": pa.array(seq),
                 "start_us": pa.array(ts_s[starts]),
                 "end_us": pa.array(ts_s[bounds - 1]),
                 "n_events": pa.array((bounds - starts).astype(np.int64)),
@@ -81,8 +159,9 @@ def session_windows(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
 
     return (
         ds.map_batches(prep_events, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -96,10 +175,13 @@ def asof_join(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
     is its whole surface); built per the brief's custom-operator guidance
     as a composition of groupby + an in-group vectorized merge.
 
-    Ray-Data-first shape: one hash-partitioned ``groupby(user_id)``
-    (the only shuffle), then a fully vectorized merge inside each group —
-    lexsort both sides together and read the running right-count at each
-    left position.  No per-row Python, no driver materialization.
+    Ray-Data-first shape: one bucket exchange on ``user_id %
+    num_buckets`` (the only shuffle; near-unique keys never drive Ray's
+    per-group machinery — module docstring), then a fully vectorized
+    SEGMENTED merge over the bucket — lexsort both sides together by
+    (user, ts, event_id) and read the running right-count at each left
+    position relative to its user segment.  No per-row or per-user
+    Python, no driver materialization.
 
     Scale note (documented partitioning assumption): per-user event
     series must fit one group task, the same bound every per-user window
@@ -111,37 +193,47 @@ def asof_join(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
     the sentinel never collides).
     """
 
-    def per_user(g: pa.Table) -> pa.Table:
+    nb = _n_user_buckets()
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "left_id": pa.array([], type=pa.int64()),
+            "right_id": pa.array([], type=pa.int64()),
+            "lag_us": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
         ts = g.column("ts_us").to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
         et = g.column("event_type").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts_s, eid_s, et_s = ts[order], eid[order], et[order]
+        order = np.lexsort((eid, ts, uid))
+        u_s, ts_s, eid_s, et_s = uid[order], ts[order], eid[order], et[order]
         is_r = et_s == right_type
         lpos = np.nonzero(et_s == left_type)[0]
         if lpos.size == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], type=pa.int64()),
-                    "left_id": pa.array([], type=pa.int64()),
-                    "right_id": pa.array([], type=pa.int64()),
-                    "lag_us": pa.array([], type=pa.int64()),
-                }
-            )
-        # rights strictly before position p (a left is never a right, so
-        # the inclusive cumsum at p already excludes p itself)
-        n_before = np.cumsum(is_r)[lpos]
+            return empty
+        # rights before position p WITHIN p's user segment: inclusive
+        # cumsum minus the count before the segment start (a left is
+        # never a right, so the inclusive count at p already excludes p)
+        cum_r = np.cumsum(is_r)
+        _, seg_start = _user_segments(u_s)
+        base = cum_r[seg_start] - is_r[seg_start]
+        n_before = cum_r[lpos] - base[lpos]
+        # the k-th right of a segment is global right number base + k
         rpos = np.nonzero(is_r)[0]
         right_id = np.full(lpos.size, -1, dtype=np.int64)
         lag = np.full(lpos.size, -1, dtype=np.int64)
         hit = n_before > 0
-        match = rpos[n_before[hit] - 1]
+        match = rpos[(base[lpos][hit] + n_before[hit]) - 1]
         right_id[hit] = eid_s[match]
         lag[hit] = ts_s[lpos[hit]] - ts_s[match]
-        uid = g.column("user_id")[0].as_py()
         return pa.table(
             {
-                "user_id": pa.array(np.full(lpos.size, uid, dtype=np.int64)),
+                "user_id": pa.array(u_s[lpos]),
                 "left_id": pa.array(eid_s[lpos]),
                 "right_id": pa.array(right_id),
                 "lag_us": pa.array(lag),
@@ -150,8 +242,9 @@ def asof_join(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
 
     return (
         ds.map_batches(prep_events, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
+        .map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
