@@ -408,9 +408,18 @@ def encode_tiles(
         def _only_hot(t: pa.Table) -> pa.Table:
             return t.filter(_pc.greater(t.column("n"), hot_threshold))
 
+        # tile_key is near-unique: bucket exchange + Arrow C++ sum, not
+        # Ray's per-group AggregateFn (relational.bucketed_group_aggregate)
+        from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
         hot_tbl = (
-            partials.groupby("tile_key")
-            .aggregate(Sum("cnt", alias_name="n"))
+            bucketed_group_aggregate(
+                partials.map_batches(
+                    lambda t: t.select(["tile_key", "cnt"]), batch_format="pyarrow"
+                ),
+                ["tile_key"],
+                [("cnt", "sum", "n")],
+            )
             .map_batches(_only_hot, batch_format="pyarrow")
             .take_all()
         )
@@ -432,8 +441,28 @@ def encode_tiles(
                 ).astype(np.int64)
             return batch.append_column("salt", pa.array(salt))
 
+        # Both merge rounds exchange on a SMALL-cardinality part key —
+        # (tile_key, salt) and tile_key are near-unique, and the merge
+        # kernels (_coalesce_sorted / _finalize_flat) are already
+        # segmented over every tile in a flat partition, so per-tile
+        # grouping only added Ray's per-group machinery.  Salts of a hot
+        # tile still hash to different round-1 parts, which is the whole
+        # point of the salt.
+        n_parts = max(64, n_salts * 8)
+
+        def add_part1(t: pa.Table) -> pa.Table:
+            tk = t.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+            sl = t.column("salt").to_numpy(zero_copy_only=False).astype(np.uint64)
+            p = ((tk * np.uint64(1000003) + sl) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+            return t.append_column("_part", pa.array(p.astype(np.int64)))
+
+        def add_part2(t: pa.Table) -> pa.Table:
+            tk = t.column("tile_key").to_numpy(zero_copy_only=False).astype(np.uint64)
+            p = (tk * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_parts)
+            return t.append_column("_part", pa.array(p.astype(np.int64)))
+
         def merge_round1(g: pa.Table) -> pa.Table:
-            tk, px, py, cnt, acc = _cols(g.drop_columns(["salt"]))
+            tk, px, py, cnt, acc = _cols(g.drop_columns(["salt", "_part"]))
             tk, px, py, cnt, acc = _coalesce_sorted(tk, px, py, cnt, acc)
             cols = {"tile_key": pa.array(tk), "px": pa.array(px),
                     "py": pa.array(py), "cnt": pa.array(cnt)}
@@ -442,15 +471,19 @@ def encode_tiles(
             return pa.table(cols)
 
         def merge_round2(g: pa.Table) -> pa.Table:
-            tk, px, py, cnt, acc = _cols(g)
+            tk, px, py, cnt, acc = _cols(g.drop_columns(["_part"]))
             return _finalize_flat(tk, px, py, cnt, finalizer, acc)
 
         salted_ds = partials.map_batches(add_salt, batch_format="pyarrow")
-        merged = salted_ds.groupby(["tile_key", "salt"]).map_groups(
-            merge_round1, batch_format="pyarrow"
+        merged = (
+            salted_ds.map_batches(add_part1, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(merge_round1, batch_format="pyarrow")
         )
-        tiles = merged.groupby("tile_key").map_groups(
-            merge_round2, batch_format="pyarrow"
+        tiles = (
+            merged.map_batches(add_part2, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(merge_round2, batch_format="pyarrow")
         )
         return tiles.sort(["z", "x", "y"]) if sort_output else tiles
 
