@@ -664,17 +664,19 @@ class AssignLineTiles:
 def line_tiles_summary(assigned):
     """Per-tile rollup of the encoded line features — the ``line_tiles``
     rows-only query: (z, x, y, n_features, total_pts, total_parts)."""
-    from ray.data.aggregate import Count, Sum
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
 
-    return (
+    # tile keys are high-cardinality at deep zooms: bucket exchange +
+    # Arrow C++ aggregation (see bucketed_group_aggregate)
+    return bucketed_group_aggregate(
         assigned.map_batches(
-            lambda t: t.select(["tile_key", "z", "x", "y", "n_pts", "n_parts"]),
+            lambda t: t.select(["z", "x", "y", "n_pts", "n_parts"]),
             batch_format="pyarrow",
-        )
-        .groupby(["z", "x", "y"])
-        .aggregate(
-            Count(alias_name="n_features"),
-            Sum("n_pts", alias_name="total_pts"),
-            Sum("n_parts", alias_name="total_parts"),
-        )
+        ),
+        ["z", "x", "y"],
+        [
+            ("n_pts", "count", "n_features"),
+            ("n_pts", "sum", "total_pts"),
+            ("n_parts", "sum", "total_parts"),
+        ],
     )
