@@ -718,6 +718,29 @@ def q_dup_ngrams(sf_dir: str):
     return dup_ngram_stats(ds, n=8)
 
 
+def q_corpus_overlap(sf_dir: str):
+    """Train-vs-eval exact-content overlap: training docs (doc_id % 7 != 3)
+    whose 64-char dedup key appears in the held-out split (doc_id % 7 == 3).
+    Batch-side key reduction, hash-partitioned semi join — texts never
+    ride the shuffle."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.dedup import add_text_prefix_key, cross_corpus_overlap
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    keyed = ds.map_batches(add_text_prefix_key, batch_format="pyarrow")
+
+    def split(t, keep_eval):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % 7) == 3
+        return t.filter(pa.array(m if keep_eval else ~m))
+
+    train = keyed.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    evald = keyed.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    return cross_corpus_overlap(train, evald)
+
+
 def q_lang_top_docs(sf_dir: str):
     """Per-language top-5 longest documents — distributed
     ROW_NUMBER-over-PARTITION: batch-local top-k combiner bounds the
@@ -1312,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quantiles": q_lang_quantiles,
         "decontaminated": q_decontaminated,
         "dup_ngrams": q_dup_ngrams,
+        "corpus_overlap": q_corpus_overlap,
         "lang_top_docs": q_lang_top_docs,
         "keyword_search": q_keyword_search,
         "attr_transform": q_attr_transform,
@@ -1810,6 +1834,13 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dup_spans
             FROM grams g JOIN freq f USING (gh)
             GROUP BY g.doc_id""",
+        "corpus_overlap": """
+            SELECT d.doc_id, substr(d.text, 1, 64) AS text_prefix
+            FROM documents d
+            WHERE d.doc_id % 7 <> 3
+              AND substr(d.text, 1, 64) IN
+                  (SELECT substr(text, 1, 64) FROM documents
+                   WHERE doc_id % 7 = 3)""",
         "lang_top_docs": """
             SELECT lang, doc_id, n_chars FROM (
               SELECT lang, doc_id, n_chars,

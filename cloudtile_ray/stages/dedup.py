@@ -1787,3 +1787,30 @@ def url_dedup(ds) -> "ray.data.Dataset":
         ["canon_url"],
         [("doc_id", "min", "doc_id"), ("doc_id", "count", "n_variants")],
     )
+
+
+def cross_corpus_overlap(left_ds, right_ds, key_col: str = "text_prefix", id_col: str = "doc_id"):
+    """Dataset-vs-dataset exact-content overlap — the train-vs-eval
+    decontamination screen (which training docs carry content that also
+    appears in a held-out corpus).  Complements
+    :func:`~cloudtile_ray.stages.text.contamination_scan` (phrase probes):
+    here the right side is a full corpus, not a phrase list, so the match
+    is a hash-partitioned semi join on a content key, never a broadcast.
+
+    Scale shape: both sides reduce batch-side to fixed-width (id, key)
+    rows — document texts never ride the shuffle; the right side further
+    drops to distinct keys per batch before the exchange.  Output is one
+    row per overlapping LEFT doc.  The right corpus must be non-empty
+    (Ray 2.49 cannot schema-broadcast an all-empty join side)."""
+    import pyarrow.compute as _pc
+
+    from cloudtile_ray.stages.relational import hash_join
+
+    lf = left_ds.map_batches(
+        lambda t: t.select([id_col, key_col]), batch_format="pyarrow"
+    )
+    rf = right_ds.map_batches(
+        lambda t: pa.table({key_col: _pc.unique(t.column(key_col).combine_chunks())}),
+        batch_format="pyarrow",
+    )
+    return hash_join(lf, rf, on=(key_col,), how="semi")

@@ -652,3 +652,28 @@ class TestKeywordSearch:
         res = keyword_search(ray.data.from_arrow(t).repartition(3), ["spark", "merge"])
         got = sorted(res.to_pandas()["doc_id"].tolist())
         assert got == [0, 3]
+
+
+class TestCorpusOverlap:
+    def test_semi_join_on_content_key(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import cross_corpus_overlap
+
+        train = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text_prefix": ["aaa", "bbb", "ccc", "aaa"],
+            }
+        )
+        evald = pa.table(
+            {
+                "doc_id": pa.array([10, 11], pa.int64()),
+                "text_prefix": ["aaa", "zzz"],
+            }
+        )
+        res = cross_corpus_overlap(
+            ray.data.from_arrow(train).repartition(3),
+            ray.data.from_arrow(evald),
+        ).to_pandas()
+        assert sorted(res["doc_id"].tolist()) == [0, 3]
