@@ -165,7 +165,7 @@ def run_queries(sf_dir: str) -> dict:
         "pip_inner", "tile_ladder_counts", "dedup_exact", "knn_points",
         "knn_embedding", "token_stats", "minhash_pairs",
         "asof_purchase", "interval_join", "heavy_hitters", "value_quantiles",
-        "top_terms", "url_dedup",
+        "top_terms", "url_dedup", "dup_ngrams", "corpus_overlap",
     ]
     qs = e.queries()
     out = {}
