@@ -718,6 +718,27 @@ def q_dup_ngrams(sf_dir: str):
     return dup_ngram_stats(ds, n=8)
 
 
+def q_vocab_ids(sf_dir: str):
+    """Vocabulary construction: contiguous token ids by global frequency
+    rank — distributed enumeration-after-sort (block-metadata offsets, no
+    row-sized driver collection; relational.enumerate_sorted)."""
+    import ray.data
+
+    from cloudtile_ray.stages.relational import (
+        bucketed_group_aggregate,
+        enumerate_sorted,
+    )
+    from cloudtile_ray.stages.text import token_count_partials
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    counts = bucketed_group_aggregate(
+        ds.map_batches(token_count_partials, batch_format="pyarrow"),
+        ["tok"],
+        [("n", "sum", "n")],
+    )
+    return enumerate_sorted(counts, ["n", "tok"], [True, False], rank_col="vocab_id")
+
+
 def q_corpus_overlap(sf_dir: str):
     """Train-vs-eval exact-content overlap: training docs (doc_id % 7 != 3)
     whose 64-char dedup key appears in the held-out split (doc_id % 7 == 3).
@@ -1335,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quantiles": q_lang_quantiles,
         "decontaminated": q_decontaminated,
         "dup_ngrams": q_dup_ngrams,
+        "vocab_ids": q_vocab_ids,
         "corpus_overlap": q_corpus_overlap,
         "lang_top_docs": q_lang_top_docs,
         "keyword_search": q_keyword_search,
@@ -1834,6 +1856,16 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dup_spans
             FROM grams g JOIN freq f USING (gh)
             GROUP BY g.doc_id""",
+        "vocab_ids": """
+            WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text),
+                                                              '[^a-z0-9]+')) AS tok
+                          FROM documents),
+            counts AS (SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+                       GROUP BY tok)
+            SELECT tok, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT)
+                     AS vocab_id
+            FROM counts""",
         "corpus_overlap": """
             SELECT d.doc_id, substr(d.text, 1, 64) AS text_prefix
             FROM documents d

@@ -677,3 +677,45 @@ class TestCorpusOverlap:
             ray.data.from_arrow(evald),
         ).to_pandas()
         assert sorted(res["doc_id"].tolist()) == [0, 3]
+
+
+class TestEnumerateSorted:
+    def test_global_ranking_matches_argsort(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import enumerate_sorted
+
+        rng = np.random.default_rng(9)
+        vals = rng.permutation(10_000).astype("int64")  # unique keys
+        t = pa.table({"v": pa.array(vals)})
+        res = (
+            enumerate_sorted(
+                ray.data.from_arrow(t).repartition(13), ["v"], [False],
+                rank_col="rank",
+            )
+            .to_pandas()
+            .sort_values("v")
+        )
+        # rank of v in ascending order == v itself (permutation of 0..n-1)
+        assert (res["rank"].to_numpy() == res["v"].to_numpy()).all()
+
+    def test_descending_and_tiebreak(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import enumerate_sorted
+
+        t = pa.table(
+            {
+                "n": pa.array([5, 5, 3, 9], pa.int64()),
+                "tok": ["b", "a", "c", "z"],
+            }
+        )
+        res = (
+            enumerate_sorted(
+                ray.data.from_arrow(t).repartition(2), ["n", "tok"],
+                [True, False], rank_col="r",
+            )
+            .to_pandas()
+            .sort_values("r")
+        )
+        assert res["tok"].tolist() == ["z", "a", "b", "c"]
