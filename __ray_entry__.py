@@ -739,6 +739,22 @@ def q_vocab_ids(sf_dir: str):
     return enumerate_sorted(counts, ["n", "tok"], [True, False], rank_col="vocab_id")
 
 
+def q_token_encode(sf_dir: str):
+    """Tokenizer-encode: map every document's tokens to the
+    frequency-ranked vocabulary ids (vocab built by q_vocab_ids, collected
+    vocab-sized, broadcast once per worker); per-doc integer stats so the
+    oracle (explode + dictionary join) is exact."""
+    import ray.data
+
+    from cloudtile_ray.stages.text import encode_with_vocab
+
+    vocab = q_vocab_ids(sf_dir).to_pandas()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return encode_with_vocab(
+        ds, vocab["tok"].tolist(), vocab["vocab_id"].to_numpy()
+    )
+
+
 def q_corpus_overlap(sf_dir: str):
     """Train-vs-eval exact-content overlap: training docs (doc_id % 7 != 3)
     whose 64-char dedup key appears in the held-out split (doc_id % 7 == 3).
@@ -1357,6 +1373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated": q_decontaminated,
         "dup_ngrams": q_dup_ngrams,
         "vocab_ids": q_vocab_ids,
+        "token_encode": q_token_encode,
         "corpus_overlap": q_corpus_overlap,
         "lang_top_docs": q_lang_top_docs,
         "keyword_search": q_keyword_search,
@@ -1866,6 +1883,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT)
                      AS vocab_id
             FROM counts""",
+        # every corpus token is in the corpus-built vocab, so n_oov == 0
+        # and a plain join keeps every document (all fixture docs have
+        # >= 1 token)
+        "token_encode": """
+            WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text),
+                                                              '[^a-z0-9]+')) AS tok
+                          FROM documents),
+            counts AS (SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+                       GROUP BY tok),
+            ids AS (SELECT tok,
+                           CAST(row_number() OVER (ORDER BY n DESC, tok) - 1
+                                AS BIGINT) AS vid
+                    FROM counts),
+            dt AS (SELECT doc_id,
+                          unnest(regexp_split_to_array(lower(text),
+                                                       '[^a-z0-9]+')) AS tok
+                   FROM documents)
+            SELECT dt.doc_id,
+                   count(*) AS n_tokens,
+                   CAST(sum(i.vid) AS BIGINT) AS id_sum,
+                   CAST(0 AS BIGINT) AS n_oov
+            FROM dt JOIN ids i USING (tok)
+            WHERE dt.tok <> ''
+            GROUP BY dt.doc_id""",
         "corpus_overlap": """
             SELECT d.doc_id, substr(d.text, 1, 64) AS text_prefix
             FROM documents d

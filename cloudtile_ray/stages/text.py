@@ -483,3 +483,75 @@ def keyword_search(ds, terms: list[str]) -> "ray.data.Dataset":
         return batch.select(out_cols).filter(pa.array(ok))
 
     return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def encode_with_vocab(ds, vocab_tokens, vocab_ids) -> "ray.data.Dataset":
+    """Tokenizer-encode stage: map each document's tokens to integer ids
+    through a broadcast vocabulary (the id-assignment half of a trained
+    tokenizer; pair with :func:`~cloudtile_ray.stages.relational.enumerate_sorted`
+    -built ids).  Emits per-doc ``(doc_id, n_tokens, id_sum, n_oov)`` —
+    integer outputs so the DuckDB oracle (explode + dictionary join)
+    matches exactly; the packed id list itself is a trivial extra column
+    when a sink needs it.
+
+    Scale shape: the vocabulary is ``ray.put`` ONCE and interned per
+    worker process (``worker_cached``), not re-shipped per batch; each
+    batch runs one Arrow ``index_in`` kernel over the flattened token
+    array and per-doc ``reduceat`` sums — no shuffle, corpus streams.
+    Out-of-vocabulary tokens count into ``n_oov`` and are excluded from
+    ``id_sum``."""
+    import ray
+
+    from cloudtile_ray.stages.util import worker_cached
+
+    vt = pa.array([str(t) for t in vocab_tokens], pa.string())
+    vi = np.asarray(vocab_ids, dtype=np.int64)
+    vref = ray.put((vt, vi))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        vtok, vid = worker_cached(("vocab", vref.hex()), lambda: _ray.get(vref))
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "id_sum": pa.array([], pa.int64()),
+                    "n_oov": pa.array([], pa.int64()),
+                }
+            )
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text").combine_chunks()), pattern="[^a-z0-9]+"
+        )
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_arr = pc.index_in(flat, value_set=vtok)  # null where OOV
+        known = pc.is_valid(pos_arr).to_numpy(zero_copy_only=False)
+        pos = pc.fill_null(pos_arr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonword = flat.to_numpy(zero_copy_only=False) == ""
+        known = known & ~nonword
+        ids = np.where(known, vid[pos], 0)
+        valid_tok = ~nonword
+        n = len(flat)
+        doc_rows = len(offs) - 1
+
+        def seg_sum(vals):
+            if n == 0:
+                return np.zeros(doc_rows, np.int64)
+            cs = np.concatenate(([0], np.cumsum(vals)))
+            return cs[np.minimum(offs[1:], n)] - cs[np.minimum(offs[:-1], n)]
+
+        n_tokens = seg_sum(valid_tok.astype(np.int64))
+        id_sum = seg_sum(ids)
+        n_oov = seg_sum((valid_tok & ~known).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens),
+                "id_sum": pa.array(id_sum),
+                "n_oov": pa.array(n_oov),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")

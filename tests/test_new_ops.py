@@ -719,3 +719,31 @@ class TestEnumerateSorted:
             .sort_values("r")
         )
         assert res["tok"].tolist() == ["z", "a", "b", "c"]
+
+
+class TestEncodeWithVocab:
+    def test_oov_and_empty_docs(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.text import encode_with_vocab
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": ["cat dog cat", "cat UNKNOWN bird", ""],
+            }
+        )
+        res = (
+            encode_with_vocab(
+                ray.data.from_arrow(t), ["cat", "dog"], [7, 9]
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # doc 0: 3 tokens, ids 7+9+7, 0 oov
+        assert tuple(res.loc[0]) == (3, 23, 0)
+        # doc 1: 3 tokens ("unknown" and "bird" OOV), id_sum 7, 2 oov
+        assert tuple(res.loc[1]) == (3, 7, 2)
+        # doc 2: empty -> zero row kept
+        assert tuple(res.loc[2]) == (0, 0, 0)
