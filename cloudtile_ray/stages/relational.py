@@ -143,16 +143,24 @@ def grouped_topk(
 
     Scale shape: a batch-local combiner first cuts every batch to at most
     ``k`` rows per group present (one ``np.lexsort``, no Python loop), so
-    the groupby shuffle moves at most ``k x groups x batches`` rows — not
-    the corpus; a per-group ``map_groups`` then applies the same
-    selection exactly.  Ties beyond ``tie_col`` would make the answer
+    the exchange moves at most ``k x groups x batches`` rows — not the
+    corpus; the exchange keys on ``hash(group) % num_buckets`` (the
+    selection kernel is multi-group, so high-cardinality group columns
+    never drive Ray's per-group machinery — see
+    :func:`bucketed_group_aggregate`) and the same kernel finishes each
+    bucket exactly.  Ties beyond ``tie_col`` would make the answer
     nondeterministic, so ``tie_col`` (ascending, must be unique per
     group, e.g. a row id) is required for an oracle-exact result."""
+    import numpy as np
     import pyarrow as pa
+
+    from cloudtile_ray.stages.util import stable_hash_strings
 
     def _topk(batch: "pa.Table") -> "pa.Table":
         import numpy as np
 
+        if "_gbkt" in batch.column_names:
+            batch = batch.drop_columns(["_gbkt"])
         if batch.num_rows == 0:
             return batch
         g = batch.column(group_col).to_numpy(zero_copy_only=False)
@@ -174,8 +182,33 @@ def grouped_topk(
         keep.sort()  # preserve input order within the batch
         return batch.take(pa.array(keep, type=pa.int64()))
 
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    num_buckets = max(64, 4 * cpus)
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        col = t.column(group_col)
+        if (
+            pa.types.is_string(col.type)
+            or pa.types.is_large_string(col.type)
+            or pa.types.is_binary(col.type)
+        ):
+            h = stable_hash_strings(col)
+        else:
+            h = col.to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+        return t.append_column(
+            "_gbkt", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
     partial = ds.map_batches(_topk, batch_format="pyarrow")
-    return partial.groupby(group_col).map_groups(_topk, batch_format="pyarrow")
+    return (
+        partial.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_gbkt")
+        .map_groups(_topk, batch_format="pyarrow")
+    )
 
 
 def bucketed_group_aggregate(
