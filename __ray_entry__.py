@@ -755,6 +755,40 @@ def q_token_encode(sf_dir: str):
     )
 
 
+def q_lang_vocab(sf_dir: str):
+    """Per-language distinct-token count — exact distributed
+    COUNT(DISTINCT): batch-side pair dedup, one pair-hash bucket exchange,
+    group-bounded partials (relational.grouped_distinct_count)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cloudtile_ray.stages.relational import grouped_distinct_count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column("text").combine_chunks()), pattern="[^a-z0-9]+"
+        )
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        lang_rep = np.repeat(langs, lens)
+        keep = flat.to_numpy(zero_copy_only=False) != ""
+        return pa.table(
+            {
+                "lang": pa.array(lang_rep[keep].tolist(), pa.string()),
+                "tok": flat.filter(pa.array(keep)),
+            }
+        )
+
+    return grouped_distinct_count(
+        ds.map_batches(pairs, batch_format="pyarrow"), "lang", "tok"
+    )
+
+
 def q_corpus_overlap(sf_dir: str):
     """Train-vs-eval exact-content overlap: training docs (doc_id % 7 != 3)
     whose 64-char dedup key appears in the held-out split (doc_id % 7 == 3).
@@ -1374,6 +1408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q_dup_ngrams,
         "vocab_ids": q_vocab_ids,
         "token_encode": q_token_encode,
+        "lang_vocab": q_lang_vocab,
         "corpus_overlap": q_corpus_overlap,
         "lang_top_docs": q_lang_top_docs,
         "keyword_search": q_keyword_search,
@@ -1907,6 +1942,13 @@ def oracle_sql() -> dict[str, str]:
             FROM dt JOIN ids i USING (tok)
             WHERE dt.tok <> ''
             GROUP BY dt.doc_id""",
+        "lang_vocab": """
+            WITH dt AS (SELECT lang,
+                               unnest(regexp_split_to_array(lower(text),
+                                                            '[^a-z0-9]+')) AS tok
+                        FROM documents)
+            SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+            FROM dt WHERE tok <> '' GROUP BY lang""",
         "corpus_overlap": """
             SELECT d.doc_id, substr(d.text, 1, 64) AS text_prefix
             FROM documents d

@@ -383,3 +383,46 @@ def enumerate_sorted(ds, sort_cols: Sequence[str], descending=None, rank_col: st
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_distinct_count(ds, group_col: str, value_col: str, out_name: str = "n_distinct"):
+    """Exact distributed ``COUNT(DISTINCT value) GROUP BY group`` — the
+    aggregate Ray Data lacks natively.
+
+    Scale shape: each batch reduces to its distinct (group, value) pairs
+    (Arrow C++ group_by); ONE bucket exchange on ``hash(group, value)``
+    dedupes pairs globally (same-key pairs always share a bucket) and
+    each bucket emits per-group partial distinct counts; the final
+    ``groupby(group)`` runs over group-cardinality-bounded partials.
+    The value column never leaves the exchange — only (group, count)
+    partials do — so a hot group cannot concentrate its values in one
+    task beyond the bucket split."""
+    import numpy as np
+    import pyarrow as pa
+
+    # distinct pairs globally: count==min==anything over the pair keys; we
+    # only need the pair rows themselves, so aggregate a constant
+    pairs = bucketed_group_aggregate(
+        ds.map_batches(
+            lambda t: t.select([group_col, value_col]), batch_format="pyarrow"
+        ),
+        [group_col, value_col],
+        [(value_col, "count", "_n")],
+    )
+
+    def per_group_partials(t: "pa.Table") -> "pa.Table":
+        res = t.group_by([group_col]).aggregate([(value_col, "count")])
+        return pa.table(
+            {
+                group_col: res.column(group_col),
+                out_name: res.column(f"{value_col}_count"),
+            }
+        )
+
+    partials = pairs.map_batches(per_group_partials, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return (
+        partials.groupby(group_col)
+        .aggregate(Sum(out_name, alias_name=out_name))
+    )

@@ -747,3 +747,28 @@ class TestEncodeWithVocab:
         assert tuple(res.loc[1]) == (3, 7, 2)
         # doc 2: empty -> zero row kept
         assert tuple(res.loc[2]) == (0, 0, 0)
+
+
+class TestGroupedDistinctCount:
+    def test_matches_pandas_nunique(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import grouped_distinct_count
+
+        rng = np.random.default_rng(4)
+        t = pa.table(
+            {
+                "g": pa.array(rng.integers(0, 6, 2000).astype("int64")),
+                "v": pa.array(rng.integers(0, 150, 2000).astype("int64")),
+            }
+        )
+        res = (
+            grouped_distinct_count(
+                ray.data.from_arrow(t).repartition(7), "g", "v"
+            )
+            .to_pandas()
+            .set_index("g")["n_distinct"]
+            .sort_index()
+        )
+        want = t.to_pandas().groupby("g")["v"].nunique()
+        assert res.to_dict() == want.to_dict()
