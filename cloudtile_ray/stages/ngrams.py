@@ -37,12 +37,12 @@ Scale shape (what each stage moves at 100 TB):
    hash lands in the same bucket, so in-bucket counts ARE corpus-wide
    counts).  This is the engine's established wide-op shape (the packed
    tile exchange, ``scan.py``'s bucketed prefix sums).
-3. **Doc-bucket rollup**: the per-bucket ``(doc_id, n_dup_spans)``
-   partials union with per-doc span totals from a separate streaming
-   pass (one list-length kernel), and a second bucket exchange on
-   ``doc_id % num_buckets`` sums both counters per doc — zero-dup docs
-   keep ``n_dup_spans = 0`` without an outer join, and no Ray join or
-   AggregateFn appears anywhere in the DAG.
+3. **Doc-bucket rollup**: each gram bucket emits per-doc partials for
+   BOTH counters (total window multiplicity = the doc's span-count
+   contribution, and duplicated-window multiplicity), so a second bucket
+   exchange on ``doc_id % num_buckets`` finishes both sums in one pass —
+   one corpus read total, zero-dup docs keep ``n_dup_spans = 0`` without
+   an outer join, and no Ray join or AggregateFn appears in the DAG.
 
 Grouping on the 64-bit hash instead of the gram string is exact by
 construction against the oracle: DuckDB replays the *same* polynomial
@@ -170,9 +170,16 @@ def _per_key_sums(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.nd
 def _gh_bucket_rollup(t: pa.Table) -> pa.Table:
     """Inside one gram-hash bucket (which holds EVERY corpus occurrence of
     its gram hashes): corpus-wide count per gh via sort+reduceat, then
-    per-doc sums of the multiplicities of duplicated (c >= 2) grams."""
+    per-doc sums of (a) ALL window multiplicities — the doc's span count
+    contribution from this bucket — and (b) the multiplicities of
+    duplicated (c >= 2) grams.  Emitting both here makes the separate
+    span-totals corpus pass unnecessary."""
     empty = pa.table(
-        {"doc_id": pa.array([], pa.int64()), "n_dup_spans": pa.array([], pa.int64())}
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_spans": pa.array([], pa.int64()),
+            "n_dup_spans": pa.array([], pa.int64()),
+        }
     )
     if t.num_rows == 0:
         return empty
@@ -188,12 +195,15 @@ def _gh_bucket_rollup(t: pa.Table) -> pa.Table:
     sizes = np.diff(np.append(starts, len(ghs)))
     totals = np.add.reduceat(ks, starts)
     c_per_row = np.repeat(totals, sizes)
-    dup = c_per_row >= 2
-    if not dup.any():
-        return empty
-    d_ids, d_sums = _per_key_sums(ds_[dup], ks[dup])
+    dup = (c_per_row >= 2).astype(np.int64)
+    d_ids, span_sums = _per_key_sums(ds_, ks)
+    _, dup_sums = _per_key_sums(ds_, ks * dup)
     return pa.table(
-        {"doc_id": pa.array(d_ids), "n_dup_spans": pa.array(d_sums.astype(np.int64))}
+        {
+            "doc_id": pa.array(d_ids),
+            "n_spans": pa.array(span_sums.astype(np.int64)),
+            "n_dup_spans": pa.array(dup_sums.astype(np.int64)),
+        }
     )
 
 
@@ -241,38 +251,16 @@ def dup_ngram_stats(ds, n: int = 8, num_buckets: int | None = None) -> "ray.data
     grams = ds.map_batches(
         lambda b: add_gh_bucket(dup_ngram_partials(b, n)), batch_format="pyarrow"
     )
-    dup_parts = (
-        grams.groupby("bucket")
-        .map_groups(_gh_bucket_rollup, batch_format="pyarrow")
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "n_spans": pa.array(np.zeros(t.num_rows, np.int64)),
-                    "n_dup_spans": t.column("n_dup_spans"),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    tot_parts = ds.map_batches(lambda b: span_totals(b, n), batch_format="pyarrow").map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_spans": t.column("n_spans"),
-                "n_dup_spans": pa.array(np.zeros(t.num_rows, np.int64)),
-            }
-        ),
-        batch_format="pyarrow",
+    parts = grams.groupby("bucket").map_groups(
+        _gh_bucket_rollup, batch_format="pyarrow"
     )
 
     def add_doc_bucket(t: pa.Table) -> pa.Table:
         b = t.column("doc_id").to_numpy(zero_copy_only=False) % num_buckets
         return t.append_column("bucket", pa.array(b.astype(np.int64)))
 
-    parts = tot_parts.union(dup_parts).map_batches(
-        add_doc_bucket, batch_format="pyarrow"
-    )
-    return parts.groupby("bucket").map_groups(
-        _doc_bucket_rollup, batch_format="pyarrow"
+    return (
+        parts.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_doc_bucket_rollup, batch_format="pyarrow")
     )
