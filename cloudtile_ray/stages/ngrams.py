@@ -135,27 +135,6 @@ def dup_ngram_partials(batch: pa.Table, n: int) -> pa.Table:
     )
 
 
-def span_totals(batch: pa.Table, n: int) -> pa.Table:
-    """Per-doc window counts ``(doc_id, n_spans)``; documents shorter than
-    ``n`` tokens have no windows and are excluded (matching the SQL
-    oracle's ``generate_series`` emitting nothing)."""
-    if batch.num_rows == 0:
-        return pa.table(
-            {"doc_id": pa.array([], pa.int64()), "n_spans": pa.array([], pa.int64())}
-        )
-    words = pc.split_pattern(batch.column("text"), pattern=" ")
-    lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
-    spans = lens - n + 1
-    keep = spans > 0
-    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table(
-        {
-            "doc_id": pa.array(ids[keep]),
-            "n_spans": pa.array(spans[keep]),
-        }
-    )
-
-
 def _per_key_sums(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(unique keys, per-key sums) via one stable sort + ``reduceat``."""
     order = np.argsort(keys, kind="stable")
