@@ -301,10 +301,9 @@ def grouped_buckets_apply(ds, key_cols: list[str], bucket_fn, num_parts: int | N
     Arrow table; called once on an empty slice to pin the output schema
     when a part holds only singleton-free buckets."""
     if num_parts is None:
-        import ray
+        from cloudtile_ray.stages.util import default_num_buckets
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_parts = max(64, 4 * cpus)
+        num_parts = default_num_buckets()
 
     def add_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

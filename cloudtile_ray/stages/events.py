@@ -29,10 +29,9 @@ import pyarrow as pa
 
 
 def _n_user_buckets() -> int:
-    import ray
+    from cloudtile_ray.stages.util import default_num_buckets
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(64, 4 * cpus)
+    return default_num_buckets()
 
 
 def _add_user_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:

@@ -218,10 +218,9 @@ def dup_ngram_stats(ds, n: int = 8, num_buckets: int | None = None) -> "ray.data
     default 4x cluster CPUs — raise it so one bucket's gram rows fit a
     worker's heap (rows/bucket ~= total grams / num_buckets)."""
     if num_buckets is None:
-        import ray
+        from cloudtile_ray.stages.util import default_num_buckets
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_buckets = max(64, 4 * cpus)
+        num_buckets = default_num_buckets()
 
     def add_gh_bucket(t: pa.Table) -> pa.Table:
         b = t.column("gh").to_numpy(zero_copy_only=False) % num_buckets

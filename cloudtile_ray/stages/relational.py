@@ -169,7 +169,14 @@ def grouped_topk(
         if tie_col is not None:
             keys = [batch.column(tie_col).to_numpy(zero_copy_only=False), v]
         if descending:
-            keys[-1] = -keys[-1].astype(np.float64, copy=False) if v.dtype.kind == "f" else -v.astype(np.int64)
+            # order inversion without negation overflow: bitwise NOT is an
+            # exact order reversal for any integer dtype (~x == -1 - x,
+            # never overflows); floats negate safely
+            keys[-1] = (
+                -keys[-1].astype(np.float64, copy=False)
+                if v.dtype.kind == "f"
+                else ~v
+            )
         # lexsort: last key is primary -> (group, order, tie)
         order = np.lexsort(keys + [g])
         gs = g[order]
@@ -182,10 +189,9 @@ def grouped_topk(
         keep.sort()  # preserve input order within the batch
         return batch.take(pa.array(keep, type=pa.int64()))
 
-    import ray
+    from cloudtile_ray.stages.util import default_num_buckets
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    num_buckets = max(64, 4 * cpus)
+    num_buckets = default_num_buckets()
 
     def add_bucket(t: "pa.Table") -> "pa.Table":
         col = t.column(group_col)
@@ -255,10 +261,9 @@ def bucketed_group_aggregate(
         raise ValueError(f"non-decomposable aggregate kernels: {bad}")
 
     if num_buckets is None:
-        import ray
+        from cloudtile_ray.stages.util import default_num_buckets
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_buckets = max(64, 4 * cpus)
+        num_buckets = default_num_buckets()
     key_cols = list(key_cols)
     map_aggs = [(c, f) for c, f, _ in aggregations]
     outs = [(f"{c}_{f}", o, _FINAL[f]) for c, f, o in aggregations]
@@ -368,7 +373,15 @@ def enumerate_sorted(ds, sort_cols: Sequence[str], descending=None, rank_col: st
     offsets = {}
     run = 0
     for i in order:
-        offsets[json.dumps(keys[i])] = run
+        jk = json.dumps(keys[i])
+        if jk in offsets:
+            # a tie spanning a block boundary: silent rank corruption if
+            # allowed through — fail loudly instead
+            raise ValueError(
+                f"enumerate_sorted requires unique sort keys; duplicate "
+                f"block min-key {keys[i]!r}"
+            )
+        offsets[jk] = run
         run += ns[i]
     off_ref = ray.put(offsets)
 
@@ -419,10 +432,9 @@ def grouped_distinct_count(ds, group_col: str, value_col: str, out_name: str = "
             }
         )
 
+    # final sum through the bucket aggregate too — the group column may
+    # itself be high-cardinality (e.g. per-doc distinct counts)
     partials = pairs.map_batches(per_group_partials, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
-
-    return (
-        partials.groupby(group_col)
-        .aggregate(Sum(out_name, alias_name=out_name))
+    return bucketed_group_aggregate(
+        partials, [group_col], [(out_name, "sum", out_name)]
     )

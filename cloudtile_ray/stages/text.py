@@ -317,12 +317,10 @@ def top_terms(ds) -> "ray.data.Dataset":
     earlier draft attached df with ``groupby(tk).map_groups``; that
     materializes every document containing 'the' in ONE task at web
     scale — the join keeps hot tokens streaming."""
-    import ray
-
     from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+    from cloudtile_ray.stages.util import default_num_buckets
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    num_buckets = max(64, 4 * cpus)
+    num_buckets = default_num_buckets()
 
     freqs = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
     dfs = bucketed_group_aggregate(freqs, ["tk"], [("doc_id", "count", "df")])
@@ -446,16 +444,21 @@ def bigram_counts(ds, k: int = 20) -> "ray.data.Dataset":
     return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
-def keyword_search(ds, terms: list[str]) -> "ray.data.Dataset":
+def keyword_search(ds, terms: list[str], out_cols: list[str] | None = None) -> "ray.data.Dataset":
     """Conjunctive (AND) token-exact keyword search: documents containing
     EVERY term as a whole token (the probe side of an inverted-index
     lookup; complements :func:`contamination_scan`'s substring-OR).
+    ``out_cols`` selects the hit projection (default: every non-text
+    column).
 
     Scale shape: the term list is broadcast once via ``ray.put``; each
     batch runs one Arrow ``equal`` kernel per term over the flattened
-    token array and reduces per doc with ``np.logical_or.reduceat`` — no
-    shuffle, hit-sized output, corpus streams.  DuckDB oracle:
-    ``list_contains(string_split(text, ' '), term)`` conjunction."""
+    token array and reduces per doc with a prefix-sum difference over the
+    list offsets (exact for empty and null docs — a ``reduceat`` over
+    clamped offsets would truncate the final doc's last token when the
+    batch ends with empty docs) — no shuffle, hit-sized output, corpus
+    streams.  DuckDB oracle: ``list_contains(string_split(text, ' '),
+    term)`` conjunction."""
     import ray
 
     tref = ray.put([str(t) for t in terms])
@@ -464,23 +467,19 @@ def keyword_search(ds, terms: list[str]) -> "ray.data.Dataset":
         import ray as _ray
 
         ts = _ray.get(tref)
-        out_cols = ["doc_id", "lang", "n_chars"]
+        cols = out_cols or [c for c in batch.column_names if c != "text"]
         if batch.num_rows == 0:
-            return batch.select(out_cols)
-        words = pc.split_pattern(batch.column("text").combine_chunks(), pattern=" ")
+            return batch.select(cols)
+        text = pc.fill_null(batch.column("text").combine_chunks(), "")
+        words = pc.split_pattern(text, pattern=" ")
         flat = words.flatten()
         offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        nonempty = offs[1:] > offs[:-1]
         ok = np.ones(batch.num_rows, dtype=bool)
         for t in ts:  # O(len(terms)) vectorized kernels
-            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False)
-            has = np.zeros(batch.num_rows, dtype=bool)
-            if len(eq):
-                # reduceat repeats the next run for empty docs; mask them
-                red = np.logical_or.reduceat(eq, np.minimum(offs[:-1], len(eq) - 1))
-                has = red & nonempty
-            ok &= has
-        return batch.select(out_cols).filter(pa.array(ok))
+            eq = pc.equal(flat, t).to_numpy(zero_copy_only=False).astype(np.int64)
+            cs = np.concatenate(([0], np.cumsum(eq)))
+            ok &= (cs[offs[1:]] - cs[offs[:-1]]) > 0
+        return batch.select(cols).filter(pa.array(ok))
 
     return ds.map_batches(scan, batch_format="pyarrow")
 

@@ -83,3 +83,15 @@ def stable_hash_strings(arr: pa.Array | np.ndarray | list) -> np.ndarray:
         arr = arr.to_numpy(zero_copy_only=False)
     arr = np.asarray(arr, dtype=object)
     return hash_array(arr).astype(np.uint64)
+
+
+def default_num_buckets() -> int:
+    """Bucket count for the small-cardinality exchanges that replace
+    near-unique-key groupbys (see
+    :func:`cloudtile_ray.stages.relational.bucketed_group_aggregate`):
+    4x cluster CPUs, floor 64.  One shared definition so the sizing rule
+    can't drift between operators."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(64, 4 * cpus)

@@ -772,3 +772,40 @@ class TestGroupedDistinctCount:
         )
         want = t.to_pandas().groupby("g")["v"].nunique()
         assert res.to_dict() == want.to_dict()
+
+
+class TestReviewRegressions:
+    def test_keyword_search_trailing_empty_doc(self, ray_session):
+        """A batch ending with empty/null docs must not truncate the last
+        real doc's final token (clamped-reduceat regression)."""
+        import ray.data
+
+        from cloudtile_ray.stages.text import keyword_search
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": ["foo bar dup", None],
+            }
+        )
+        res = keyword_search(ray.data.from_arrow(t), ["dup"]).to_pandas()
+        assert res["doc_id"].tolist() == [0]
+
+    def test_grouped_topk_uint64_no_overflow(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import grouped_topk
+
+        big = np.uint64(2**63 + 5)
+        t = pa.table(
+            {
+                "rid": pa.array([0, 1, 2], pa.int64()),
+                "grp": pa.array([0, 0, 0], pa.int64()),
+                "val": pa.array(np.array([big, np.uint64(10), np.uint64(7)])),
+            }
+        )
+        res = grouped_topk(
+            ray.data.from_arrow(t), "grp", "val", k=1, descending=True,
+            tie_col="rid",
+        ).to_pandas()
+        assert res["rid"].tolist() == [0]  # the 2^63+5 value wins
