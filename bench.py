@@ -221,13 +221,21 @@ def host_mem_calibration(size_mb: int = 16) -> float:
     (GRAFT_SCALING_MIN_MEMBW)."""
     import numpy as np
 
+    # best of 3 trials: a single probe conflates the host's first-touch
+    # page-zeroing stall (measured 16 MB/s immediately followed by
+    # 3.6 GB/s in the same process) with a sustained collapse; the max
+    # reports ACHIEVABLE fresh-page bandwidth, which is what engine wall
+    # time depends on
+    best = 0.0
     n = size_mb * (1 << 20) // 8
-    t0 = time.time()
-    a = np.arange(n, dtype=np.int64)
-    b = a + 1
-    dt = max(time.time() - t0, 1e-9)
-    del a, b
-    return (2 * size_mb) / dt
+    for _ in range(3):
+        t0 = time.time()
+        a = np.arange(n, dtype=np.int64)
+        b = a + 1
+        dt = max(time.time() - t0, 1e-9)
+        del a, b
+        best = max(best, (2 * size_mb) / dt)
+    return best
 
 
 def main() -> None:
