@@ -110,14 +110,24 @@ def hash_join(
         raise ValueError(f"how={how!r}; expected one of {sorted(_HOW)}")
     _patch_ray_hash_shuffle_schema_broadcast()
     if num_partitions is None:
-        # Ray's join runs one aggregator pool sized to the partition
-        # count; on a small cluster an oversized count stalls waiting for
-        # actor slots.  Default to ~2 partitions per CPU (min 4) and let
-        # big-data callers pass an explicit count sized to their data.
+        # Ray's join spawns one aggregator ACTOR per partition — a fixed
+        # per-partition process-start cost that dominates small joins
+        # (measured 7.7 s @64 partitions vs 2.7 s @8 on a 116k-row join).
+        # Size the default to the inputs: at most 2 per CPU (the scale
+        # path — a many-file corpus clamps here), at least 8, and no more
+        # than the combined initial block count (a 2-file join never needs
+        # 64 single-actor partitions).  Big-data callers can still pass an
+        # explicit count.
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        num_partitions = max(4, 2 * cpus)
+        try:
+            blocks = (
+                left._plan.initial_num_blocks() + right._plan.initial_num_blocks()
+            )
+        except Exception:
+            blocks = 2 * cpus
+        num_partitions = max(8, min(2 * cpus, blocks))
     return left.join(
         right,
         join_type=_HOW[how],
