@@ -809,3 +809,44 @@ class TestReviewRegressions:
             tie_col="rid",
         ).to_pandas()
         assert res["rid"].tolist() == [0]  # the 2^63+5 value wins
+
+
+class TestBucketedGroupAggregate:
+    @pytest.mark.parametrize("nkeys", [5, 1500])  # dup-heavy and near-unique
+    def test_parity_with_pandas(self, ray_session, nkeys):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+        rng = np.random.default_rng(nkeys)
+        n = 2000
+        t = pa.table(
+            {
+                "k_str": pa.array([f"key-{i}" for i in rng.integers(0, nkeys, n)]),
+                "k_int": pa.array(rng.integers(0, 3, n).astype("int64")),
+                "v": pa.array(rng.integers(-50, 50, n).astype("int64")),
+            }
+        )
+        res = (
+            bucketed_group_aggregate(
+                ray.data.from_arrow(t).repartition(9),
+                ["k_str", "k_int"],
+                [("v", "sum", "v_sum"), ("v", "min", "v_min"), ("v", "count", "n")],
+            )
+            .to_pandas()
+            .sort_values(["k_str", "k_int"])
+            .reset_index(drop=True)
+        )
+        want = (
+            t.to_pandas()
+            .groupby(["k_str", "k_int"], as_index=False)
+            .agg(v_sum=("v", "sum"), v_min=("v", "min"), n=("v", "count"))
+            .sort_values(["k_str", "k_int"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            res[["k_str", "k_int", "v_sum", "v_min", "n"]],
+            want.astype({"n": "int64"}),
+        )
