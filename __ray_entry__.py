@@ -1177,6 +1177,35 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(cands, queries, k=5)
 
 
+def q_ivf_index_ann(sf_dir: str):
+    """Persistent-IVF ANN: build-once parquet index partitioned by
+    inverted list (cached per sf_dir under /tmp), queries read ONLY their
+    nprobe partition directories.  Rows-only like ivf_ann (approximate);
+    the recall test compares it against brute force."""
+    import hashlib
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cloudtile_ray.stages.similarity import build_ivf_index, ivf_index_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 3)).sort_by("vec_id")
+    queries = np.stack(qt.column("embedding").to_numpy(zero_copy_only=False))
+    idx = f"/tmp/cloudtile_ivf_{hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]}"
+    if not os.path.exists(f"{idx}/_IVF_META.json"):
+        cands = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("vec_id"), 3)),
+            batch_format="pyarrow",
+        )
+        build_ivf_index(cands, idx, n_centroids=16)
+    return ivf_index_topk(idx, queries, k=5, nprobe=4)
+
+
 def q_langid(sf_dir: str):
     import ray.data
 
@@ -1425,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann": q_ivf_ann,
+        "ivf_index_ann": q_ivf_index_ann,
         "embed_clusters": q_embed_clusters,
         "langid": q_langid,
         "rolling_fp": q_rolling_fp,

@@ -141,15 +141,7 @@ def ivf_topk(
     proportionally, so partition-correlated layouts (per-domain embedding
     shards, cluster-sorted files) cannot collapse the centroid seed the
     way a first-rows ``limit()`` sample silently does."""
-    sample = _hash_mod_sample(ds, target=max(256, n_centroids * 8))
-    C = _farthest_point_init(sample, n_centroids)
-    for _ in range(5):  # few Lloyd sweeps on the sample
-        assign = np.argmax(_normalize(sample) @ _normalize(C).T, axis=1)
-        for c in range(n_centroids):
-            m = assign == c
-            if m.any():
-                C[c] = sample[m].mean(axis=0)
-    Cn = _normalize(C)
+    Cn = fit_coarse_centroids(ds, n_centroids)
     cref = ray.put(Cn)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(Q @ Cn.T), axis=1)[:, :nprobe]  # (Q, nprobe)
@@ -178,6 +170,21 @@ def ivf_topk(
     qref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = _partial_topk_ds(filtered, qref, k, probe_ref=probe_ref)
     return _merge_topk(_gather(partials), k)
+
+
+def fit_coarse_centroids(ds, n_centroids: int, sweeps: int = 5) -> np.ndarray:
+    """Unit-normalized coarse IVF centroids: deterministic hash-mod
+    sample + farthest-point init + a few Lloyd sweeps on the sample
+    (shared by :func:`ivf_topk` and :func:`build_ivf_index`)."""
+    sample = _hash_mod_sample(ds, target=max(256, n_centroids * 8))
+    C = _farthest_point_init(sample, n_centroids)
+    for _ in range(sweeps):
+        assign = np.argmax(_normalize(sample) @ _normalize(C).T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                C[c] = sample[m].mean(axis=0)
+    return _normalize(C)
 
 
 def _hash_mod_sample(ds, target: int) -> np.ndarray:
@@ -344,3 +351,124 @@ def kmeans_assign(ds, centroids: np.ndarray):
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+_IVF_META = "_IVF_META.json"
+
+
+def build_ivf_index(ds, path: str, n_centroids: int = 16) -> np.ndarray:
+    """Build-once persistent IVF index (the hex-kNN blueprint,
+    :func:`cloudtile_ray.stages.join.build_hex_knn_index`, applied to the
+    embedding space): coarse centroids fitted once, every vector assigned
+    to its nearest centroid inside ``map_batches``, written as parquet
+    partitioned by ``list_id`` so a query reads ONLY its ``nprobe``
+    partition directories — query cost is corpus-fraction-sized, not
+    corpus-sized, and repeated query calls never re-scan or re-cluster.
+
+    ``_list`` rides as a data column too (hive partition values don't
+    come back when reading selected directories).  A ``_IVF_META.json``
+    manifest records the centroids and partition count; the query path
+    validates the listing against it so a partially-visible index (e.g.
+    worker-local disks on a cluster) fails loudly (the
+    :func:`~cloudtile_ray.stages.join._hexknn_partitions` lesson).
+    Returns the centroid matrix."""
+    import json
+
+    from cloudtile_ray.stages.join import _index_fs
+
+    Cn = fit_coarse_centroids(ds, n_centroids)
+    cref = ray.put(Cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "_list": pa.array([], pa.int64()),
+                    "list_id": pa.array([], pa.int64()),
+                }
+            )
+        cn = ray.get(cref)
+        V = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        a = np.argmax(_normalize(V) @ cn.T, axis=1).astype(np.int64)
+        out = batch.select(["vec_id", "embedding"])
+        out = out.append_column("_list", pa.array(a))
+        return out.append_column("list_id", pa.array(a))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["list_id"]
+    )
+    from pyarrow import fs as pafs
+
+    fsys, root = _index_fs(path)
+    infos = fsys.get_file_info(pafs.FileSelector(root, recursive=False))
+    n_parts = sum(
+        1
+        for fi in infos
+        if fi.type == pafs.FileType.Directory and fi.base_name.startswith("list_id=")
+    )
+    with fsys.open_output_stream(f"{root}/{_IVF_META}") as f:
+        f.write(
+            json.dumps(
+                {
+                    "n_partitions": n_parts,
+                    "n_centroids": int(n_centroids),
+                    "centroids": Cn.tolist(),
+                }
+            ).encode()
+        )
+    return Cn
+
+
+def ivf_index_topk(index_path: str, queries: np.ndarray, k: int = 10, nprobe: int = 4) -> pa.Table:
+    """Query a :func:`build_ivf_index` index: per query pick the
+    ``nprobe`` nearest centroid lists from the manifest, read ONLY those
+    partition directories (``pyarrow.fs`` listing — works on object
+    storage), and score with the shared per-query probe-masked partial
+    top-k."""
+    import json
+
+    from pyarrow import fs as pafs
+
+    from cloudtile_ray.stages.join import _index_fs
+
+    fsys, root = _index_fs(index_path)
+    with fsys.open_input_stream(f"{root}/{_IVF_META}") as f:
+        meta = json.loads(f.read().decode())
+    infos = fsys.get_file_info(pafs.FileSelector(root, recursive=False))
+    part_dirs = {
+        int(fi.base_name.split("=", 1)[1]): fi.path
+        for fi in infos
+        if fi.type == pafs.FileType.Directory and fi.base_name.startswith("list_id=")
+    }
+    if meta["n_partitions"] != len(part_dirs):
+        raise RuntimeError(
+            f"IVF index at {index_path} is PARTIAL: manifest records "
+            f"{meta['n_partitions']} partitions, filesystem shows "
+            f"{len(part_dirs)} — the index must live on shared storage"
+        )
+    Cn = np.asarray(meta["centroids"], dtype=np.float64)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ Cn.T), axis=1)[:, :nprobe]
+    # expand probed partition dirs to their parquet files (Ray's
+    # read_parquet with an explicit filesystem does not expand dirs)
+    files: list[str] = []
+    for p in np.unique(probe):
+        d = part_dirs.get(int(p))
+        if d is None:
+            continue
+        for fi in fsys.get_file_info(pafs.FileSelector(d, recursive=True)):
+            if fi.type == pafs.FileType.File and fi.path.endswith(".parquet"):
+                files.append(fi.path)
+    if not files:
+        return _EMPTY_TOPK
+    import ray.data
+
+    dsq = ray.data.read_parquet(files, filesystem=fsys)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    probe_ref = ray.put(probe.astype(np.int64))
+    partials = _partial_topk_ds(dsq, qref, k, probe_ref=probe_ref)
+    return _merge_topk(_gather(partials), k)

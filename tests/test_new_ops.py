@@ -850,3 +850,43 @@ class TestBucketedGroupAggregate:
             res[["k_str", "k_int", "v_sum", "v_min", "n"]],
             want.astype({"n": "int64"}),
         )
+
+
+class TestIvfIndex:
+    def test_recall_and_partial_detection(self, ray_session, tmp_path):
+        import shutil
+
+        import ray.data
+
+        from cloudtile_ray.stages.similarity import (
+            brute_force_topk,
+            build_ivf_index,
+            ivf_index_topk,
+        )
+
+        t, _ = _planted_embeddings(n_per=80, dim=16, k=4, seed=2)
+        X = np.stack(t.column("embedding").to_numpy(zero_copy_only=False))
+        ds = ray.data.from_arrow(t).repartition(5)
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(ds, idx, n_centroids=4)
+        Q = X[:3]
+        got = ivf_index_topk(idx, Q, k=5, nprobe=2).to_pandas()
+        want = brute_force_topk(ds, Q, k=5).to_pandas()
+        # recall@5 >= 0.8 against brute force
+        rec = np.mean(
+            [
+                len(
+                    set(got[got.q_id == q].vec_id) & set(want[want.q_id == q].vec_id)
+                )
+                / 5.0
+                for q in range(3)
+            ]
+        )
+        assert rec >= 0.8
+        # a partially-visible index must fail loudly
+        import glob as _glob
+
+        victim = sorted(_glob.glob(f"{idx}/list_id=*"))[0]
+        shutil.rmtree(victim)
+        with pytest.raises(RuntimeError, match="PARTIAL"):
+            ivf_index_topk(idx, Q, k=5, nprobe=2)
