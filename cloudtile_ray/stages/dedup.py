@@ -298,8 +298,11 @@ def grouped_buckets_apply(ds, key_cols: list[str], bucket_fn, num_parts: int | N
     ``key_cols`` must be integer-typed (band ids / band hashes / cell
     ids).  ``bucket_fn`` receives each bucket as an Arrow table slice
     (same columns as ``ds``, minus the ``_part`` key) and must return an
-    Arrow table; called once on an empty slice to pin the output schema
-    when a part holds only singleton-free buckets."""
+    Arrow table.  PAIR-GENERATOR CONTRACT: buckets of size 1 are skipped
+    without calling ``bucket_fn`` (a single member can never pair) — do
+    not use this helper for aggregations where singletons contribute;
+    ``bucket_fn`` is called once on an empty slice to pin the output
+    schema when a part holds only singletons."""
     if num_parts is None:
         from cloudtile_ray.stages.util import default_num_buckets
 
