@@ -1206,6 +1206,77 @@ def q_ivf_index_ann(sf_dir: str):
     return ivf_index_topk(idx, queries, k=5, nprobe=4)
 
 
+def q_curated_pack(sf_dir: str):
+    """Flagship end-to-end curation pipeline — the RefinedWeb/C4-style
+    chain composed from the engine's own stages, all streaming:
+    quality gate (Arrow kernels) -> decontamination (broadcast probes)
+    -> keep-first exact dedup (bucket aggregate + hash join on the
+    64-char key) -> deterministic per-language rebalancing sample
+    (id-hash, zero shuffle) -> sequence packing (two-level prefix scan).
+    Output: (doc_id, lang, n_chars, prefix, chunk_id) for every surviving
+    document.  Oracle: the same chain as nested SQL CTEs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cloudtile_ray.stages.dedup import add_text_prefix_key, exact_dedup_keys
+    from cloudtile_ray.stages.relational import hash_join
+    from cloudtile_ray.stages.sampling import hash_stratified_sample
+    from cloudtile_ray.stages.scan import sequence_pack
+    from cloudtile_ray.stages.text import quality_batch, token_stats_batch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "n_chars"]
+    )
+
+    def gate(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t.column("alpha_ratio"), 0.82),
+                pc.less_equal(t.column("mean_token_len"), 12.0),
+            ),
+            pc.and_(
+                pc.greater_equal(t.column("n_tokens"), 15),
+                pc.less_equal(t.column("n_tokens"), 100000),
+            ),
+        )
+        for p in CONTAMINATION_PROBES:
+            m = pc.and_(m, pc.invert(pc.match_substring(t.column("text"), p)))
+        return t.filter(m)
+
+    clean = (
+        ds.map_batches(token_stats_batch, batch_format="pyarrow")
+        .map_batches(quality_batch, batch_format="pyarrow")
+        .map_batches(gate, batch_format="pyarrow")
+        .map_batches(add_text_prefix_key, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["doc_id", "lang", "n_chars", "text_prefix"]),
+            batch_format="pyarrow",
+        )
+    )
+    keyed = exact_dedup_keys(clean, "text_prefix")  # (text_prefix, keep_id, n_dups)
+    joined = hash_join(
+        clean,
+        keyed.map_batches(
+            lambda t: t.select(["text_prefix", "keep_id"]), batch_format="pyarrow"
+        ),
+        on=("text_prefix",),
+    )
+    kept = joined.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("doc_id"), t.column("keep_id"))
+        ).select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow",
+    )
+    sampled = hash_stratified_sample(
+        kept, rates={"en": 0.25, "de": 0.5, "*": 0.8}, group_col="lang"
+    )
+    return sequence_pack(sampled, budget=4096).map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars", "prefix", "chunk_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_langid(sf_dir: str):
     import ray.data
 
@@ -1438,6 +1509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_ids": q_vocab_ids,
         "token_encode": q_token_encode,
         "lang_vocab": q_lang_vocab,
+        "curated_pack": q_curated_pack,
         "corpus_overlap": q_corpus_overlap,
         "lang_top_docs": q_lang_top_docs,
         "keyword_search": q_keyword_search,
@@ -1972,6 +2044,42 @@ def oracle_sql() -> dict[str, str]:
             FROM dt JOIN ids i USING (tok)
             WHERE dt.tok <> ''
             GROUP BY dt.doc_id""",
+        "curated_pack": """
+            WITH ql AS (
+              SELECT doc_id, text, lang, n_chars,
+                     CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) AS alpha_ratio,
+                     length(text) - (length(text) - length(replace(text, ' ', ''))) AS nonspace,
+                     length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+              FROM documents),
+            q AS (
+              SELECT doc_id, text, lang, n_chars FROM ql
+              WHERE alpha_ratio >= 0.82
+                AND CAST(nonspace AS DOUBLE) / GREATEST(n_tokens, 1) <= 12.0
+                AND n_tokens BETWEEN 15 AND 100000),
+            d AS (
+              SELECT * FROM q
+              WHERE NOT (contains(text, 'merge batch')
+                      OR contains(text, 'window spark')
+                      OR contains(text, 'quantum flux'))),
+            k AS (
+              SELECT doc_id, lang, n_chars,
+                     min(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS keep_id
+              FROM d),
+            s AS (
+              SELECT doc_id, lang, n_chars FROM k
+              WHERE doc_id = keep_id
+                AND (doc_id * 7919) % 10000 <
+                    CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                              ELSE 8000 END)
+            SELECT doc_id, lang, n_chars,
+                   CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS prefix,
+                   CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) // 4096 AS chunk_id
+            FROM s""",
         "lang_vocab": """
             WITH dt AS (SELECT lang,
                                unnest(regexp_split_to_array(lower(text),
