@@ -1277,6 +1277,22 @@ def q_curated_pack(sf_dir: str):
     )
 
 
+def q_chunk_stats(sf_dir: str):
+    """Training-chunk rollup over the curated pipeline: docs and chars
+    per packed chunk (chunk ids are high-cardinality at corpus scale ->
+    bucket aggregate)."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    packed = q_curated_pack(sf_dir)
+    return bucketed_group_aggregate(
+        packed.map_batches(
+            lambda t: t.select(["chunk_id", "n_chars"]), batch_format="pyarrow"
+        ),
+        ["chunk_id"],
+        [("n_chars", "count", "n_docs"), ("n_chars", "sum", "chunk_chars")],
+    )
+
+
 def q_langid(sf_dir: str):
     import ray.data
 
@@ -1510,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_encode": q_token_encode,
         "lang_vocab": q_lang_vocab,
         "curated_pack": q_curated_pack,
+        "chunk_stats": q_chunk_stats,
         "corpus_overlap": q_corpus_overlap,
         "lang_top_docs": q_lang_top_docs,
         "keyword_search": q_keyword_search,
@@ -2080,6 +2097,43 @@ def oracle_sql() -> dict[str, str]:
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                         AS BIGINT) // 4096 AS chunk_id
             FROM s""",
+        "chunk_stats": """
+            WITH ql AS (
+              SELECT doc_id, text, lang, n_chars,
+                     CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) AS alpha_ratio,
+                     length(text) - (length(text) - length(replace(text, ' ', ''))) AS nonspace,
+                     length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+              FROM documents),
+            q AS (
+              SELECT doc_id, text, lang, n_chars FROM ql
+              WHERE alpha_ratio >= 0.82
+                AND CAST(nonspace AS DOUBLE) / GREATEST(n_tokens, 1) <= 12.0
+                AND n_tokens BETWEEN 15 AND 100000),
+            d AS (
+              SELECT * FROM q
+              WHERE NOT (contains(text, 'merge batch')
+                      OR contains(text, 'window spark')
+                      OR contains(text, 'quantum flux'))),
+            k AS (
+              SELECT doc_id, lang, n_chars,
+                     min(doc_id) OVER (PARTITION BY substr(text, 1, 64)) AS keep_id
+              FROM d),
+            s AS (
+              SELECT doc_id, lang, n_chars FROM k
+              WHERE doc_id = keep_id
+                AND (doc_id * 7919) % 10000 <
+                    CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 5000
+                              ELSE 8000 END),
+            p AS (
+              SELECT doc_id, n_chars,
+                     CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) // 4096 AS chunk_id
+              FROM s)
+            SELECT chunk_id, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chunk_chars
+            FROM p GROUP BY chunk_id""",
         "lang_vocab": """
             WITH dt AS (SELECT lang,
                                unnest(regexp_split_to_array(lower(text),
