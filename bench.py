@@ -222,21 +222,26 @@ def host_mem_calibration(size_mb: int = 16) -> float:
     (GRAFT_SCALING_MIN_MEMBW)."""
     import numpy as np
 
-    # best of 3 trials: a single probe conflates the host's first-touch
-    # page-zeroing stall (measured 16 MB/s immediately followed by
-    # 3.6 GB/s in the same process) with a sustained collapse; the max
-    # reports ACHIEVABLE fresh-page bandwidth, which is what engine wall
-    # time depends on
-    best = 0.0
+    # one discarded warm-up trial + median of 3: the warm-up absorbs the
+    # host's one-off first-touch page-zeroing stall (measured 16 MB/s
+    # immediately followed by 3.6 GB/s in the same process) without
+    # letting a single lucky unthrottled probe mask SUSTAINED duty-cycle
+    # throttling — this value feeds the GRAFT_SCALING_MIN_MEMBW rejection
+    # gate, so a max would re-admit exactly the windows the gate exists
+    # to reject (ADVICE r3 #4)
+    import statistics
+
     n = size_mb * (1 << 20) // 8
-    for _ in range(3):
+    trials = []
+    for i in range(4):
         t0 = time.time()
         a = np.arange(n, dtype=np.int64)
         b = a + 1
         dt = max(time.time() - t0, 1e-9)
         del a, b
-        best = max(best, (2 * size_mb) / dt)
-    return best
+        if i > 0:  # trial 0 is the warm-up
+            trials.append((2 * size_mb) / dt)
+    return statistics.median(trials)
 
 
 def main() -> None:
