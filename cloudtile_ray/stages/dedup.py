@@ -232,26 +232,41 @@ def explode_bands(batch: pa.Table, n_bands: int = 16) -> pa.Table:
     )
 
 
-def _pairs_schema() -> pa.Table:
-    return pa.table(
-        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+def _pairs_schema(with_flag: bool = False) -> pa.Table:
+    cols = {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    if with_flag:
+        cols["capped"] = pa.array([], pa.int8())
+    return pa.table(cols)
+
+
+def _with_capped(tbl: pa.Table, capped: bool) -> pa.Table:
+    return tbl.append_column(
+        "capped", pa.array(np.full(tbl.num_rows, int(capped), dtype=np.int8))
     )
 
 
-def _capped_pairs(ids: np.ndarray, cap: int, what: str) -> pa.Table:
+def _capped_pairs(
+    ids: np.ndarray, cap: int, what: str, with_flag: bool = False
+) -> pa.Table:
     """(a < b) candidate pairs from one bucket, quadratic only within
     <= cap-sized deterministic chunks.  Chunks are consecutive runs of the
     sorted id array; consecutive chunks are linked by one bridge pair so a
     genuinely-duplicate mega-bucket still resolves to one cluster (bridges
     are exact-verified downstream like every candidate).  Truncation is
-    logged — a silent cap would read as full coverage."""
+    logged — a silent cap would read as full coverage.
+
+    ``with_flag=True`` appends a constant int8 ``capped`` column (1 iff
+    this bucket exceeded the cap) so the pipeline can tell, with one cheap
+    pass over the materialized pair blocks, whether the expensive
+    intra-cluster expansion pass is needed at all (VERDICT r3 #2)."""
     ids = np.sort(np.asarray(ids, dtype=np.int64))
     n = len(ids)
     if n < 2:
-        return _pairs_schema()
+        return _pairs_schema(with_flag)
     if n <= cap:
         a, b = np.triu_indices(n, k=1)
-        return pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
+        out = pa.table({"doc_a": pa.array(ids[a]), "doc_b": pa.array(ids[b])})
+        return _with_capped(out, False) if with_flag else out
     n_chunks = -(-n // cap)
     logger.warning(
         "%s: bucket of %d ids exceeds cap %d; sub-split into %d chunks "
@@ -267,18 +282,37 @@ def _capped_pairs(ids: np.ndarray, cap: int, what: str) -> pa.Table:
         if c > 0:  # bridge: first id of this chunk <-> first id of previous
             parts_a.append(ids[(c - 1) * cap : (c - 1) * cap + 1])
             parts_b.append(chunk[:1])
-    return pa.table(
+    out = pa.table(
         {
             "doc_a": pa.array(np.concatenate(parts_a)),
             "doc_b": pa.array(np.concatenate(parts_b)),
         }
     )
+    return _with_capped(out, True) if with_flag else out
 
 
-def bucket_pairs(group: pa.Table, cap: int = BUCKET_CAP) -> pa.Table:
+def bucket_pairs(
+    group: pa.Table, cap: int = BUCKET_CAP, with_flag: bool = False
+) -> pa.Table:
     """Same-bucket candidate pairs (a < b), capped per bucket."""
     ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-    return _capped_pairs(ids, cap, "minhash-lsh")
+    return _capped_pairs(ids, cap, "minhash-lsh", with_flag=with_flag)
+
+
+def _any_capped(cands) -> bool:
+    """True iff any pair block carries ``capped == 1``.  One metadata-light
+    map over the already-materialized candidate blocks (pairs are tiny —
+    17 B/row); returns False when the column is absent."""
+    def flag(t: pa.Table) -> pa.Table:
+        v = 0
+        if "capped" in t.column_names and t.num_rows:
+            v = int(pc.max(t.column("capped")).as_py() or 0)
+        return pa.table({"c": pa.array([v], pa.int8())})
+
+    return any(
+        r["c"]
+        for r in cands.map_batches(flag, batch_format="pyarrow").take_all()
+    )
 
 
 def grouped_buckets_apply(ds, key_cols: list[str], bucket_fn, num_parts: int | None = None):
@@ -760,12 +794,18 @@ def minhash_dedup_pairs(
         lambda t: explode_bands(t, n_bands), batch_format="pyarrow"
     )
     cands = grouped_buckets_apply(
-        bands, ["band_id", "band_hash"], lambda g: bucket_pairs(g, cap=bucket_cap)
-    )
+        bands,
+        ["band_id", "band_hash"],
+        lambda g: bucket_pairs(g, cap=bucket_cap, with_flag=True),
+    ).materialize()
     out = verify_pairs_distributed(
         ds, cands, threshold, broadcast_threshold=broadcast_threshold
     )
-    if expand_clusters:
+    # The expansion pass exists only to repair over-cap buckets; when no
+    # bucket hit the cap (the overwhelmingly common case) the verified
+    # pair set is already complete, so skip the materialize + component
+    # check round-trip entirely (VERDICT r3 #2).
+    if expand_clusters and _any_capped(cands):
         out = expand_cluster_pairs(
             ds, out, threshold, k=5, broadcast_threshold=broadcast_threshold
         )
@@ -793,13 +833,15 @@ def ngram_jaccard_pairs(
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        return _capped_pairs(ids, bucket_cap, "ngram-fp")
+        return _capped_pairs(ids, bucket_cap, "ngram-fp", with_flag=True)
 
-    cands = grouped_buckets_apply(fps, ["rolling_fp"], pairs)
+    cands = grouped_buckets_apply(fps, ["rolling_fp"], pairs).materialize()
     out = verify_pairs_distributed(
         ds, cands, threshold, k=k, broadcast_threshold=broadcast_threshold
     )
-    if expand_clusters:
+    # Skip the component-completeness round-trip when no fp bucket was
+    # capped — same rationale as minhash_dedup_pairs (VERDICT r3 #2).
+    if expand_clusters and _any_capped(cands):
         out = expand_cluster_pairs(
             ds, out, threshold, k=k, broadcast_threshold=broadcast_threshold
         )

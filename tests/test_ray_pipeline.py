@@ -417,6 +417,51 @@ class TestDedup:
         assert len(full) == n * (n - 1) // 2
         assert (full.jaccard == 1.0).all()
 
+    def test_expansion_skipped_when_no_bucket_capped(
+        self, ray_session, monkeypatch
+    ):
+        """When no LSH bucket exceeds the cap (the overwhelmingly common
+        case) the pipeline must not pay the expand_cluster_pairs
+        materialize + component-check round-trip at all (VERDICT r3 #2)."""
+        import ray.data
+
+        import cloudtile_ray.stages.dedup as dd
+
+        n = 60
+        texts = ["shared duplicate body text for the pair"] * 2 + [
+            f"unique background document {i} body text" for i in range(n - 2)
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+
+        def boom(*a, **kw):  # pragma: no cover - called only on regression
+            raise AssertionError("expand_cluster_pairs must be skipped")
+
+        monkeypatch.setattr(dd, "expand_cluster_pairs", boom)
+        pairs = dd.minhash_dedup_pairs(ds, threshold=0.9).to_pandas()
+        assert {(0, 1)} == set(zip(pairs.doc_a, pairs.doc_b))
+
+    def test_any_capped_flag(self, ray_session):
+        """_capped_pairs tags over-cap buckets; _any_capped reads it back
+        from the materialized pair blocks."""
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import _any_capped, _capped_pairs
+
+        small = _capped_pairs(np.arange(5), cap=16, what="t", with_flag=True)
+        assert small.column("capped").to_pylist() == [0] * small.num_rows
+        big = _capped_pairs(np.arange(40), cap=16, what="t", with_flag=True)
+        assert set(big.column("capped").to_pylist()) == {1}
+        assert not _any_capped(ray.data.from_arrow(small).materialize())
+        assert _any_capped(
+            ray.data.from_arrow(pa.concat_tables([small, big])).materialize()
+        )
+
     def test_expand_clusters_distributed_matches_driver(self, ray_session):
         """The fully distributed expansion (CC labels -> per-cluster pair
         enumeration -> hash-partitioned anti-join -> distributed verify)
