@@ -90,21 +90,6 @@ def drop_html(batch: pa.Table) -> pa.Table:
     return batch.drop_columns(["html"]) if "html" in batch.column_names else batch
 
 
-def parse_footprints(footprint_mi: pa.Array) -> list[np.ndarray | None]:
-    """Parse ``"lon_mi lat_mi,..."`` strings into degree rings. Only called
-    on the minority of rows that carry a footprint; returns None elsewhere."""
-    out: list[np.ndarray | None] = []
-    for s in footprint_mi.to_pylist():
-        if not s:
-            out.append(None)
-            continue
-        pts = np.array(
-            [p.split(" ") for p in s.split(",")], dtype=np.float64
-        )
-        out.append(pts / 1000.0)
-    return out
-
-
 def redact_geo_urls(batch: pa.Table, col: str = "url") -> pa.Table:
     """Location-privacy scrub (the geospatial flavour of a PII-redaction
     stage): replace coordinate query parameters embedded in URLs with a
