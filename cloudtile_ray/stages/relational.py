@@ -30,6 +30,9 @@ _HOW = {
 
 _shuffle_patch_applied = False
 
+# Sentinel for grouped_topk: explicit opt-in to nondeterministic tie order.
+ALLOW_NONDETERMINISTIC_TIES = object()
+
 
 def _patch_ray_hash_shuffle_schema_broadcast() -> None:
     """Fix a Ray 2.49 hash-shuffle defect that breaks ``Dataset.join``
@@ -169,12 +172,25 @@ def grouped_topk(
     never drive Ray's per-group machinery — see
     :func:`bucketed_group_aggregate`) and the same kernel finishes each
     bucket exactly.  Ties beyond ``tie_col`` would make the answer
-    nondeterministic, so ``tie_col`` (ascending, must be unique per
-    group, e.g. a row id) is required for an oracle-exact result."""
+    nondeterministic across runs/parallelism (rows resolved by arbitrary
+    lexsort position), so ``tie_col`` (ascending, must be unique per
+    group, e.g. a row id) is REQUIRED — pass it, or opt in to unstable
+    output explicitly with ``tie_col=ALLOW_NONDETERMINISTIC_TIES``
+    (ADVICE r3 #3)."""
     import numpy as np
     import pyarrow as pa
 
     from cloudtile_ray.stages.util import stable_hash_strings
+
+    if tie_col is None:
+        raise ValueError(
+            "grouped_topk: tie_col is required for deterministic output "
+            "(ties beyond order_col are otherwise resolved by arbitrary "
+            "parallel sort position); pass a unique-per-group column, or "
+            "tie_col=ALLOW_NONDETERMINISTIC_TIES to opt in explicitly"
+        )
+    if tie_col is ALLOW_NONDETERMINISTIC_TIES:
+        tie_col = None
 
     def _topk(batch: "pa.Table") -> "pa.Table":
         import numpy as np
