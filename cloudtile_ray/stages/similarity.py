@@ -356,7 +356,37 @@ def kmeans_assign(ds, centroids: np.ndarray):
 _IVF_META = "_IVF_META.json"
 
 
-def build_ivf_index(ds, path: str, n_centroids: int = 16) -> np.ndarray:
+def _ivf_listing(fsys, root) -> dict:
+    """One recursive listing of an IVF index tree -> {n_partitions,
+    n_files, total_bytes} over the ``list_id=*`` partitions.  This is the
+    build fingerprint: cheap (names + sizes only, no parquet footers) and
+    detects both a partially-visible index and a stale mixed-generation
+    one."""
+    from pyarrow import fs as pafs
+
+    parts = set()
+    n_files = 0
+    total_bytes = 0
+    for fi in fsys.get_file_info(pafs.FileSelector(root, recursive=True)):
+        rel = fi.path[len(root):].lstrip("/")
+        if not rel.startswith("list_id="):
+            continue
+        if fi.type == pafs.FileType.Directory and "/" not in rel:
+            parts.add(rel)
+        elif fi.type == pafs.FileType.File and fi.path.endswith(".parquet"):
+            parts.add(rel.split("/", 1)[0])
+            n_files += 1
+            total_bytes += fi.size or 0
+    return {
+        "n_partitions": len(parts),
+        "n_files": n_files,
+        "total_bytes": total_bytes,
+    }
+
+
+def build_ivf_index(
+    ds, path: str, n_centroids: int = 16, overwrite: bool = False
+) -> np.ndarray:
     """Build-once persistent IVF index (the hex-kNN blueprint,
     :func:`cloudtile_ray.stages.join.build_hex_knn_index`, applied to the
     embedding space): coarse centroids fitted once, every vector assigned
@@ -371,10 +401,44 @@ def build_ivf_index(ds, path: str, n_centroids: int = 16) -> np.ndarray:
     validates the listing against it so a partially-visible index (e.g.
     worker-local disks on a cluster) fails loudly (the
     :func:`~cloudtile_ray.stages.join._hexknn_partitions` lesson).
-    Returns the centroid matrix."""
+    Returns the centroid matrix.
+
+    A pre-existing index at ``path`` fails the build (ADVICE r3 #1 —
+    ``write_parquet`` would silently MERGE stale ``list_id=*`` partitions
+    from a previous build into the new index, and the post-write manifest
+    count could not tell); pass ``overwrite=True`` to delete it first.
+    The manifest also records a build fingerprint (partition/file/byte
+    counts from one recursive listing) that :func:`ivf_index_topk`
+    re-validates, so contamination that appears AFTER a clean build
+    (another writer, lost files) is caught too."""
     import json
 
+    from pyarrow import fs as pafs
+
     from cloudtile_ray.stages.join import _index_fs
+
+    fsys, root = _index_fs(path)
+    existing = fsys.get_file_info(pafs.FileSelector(root, recursive=False)) if (
+        fsys.get_file_info(root).type == pafs.FileType.Directory
+    ) else []
+    stale = [
+        fi.path
+        for fi in existing
+        if fi.base_name == _IVF_META or fi.base_name.startswith("list_id=")
+    ]
+    if stale:
+        if not overwrite:
+            raise FileExistsError(
+                f"IVF index target {path} already contains "
+                f"{len(stale)} index entries (e.g. {stale[0]}); building "
+                "into it would merge stale partitions into the new index. "
+                "Pass overwrite=True to replace it."
+            )
+        for p in stale:
+            if fsys.get_file_info(p).type == pafs.FileType.Directory:
+                fsys.delete_dir(p)
+            else:
+                fsys.delete_file(p)
 
     Cn = fit_coarse_centroids(ds, n_centroids)
     cref = ray.put(Cn)
@@ -401,20 +465,12 @@ def build_ivf_index(ds, path: str, n_centroids: int = 16) -> np.ndarray:
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         path, partition_cols=["list_id"]
     )
-    from pyarrow import fs as pafs
-
-    fsys, root = _index_fs(path)
-    infos = fsys.get_file_info(pafs.FileSelector(root, recursive=False))
-    n_parts = sum(
-        1
-        for fi in infos
-        if fi.type == pafs.FileType.Directory and fi.base_name.startswith("list_id=")
-    )
+    fingerprint = _ivf_listing(fsys, root)
     with fsys.open_output_stream(f"{root}/{_IVF_META}") as f:
         f.write(
             json.dumps(
                 {
-                    "n_partitions": n_parts,
+                    **fingerprint,
                     "n_centroids": int(n_centroids),
                     "centroids": Cn.tolist(),
                 }
@@ -444,11 +500,21 @@ def ivf_index_topk(index_path: str, queries: np.ndarray, k: int = 10, nprobe: in
         for fi in infos
         if fi.type == pafs.FileType.Directory and fi.base_name.startswith("list_id=")
     }
-    if meta["n_partitions"] != len(part_dirs):
+    # validate the full build fingerprint, not just the partition count: a
+    # stale or mixed-generation tree (extra files / byte drift) and a
+    # partially-visible one (worker-local disks) both fail loudly here
+    # (ADVICE r3 #1); older manifests without the fingerprint fields fall
+    # back to the partition-count check.
+    fingerprint = _ivf_listing(fsys, root)
+    checks = [k for k in ("n_partitions", "n_files", "total_bytes") if k in meta]
+    mismatched = {
+        k: (meta[k], fingerprint[k]) for k in checks if meta[k] != fingerprint[k]
+    }
+    if mismatched:
         raise RuntimeError(
-            f"IVF index at {index_path} is PARTIAL: manifest records "
-            f"{meta['n_partitions']} partitions, filesystem shows "
-            f"{len(part_dirs)} — the index must live on shared storage"
+            f"IVF index at {index_path} is PARTIAL or STALE: manifest vs "
+            f"filesystem mismatch {mismatched} — rebuild with "
+            "overwrite=True, and keep the index on shared storage"
         )
     Cn = np.asarray(meta["centroids"], dtype=np.float64)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
