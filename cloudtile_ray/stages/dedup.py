@@ -340,7 +340,7 @@ def grouped_buckets_apply(ds, key_cols: list[str], bucket_fn, num_parts: int | N
     if num_parts is None:
         from cloudtile_ray.stages.util import default_num_buckets
 
-        num_parts = default_num_buckets()
+        num_parts = default_num_buckets(ds)
 
     def add_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -766,6 +766,7 @@ def minhash_dedup_pairs(
     bucket_cap: int = BUCKET_CAP,
     broadcast_threshold: int = 2_000_000,
     expand_clusters: bool = True,
+    num_buckets: int | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline -> Dataset of verified pairs
     (doc_a, doc_b, jaccard). ``ds`` must have doc_id + text.
@@ -797,6 +798,7 @@ def minhash_dedup_pairs(
         bands,
         ["band_id", "band_hash"],
         lambda g: bucket_pairs(g, cap=bucket_cap, with_flag=True),
+        num_parts=num_buckets,
     ).materialize()
     out = verify_pairs_distributed(
         ds, cands, threshold, broadcast_threshold=broadcast_threshold
@@ -815,6 +817,7 @@ def minhash_dedup_pairs(
 def ngram_jaccard_pairs(
     ds, threshold: float = 0.6, k: int = 5, bucket_cap: int = BUCKET_CAP,
     broadcast_threshold: int = 2_000_000, expand_clusters: bool = True,
+    num_buckets: int | None = None,
 ):
     """n-gram Jaccard near-dup: candidate blocking by the winnowing
     rolling-hash fingerprint (documents sharing a minimal window hash are
@@ -835,7 +838,9 @@ def ngram_jaccard_pairs(
         ids = group.column("doc_id").to_numpy(zero_copy_only=False)
         return _capped_pairs(ids, bucket_cap, "ngram-fp", with_flag=True)
 
-    cands = grouped_buckets_apply(fps, ["rolling_fp"], pairs).materialize()
+    cands = grouped_buckets_apply(
+        fps, ["rolling_fp"], pairs, num_parts=num_buckets
+    ).materialize()
     out = verify_pairs_distributed(
         ds, cands, threshold, k=k, broadcast_threshold=broadcast_threshold
     )
@@ -1504,7 +1509,10 @@ class SimHasher:
         return pa.table({"doc_id": batch.column("doc_id"), "simhash": pa.array(sig)})
 
 
-def simhash_near_pairs(ds, max_hamming: int = 3, bucket_cap: int = BUCKET_CAP):
+def simhash_near_pairs(
+    ds, max_hamming: int = 3, bucket_cap: int = BUCKET_CAP,
+    num_buckets: int | None = None,
+):
     """Dataset of pairs with Hamming distance <= max_hamming via 4x16-bit
     band blocking (pigeonhole: any such pair agrees exactly on >= 1 band);
     cross-band duplicates are dropped by a hash-partitioned groupby, so the
@@ -1576,7 +1584,9 @@ def simhash_near_pairs(ds, max_hamming: int = 3, bucket_cap: int = BUCKET_CAP):
         )
 
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
-    raw = grouped_buckets_apply(exploded, ["band_id", "band_val"], pairs)
+    raw = grouped_buckets_apply(
+        exploded, ["band_id", "band_val"], pairs, num_parts=num_buckets
+    )
 
     # cross-band dedupe, distributed: partition by hash(doc_a), drop dups
     def add_part(batch: pa.Table) -> pa.Table:
@@ -1665,7 +1675,8 @@ class HyperplaneLsh:
 
 
 def embedding_neardup_pairs(
-    ds, threshold: float = 0.95, dim: int = 64, bucket_cap: int = BUCKET_CAP
+    ds, threshold: float = 0.95, dim: int = 64, bucket_cap: int = BUCKET_CAP,
+    num_buckets: int | None = None,
 ):
     """Dataset of cosine >= threshold pairs via multi-table hyperplane-LSH
     buckets + in-bucket exact cosine (float64), cross-table dedupe by
@@ -1712,7 +1723,9 @@ def embedding_neardup_pairs(
             }
         )
 
-    raw = grouped_buckets_apply(bucketed, ["table_id", "bucket"], pairs)
+    raw = grouped_buckets_apply(
+        bucketed, ["table_id", "bucket"], pairs, num_parts=num_buckets
+    )
 
     def add_part(batch: pa.Table) -> pa.Table:
         if "vec_a" not in batch.column_names or batch.num_rows == 0:

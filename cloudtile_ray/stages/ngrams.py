@@ -220,7 +220,7 @@ def dup_ngram_stats(ds, n: int = 8, num_buckets: int | None = None) -> "ray.data
     if num_buckets is None:
         from cloudtile_ray.stages.util import default_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = default_num_buckets(ds)
 
     def add_gh_bucket(t: pa.Table) -> pa.Table:
         b = t.column("gh").to_numpy(zero_copy_only=False) % num_buckets

@@ -227,7 +227,7 @@ def grouped_topk(
 
     from cloudtile_ray.stages.util import default_num_buckets
 
-    num_buckets = default_num_buckets()
+    num_buckets = default_num_buckets(ds)
 
     def add_bucket(t: "pa.Table") -> "pa.Table":
         col = t.column(group_col)
@@ -299,7 +299,7 @@ def bucketed_group_aggregate(
     if num_buckets is None:
         from cloudtile_ray.stages.util import default_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = default_num_buckets(ds)
     key_cols = list(key_cols)
     map_aggs = [(c, f) for c, f, _ in aggregations]
     outs = [(f"{c}_{f}", o, _FINAL[f]) for c, f, o in aggregations]

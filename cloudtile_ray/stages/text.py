@@ -320,7 +320,7 @@ def top_terms(ds) -> "ray.data.Dataset":
     from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
     from cloudtile_ray.stages.util import default_num_buckets
 
-    num_buckets = default_num_buckets()
+    num_buckets = default_num_buckets(ds)
 
     freqs = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
     dfs = bucketed_group_aggregate(freqs, ["tk"], [("doc_id", "count", "df")])

@@ -33,6 +33,33 @@ def worker_cached(key: tuple, factory: Callable[[], Any]) -> Any:
     return obj
 
 
+def _patch_unify_schemas_metadata_safe() -> None:
+    """Make Ray's ``unify_schemas`` schema-dedup tolerate dict-valued
+    schema metadata (pyarrow ``Schema.__hash__`` raises on it, so the
+    ``set(schemas)`` early-exit at transform_pyarrow.py:176 logs
+    ``Failed to hash the schemas`` and falls back to re-unifying — and
+    re-serializing — per shard).  Metadata is never consulted by this
+    engine, so stripping it before the dedup is lossless here.  Installed
+    per process the first time :func:`strip_schema_metadata` runs (the
+    strip kernel fuses with every parquet read, so read workers get the
+    patch before their SplitBlocks finalization calls unify_schemas);
+    idempotent."""
+    try:
+        from ray.data._internal.arrow_ops import transform_pyarrow as tp
+    except Exception:  # pragma: no cover - ray internals moved
+        return
+    if getattr(tp.unify_schemas, "_ctray_metadata_safe", False):
+        return
+    original = tp.unify_schemas
+
+    def unify_schemas_safe(schemas, **kw):
+        schemas = [s.remove_metadata() if s.metadata else s for s in schemas]
+        return original(schemas, **kw)
+
+    unify_schemas_safe._ctray_metadata_safe = True
+    tp.unify_schemas = unify_schemas_safe
+
+
 def strip_schema_metadata(t: pa.Table) -> pa.Table:
     """Drop table-level schema metadata (zero-copy).
 
@@ -48,6 +75,7 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     both inputs of :func:`cloudtile_ray.stages.relational.hash_join` — the
     engine's only ``Dataset.join`` site, whose HashShuffleAggregator
     actors are where the warning actually fires."""
+    _patch_unify_schemas_metadata_safe()
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
@@ -103,13 +131,25 @@ def stable_hash_strings(arr: pa.Array | np.ndarray | list) -> np.ndarray:
     return hash_array(arr).astype(np.uint64)
 
 
-def default_num_buckets() -> int:
+def default_num_buckets(ds=None) -> int:
     """Bucket count for the small-cardinality exchanges that replace
     near-unique-key groupbys (see
     :func:`cloudtile_ray.stages.relational.bucketed_group_aggregate`):
-    4x cluster CPUs, floor 64.  One shared definition so the sizing rule
-    can't drift between operators."""
+    4x cluster CPUs, floor 64 — and, when the input Dataset is passed,
+    at least 2x its initial block count.  One bucket's map_groups task
+    materializes ~rows/num_buckets in one worker, so a CPU-only default
+    grows per-task memory linearly with the corpus (ADVICE r3 #2); the
+    block term keeps per-bucket bytes at about half a target block
+    (initial blocks ~= input bytes / target_max_block_size) regardless of
+    scale.  Reads only plan metadata — never triggers execution.  One
+    shared definition so the sizing rule can't drift between operators."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(64, 4 * cpus)
+    n = max(64, 4 * cpus)
+    if ds is not None:
+        try:
+            n = max(n, 2 * int(ds._plan.initial_num_blocks()))
+        except Exception:
+            pass
+    return n
