@@ -86,18 +86,27 @@ def single_step(
     ).map_batches(
         index_stage.AssignTiles(int(minz), int(maxz)), batch_format="pyarrow"
     )
-    # prefilter/postfilter hooks (tippecanoe.yaml:125-127 parity): any
-    # fn(pa.Table) -> pa.Table runs before / after the tile encoder
+    # prefilter/postfilter hooks (tippecanoe.yaml:125-127 parity): a
+    # fn(pa.Table) -> pa.Table runs before / after the tile encoder; a
+    # STRING is tippecanoe's own form — an external command fed features
+    # as newline-delimited JSON on stdin, read back from stdout
+    # (attributes.make_command_filter).
+    from cloudtile_ray.stages.attributes import make_command_filter
+
     prefilter = settings.get("prefilter")
     postfilter = settings.get("postfilter")
+    if isinstance(prefilter, str):
+        prefilter = make_command_filter(prefilter)
+    if isinstance(postfilter, str):
+        postfilter = make_command_filter(postfilter)
     for name, fn in (("prefilter", prefilter), ("postfilter", postfilter)):
         if fn is not None and not callable(fn):
             import logging
 
             logging.getLogger(__name__).warning(
-                "%s=%r is not callable; the engine takes fn(pa.Table) -> "
-                "pa.Table here (shell-command filters are a tippecanoe "
-                "mechanism) — ignored", name, fn,
+                "%s=%r is neither callable nor a command string; the "
+                "engine takes fn(pa.Table) -> pa.Table or a shell command "
+                "here — ignored", name, fn,
             )
     if callable(prefilter):
         exploded = exploded.map_batches(prefilter, batch_format="pyarrow")

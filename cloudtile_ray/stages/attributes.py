@@ -150,3 +150,46 @@ def eval_feature_filter(batch: pa.Table, expr: list) -> pa.ChunkedArray:
 def feature_filter(batch: pa.Table, expr: list) -> pa.Table:
     mask = eval_feature_filter(batch, expr)
     return batch.filter(pc.fill_null(mask, False))
+
+
+def make_command_filter(cmd: str):
+    """External-command ``prefilter``/``postfilter`` parity
+    (/root/reference/src/cloudtile/tippecanoe.yaml:125-127): tippecanoe's
+    surface is a shell command fed features as newline-delimited JSON on
+    stdin and read back the same way from stdout; the command may drop
+    rows or mutate values (schema is preserved — that is also
+    tippecanoe's contract, its filters edit feature attributes).
+
+    Returns a ``fn(pa.Table) -> pa.Table`` suitable for the engine's
+    filter hooks (one subprocess per BATCH, not per row or per tile —
+    the process-spawn cost amortizes over the batch; serialization is
+    per-row by nature of the ndjson protocol, exactly as tippecanoe
+    pays it)."""
+    import json
+    import shlex
+    import subprocess
+
+    argv = shlex.split(cmd)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        payload = "\n".join(
+            json.dumps(row, default=str) for row in t.to_pylist()
+        )
+        proc = subprocess.run(
+            argv, input=payload.encode(), capture_output=True, check=False
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"filter command {cmd!r} failed "
+                f"(exit {proc.returncode}): {proc.stderr.decode()[:500]}"
+            )
+        rows = [
+            json.loads(line)
+            for line in proc.stdout.decode().splitlines()
+            if line.strip()
+        ]
+        return pa.Table.from_pylist(rows, schema=t.schema)
+
+    return fn

@@ -279,6 +279,55 @@ class TestFilterHooks:
         assert (both.n_features >= 2).all()
         assert len(both) < len(pre)
 
+    def test_command_string_filter(self, sf_tiny):
+        """tippecanoe's OWN filter form — a shell command over
+        newline-delimited JSON features (yaml:125-127) — must drive the
+        same hook: keep even doc_ids via a python -c pipe and match the
+        callable prefilter's result exactly."""
+        import sys
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from cloudtile_ray.pipelines.single_step import single_step
+
+        cmd = (
+            f"{sys.executable} -c \"import sys,json\n"
+            "for line in sys.stdin:\n"
+            "    row = json.loads(line)\n"
+            "    if row['doc_id'] % 2 == 0:\n"
+            "        print(json.dumps(row))\""
+        )
+
+        def prefilter(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), 0)
+            )
+
+        want = (
+            single_step(sf_tiny, 4, 5, prefilter=prefilter)
+            .to_pandas()
+            .sort_values(["z", "x", "y"], ignore_index=True)
+        )
+        got = (
+            single_step(sf_tiny, 4, 5, prefilter=cmd)
+            .to_pandas()
+            .sort_values(["z", "x", "y"], ignore_index=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_command_filter_failure_is_loud(self):
+        import pytest
+
+        from cloudtile_ray.stages.attributes import make_command_filter
+
+        fn = make_command_filter("false")
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64())})
+        with pytest.raises(RuntimeError, match="exit"):
+            fn(t)
+
     def test_shared_borders_accepted_without_warning(self, caplog):
         """detect-shared-borders is now IMPLEMENTED (per-tile chain
         simplification) — the r2 parity warning must be gone."""
