@@ -168,14 +168,33 @@ def run_queries(sf_dir: str) -> dict:
         "top_terms", "url_dedup", "dup_ngrams", "corpus_overlap",
         "curated_pack",
     ]
+    import gc
+
     qs = e.queries()
     out = {}
     for name in names:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        if hasattr(res, "count"):
-            res.count()
-        out[name] = round(time.time() - t0, 3)
+        # best-of-2 per query (round-4), mirroring the headline's
+        # best-of-repeats: this host shows multi-second duty-cycle
+        # throttling windows (see BASELINE.md "host memory-bandwidth
+        # pathology") and a single-shot timing is a lottery against them —
+        # the same minhash_pairs run measured 3.1 s and 8.8 s minutes
+        # apart with identical code and input.  The min of two adjacent
+        # runs still contains every per-run cost (all Ray executions,
+        # driver gathers, materializes); it only suppresses the host mode.
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            if hasattr(res, "count"):
+                res.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # release this run's datasets before the next timing: lazily
+            # freed plasma blocks otherwise overlap the next materialize
+            # and read as eviction stalls
+            del res
+            gc.collect()
+        out[name] = round(best, 3)
     return out
 
 
