@@ -93,30 +93,47 @@ def parse_geojson_features(payload: bytes | str) -> pa.Table:
             lon[i], lat[i] = float(coords[0]), float(coords[1])
         elif gt == "LineString" and coords:
             pts = np.asarray(coords, dtype=np.float64)
-            lon[i], lat[i] = pts[:, 0].mean(), pts[:, 1].mean()
-            line[i] = _ring_to_mi(coords)
+            if pts.ndim == 2 and len(pts):  # empty/degenerate path -> null
+                lon[i], lat[i] = pts[:, 0].mean(), pts[:, 1].mean()
+                line[i] = _ring_to_mi(coords)
         elif gt == "Polygon" and coords:
             ring = coords[0]
             pts = np.asarray(ring, dtype=np.float64)
-            lon[i], lat[i] = pts[:, 0].mean(), pts[:, 1].mean()
-            footprint[i] = _ring_to_mi(ring)
+            if pts.ndim == 2 and len(pts):  # empty/degenerate ring -> null
+                lon[i], lat[i] = pts[:, 0].mean(), pts[:, 1].mean()
+                footprint[i] = _ring_to_mi(ring)
         for k, v in (f.get("properties") or {}).items():
             if isinstance(v, (str, int, float, bool)) or v is None:
                 prop_cols.setdefault(k, [None] * n)[i] = v
     cols: dict[str, pa.Array] = {}
-    if "doc_id" in prop_cols:
-        cols["doc_id"] = pa.array(
-            [None if v is None else int(v) for v in prop_cols.pop("doc_id")],
-            pa.int64(),
-        )
+    # doc_id from properties only when every present value is an integer
+    # (bool excluded); string/float ids stay a plain property column and
+    # ids are synthesized from the feature index — int(v) on "site-42"
+    # would crash the read, and truncating 7.9 -> 7 could collide ids.
+    ids = prop_cols.get("doc_id")
+    if ids is not None and all(
+        v is None or (isinstance(v, int) and not isinstance(v, bool)) for v in ids
+    ):
+        prop_cols.pop("doc_id")
+        cols["doc_id"] = pa.array(ids, pa.int64())
     else:
+        if ids is not None:  # keep the original under a non-clobbering name
+            prop_cols["source_doc_id"] = prop_cols.pop("doc_id")
         cols["doc_id"] = pa.array(np.arange(n, dtype=np.int64))
     cols["lon"] = pa.array(lon)
     cols["lat"] = pa.array(lat)
     cols["footprint_mi"] = pa.array(footprint, pa.string())
     cols["line_mi"] = pa.array(line, pa.string())
     for k in sorted(prop_cols):
-        cols[k] = pa.array(prop_cols[k])
+        vals = prop_cols[k]
+        try:
+            cols[k] = pa.array(vals)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # mixed value types across features (int 12 vs str "A-12" is
+            # common in real exports): degrade the column to string
+            cols[k] = pa.array(
+                [None if v is None else str(v) for v in vals], pa.string()
+            )
     return pa.table(cols)
 
 
@@ -136,9 +153,13 @@ def _read_geojson(path: str):
             parse_geojson_features(b.as_py())
             for b in batch.column("bytes")
         ]
-        return pa.concat_tables(tables) if tables else parse_geojson_features(
-            b'{"type": "FeatureCollection", "features": []}'
-        )
+        if not tables:
+            return parse_geojson_features(
+                b'{"type": "FeatureCollection", "features": []}'
+            )
+        # files in one batch may carry different property sets: promote
+        # (absent columns -> null) instead of requiring identical schemas
+        return pa.concat_tables(tables, promote_options="default")
 
     return raw.map_batches(parse, batch_format="pyarrow")
 

@@ -152,33 +152,53 @@ def feature_filter(batch: pa.Table, expr: list) -> pa.Table:
     return batch.filter(pc.fill_null(mask, False))
 
 
+def _json_native(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_boolean(t)
+        or pa.types.is_null(t)
+    )
+
+
 def make_command_filter(cmd: str):
     """External-command ``prefilter``/``postfilter`` parity
     (/root/reference/src/cloudtile/tippecanoe.yaml:125-127): tippecanoe's
-    surface is a shell command fed features as newline-delimited JSON on
-    stdin and read back the same way from stdout; the command may drop
-    rows or mutate values (schema is preserved — that is also
-    tippecanoe's contract, its filters edit feature attributes).
+    surface is a SHELL command (pipes/redirection work — the string runs
+    via ``sh -c``) fed features as newline-delimited JSON on stdin and
+    read back the same way from stdout; the command may drop, reorder, or
+    mutate rows.
 
-    Returns a ``fn(pa.Table) -> pa.Table`` suitable for the engine's
-    filter hooks (one subprocess per BATCH, not per row or per tile —
-    the process-spawn cost amortizes over the batch; serialization is
-    per-row by nature of the ndjson protocol, exactly as tippecanoe
-    pays it)."""
+    Only JSON-native columns (string/int/float/bool) are shipped to the
+    command; binary and timestamp columns would not survive a JSON round
+    trip (a tile blob would come back as its Python repr), so they stay
+    in Arrow and are re-attached by row via a ``_cmdf_idx`` key the
+    command must echo back (identity-style filters like ``jq -c`` do so
+    for free; the key is stripped afterwards).  Unknown extra keys in the
+    output are ignored.  Returns a ``fn(pa.Table) -> pa.Table`` for the
+    engine's filter hooks — one subprocess per BATCH (spawn cost
+    amortizes; per-row serialization is inherent to the ndjson
+    protocol, exactly as tippecanoe pays it)."""
     import json
-    import shlex
     import subprocess
-
-    argv = shlex.split(cmd)
 
     def fn(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
+        native = [
+            f.name for f in t.schema if _json_native(f.type) and f.name != "_cmdf_idx"
+        ]
+        ship = t.select(native).to_pylist()
         payload = "\n".join(
-            json.dumps(row, default=str) for row in t.to_pylist()
+            json.dumps({**row, "_cmdf_idx": i}) for i, row in enumerate(ship)
         )
         proc = subprocess.run(
-            argv, input=payload.encode(), capture_output=True, check=False
+            ["/bin/sh", "-c", cmd],
+            input=payload.encode(),
+            capture_output=True,
+            check=False,
         )
         if proc.returncode != 0:
             raise RuntimeError(
@@ -190,6 +210,22 @@ def make_command_filter(cmd: str):
             for line in proc.stdout.decode().splitlines()
             if line.strip()
         ]
-        return pa.Table.from_pylist(rows, schema=t.schema)
+        idx = []
+        for r in rows:
+            if "_cmdf_idx" not in r:
+                raise RuntimeError(
+                    f"filter command {cmd!r} dropped the _cmdf_idx key; "
+                    "the command must preserve unknown feature keys "
+                    "(tippecanoe filters do) so non-JSON columns can be "
+                    "re-attached"
+                )
+            idx.append(int(r["_cmdf_idx"]))
+        base = t.take(pa.array(idx, pa.int64()))
+        # honor mutations to the JSON-native columns
+        for name in native:
+            field = t.schema.field(name)
+            arr = pa.array([r.get(name) for r in rows], field.type)
+            base = base.set_column(base.column_names.index(name), field, arr)
+        return base
 
     return fn

@@ -543,11 +543,13 @@ def _verify_pairs_broadcast(texts_ds, pairs_tbl: pa.Table, threshold: float, k: 
 
     # MICRO fast path (gated like resolve_clusters' small-input
     # union-find): when the candidate texts and unique pairs are tiny,
-    # the whole verification is well under one Ray execution's fixed
-    # scheduling cost (~0.5 s in a 32-cpu session) — run the identical
-    # vectorized kernel driver-side on the texts that were ALREADY
-    # gathered for the broadcast.  Both gates must hold; anything bigger
-    # verifies distributed below.
+    # run the identical kernel driver-side on the texts that were
+    # ALREADY gathered for the broadcast.  Break-even measured on this
+    # host: the kernel does ~10 us/pair single-threaded (129k pairs =
+    # 1.3 s) while the distributed map's fixed cost in a busy 32-cpu
+    # session is ~1.5-2 s, so even at the 200k gate the driver path
+    # is at worst even and usually ahead.  Both gates must hold;
+    # anything bigger verifies distributed below.
     if (
         texts_tbl is not None
         and texts_tbl.nbytes <= (8 << 20)
@@ -888,7 +890,7 @@ def minhash_dedup_pairs(
     n_bands: int = 16,
     bucket_cap: int = BUCKET_CAP,
     broadcast_threshold: int = 2_000_000,
-    expand_clusters: bool = True,
+    expand_clusters: bool | str = "auto",
     num_buckets: int | None = None,
 ):
     """Full MinHash-LSH near-dup pipeline -> Dataset of verified pairs
@@ -928,11 +930,18 @@ def minhash_dedup_pairs(
         ds, cands, threshold, broadcast_threshold=broadcast_threshold,
         pairs_tbl=pairs_tbl,
     )
-    # The expansion pass exists only to repair over-cap buckets; when no
-    # bucket hit the cap (the overwhelmingly common case) the verified
-    # pair set is already complete, so skip the materialize + component
-    # check round-trip entirely (VERDICT r3 #2).
-    if expand_clusters and any_capped:
+    # expand_clusters="auto" (default): run the intra-cluster expansion
+    # pass only when some LSH bucket hit the cap — the pass exists to
+    # repair cap truncation, and skipping it otherwise saves a
+    # materialize + component-check round-trip (VERDICT r3 #2).  Caveat
+    # the skip does NOT cover: BORDERLINE-threshold transitive misses
+    # (A~B and B~C found, A~C at J just over threshold missed by all
+    # bands — ~21%/pair at J=0.55 with 16x4 bands) also used to be
+    # repaired by the unconditional pass; a caller sweeping near the
+    # band s-curve midpoint should pass expand_clusters=True explicitly.
+    # At the engine's dedup operating point (J >= ~0.9 dups) band recall
+    # is ~1-1e-9 and "auto" is exact.
+    if expand_clusters is True or (expand_clusters == "auto" and any_capped):
         out = expand_cluster_pairs(
             ds, out, threshold, k=5, broadcast_threshold=broadcast_threshold
         )
@@ -941,7 +950,7 @@ def minhash_dedup_pairs(
 
 def ngram_jaccard_pairs(
     ds, threshold: float = 0.6, k: int = 5, bucket_cap: int = BUCKET_CAP,
-    broadcast_threshold: int = 2_000_000, expand_clusters: bool = True,
+    broadcast_threshold: int = 2_000_000, expand_clusters: bool | str = "auto",
     num_buckets: int | None = None,
 ):
     """n-gram Jaccard near-dup: candidate blocking by the winnowing
@@ -972,8 +981,9 @@ def ngram_jaccard_pairs(
         pairs_tbl=pairs_tbl,
     )
     # Skip the component-completeness round-trip when no fp bucket was
-    # capped — same rationale as minhash_dedup_pairs (VERDICT r3 #2).
-    if expand_clusters and any_capped:
+    # capped — same rationale (and same borderline-threshold caveat /
+    # expand_clusters=True escape hatch) as minhash_dedup_pairs.
+    if expand_clusters is True or (expand_clusters == "auto" and any_capped):
         out = expand_cluster_pairs(
             ds, out, threshold, k=k, broadcast_threshold=broadcast_threshold
         )

@@ -94,6 +94,82 @@ class TestParseGeojson:
         with pytest.raises(ValueError, match="FeatureCollection"):
             parse_geojson_features(json.dumps({"type": "GeometryCollection"}))
 
+    def test_mixed_type_property_degrades_to_string(self):
+        from cloudtile_ray.sources.readers import parse_geojson_features
+
+        fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature",
+                 "geometry": {"type": "Point", "coordinates": [0, 0]},
+                 "properties": {"ref": 12}},
+                {"type": "Feature",
+                 "geometry": {"type": "Point", "coordinates": [1, 1]},
+                 "properties": {"ref": "A-12"}},
+            ],
+        }
+        t = parse_geojson_features(json.dumps(fc))
+        assert t.column("ref").to_pylist() == ["12", "A-12"]
+
+    def test_non_integer_doc_id_stays_property(self):
+        from cloudtile_ray.sources.readers import parse_geojson_features
+
+        fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature",
+                 "geometry": {"type": "Point", "coordinates": [0, 0]},
+                 "properties": {"doc_id": "site-42"}},
+            ],
+        }
+        t = parse_geojson_features(json.dumps(fc))
+        # string id kept as source_doc_id; engine ids from the feature index
+        assert t.column("doc_id").to_pylist() == [0]
+        assert t.column("source_doc_id").to_pylist() == ["site-42"]
+
+    def test_empty_ring_yields_null_geometry(self):
+        from cloudtile_ray.sources.readers import parse_geojson_features
+
+        fc = {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature",
+                 "geometry": {"type": "Polygon", "coordinates": [[]]},
+                 "properties": {}},
+                {"type": "Feature",
+                 "geometry": {"type": "LineString", "coordinates": []},
+                 "properties": {}},
+            ],
+        }
+        t = parse_geojson_features(json.dumps(fc))
+        assert t.column("footprint_mi").to_pylist() == [None, None]
+        assert t.column("line_mi").to_pylist() == [None, None]
+
+    def test_directory_of_heterogeneous_files(self, ray_session, tmp_path):
+        from cloudtile_ray.sources.readers import load_source
+
+        d = tmp_path / "gj"
+        d.mkdir()
+        (d / "a.geojson").write_text(json.dumps({
+            "type": "FeatureCollection",
+            "features": [{"type": "Feature",
+                          "geometry": {"type": "Point", "coordinates": [1, 2]},
+                          "properties": {"name": "a"}}],
+        }))
+        (d / "b.geojson").write_text(json.dumps({
+            "type": "FeatureCollection",
+            "features": [{"type": "Feature",
+                          "geometry": {"type": "Point", "coordinates": [3, 4]},
+                          "properties": {"score": 7}}],
+        }))
+        # directories dispatch to parquet in load_source; drive the
+        # geojson reader directly for the directory-parallel path
+        from cloudtile_ray.sources.readers import READERS
+
+        df = READERS["geojson"](str(d)).to_pandas()
+        assert len(df) == 2
+        assert {"name", "score"} <= set(df.columns)
+
 
 class TestLoadSourceGeojson:
     def test_load_source_reads_geojson(self, ray_session, tmp_path):

@@ -328,6 +328,55 @@ class TestFilterHooks:
         with pytest.raises(RuntimeError, match="exit"):
             fn(t)
 
+    def test_command_filter_shell_pipes_and_binary_columns(self):
+        """tippecanoe filter strings run through the shell (pipes work),
+        and non-JSON columns (binary tile blobs, timestamps) must survive
+        the round trip byte-identical — they are re-attached by row, not
+        serialized through JSON."""
+        import sys
+
+        from cloudtile_ray.stages.attributes import make_command_filter
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "blob": pa.array(
+                    [b"\x1f\x8b\x00", b"\xff", b"raw\x00bytes", b""], pa.binary()
+                ),
+                "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+            }
+        )
+        # a real shell pipeline: filter to even doc_ids, then cat
+        pyfilt = (
+            f"{sys.executable} -c 'import sys,json\n"
+            "for line in sys.stdin:\n"
+            "    row = json.loads(line)\n"
+            "    if row[\"doc_id\"] % 2 == 0:\n"
+            "        print(json.dumps(row))' | cat"
+        )
+        out = make_command_filter(pyfilt)(t)
+        assert out.column("doc_id").to_pylist() == [2, 4]
+        assert out.column("blob").to_pylist() == [b"\xff", b""]
+        assert out.column("ts").to_pylist() == t.column("ts").to_pylist()[1::2]
+        assert "_cmdf_idx" not in out.column_names
+
+    def test_command_filter_requires_idx_echo(self):
+        import sys
+
+        import pytest
+
+        from cloudtile_ray.stages.attributes import make_command_filter
+
+        # a filter that strips unknown keys violates the contract
+        bad = (
+            f"{sys.executable} -c 'import sys,json\n"
+            "for line in sys.stdin:\n"
+            "    print(json.dumps({\"doc_id\": json.loads(line)[\"doc_id\"]}))'"
+        )
+        t = pa.table({"doc_id": pa.array([1], pa.int64())})
+        with pytest.raises(RuntimeError, match="_cmdf_idx"):
+            make_command_filter(bad)(t)
+
     def test_shared_borders_accepted_without_warning(self, caplog):
         """detect-shared-borders is now IMPLEMENTED (per-tile chain
         simplification) — the r2 parity warning must be gone."""
