@@ -350,6 +350,75 @@ def bucket_pairs(
     return _capped_pairs(ids, cap, "minhash-lsh", with_flag=with_flag)
 
 
+def _seg_arange(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated — the segmented arange."""
+    counts = counts.astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    offs = np.cumsum(counts) - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(offs, counts)
+
+
+def pairs_runs_vectorized(
+    sorted_g: pa.Table,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    cap: int = BUCKET_CAP,
+    what: str = "minhash-lsh",
+    with_flag: bool = False,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """All within-run (a < b) candidate pairs for EVERY key run of a
+    sorted part in one vectorized pass — the ``runs_fn`` form of
+    :func:`bucket_pairs` for :func:`grouped_buckets_apply`.
+
+    The per-bucket ``bucket_fn`` loop costs ~30 us of Python per bucket;
+    at web scale a part holds 10^5-10^6 buckets, so pair generation
+    itself became per-bucket Python — the exact pattern the bucket
+    exchange exists to avoid.  Here the triangular expansion is three
+    segmented-arange constructions over the whole part (ids sorted
+    within each run, so a < b falls out of position); only the rare
+    over-cap run drops to the chunked :func:`_capped_pairs` path."""
+    n = sorted_g.num_rows
+    if n == 0 or len(starts) == 0:
+        return _pairs_schema(with_flag)
+    ids = sorted_g.column(id_col).to_numpy(zero_copy_only=False)
+    run_of = np.zeros(n, np.int64)
+    run_of[starts[1:]] = 1
+    run_of = np.cumsum(run_of)
+    ids_s = ids[np.lexsort((ids, run_of))]  # ascending ids within each run
+    lens = ends - starts
+    ok = lens >= 2
+    small = ok & (lens <= cap)
+    outs_a, outs_b, flags = [], [], []
+    if small.any():
+        rs, L = starts[small], lens[small]
+        el_global = np.repeat(rs, L) + _seg_arange(L)
+        local = _seg_arange(L)
+        run_el = np.repeat(np.arange(len(rs), dtype=np.int64), L)
+        cnt = L[run_el] - 1 - local  # each element pairs with its successors
+        a_g = np.repeat(el_global, cnt)
+        b_g = a_g + _seg_arange(cnt) + 1
+        outs_a.append(ids_s[a_g])
+        outs_b.append(ids_s[b_g])
+        flags.append(np.zeros(len(a_g), np.int8))
+    for r in np.nonzero(ok & ~small)[0]:
+        t = _capped_pairs(ids_s[starts[r] : ends[r]], cap, what, with_flag=True)
+        outs_a.append(t.column("doc_a").to_numpy(zero_copy_only=False))
+        outs_b.append(t.column("doc_b").to_numpy(zero_copy_only=False))
+        flags.append(t.column("capped").to_numpy(zero_copy_only=False))
+    if not outs_a:
+        return _pairs_schema(with_flag)
+    cols = {
+        "doc_a": pa.array(np.concatenate(outs_a)),
+        "doc_b": pa.array(np.concatenate(outs_b)),
+    }
+    if with_flag:
+        cols["capped"] = pa.array(np.concatenate(flags))
+    return pa.table(cols)
+
+
 def _any_capped(cands) -> bool:
     """True iff any pair block carries ``capped == 1``.  One metadata-light
     map over the already-materialized candidate blocks (pairs are tiny —
@@ -387,7 +456,13 @@ def _pairs_and_capped(cands, broadcast_threshold: int):
     return None, _any_capped(cands)
 
 
-def grouped_buckets_apply(ds, key_cols: list[str], bucket_fn, num_parts: int | None = None):
+def grouped_buckets_apply(
+    ds,
+    key_cols: list[str],
+    bucket_fn,
+    num_parts: int | None = None,
+    runs_fn=None,
+):
     """Apply ``bucket_fn`` to every (key_cols) LSH bucket through ONE
     small-cardinality part exchange.
 
@@ -428,6 +503,8 @@ def grouped_buckets_apply(ds, key_cols: list[str], bucket_fn, num_parts: int | N
     def per_part(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["_part"]).combine_chunks()
         if g.num_rows == 0:
+            if runs_fn is not None:
+                return runs_fn(g, np.empty(0, np.int64), np.empty(0, np.int64))
             return bucket_fn(g)
         keys = [
             g.column(kc).to_numpy(zero_copy_only=False) for kc in key_cols
@@ -441,6 +518,10 @@ def grouped_buckets_apply(ds, key_cols: list[str], bucket_fn, num_parts: int | N
             change[1:] |= k[1:] != k[:-1]
         starts = np.nonzero(change)[0]
         ends = np.append(starts[1:], len(order))
+        if runs_fn is not None:
+            # whole-part vectorized form: one call over all runs instead
+            # of per-bucket Python (see pairs_runs_vectorized)
+            return runs_fn(sorted_g, starts, ends)
         outs = []
         for s, e in zip(starts, ends):
             if e - s >= 2:  # singleton buckets emit nothing
@@ -924,6 +1005,9 @@ def minhash_dedup_pairs(
         ["band_id", "band_hash"],
         lambda g: bucket_pairs(g, cap=bucket_cap, with_flag=True),
         num_parts=num_buckets,
+        runs_fn=lambda sg, st, en: pairs_runs_vectorized(
+            sg, st, en, cap=bucket_cap, what="minhash-lsh", with_flag=True
+        ),
     ).materialize()
     pairs_tbl, any_capped = _pairs_and_capped(cands, broadcast_threshold)
     out = verify_pairs_distributed(
@@ -973,7 +1057,10 @@ def ngram_jaccard_pairs(
         return _capped_pairs(ids, bucket_cap, "ngram-fp", with_flag=True)
 
     cands = grouped_buckets_apply(
-        fps, ["rolling_fp"], pairs, num_parts=num_buckets
+        fps, ["rolling_fp"], pairs, num_parts=num_buckets,
+        runs_fn=lambda sg, st, en: pairs_runs_vectorized(
+            sg, st, en, cap=bucket_cap, what="ngram-fp", with_flag=True
+        ),
     ).materialize()
     pairs_tbl, any_capped = _pairs_and_capped(cands, broadcast_threshold)
     out = verify_pairs_distributed(

@@ -446,6 +446,49 @@ class TestDedup:
         pairs = dd.minhash_dedup_pairs(ds, threshold=0.9).to_pandas()
         assert {(0, 1)} == set(zip(pairs.doc_a, pairs.doc_b))
 
+    def test_pairs_runs_vectorized_matches_per_bucket_loop(self):
+        """The whole-part vectorized pair expansion must emit exactly the
+        per-bucket _capped_pairs set (incl. the capped flag) on random
+        runs with singletons, small runs, and over-cap runs."""
+        from cloudtile_ray.stages.dedup import (
+            _capped_pairs,
+            pairs_runs_vectorized,
+        )
+
+        rng = np.random.default_rng(7)
+        cap = 8
+        lens = rng.integers(1, 20, 40)  # mixes singletons/small/over-cap
+        ids = rng.permutation(np.arange(10_000))[: lens.sum()].astype(np.int64)
+        starts = np.cumsum(np.concatenate([[0], lens[:-1]])).astype(np.int64)
+        ends = (starts + lens).astype(np.int64)
+        sorted_g = pa.table({"doc_id": pa.array(ids)})
+
+        got = pairs_runs_vectorized(
+            sorted_g, starts, ends, cap=cap, what="t", with_flag=True
+        )
+        want = []
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                want.append(_capped_pairs(ids[s:e], cap, "t", with_flag=True))
+        want_tbl = pa.concat_tables(want)
+
+        def canon(t):
+            return sorted(
+                zip(
+                    t.column("doc_a").to_pylist(),
+                    t.column("doc_b").to_pylist(),
+                    t.column("capped").to_pylist(),
+                )
+            )
+
+        assert canon(got) == canon(want_tbl)
+        # empty part pins the schema
+        empty = pairs_runs_vectorized(
+            sorted_g.slice(0, 0), np.empty(0, np.int64), np.empty(0, np.int64),
+            with_flag=True,
+        )
+        assert empty.column_names == ["doc_a", "doc_b", "capped"]
+
     def test_any_capped_flag(self, ray_session):
         """_capped_pairs tags over-cap buckets; _any_capped reads it back
         from the materialized pair blocks."""
