@@ -1236,17 +1236,20 @@ def q_curated_pack(sf_dir: str):
     """Flagship end-to-end curation pipeline — the RefinedWeb/C4-style
     chain composed from the engine's own stages, all streaming:
     quality gate (Arrow kernels) -> decontamination (broadcast probes)
-    -> keep-first exact dedup (bucket aggregate + hash join on the
-    64-char key) -> deterministic per-language rebalancing sample
-    (id-hash, zero shuffle) -> sequence packing (two-level prefix scan).
-    Output: (doc_id, lang, n_chars, prefix, chunk_id) for every surviving
-    document.  Oracle: the same chain as nested SQL CTEs."""
+    -> keep-first exact dedup (ONE bucket exchange: per-prefix min-id
+    row via grouped_topk(k=1) — an earlier draft attached keep_id with a
+    Dataset.join, whose per-partition aggregator ACTOR spawn cost ~6 s
+    of pure overhead on this join's size) -> deterministic per-language
+    rebalancing sample (id-hash, zero shuffle) -> sequence packing
+    (two-level prefix scan).  Output: (doc_id, lang, n_chars, prefix,
+    chunk_id) for every surviving document.  Oracle: the same chain as
+    nested SQL CTEs."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
 
-    from cloudtile_ray.stages.dedup import add_text_prefix_key, exact_dedup_keys
-    from cloudtile_ray.stages.relational import hash_join
+    from cloudtile_ray.stages.dedup import add_text_prefix_key
+    from cloudtile_ray.stages.relational import grouped_topk
     from cloudtile_ray.stages.sampling import hash_stratified_sample
     from cloudtile_ray.stages.scan import sequence_pack
     from cloudtile_ray.stages.text import quality_batch, token_stats_batch
@@ -1280,19 +1283,14 @@ def q_curated_pack(sf_dir: str):
             batch_format="pyarrow",
         )
     )
-    keyed = exact_dedup_keys(clean, "text_prefix")  # (text_prefix, keep_id, n_dups)
-    joined = hash_join(
-        clean,
-        keyed.map_batches(
-            lambda t: t.select(["text_prefix", "keep_id"]), batch_format="pyarrow"
-        ),
-        on=("text_prefix",),
-    )
-    kept = joined.map_batches(
-        lambda t: t.filter(
-            pc.equal(t.column("doc_id"), t.column("keep_id"))
-        ).select(["doc_id", "lang", "n_chars"]),
-        batch_format="pyarrow",
+    # keep-first: the min-doc_id row per text_prefix, selected in one
+    # bucket exchange (batch-side combiner cuts each batch to one row
+    # per prefix before the shuffle — scale shape documented on
+    # relational.grouped_topk)
+    kept = grouped_topk(
+        clean, "text_prefix", "doc_id", k=1, descending=False, tie_col="doc_id"
+    ).map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars"]), batch_format="pyarrow"
     )
     sampled = hash_stratified_sample(
         kept, rates={"en": 0.25, "de": 0.5, "*": 0.8}, group_col="lang"

@@ -323,8 +323,34 @@ def top_terms(ds) -> "ray.data.Dataset":
     num_buckets = default_num_buckets(ds)
 
     freqs = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
-    dfs = bucketed_group_aggregate(freqs, ["tk"], [("doc_id", "count", "df")])
-    with_df = hash_join(freqs, dfs, on=("tk",))
+    dfs = bucketed_group_aggregate(
+        freqs, ["tk"], [("doc_id", "count", "df")]
+    ).materialize()
+    # df attach: the df table is vocab-sized — BROADCAST it (ray.put once,
+    # index_in per batch: freqs never shuffle) while its measured bytes
+    # fit the budget; a web-scale heavy-tail vocab (distinct tokens can
+    # reach 10^8-10^9) exceeds it and falls back to the hash-partitioned
+    # join (per-task memory bounded by partition count, hot tokens keep
+    # streaming — see the earlier map_groups caveat below).
+    df_budget = 256 << 20
+    if (dfs.size_bytes() or 0) <= df_budget:
+        import ray
+
+        df_tbl = pa.concat_tables(
+            [t for t in ray.get(list(dfs.to_arrow_refs())) if t.num_columns]
+        ).combine_chunks()
+        dref = ray.put(df_tbl)
+
+        def attach_df(t: pa.Table) -> pa.Table:
+            lut = ray.get(dref)
+            idx = pc.index_in(
+                t.column("tk").combine_chunks(), value_set=lut.column("tk")
+            )
+            return t.append_column("df", pc.take(lut.column("df"), idx))
+
+        with_df = freqs.map_batches(attach_df, batch_format="pyarrow")
+    else:
+        with_df = hash_join(freqs, dfs, on=("tk",))
 
     def add_bkt(t: pa.Table) -> pa.Table:
         b = t.column("doc_id").to_numpy(zero_copy_only=False) % num_buckets
