@@ -2070,19 +2070,30 @@ def url_dedup(ds) -> "ray.data.Dataset":
     )
 
 
-def cross_corpus_overlap(left_ds, right_ds, key_col: str = "text_prefix", id_col: str = "doc_id"):
+def cross_corpus_overlap(
+    left_ds,
+    right_ds,
+    key_col: str = "text_prefix",
+    id_col: str = "doc_id",
+    broadcast_byte_budget: int = 256 << 20,
+):
     """Dataset-vs-dataset exact-content overlap — the train-vs-eval
     decontamination screen (which training docs carry content that also
     appears in a held-out corpus).  Complements
     :func:`~cloudtile_ray.stages.text.contamination_scan` (phrase probes):
-    here the right side is a full corpus, not a phrase list, so the match
-    is a hash-partitioned semi join on a content key, never a broadcast.
+    here the right side is a full corpus, not a phrase list.
 
     Scale shape: both sides reduce batch-side to fixed-width (id, key)
-    rows — document texts never ride the shuffle; the right side further
-    drops to distinct keys per batch before the exchange.  Output is one
-    row per overlapping LEFT doc.  The right corpus must be non-empty
-    (Ray 2.49 cannot schema-broadcast an all-empty join side)."""
+    rows — document texts never ride any exchange; the right side drops
+    to distinct keys per batch.  Routing is gated on the MEASURED bytes
+    of the distinct right-key table: a typical eval benchmark (10^4-10^6
+    docs x fixed-width key) broadcasts (``ray.put`` once, ``is_in`` per
+    left batch — the train side never shuffles at all); a right side
+    that is itself corpus-scale exceeds the budget and takes the
+    hash-partitioned semi join (per-task memory bounded by partition
+    count).  Output is one row per overlapping LEFT doc.  The right
+    corpus must be non-empty on the join path (Ray 2.49 cannot
+    schema-broadcast an all-empty join side)."""
     import pyarrow.compute as _pc
 
     from cloudtile_ray.stages.relational import hash_join
@@ -2093,5 +2104,18 @@ def cross_corpus_overlap(left_ds, right_ds, key_col: str = "text_prefix", id_col
     rf = right_ds.map_batches(
         lambda t: pa.table({key_col: _pc.unique(t.column(key_col).combine_chunks())}),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    if (rf.size_bytes() or 0) <= int(broadcast_byte_budget):
+        import ray
+
+        keys = pa.concat_tables(
+            [t for t in ray.get(list(rf.to_arrow_refs())) if t.num_columns]
+        ).column(key_col).combine_chunks().unique()
+        kref = ray.put(keys)
+
+        def semi(t: pa.Table) -> pa.Table:
+            m = _pc.is_in(t.column(key_col).combine_chunks(), value_set=ray.get(kref))
+            return t.filter(_pc.fill_null(m, False))
+
+        return lf.map_batches(semi, batch_format="pyarrow")
     return hash_join(lf, rf, on=(key_col,), how="semi")

@@ -754,6 +754,14 @@ class TestCorpusOverlap:
             ray.data.from_arrow(evald),
         ).to_pandas()
         assert sorted(res["doc_id"].tolist()) == [0, 3]
+        # a right side over the broadcast budget must route through the
+        # hash-partitioned semi join and give the identical answer
+        joined = cross_corpus_overlap(
+            ray.data.from_arrow(train).repartition(3),
+            ray.data.from_arrow(evald),
+            broadcast_byte_budget=0,
+        ).to_pandas()
+        assert sorted(joined["doc_id"].tolist()) == [0, 3]
 
 
 class TestEnumerateSorted:
