@@ -390,8 +390,15 @@ def encode_tiles(
             )
 
         exploded = exploded.map_batches(stage_acc, batch_format="pyarrow")
+    # combiner batch sizing: batch_size bundles INPUT BLOCKS of the whole
+    # fused upstream chain (PiP join + AssignTiles ride in the same fused
+    # task), so an oversized value serializes the pipeline — 262144 ran
+    # the entire point branch as ceil(rows/262144) tasks (7 at the bench's
+    # 1.6M rows, 7/32 cpus busy).  65536 keeps the per-batch reduction
+    # strong (a batch still covers the full z4-7 tile space many times
+    # over) while the fused chain scales with the corpus.
     partials = exploded.map_batches(
-        partial_tile_agg, batch_format="pyarrow", batch_size=262144
+        partial_tile_agg, batch_format="pyarrow", batch_size=65536
     )
 
     if salted:
