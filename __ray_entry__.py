@@ -724,6 +724,29 @@ def q_bigrams(sf_dir: str):
     return bigram_counts(ds, k=20)
 
 
+def q_ngram_decontam(sf_dir: str):
+    """GPT-3-style n-gram decontamination screen: per TRAIN doc
+    (doc_id % 7 != 3), how many of its 8-token spans occur anywhere in
+    the held-out split (doc_id % 7 == 3).  Gram-hash partials on both
+    sides; eval grams broadcast under a measured-byte gate (bucket
+    exchange beyond it); SQL-replayable polynomial hashes."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.ngrams import ngram_decontam
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(t, keep_eval):
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (ids % 7) == 3
+        return t.filter(pa.array(m if keep_eval else ~m))
+
+    train = ds.map_batches(lambda t: split(t, False), batch_format="pyarrow")
+    evald = ds.map_batches(lambda t: split(t, True), batch_format="pyarrow")
+    return ngram_decontam(train, evald, n=8)
+
+
 def q_dup_ngrams(sf_dir: str):
     """Exact-substring-dedup core (Lee et al. 2022): per doc, how many of
     its 8-token spans occur >= 2 times corpus-wide.  Token-scale gram-hash
@@ -1553,13 +1576,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "train_split": q_train_split,
         "contamination": q_contamination,
-        "bigrams": q_bigrams,
         "seq_pack": q_seq_pack,
         "doc_embed_join": q_doc_embed_join,
         "domain_stats": q_domain_stats,
         "lang_quantiles": q_lang_quantiles,
         "decontaminated": q_decontaminated,
         "dup_ngrams": q_dup_ngrams,
+        "ngram_decontam": q_ngram_decontam,
         "vocab_ids": q_vocab_ids,
         "token_encode": q_token_encode,
         "lang_vocab": q_lang_vocab,
@@ -1586,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running": q_user_running,
         "sessions": q_sessions,
         "sliding_counts": q_sliding_counts,
+        "bigrams": q_bigrams,
         # rows-only (non-SQL-expressible: approximate / geometric / stubbed)
         "cell_index": q_cell_index,
         "tiles_full": q_tiles_full,
@@ -2067,6 +2091,39 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dup_spans
             FROM grams g JOIN freq f USING (gh)
             GROUP BY g.doc_id""",
+        "ngram_decontam": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id, pos,
+                     list_reduce(
+                       [CAST(0 AS HUGEINT)] ||
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ord(substr(w, i, 1)) AS HUGEINT)),
+                       (h, c) -> (h * 1000003 + c) % 18446744073709551616
+                     ) AS h
+              FROM toks
+            ),
+            doc_th AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th GROUP BY doc_id),
+            grams AS (
+              SELECT doc_id,
+                     CAST(list_reduce(
+                       [CAST(0 AS HUGEINT)] || hs[i:i+7],
+                       (a, c) -> (a * 1000003 + c) % 18446744073709551616
+                     ) AS UBIGINT) AS gh
+              FROM (SELECT doc_id, hs, unnest(range(1, len(hs) - 6)) AS i FROM doc_th)
+            ),
+            ev AS (SELECT DISTINCT gh FROM grams WHERE doc_id % 7 = 3),
+            tr AS (SELECT * FROM grams WHERE doc_id % 7 != 3)
+            SELECT tr.doc_id,
+                   count(*) AS n_spans,
+                   CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit_spans
+            FROM tr LEFT JOIN ev USING (gh)
+            GROUP BY tr.doc_id""",
         "vocab_ids": """
             WITH toks AS (SELECT unnest(regexp_split_to_array(lower(text),
                                                               '[^a-z0-9]+')) AS tok

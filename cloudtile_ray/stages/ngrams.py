@@ -242,3 +242,169 @@ def dup_ngram_stats(ds, n: int = 8, num_buckets: int | None = None) -> "ray.data
         .groupby("bucket")
         .map_groups(_doc_bucket_rollup, batch_format="pyarrow")
     )
+
+
+def ngram_decontam(
+    train_ds,
+    eval_ds,
+    n: int = 8,
+    num_buckets: int | None = None,
+    broadcast_byte_budget: int = 256 << 20,
+) -> "ray.data.Dataset":
+    """Train-vs-eval exact n-gram decontamination (the GPT-3-style
+    n-gram overlap screen): per TRAIN document, ``(doc_id, n_spans,
+    n_hit_spans)`` where a span hits iff its n-token gram occurs anywhere
+    in the eval corpus.  ``n_hit_spans > 0`` flags a contaminated doc;
+    the ratio is the span-level contamination fraction.
+
+    Scale shape: both sides reduce to gram-hash partials batch-side (the
+    :func:`dup_ngram_partials` kernel — SQL-replayable polynomial
+    hashes, no gram strings ever move).  Routing gates on the MEASURED
+    bytes of the eval side's distinct-gram table: an eval benchmark
+    (10^4-10^6 docs) broadcasts its sorted gram-hash array once and each
+    train batch finishes its own documents with one ``searchsorted`` —
+    zero exchanges, because each row IS one document so no doc spans
+    batches.  An eval side too big to broadcast falls back to tagging
+    both sides into one gram-bucket exchange (train partials + eval
+    distinct grams; every occurrence of a gram lands in one bucket) and
+    a doc-bucket rollup — the :func:`dup_ngram_stats` shape."""
+    import ray
+
+    if num_buckets is None:
+        from cloudtile_ray.stages.util import default_num_buckets
+
+        num_buckets = default_num_buckets(train_ds)
+
+    ev = eval_ds.map_batches(
+        lambda b: dup_ngram_partials(b, n).select(["gh"]), batch_format="pyarrow"
+    ).materialize()
+
+    if (ev.size_bytes() or 0) <= int(broadcast_byte_budget):
+        tables = [t for t in ray.get(list(ev.to_arrow_refs())) if t.num_columns]
+        gh_ev = (
+            np.unique(
+                np.concatenate(
+                    [t.column("gh").to_numpy(zero_copy_only=False) for t in tables]
+                )
+            )
+            if tables
+            else np.empty(0, np.int64)
+        )
+        ref = ray.put(gh_ev)
+
+        def per_batch(b: pa.Table) -> pa.Table:
+            p = dup_ngram_partials(b, n)
+            if p.num_rows == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_spans": pa.array([], pa.int64()),
+                        "n_hit_spans": pa.array([], pa.int64()),
+                    }
+                )
+            evs = ray.get(ref)
+            g = p.column("gh").to_numpy(zero_copy_only=False)
+            k = p.column("k").to_numpy(zero_copy_only=False)
+            d = p.column("doc_id").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(evs, g)
+            hit = (pos < len(evs)) & (evs[np.minimum(pos, len(evs) - 1)] == g) if len(evs) else np.zeros(len(g), bool)
+            ids, spans = _per_key_sums(d, k)
+            _, hits = _per_key_sums(d, k * hit.astype(np.int64))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "n_spans": pa.array(spans.astype(np.int64)),
+                    "n_hit_spans": pa.array(hits.astype(np.int64)),
+                }
+            )
+
+        return train_ds.map_batches(per_batch, batch_format="pyarrow")
+
+    # bucketed fallback: one gram exchange, eval rows tagged with
+    # doc_id = -1 (never a real id) so each bucket can split sides
+    def tag_train(b: pa.Table) -> pa.Table:
+        p = dup_ngram_partials(b, n)
+        bkt = p.column("gh").to_numpy(zero_copy_only=False) % num_buckets
+        return p.append_column("bucket", pa.array(bkt.astype(np.int64)))
+
+    def tag_eval(t: pa.Table) -> pa.Table:
+        g = t.column("gh").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(len(g), -1, np.int64)),
+                "gh": pa.array(g),
+                "k": pa.array(np.zeros(len(g), np.int64)),
+                "bucket": pa.array((g % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def bucket_rollup(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_spans": pa.array([], pa.int64()),
+                "n_hit_spans": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        g = t.column("gh").to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        is_ev = d == -1
+        tr_g, tr_k, tr_d = g[~is_ev], k[~is_ev], d[~is_ev]
+        if len(tr_g) == 0:
+            return empty
+        evs = np.unique(g[is_ev])
+        pos = np.searchsorted(evs, tr_g)
+        hit = (
+            (pos < len(evs)) & (evs[np.minimum(pos, len(evs) - 1)] == tr_g)
+            if len(evs)
+            else np.zeros(len(tr_g), bool)
+        )
+        ids, spans = _per_key_sums(tr_d, tr_k)
+        _, hits = _per_key_sums(tr_d, tr_k * hit.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_spans": pa.array(spans.astype(np.int64)),
+                "n_hit_spans": pa.array(hits.astype(np.int64)),
+            }
+        )
+
+    tagged = train_ds.map_batches(tag_train, batch_format="pyarrow").union(
+        ev.map_batches(tag_eval, batch_format="pyarrow")
+    )
+    parts = tagged.groupby("bucket").map_groups(bucket_rollup, batch_format="pyarrow")
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        b = t.column("doc_id").to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def doc_rollup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_hit_spans": pa.array([], pa.int64()),
+                }
+            )
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = t.column("n_spans").to_numpy(zero_copy_only=False)
+        h = t.column("n_hit_spans").to_numpy(zero_copy_only=False)
+        ids, s1 = _per_key_sums(d, s)
+        _, s2 = _per_key_sums(d, h)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_spans": pa.array(s1.astype(np.int64)),
+                "n_hit_spans": pa.array(s2.astype(np.int64)),
+            }
+        )
+
+    return (
+        parts.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(doc_rollup, batch_format="pyarrow")
+    )

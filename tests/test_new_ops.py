@@ -764,6 +764,45 @@ class TestCorpusOverlap:
         assert sorted(joined["doc_id"].tolist()) == [0, 3]
 
 
+class TestNgramDecontam:
+    def test_broadcast_and_bucketed_routes_agree(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.ngrams import ngram_decontam
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(50)]
+        eval_texts = [
+            " ".join(rng.choice(vocab, 20).tolist()) for _ in range(5)
+        ]
+        train_texts = [
+            " ".join(rng.choice(vocab, 25).tolist()) for _ in range(20)
+        ]
+        # plant a verbatim eval passage inside two train docs
+        train_texts[3] = train_texts[3] + " " + eval_texts[0]
+        train_texts[11] = eval_texts[2] + " " + train_texts[11]
+        train = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(20), pa.int64()),
+            "text": pa.array(train_texts),
+        })).repartition(3)
+        evald = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(np.arange(100, 105), pa.int64()),
+            "text": pa.array(eval_texts),
+        })).repartition(2)
+
+        def canon(df):
+            return sorted(zip(df.doc_id, df.n_spans, df.n_hit_spans))
+
+        bc = canon(ngram_decontam(train, evald, n=8).to_pandas())
+        planted = {d: h for d, _s, h in bc}
+        assert planted[3] >= 13 and planted[11] >= 13  # 20-token plant -> 13+ hit windows
+        assert sum(1 for _d, _s, h in bc if h > 0) >= 2
+        bucketed = canon(
+            ngram_decontam(train, evald, n=8, broadcast_byte_budget=0).to_pandas()
+        )
+        assert bucketed == bc
+
+
 class TestEnumerateSorted:
     def test_global_ranking_matches_argsort(self, ray_session):
         import ray.data
