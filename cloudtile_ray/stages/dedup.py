@@ -552,6 +552,11 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------------------
 
 _N_VERIFY_PARTS = 32
+# bitset-kernel gate: use the popcount(AND) path only while the
+# n_docs x ceil(unique_shingles/64) uint64 matrix stays this small (the
+# synthetic corpora have tiny shingle vocabularies; real web text blows
+# past this and takes the stamp path)
+_BITSET_BUDGET = 64 << 20
 
 
 def _collect_small(ds) -> pa.Table:
@@ -566,6 +571,19 @@ def _collect_small(ds) -> pa.Table:
     return pa.concat_tables(tables) if tables else None
 
 
+def _popcount16_table() -> np.ndarray:
+    """64 KB uint16 -> popcount lookup (numpy 1.26 has no bitwise_count);
+    built once per process, L2-resident."""
+    global _POP16
+    try:
+        return _POP16
+    except NameError:
+        _POP16 = np.array(
+            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+        )
+        return _POP16
+
+
 def _jaccard_intersect_kernel(
     h: np.ndarray,
     bounds: np.ndarray,
@@ -576,27 +594,131 @@ def _jaccard_intersect_kernel(
 ) -> pa.Table:
     """Exact pair Jaccard over a shared shingle-hash index: ``h`` holds
     every candidate doc's sorted-unique shingle hashes, ``bounds``/``pos``
-    slice it per doc (built once by :func:`_shingle_hashes_concat`), and
-    each (a, b) pair intersects two sorted uint64 arrays.  Shared by the
-    distributed broadcast-verify map and its driver-side micro path so
-    the two routes are bit-identical."""
-    keep_a, keep_b, jac = [], [], []
-    for aa, bb in zip(av.tolist(), bv.tolist()):
-        ia, ib = pos[aa], pos[bb]
-        sa = h[bounds[ia] : bounds[ia + 1]]
-        sb = h[bounds[ib] : bounds[ib + 1]]
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        union = len(sa) + len(sb) - inter
-        j = 1.0 if union == 0 else inter / union
-        if j >= threshold:
-            keep_a.append(aa)
-            keep_b.append(bb)
-            jac.append(j)
+    slice it per doc (built once by :func:`_shingle_hashes_concat`).
+    Shared by the distributed broadcast-verify map and its driver-side
+    micro path so the two routes are bit-identical (up to row order:
+    output is a set of pairs either way).
+
+    Three exact layers, each vectorized (the per-pair ``np.intersect1d``
+    loop before this ran at ~10 us/pair — 1.3 s of the 3.5 s warm
+    minhash_pairs run at sf0.1):
+
+    1. length-ratio precut: J(a, b) <= min(|a|, |b|) / max(|a|, |b|) is a
+       hard bound, so pairs failing it skip intersection entirely;
+    2. BITSET path (when the candidate docs' GLOBAL unique-shingle count
+       is small enough that an n_docs x ceil(u/64) uint64 matrix fits
+       ``_BITSET_BUDGET``): every doc becomes a bit row over dense
+       shingle ids (built loop-free via ``bitwise_or.reduceat`` on the
+       per-doc-sorted index), and intersection = popcount(row_a & row_b)
+       through a 64 KB uint16 table — no Python loop at all.  Measured
+       0.18 s vs 1.5 s for 129k pairs x ~300 shingles at sf0.1 (the
+       synthetic corpus has ~2k unique shingles -> 32-word rows);
+    3. STAMP path (large vocabularies, e.g. real web text): pairs sorted
+       by a-doc; each unique-a run stamps its shingles' dense ids with a
+       run epoch into one int32 array and probes all of the run's b-side
+       elements with a single gather — an O(1) membership test replacing
+       an O(log n) binary search, and the stamp array never needs
+       clearing between runs.  The b-side gather is chunked cache-sized
+       (this host is membw-throttled; 4M-element chunks measured 2.5x
+       slower than 256k).
+    """
+    n = len(av)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if n == 0:
+        return empty
+    av = np.asarray(av, dtype=np.int64)
+    bv = np.asarray(bv, dtype=np.int64)
+    ia = np.fromiter((pos[int(x)] for x in av), np.int64, n)
+    ib = np.fromiter((pos[int(x)] for x in bv), np.int64, n)
+    len_a = bounds[ia + 1] - bounds[ia]
+    len_b = bounds[ib + 1] - bounds[ib]
+    # exact precut: J <= min/max length ratio (skip intersection work for
+    # pairs that cannot reach the threshold)
+    lmin = np.minimum(len_a, len_b)
+    lmax = np.maximum(len_a, len_b)
+    maybe = lmin.astype(np.float64) >= threshold * lmax
+    inter = np.zeros(n, dtype=np.int64)
+    uniq, hd = np.unique(h, return_inverse=True)
+    n_docs = len(bounds) - 1
+    W = (len(uniq) + 63) // 64
+    if W and n_docs * W * 8 <= _BITSET_BUDGET:
+        # ---- bitset path ----
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(bounds))
+        word = hd >> 6
+        bit = np.uint64(1) << (hd & 63).astype(np.uint64)
+        key = doc_of * W + word  # nondecreasing: h is sorted per doc
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        B = np.zeros(n_docs * W, dtype=np.uint64)
+        if len(bit):
+            B[key[starts]] = np.bitwise_or.reduceat(bit, starts)
+        B = B.reshape(n_docs, W)
+        pop16 = _popcount16_table()
+        sel = np.flatnonzero(maybe)
+        step = max(1, (4 << 20) // max(W * 8, 1))
+        for s in range(0, len(sel), step):
+            rows = sel[s : s + step]
+            andw = B[ia[rows]] & B[ib[rows]]
+            inter[rows] = pop16[andw.view(np.uint16)].sum(axis=1, dtype=np.int64)
+        av_s, bv_s = av, bv
+    else:
+        # ---- stamp path ----
+        hd = hd.astype(np.int64)
+        order = np.argsort(ia, kind="stable")
+        ia, ib, av_s, bv_s = ia[order], ib[order], av[order], bv[order]
+        len_a, len_b, maybe = len_a[order], len_b[order], maybe[order]
+        lb_eff = np.where(maybe, len_b, 0)
+        off = np.empty(n + 1, dtype=np.int64)
+        off[0] = 0
+        np.cumsum(lb_eff, out=off[1:])
+        stamp = np.full(len(uniq), -1, dtype=np.int64)
+        run_no = 0
+        chunk_elems = 256 << 10
+        p0 = 0
+        while p0 < n:
+            p1 = int(np.searchsorted(off, off[p0] + chunk_elems, side="right"))
+            p1 = max(p0 + 1, min(n, p1))
+            lb = lb_eff[p0:p1]
+            coff = off[p0 : p1 + 1] - off[p0]
+            total = int(coff[-1])
+            if total == 0:
+                p0 = p1
+                continue
+            idx = np.arange(total, dtype=np.int64)
+            idx -= np.repeat(coff[:-1], lb)
+            idx += np.repeat(bounds[ib[p0:p1]], lb)
+            bd = hd[idx]
+            hits = np.zeros(total, dtype=np.int64)
+            runs = np.flatnonzero(
+                np.r_[True, ia[p0 + 1 : p1] != ia[p0 : p1 - 1]]
+            )
+            runs = np.append(runs, p1 - p0)
+            for s, e in zip(runs[:-1], runs[1:]):
+                seg = slice(coff[s], coff[e])
+                if seg.start == seg.stop:
+                    run_no += 1
+                    continue
+                aidx = ia[p0 + s]
+                stamp[hd[bounds[aidx] : bounds[aidx + 1]]] = run_no
+                hits[seg] = stamp[bd[seg]] == run_no
+                run_no += 1
+            cs = np.concatenate([[0], np.cumsum(hits)])
+            inter[p0:p1] = cs[coff[1:]] - cs[coff[:-1]]
+            p0 = p1
+    union = len_a + len_b - inter
+    jac = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    jac = np.where(maybe, jac, 0.0)
+    keep = jac >= threshold
     return pa.table(
         {
-            "doc_a": pa.array(keep_a, pa.int64()),
-            "doc_b": pa.array(keep_b, pa.int64()),
-            "jaccard": pa.array(jac, pa.float64()),
+            "doc_a": pa.array(av_s[keep], pa.int64()),
+            "doc_b": pa.array(bv_s[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
         }
     )
 

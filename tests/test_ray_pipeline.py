@@ -489,6 +489,73 @@ class TestDedup:
         )
         assert empty.column_names == ["doc_a", "doc_b", "capped"]
 
+    def test_jaccard_kernel_paths_match_reference_loop(self):
+        """Both exact-Jaccard kernel layouts (bitset popcount(AND) for
+        small shingle vocabularies, epoch-stamp membership for large)
+        must emit exactly the per-pair intersect1d reference — same pair
+        set, same jaccard values — across empty docs, sub-k docs,
+        duplicate pairs, and every threshold regime."""
+        import cloudtile_ray.stages.dedup as dd
+        from cloudtile_ray.stages.dedup import (
+            _jaccard_intersect_kernel,
+            _shingle_hashes_concat,
+        )
+
+        def ref(h, bounds, pos, av, bv, thr):
+            rows = []
+            for aa, bb in zip(av.tolist(), bv.tolist()):
+                i, j = pos[aa], pos[bb]
+                sa = h[bounds[i] : bounds[i + 1]]
+                sb = h[bounds[j] : bounds[j + 1]]
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = len(sa) + len(sb) - inter
+                jac = 1.0 if union == 0 else inter / union
+                if jac >= thr:
+                    rows.append((aa, bb, round(jac, 12)))
+            return sorted(rows)
+
+        rng = np.random.default_rng(11)
+        base = "the quick brown fox jumps over the lazy dog sphinx of "
+        old_budget = dd._BITSET_BUDGET
+        try:
+            for budget in (64 << 20, 0):  # bitset path, then stamp path
+                dd._BITSET_BUDGET = budget
+                for _ in range(4):
+                    nd = int(rng.integers(2, 50))
+                    texts = []
+                    for _i in range(nd):
+                        r = rng.random()
+                        if r < 0.15:
+                            texts.append("")
+                        elif r < 0.3:
+                            texts.append(base[: int(rng.integers(1, 5))])
+                        else:
+                            s = int(rng.integers(0, 30))
+                            texts.append(
+                                (base * 3)[s : s + int(rng.integers(5, 90))]
+                            )
+                    h, bounds = _shingle_hashes_concat(pa.array(texts), 5)
+                    ids = rng.permutation(500)[:nd].astype(np.int64)
+                    pos = {int(d): i for i, d in enumerate(ids)}
+                    npairs = int(rng.integers(0, 250))
+                    av = ids[rng.integers(0, nd, npairs)]
+                    bv = ids[rng.integers(0, nd, npairs)]
+                    thr = float(rng.choice([0.0, 0.3, 0.5, 0.9]))
+                    got = _jaccard_intersect_kernel(h, bounds, pos, av, bv, thr)
+                    got_rows = sorted(
+                        zip(
+                            got.column("doc_a").to_pylist(),
+                            got.column("doc_b").to_pylist(),
+                            [
+                                round(x, 12)
+                                for x in got.column("jaccard").to_pylist()
+                            ],
+                        )
+                    )
+                    assert got_rows == ref(h, bounds, pos, av, bv, thr)
+        finally:
+            dd._BITSET_BUDGET = old_budget
+
     def test_any_capped_flag(self, ray_session):
         """_capped_pairs tags over-cap buckets; _any_capped reads it back
         from the materialized pair blocks."""
