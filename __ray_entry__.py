@@ -854,6 +854,37 @@ def q_corpus_overlap(sf_dir: str):
     return cross_corpus_overlap(train, evald)
 
 
+def q_para_dedup(sf_dir: str):
+    """Passage-level exact dedup, keep-first (Lee et al. 2022 at chunk
+    granularity): explode each document into 20-token chunks, keep only
+    the globally-first occurrence of each distinct chunk (ordered by
+    (doc_id, chunk_idx)), reassemble the survivors into documents.
+    Zero-copy Arrow offset re-slice explode + two bucket exchanges
+    (keep-first on the chunk text, reassembly on doc_id)."""
+    import ray.data
+
+    from cloudtile_ray.stages.chunks import dedup_text_chunks
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_text_chunks(ds, n_tokens=20)
+
+
+def q_source_mix(sf_dir: str):
+    """Epoch-weighted training mixture ("2.5 epochs of src0, 0.25 of
+    src1, 1.0 of everything else"): each doc emitted floor(w) times plus
+    one more for the id-hash fraction selected by frac(w).  Pure
+    zero-shuffle map_batches expansion, deterministic across reruns,
+    resharding and cluster widths."""
+    import ray.data
+
+    from cloudtile_ray.stages.sampling import epoch_resample
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    )
+    return epoch_resample(ds, epochs={"src0": 2.5, "src1": 0.25, "*": 1.0})
+
+
 def q_lang_top_docs(sf_dir: str):
     """Per-language top-5 longest documents — distributed
     ROW_NUMBER-over-PARTITION: batch-local top-k combiner bounds the
@@ -1572,12 +1603,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band": q_length_band,
         "repetition_stats": q_repetition_stats,
         "top_terms": q_top_terms,
-        "geo_redact": q_geo_redact,
         "stratified_sample": q_stratified_sample,
         "train_split": q_train_split,
         "contamination": q_contamination,
         "seq_pack": q_seq_pack,
-        "doc_embed_join": q_doc_embed_join,
         "domain_stats": q_domain_stats,
         "lang_quantiles": q_lang_quantiles,
         "decontaminated": q_decontaminated,
@@ -1589,7 +1618,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_pack": q_curated_pack,
         "chunk_stats": q_chunk_stats,
         "corpus_overlap": q_corpus_overlap,
+        # new exact oracles this round — must land in the window
+        "para_dedup": q_para_dedup,
+        "source_mix": q_source_mix,
         # --- driver window boundary (first 50 above) ---
+        # certified exact in round 3 — rotated behind for the new oracles
+        "geo_redact": q_geo_redact,
+        "doc_embed_join": q_doc_embed_join,
         # certified exact in BOTH rounds 2 and 3 — rotated behind
         "pip_inner_shuffle": q_pip_inner_shuffle,
         "pip_semi": q_pip_semi,
@@ -2245,6 +2280,36 @@ def oracle_sql() -> dict[str, str]:
               AND substr(d.text, 1, 64) IN
                   (SELECT substr(text, 1, 64) FROM documents
                    WHERE doc_id % 7 = 3)""",
+        "para_dedup": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+                 tok AS (SELECT doc_id, unnest(l) AS tk,
+                                generate_subscripts(l, 1) AS i FROM t),
+                 ch AS (SELECT doc_id,
+                               CAST(FLOOR((i - 1) / 20) AS BIGINT) AS ci,
+                               string_agg(tk, ' ' ORDER BY i) AS chunk
+                        FROM tok GROUP BY doc_id, FLOOR((i - 1) / 20)),
+                 k AS (SELECT doc_id, ci, chunk,
+                              row_number() OVER (PARTITION BY chunk
+                                                 ORDER BY doc_id, ci) AS rn
+                       FROM ch)
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text
+            FROM k WHERE rn = 1 GROUP BY doc_id""",
+        "source_mix": """
+            WITH d AS (
+              SELECT doc_id, source, lang,
+                     CAST(CASE source WHEN 'src0' THEN 2
+                                      WHEN 'src1' THEN 0
+                                      ELSE 1 END AS BIGINT)
+                     + CASE WHEN (doc_id * 7919) % 10000 <
+                                 CASE source WHEN 'src0' THEN 5000
+                                             WHEN 'src1' THEN 2500
+                                             ELSE 0 END
+                            THEN 1 ELSE 0 END AS n
+              FROM documents)
+            SELECT doc_id, source, lang,
+                   CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+            FROM d""",
         "lang_top_docs": """
             SELECT lang, doc_id, n_chars FROM (
               SELECT lang, doc_id, n_chars,

@@ -1,0 +1,158 @@
+"""Chunk-level (paragraph-proxy) dedup for training corpora.
+
+Beyond-the-reference operator family (the reference has no text
+processing at all; its row-level unit is a geographic feature,
+/root/reference/src/cloudtile/geofile.py): large-scale curation removes
+duplicated PASSAGES, not just duplicated documents — Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better") dedup at
+sub-document granularity and keep the first occurrence.  The corpora
+here are single-line token streams, so the paragraph proxy is a fixed
+``n_tokens`` window: explode every document into chunks, keep the
+globally-first occurrence of each distinct chunk text (ordered by
+(doc_id, chunk_idx) — reproducible under any parallelism), and
+reassemble the surviving chunks back into documents.
+
+Scale shape: the explode is a zero-copy offset re-slice of the Arrow
+token buffers (no per-row Python, no value copies until the final
+``binary_join``); keep-first routes through :func:`relational.grouped_topk`
+(batch-local combiner, then ONE hash-bucket exchange on the chunk text —
+chunk keys are near-unique, so Ray's per-group machinery is never
+driven); reassembly is one more bucket exchange keyed by ``doc_id`` with
+an Arrow ``binary_join`` per partition.  Two corpus-wide exchanges total
+— the honest minimum for an exact global passage dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def explode_token_chunks(batch: pa.Table, n_tokens: int = 20) -> pa.Table:
+    """(doc_id, text) rows -> (doc_id, chunk_idx, chunk) rows where
+    ``chunk`` is the space-join of the doc's tokens [i*n : (i+1)*n) —
+    identical to DuckDB's
+    ``string_split(text, ' ')`` + ``FLOOR((i-1)/n)`` + ordered
+    ``string_agg`` (the oracle), including the trailing short chunk.
+
+    Vectorized: the token ListArray's offset buffer is re-sliced into
+    chunk offsets with one repeat/cumsum build; chunk strings come from
+    ``pc.binary_join`` over a ListArray that SHARES the token values
+    buffer (zero-copy until the join materializes the chunk text)."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+    toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    loffs = np.frombuffer(toks.buffers()[1], np.int32)[
+        toks.offset : toks.offset + len(toks) + 1
+    ].astype(np.int64)
+    n_toks = np.diff(loffs)
+    n_chunks = (n_toks + n_tokens - 1) // n_tokens  # empty list -> 0 chunks
+    total = int(n_chunks.sum())
+    if total == 0:
+        return explode_token_chunks(batch.slice(0, 0), n_tokens)
+    # chunk start offsets: doc start + n_tokens * (rank within doc)
+    doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_chunks)
+    starts_of_doc = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    chunk_idx = np.arange(total, dtype=np.int64) - starts_of_doc[doc_of]
+    chunk_starts = loffs[doc_of] + chunk_idx * n_tokens
+    chunk_offsets = np.append(chunk_starts, loffs[-1])
+    chunk_list = pa.ListArray.from_arrays(
+        pa.array(chunk_offsets, pa.int32()), toks.values
+    )
+    chunks = pc.binary_join(chunk_list, " ")
+    return pa.table(
+        {
+            "doc_id": pc.take(
+                batch.column("doc_id"), pa.array(doc_of, pa.int64())
+            ),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk": chunks,
+        }
+    )
+
+
+def _reassemble_docs(ds, num_buckets: int | None = None):
+    """(doc_id, chunk_idx, chunk) Dataset -> (doc_id, text) Dataset:
+    one hash-bucket exchange on doc_id, then per partition a lexsort by
+    (doc_id, chunk_idx) and an Arrow ``binary_join`` over the per-doc
+    chunk lists — no per-doc Python."""
+    if num_buckets is None:
+        from cloudtile_ray.stages.util import default_num_buckets
+
+        num_buckets = default_num_buckets(ds)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], pa.int64()))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        part = (ids * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_buckets)
+        return t.append_column("_part", pa.array(part.astype(np.int64)))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_part"]).combine_chunks()
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        cix = g.column("chunk_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((cix, ids))
+        ids_s = ids[order]
+        new_doc = np.r_[True, ids_s[1:] != ids_s[:-1]]
+        doc_starts = np.flatnonzero(new_doc)
+        offsets = np.append(doc_starts, len(ids_s))
+        chunks_sorted = g.column("chunk").take(pa.array(order))
+        if isinstance(chunks_sorted, pa.ChunkedArray):
+            chunks_sorted = chunks_sorted.combine_chunks()
+        doc_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), chunks_sorted
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_s[doc_starts], pa.int64()),
+                "text": pc.binary_join(doc_lists, " "),
+            }
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(per_part, batch_format="pyarrow")
+    )
+
+
+def dedup_text_chunks(ds, n_tokens: int = 20):
+    """Exact passage-level dedup, keep-first (Lee et al. 2022 shape):
+    explode documents into ``n_tokens``-token chunks, keep the first
+    occurrence of every distinct chunk text (first = smallest
+    (doc_id, chunk_idx) — partition- and parallelism-independent),
+    reassemble survivors into (doc_id, text).  Documents whose every
+    chunk was seen earlier disappear entirely, matching the SQL oracle's
+    ``row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx)``
+    + grouped ordered ``string_agg``."""
+    from cloudtile_ray.stages.relational import grouped_topk
+
+    exploded = ds.map_batches(
+        lambda t: explode_token_chunks(t, n_tokens), batch_format="pyarrow"
+    )
+    kept = grouped_topk(
+        exploded,
+        group_col="chunk",
+        order_col="doc_id",
+        k=1,
+        descending=False,
+        tie_col="chunk_idx",
+    )
+    return _reassemble_docs(kept)

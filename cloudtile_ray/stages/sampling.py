@@ -67,3 +67,45 @@ def hash_split(ds, val_frac: float = 0.1, id_col: str = "doc_id",
         )
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def epoch_resample(ds, epochs: dict[str, float], group_col: str = "source",
+                   id_col: str = "doc_id", copy_col: str = "copy"):
+    """Epoch-weighted source mixing: emit each row ``floor(w)`` times
+    plus one more for the id-hash fraction of rows selected by the
+    fractional part of ``w``, where ``w = epochs[group]`` (default under
+    ``"*"``, else 1.0).
+
+    This is the standard training-mixture op ("2.5 epochs of wiki, 0.25
+    of web") expressed as a pure, zero-shuffle ``map_batches`` expansion:
+    the copy count is a function of the row alone (same id-hash bucket
+    arithmetic as :func:`hash_stratified_sample`), so the mixture is
+    identical across reruns, resumes and cluster widths, and it has an
+    exact DuckDB oracle (``generate_series(1, n)``).  A ``copy_col``
+    (1..n) disambiguates the emitted duplicates downstream (e.g. for a
+    deterministic global shuffle key of (id, copy)).
+
+    Scale note: expansion happens batch-side AFTER any column pruning the
+    caller applied, and blocks grow by at most ``max(epochs) + 1``x —
+    size ``batch_size`` upstream accordingly for large multipliers."""
+    floors = {g: int(np.floor(w)) for g, w in epochs.items()}
+    fracs = {g: int(round((w - np.floor(w)) * BUCKETS)) for g, w in epochs.items()}
+    default_w = epochs.get("*", 1.0)
+    dfl, dfr = int(np.floor(default_w)), int(round((default_w - np.floor(default_w)) * BUCKETS))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(copy_col, pa.array([], pa.int64()))
+        b = _bucket(batch.column(id_col).to_numpy())
+        groups = batch.column(group_col).to_numpy(zero_copy_only=False)
+        base = np.array([floors.get(g, dfl) for g in np.atleast_1d(groups)])
+        cut = np.array([fracs.get(g, dfr) for g in np.atleast_1d(groups)])
+        n = base + (b < cut)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n)
+        starts = np.concatenate([[0], np.cumsum(n)])[:-1]
+        copy = np.arange(len(idx), dtype=np.int64) - starts[np.repeat(
+            np.arange(batch.num_rows), n)] + 1
+        out = batch.take(pa.array(idx))
+        return out.append_column(copy_col, pa.array(copy, pa.int64()))
+
+    return ds.map_batches(expand, batch_format="pyarrow")

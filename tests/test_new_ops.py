@@ -1048,3 +1048,112 @@ class TestIvfIndex:
         shutil.copy(src, f"{part}/stale_extra.parquet")
         with pytest.raises(RuntimeError, match="PARTIAL or STALE"):
             ivf_index_topk(idx, Q, k=3, nprobe=2)
+
+
+class TestChunkDedup:
+    def test_explode_token_chunks_shapes(self):
+        """Chunk boundaries: exact multiples, trailing short chunk,
+        single-token docs — chunk texts must re-join to the original."""
+        import pyarrow as pa
+
+        from cloudtile_ray.stages.chunks import explode_token_chunks
+
+        texts = [
+            "a b c d e f",        # 6 tokens / n=3 -> 2 full chunks
+            "x y z w q",          # 5 tokens -> chunk of 3 + chunk of 2
+            "solo",               # 1 token -> 1 chunk
+        ]
+        t = pa.table({"doc_id": pa.array([10, 20, 30], pa.int64()),
+                      "text": pa.array(texts)})
+        out = explode_token_chunks(t, n_tokens=3)
+        got = list(zip(out.column("doc_id").to_pylist(),
+                       out.column("chunk_idx").to_pylist(),
+                       out.column("chunk").to_pylist()))
+        assert got == [
+            (10, 0, "a b c"), (10, 1, "d e f"),
+            (20, 0, "x y z"), (20, 1, "w q"),
+            (30, 0, "solo"),
+        ]
+        # empty input pins the schema
+        empty = explode_token_chunks(t.slice(0, 0), n_tokens=3)
+        assert empty.column_names == ["doc_id", "chunk_idx", "chunk"]
+
+    def test_dedup_text_chunks_matches_duckdb(self, ray_session):
+        """End-to-end keep-first passage dedup vs the SQL oracle shape:
+        duplicated chunks across docs AND within one doc; a doc made
+        entirely of seen chunks disappears."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.chunks import dedup_text_chunks
+
+        texts = [
+            "a b c d e f",      # doc 1: chunks "a b c", "d e f"
+            "a b c x y z",      # doc 2: "a b c" dropped, keeps "x y z"
+            "d e f a b c",      # doc 3: both chunks seen -> doc vanishes
+            "p q r p q r",      # doc 4: within-doc dup -> keeps first only
+        ]
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "text": pa.array(texts)})
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = (
+            dedup_text_chunks(ds, n_tokens=3)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = con.sql("""
+            WITH tt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                 tok AS (SELECT doc_id, unnest(l) AS tk,
+                                generate_subscripts(l, 1) AS i FROM tt),
+                 ch AS (SELECT doc_id, CAST(FLOOR((i - 1) / 3) AS BIGINT) AS ci,
+                               string_agg(tk, ' ' ORDER BY i) AS chunk
+                        FROM tok GROUP BY doc_id, FLOOR((i - 1) / 3)),
+                 k AS (SELECT doc_id, ci, chunk,
+                              row_number() OVER (PARTITION BY chunk
+                                                 ORDER BY doc_id, ci) AS rn
+                       FROM ch)
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text
+            FROM k WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """).df()
+        pd.testing.assert_frame_equal(got, want)
+        assert 3 not in got.doc_id.values
+
+
+class TestEpochResample:
+    def test_copies_and_determinism(self, ray_session):
+        """floor(w) copies plus the id-hash fraction; copy index 1..n;
+        identical output across different partitionings."""
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.sampling import BUCKETS, _PRIME, epoch_resample
+
+        n = 200
+        ids = list(range(n))
+        src = ["hot" if i % 3 == 0 else ("cold" if i % 3 == 1 else "warm")
+               for i in ids]
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "source": pa.array(src)})
+        epochs = {"hot": 2.5, "cold": 0.25, "*": 1.0}
+
+        def expected_copies(i, s):
+            w = epochs.get(s, 1.0)
+            base = int(w)
+            frac_cut = int(round((w - base) * BUCKETS))
+            return base + (1 if (i * _PRIME) % BUCKETS < frac_cut else 0)
+
+        for parts in (1, 7):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = epoch_resample(ds, epochs).to_pandas()
+            got = out.groupby("doc_id").copy.agg(["count", "min", "max"])
+            for i, s in zip(ids, src):
+                exp = expected_copies(i, s)
+                if exp == 0:
+                    assert i not in got.index
+                else:
+                    assert got.loc[i, "count"] == exp
+                    assert got.loc[i, "min"] == 1 and got.loc[i, "max"] == exp
