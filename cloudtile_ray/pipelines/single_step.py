@@ -28,11 +28,11 @@ from cloudtile_ray.stages.tiles import encode_tiles
 
 def pages_dataset(sf_dir: str) -> "ray.data.Dataset":
     """documents parquet -> pages (url, warc_ts, html, text, lang, doc_id)."""
-    from cloudtile_ray.stages.util import strip_schema_metadata
+    from cloudtile_ray.stages.util import read_parquet_clean
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
+    )
     return ds.map_batches(pages_src.build_pages_batch, batch_format="pyarrow")
 
 

@@ -28,11 +28,9 @@ ALLOWED_SUFFIXES = {"geojson", "parquet", "json", "csv"}
 
 
 def _read_parquet(path: str):
-    import ray.data
+    from cloudtile_ray.stages.util import read_parquet_clean
 
-    return ray.data.read_parquet(path).map_batches(
-        strip_schema_metadata, batch_format="pyarrow"
-    )
+    return read_parquet_clean(path)
 
 
 def _read_json(path: str):

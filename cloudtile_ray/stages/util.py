@@ -79,6 +79,35 @@ def strip_schema_metadata(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None) if t.schema.metadata else t
 
 
+def read_parquet_clean(path, **kw):
+    """``ray.data.read_parquet`` whose blocks are BORN without schema
+    metadata: the file schema is read driver-side, stripped, pruned to
+    ``columns`` and handed to the scanner via ``schema=`` — the read
+    task's own output is already hashable (a post-read strip map fixed
+    derived blocks but left one ``Failed to hash the schemas`` warning
+    per read-split worker; see :func:`strip_schema_metadata`).  Falls
+    back to read + strip map when the footer can't be read driver-side
+    (multi-file globs / directories) or the caller passes ``filter=`` /
+    ``schema=`` (a reduced scanner schema must not hide filter
+    columns)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    if "schema" not in kw and "filter" not in kw:
+        try:
+            full = pq.read_schema(path).remove_metadata()
+            cols = kw.get("columns")
+            kw["schema"] = (
+                pa.schema([full.field(c) for c in cols]) if cols else full
+            )
+            return ray.data.read_parquet(path, **kw)
+        except (OSError, KeyError, TypeError):
+            pass
+    return ray.data.read_parquet(path, **kw).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
+
+
 _POLY_B = np.uint64(1000003)
 
 
