@@ -45,7 +45,14 @@ def ordered_prefix_sum(
         o = t.column(order_col).to_numpy().astype(np.int64)
         return t.append_column("_bkt", pa.array(o // bucket))
 
-    with_b = ds.map_batches(add_bucket, batch_format="pyarrow")
+    # pin the scan input: both passes (bucket totals, then the bucketed
+    # scan) consume it, and without materializing, the SECOND pass
+    # re-executes the caller's entire upstream chain (for curated_pack
+    # that meant running the dedup exchange twice — measured ~1.4 s of
+    # pure recompute at sf0.1).  Callers pass the slim post-filter
+    # projection (id + value columns, no text), so pinning is cheap even
+    # at corpus scale; blocks spill to disk rather than hold heap.
+    with_b = ds.map_batches(add_bucket, batch_format="pyarrow").materialize()
     totals = (
         with_b.groupby("_bkt").aggregate(Sum(val_col, alias_name="_tot")).to_pandas()
     )
@@ -80,7 +87,8 @@ def sequence_pack(
     """Sequence packing: assign each document the training-chunk id it
     starts in when documents are concatenated in ``order_col`` order and
     split every ``budget`` units — ``chunk_id = exclusive_prefix //
-    budget``.  One prefix-sum pass (above); no materialization."""
+    budget``.  One prefix-sum pass (above) over the pinned slim
+    projection; only bucket totals ever reach the driver."""
 
     def chunk(t: pa.Table) -> pa.Table:
         p = t.column("prefix").to_numpy()
