@@ -170,7 +170,7 @@ def run_queries(sf_dir: str) -> dict:
         "knn_embedding", "token_stats", "minhash_pairs",
         "asof_purchase", "interval_join", "heavy_hitters", "value_quantiles",
         "top_terms", "url_dedup", "dup_ngrams", "corpus_overlap",
-        "curated_pack",
+        "curated_pack", "para_dedup", "source_mix",
     ]
     import gc
 
