@@ -1157,3 +1157,34 @@ class TestEpochResample:
                 else:
                     assert got.loc[i, "count"] == exp
                     assert got.loc[i, "min"] == 1 and got.loc[i, "max"] == exp
+
+
+class TestReadParquetClean:
+    def test_blocks_born_without_metadata(self, ray_session, tmp_path):
+        """Pandas-written parquet: blocks must come out hashable straight
+        from the read task (schema handed to the scanner), columns
+        pruned; filter= callers fall back to read+strip and stay clean
+        too."""
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        from cloudtile_ray.stages.util import read_parquet_clean
+
+        p = str(tmp_path / "d.parquet")
+        pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"],
+                      "c": [1.0, 2.0, 3.0]}).to_parquet(p)
+        import pyarrow.parquet as pq
+
+        assert pq.read_schema(p).metadata  # pandas blob present on disk
+
+        ds = read_parquet_clean(p, columns=["a", "b"])
+        t = ds.take_batch(3, batch_format="pyarrow")
+        assert t.column_names == ["a", "b"]
+        assert t.schema.metadata is None
+        hash(t.schema)  # raises TypeError when the blob leaks through
+
+        ds2 = read_parquet_clean(p, filter=pc.field("a") > 1)
+        t2 = ds2.take_batch(3, batch_format="pyarrow")
+        assert t2.num_rows == 2
+        assert t2.schema.metadata is None
+        hash(t2.schema)
