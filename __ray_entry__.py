@@ -879,6 +879,46 @@ def q_source_mix(sf_dir: str):
     return epoch_resample(ds, epochs={"src0": 2.5, "src1": 0.25, "*": 1.0})
 
 
+def q_boilerplate_strip(sf_dir: str):
+    """CCNet-style boilerplate removal at chunk granularity: drop every
+    20-token chunk appearing in >= 2 distinct documents (unlike
+    para_dedup's keep-first, a shared chunk is cut from ALL its docs),
+    reassemble survivors.  Batch-side (doc,chunk) distinct -> one
+    bucket-exchange df count -> byte-gated broadcast is_in probe ->
+    reassembly exchange."""
+    import ray.data
+
+    from cloudtile_ray.stages.chunks import strip_frequent_chunks
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return strip_frequent_chunks(ds, n_tokens=20, max_df=1)
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-document 8-gram novelty (Lee et al. 2022's uniqueness signal):
+    spans whose gram occurs EXACTLY ONCE corpus-wide.  Same two-exchange
+    shape as dup_ngrams; only the in-bucket frequency predicate flips."""
+    import ray.data
+
+    from cloudtile_ray.stages.ngrams import novel_ngram_stats
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return novel_ngram_stats(ds, n=8)
+
+
+def q_unk_replace(sf_dir: str):
+    """Fixed-vocabulary truncation: keep the 30 most frequent tokens
+    (count desc, token asc — a total order), mask the rest with <unk>,
+    preserve token order; (doc_id, text, n_unk).  One vocab-sized
+    aggregate + broadcast; the masking pass is zero-shuffle."""
+    import ray.data
+
+    from cloudtile_ray.stages.text import mask_rare_tokens
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return mask_rare_tokens(ds, vocab_size=30)
+
+
 def q_lang_top_docs(sf_dir: str):
     """Per-language top-5 longest documents — distributed
     ROW_NUMBER-over-PARTITION: batch-local top-k combiner bounds the
@@ -1597,11 +1637,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band": q_length_band,
         "repetition_stats": q_repetition_stats,
         "top_terms": q_top_terms,
-        "stratified_sample": q_stratified_sample,
-        "train_split": q_train_split,
         "contamination": q_contamination,
         "seq_pack": q_seq_pack,
-        "domain_stats": q_domain_stats,
         "lang_quantiles": q_lang_quantiles,
         "decontaminated": q_decontaminated,
         "dup_ngrams": q_dup_ngrams,
@@ -1615,8 +1652,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new exact oracles this round — must land in the window
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
+        "boilerplate_strip": q_boilerplate_strip,
+        "ngram_novelty": q_ngram_novelty,
+        "unk_replace": q_unk_replace,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
+        # (stratified_sample / train_split / domain_stats certified in r3
+        # made room for this round's boilerplate/novelty/unk oracles)
+        "stratified_sample": q_stratified_sample,
+        "train_split": q_train_split,
+        "domain_stats": q_domain_stats,
         "geo_redact": q_geo_redact,
         "doc_embed_join": q_doc_embed_join,
         # certified exact in BOTH rounds 2 and 3 — rotated behind
@@ -2289,6 +2334,65 @@ def oracle_sql() -> dict[str, str]:
                        FROM ch)
             SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text
             FROM k WHERE rn = 1 GROUP BY doc_id""",
+        "boilerplate_strip": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+                 tok AS (SELECT doc_id, unnest(l) AS tk,
+                                generate_subscripts(l, 1) AS i FROM t),
+                 ch AS (SELECT doc_id,
+                               CAST(FLOOR((i - 1) / 20) AS BIGINT) AS ci,
+                               string_agg(tk, ' ' ORDER BY i) AS chunk
+                        FROM tok GROUP BY doc_id, FLOOR((i - 1) / 20)),
+                 df AS (SELECT chunk, count(DISTINCT doc_id) AS c
+                        FROM ch GROUP BY chunk)
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text
+            FROM ch JOIN df USING (chunk)
+            WHERE df.c <= 1 GROUP BY doc_id""",
+        "ngram_novelty": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id, pos,
+                     list_reduce(
+                       [CAST(0 AS HUGEINT)] ||
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ord(substr(w, i, 1)) AS HUGEINT)),
+                       (h, c) -> (h * 1000003 + c) % 18446744073709551616
+                     ) AS h
+              FROM toks
+            ),
+            doc_th AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th GROUP BY doc_id),
+            grams AS (
+              SELECT doc_id,
+                     CAST(list_reduce(
+                       [CAST(0 AS HUGEINT)] || hs[i:i+7],
+                       (a, c) -> (a * 1000003 + c) % 18446744073709551616
+                     ) AS UBIGINT) AS gh
+              FROM (SELECT doc_id, hs, unnest(range(1, len(hs) - 6)) AS i FROM doc_th)
+            ),
+            freq AS (SELECT gh, count(*) AS c FROM grams GROUP BY gh)
+            SELECT g.doc_id,
+                   count(*) AS n_spans,
+                   CAST(sum(CASE WHEN f.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_uniq_spans
+            FROM grams g JOIN freq f USING (gh)
+            GROUP BY g.doc_id""",
+        "unk_replace": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                                 generate_subscripts(string_split(text, ' '), 1) AS i
+                          FROM documents),
+            counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+            keep AS (SELECT tok FROM counts ORDER BY n DESC, tok LIMIT 30)
+            SELECT t.doc_id,
+                   string_agg(CASE WHEN k.tok IS NULL THEN '<unk>' ELSE t.tok END,
+                              ' ' ORDER BY i) AS text,
+                   CAST(sum(CASE WHEN k.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unk
+            FROM toks t LEFT JOIN keep k USING (tok)
+            GROUP BY t.doc_id""",
         "source_mix": """
             WITH d AS (
               SELECT doc_id, source, lang,

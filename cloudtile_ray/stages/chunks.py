@@ -133,6 +133,88 @@ def _reassemble_docs(ds, num_buckets: int | None = None):
     )
 
 
+def _distinct_doc_chunks(t: pa.Table) -> pa.Table:
+    """Batch-side (doc_id, chunk) distinct -> one ``chunk`` row per
+    document that contains it.  A document's chunks are all emitted in
+    the batch holding its row, so batch-local distinct IS globally
+    distinct per (doc, chunk) — summing row counts per chunk downstream
+    yields the exact document frequency with no distinct-aggregate."""
+    if t.num_rows == 0:
+        return pa.table({"chunk": pa.array([], pa.string())})
+    d = t.group_by(["doc_id", "chunk"]).aggregate([])
+    return d.select(["chunk"])
+
+
+def strip_frequent_chunks(
+    ds,
+    n_tokens: int = 20,
+    max_df: int = 1,
+    broadcast_byte_budget: int = 64 << 20,
+    num_buckets: int | None = None,
+):
+    """CCNet-style boilerplate removal at passage granularity: drop every
+    ``n_tokens``-token chunk whose document frequency (count of DISTINCT
+    documents containing it) exceeds ``max_df``, and reassemble the
+    surviving chunks into documents.  Wenzek et al. 2020 (CCNet) strip
+    lines shared across many pages; the corpora here are single-line
+    token streams, so the line proxy is the fixed token window (same
+    chunking as :func:`dedup_text_chunks` — and unlike keep-first dedup,
+    a repeated chunk is removed from EVERY document, including the
+    first).  Documents whose every chunk is boilerplate disappear.
+
+    Scale shape: df is computed without ever moving a chunk twice —
+    batch-side (doc, chunk) distinct (exact because a doc lives in one
+    row), then :func:`relational.bucketed_group_aggregate` sums the
+    per-doc rows per chunk in ONE hash-bucket exchange with Arrow C++
+    aggregation.  The frequent set (df > max_df) is boilerplate-sized,
+    not corpus-sized: when its measured bytes fit
+    ``broadcast_byte_budget`` it broadcasts once per worker and each
+    batch drops its own rows with an Arrow ``is_in`` probe (zero extra
+    exchanges); a pathological frequent set falls back to a
+    hash-partitioned ANTI join on the chunk text.  Reassembly is the
+    shared one-exchange ``binary_join`` pass."""
+    import ray
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+
+    exploded = ds.map_batches(
+        lambda t: explode_token_chunks(t, n_tokens), batch_format="pyarrow"
+    )
+    pairs = exploded.map_batches(_distinct_doc_chunks, batch_format="pyarrow")
+    df = bucketed_group_aggregate(
+        pairs, ["chunk"], [("chunk", "count", "df")], num_buckets=num_buckets
+    )
+    frequent = df.map_batches(
+        lambda t: t.filter(pc.greater(t.column("df"), max_df)).select(["chunk"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if (frequent.size_bytes() or 0) <= int(broadcast_byte_budget):
+        tables = [
+            t for t in ray.get(list(frequent.to_arrow_refs())) if t.num_rows
+        ]
+        bad = (
+            pa.concat_tables(tables).column("chunk").combine_chunks()
+            if tables
+            else pa.array([], pa.string())
+        )
+        ref = ray.put(bad)
+
+        def drop_frequent(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            bad_arr = ray.get(ref)
+            if len(bad_arr) == 0:
+                return t
+            keep = pc.invert(pc.is_in(t.column("chunk"), value_set=bad_arr))
+            return t.filter(keep)
+
+        kept = exploded.map_batches(drop_frequent, batch_format="pyarrow")
+    else:
+        kept = hash_join(exploded, frequent, on=["chunk"], how="anti")
+    return _reassemble_docs(kept, num_buckets=num_buckets)
+
+
 def dedup_text_chunks(ds, n_tokens: int = 20):
     """Exact passage-level dedup, keep-first (Lee et al. 2022 shape):
     explode documents into ``n_tokens``-token chunks, keep the first

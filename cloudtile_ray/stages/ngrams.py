@@ -146,18 +146,19 @@ def _per_key_sums(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.nd
     return ks[starts], np.add.reduceat(vs, starts)
 
 
-def _gh_bucket_rollup(t: pa.Table) -> pa.Table:
+def _gh_bucket_rollup(t: pa.Table, flag_col: str = "n_dup_spans") -> pa.Table:
     """Inside one gram-hash bucket (which holds EVERY corpus occurrence of
     its gram hashes): corpus-wide count per gh via sort+reduceat, then
     per-doc sums of (a) ALL window multiplicities — the doc's span count
-    contribution from this bucket — and (b) the multiplicities of
-    duplicated (c >= 2) grams.  Emitting both here makes the separate
-    span-totals corpus pass unnecessary."""
+    contribution from this bucket — and (b) the multiplicities of the
+    flagged grams: duplicated (c >= 2) for ``flag_col='n_dup_spans'``,
+    corpus-unique (c == 1) for ``'n_uniq_spans'``.  Emitting both here
+    makes the separate span-totals corpus pass unnecessary."""
     empty = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
             "n_spans": pa.array([], pa.int64()),
-            "n_dup_spans": pa.array([], pa.int64()),
+            flag_col: pa.array([], pa.int64()),
         }
     )
     if t.num_rows == 0:
@@ -174,49 +175,49 @@ def _gh_bucket_rollup(t: pa.Table) -> pa.Table:
     sizes = np.diff(np.append(starts, len(ghs)))
     totals = np.add.reduceat(ks, starts)
     c_per_row = np.repeat(totals, sizes)
-    dup = (c_per_row >= 2).astype(np.int64)
+    if flag_col == "n_uniq_spans":
+        flag = (c_per_row == 1).astype(np.int64)
+    else:
+        flag = (c_per_row >= 2).astype(np.int64)
     d_ids, span_sums = _per_key_sums(ds_, ks)
-    _, dup_sums = _per_key_sums(ds_, ks * dup)
+    _, flag_sums = _per_key_sums(ds_, ks * flag)
     return pa.table(
         {
             "doc_id": pa.array(d_ids),
             "n_spans": pa.array(span_sums.astype(np.int64)),
-            "n_dup_spans": pa.array(dup_sums.astype(np.int64)),
+            flag_col: pa.array(flag_sums.astype(np.int64)),
         }
     )
 
 
-def _doc_bucket_rollup(t: pa.Table) -> pa.Table:
+def _doc_bucket_rollup(t: pa.Table, flag_col: str = "n_dup_spans") -> pa.Table:
     """Inside one doc bucket: per-doc sums of both partial counters."""
     if t.num_rows == 0:
         return pa.table(
             {
                 "doc_id": pa.array([], pa.int64()),
                 "n_spans": pa.array([], pa.int64()),
-                "n_dup_spans": pa.array([], pa.int64()),
+                flag_col: pa.array([], pa.int64()),
             }
         )
     doc = t.column("doc_id").to_numpy(zero_copy_only=False)
     ns = t.column("n_spans").to_numpy(zero_copy_only=False)
-    nd = t.column("n_dup_spans").to_numpy(zero_copy_only=False)
+    nd = t.column(flag_col).to_numpy(zero_copy_only=False)
     ids, s1 = _per_key_sums(doc, ns)
     _, s2 = _per_key_sums(doc, nd)
     return pa.table(
         {
             "doc_id": pa.array(ids),
             "n_spans": pa.array(s1.astype(np.int64)),
-            "n_dup_spans": pa.array(s2.astype(np.int64)),
+            flag_col: pa.array(s2.astype(np.int64)),
         }
     )
 
 
-def dup_ngram_stats(ds, n: int = 8, num_buckets: int | None = None) -> "ray.data.Dataset":
-    """Per-document duplicated-span statistics:
-    ``(doc_id, n_spans, n_dup_spans)`` where a span is duplicated iff its
-    n-gram occurs >= 2 times corpus-wide (see module docstring for the
-    distributed shape).  ``num_buckets`` sizes both bucket exchanges;
-    default 4x cluster CPUs — raise it so one bucket's gram rows fit a
-    worker's heap (rows/bucket ~= total grams / num_buckets)."""
+def _span_stats(ds, n: int, num_buckets: int | None, flag_col: str):
+    """Shared two-exchange span-statistics driver (module docstring):
+    gram partials -> gram-bucket rollup -> doc-bucket rollup, counting
+    the grams selected by ``flag_col``'s frequency predicate."""
     if num_buckets is None:
         from cloudtile_ray.stages.util import default_num_buckets
 
@@ -230,7 +231,7 @@ def dup_ngram_stats(ds, n: int = 8, num_buckets: int | None = None) -> "ray.data
         lambda b: add_gh_bucket(dup_ngram_partials(b, n)), batch_format="pyarrow"
     )
     parts = grams.groupby("bucket").map_groups(
-        _gh_bucket_rollup, batch_format="pyarrow"
+        lambda t: _gh_bucket_rollup(t, flag_col), batch_format="pyarrow"
     )
 
     def add_doc_bucket(t: pa.Table) -> pa.Table:
@@ -240,8 +241,33 @@ def dup_ngram_stats(ds, n: int = 8, num_buckets: int | None = None) -> "ray.data
     return (
         parts.map_batches(add_doc_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(_doc_bucket_rollup, batch_format="pyarrow")
+        .map_groups(lambda t: _doc_bucket_rollup(t, flag_col), batch_format="pyarrow")
     )
+
+
+def dup_ngram_stats(ds, n: int = 8, num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Per-document duplicated-span statistics:
+    ``(doc_id, n_spans, n_dup_spans)`` where a span is duplicated iff its
+    n-gram occurs >= 2 times corpus-wide (see module docstring for the
+    distributed shape).  ``num_buckets`` sizes both bucket exchanges;
+    default 4x cluster CPUs — raise it so one bucket's gram rows fit a
+    worker's heap (rows/bucket ~= total grams / num_buckets)."""
+    return _span_stats(ds, n, num_buckets, "n_dup_spans")
+
+
+def novel_ngram_stats(
+    ds, n: int = 8, num_buckets: int | None = None
+) -> "ray.data.Dataset":
+    """Per-document n-gram NOVELTY statistics — the complement signal to
+    :func:`dup_ngram_stats` and the "fraction of unique n-grams" metric
+    Lee et al. 2022 report when measuring memorization risk:
+    ``(doc_id, n_spans, n_uniq_spans)`` where a span is novel iff its
+    n-token gram occurs EXACTLY ONCE corpus-wide.  ``n_uniq_spans /
+    n_spans`` near 1 marks genuinely fresh text; near 0 marks templated
+    or duplicated content.  Identical distributed shape to
+    ``dup_ngram_stats`` (two bucket exchanges, no gram strings moved);
+    only the in-bucket frequency predicate differs (c == 1 vs c >= 2)."""
+    return _span_stats(ds, n, num_buckets, "n_uniq_spans")
 
 
 def ngram_decontam(

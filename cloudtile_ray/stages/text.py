@@ -227,6 +227,91 @@ def heavy_hitters(ds, k: int = 20) -> "ray.data.Dataset":
     return counts.sort(["n", "tok"], descending=[True, False]).limit(k)
 
 
+def mask_rare_tokens(ds, vocab_size: int = 20, unk: str = "<unk>"):
+    """Vocabulary truncation — the classic fixed-vocab preprocessing step:
+    keep the ``vocab_size`` most frequent tokens (ties broken by token
+    text, so the cut is a total order and deterministic), replace every
+    other token with ``unk``, and return ``(doc_id, text, n_unk)`` with
+    the document's token order preserved.
+
+    Tokenization is ``string_split(text, ' ')`` (NOT the regexp
+    tokenizer) so that ``binary_join(' ')`` is its exact inverse and the
+    masked text round-trips byte-for-byte against DuckDB's
+    ``string_agg(tok, ' ' ORDER BY pos)`` oracle.
+
+    Scale shape: batch-local ``value_counts`` partials collapse the
+    corpus to vocab-sized rows before ONE hash-partitioned
+    ``groupby(tok).sum`` (the :func:`heavy_hitters` shape); the top-V cut
+    sorts the *aggregated vocab table* only.  The kept set is
+    ``vocab_size`` rows by construction — broadcast once via ``ray.put``
+    — and the masking pass is a zero-shuffle ``map_batches``: one Arrow
+    ``is_in`` probe over the flattened token values, ``if_else`` on the
+    shared buffer, re-list on the original offsets, ``binary_join``.
+    Per-doc ``n_unk`` falls out of a ``sum`` over the list-shaped mask —
+    no per-row Python anywhere."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def space_count_partials(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "tok": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    keep_tbl = (
+        ds.map_batches(space_count_partials, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(vocab_size)
+    )
+    kept = pa.array([r["tok"] for r in keep_tbl.take(vocab_size)], pa.string())
+    ref = ray.put(kept)
+
+    def mask_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "n_unk": pa.array([], pa.int64()),
+                }
+            )
+        keep_set = ray.get(ref)
+        toks = pc.split_pattern(
+            batch.column("text").combine_chunks(), pattern=" "
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        in_vocab = pc.is_in(flat, value_set=keep_set)
+        masked = pc.if_else(in_vocab, flat, pa.scalar(unk, pa.string()))
+        relist = pa.ListArray.from_arrays(toks.offsets, masked)
+        # per-doc OOV counts: prefix-sum difference over the list offsets
+        # (handles empty docs, unlike reduceat on repeated indices)
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        oov = np.concatenate(
+            [[0], np.cumsum(~in_vocab.to_numpy(zero_copy_only=False))]
+        )
+        n_unk = oov[offs[1:]] - oov[offs[:-1]]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.binary_join(relist, " "),
+                "n_unk": pa.array(n_unk.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(mask_batch, batch_format="pyarrow")
+
+
 def token_repetition_batch(batch: pa.Table) -> pa.Table:
     """Per-document token-repetition stats (Gopher-style repetition
     signals for quality filtering): ``n_tokens``, ``n_unique`` and

@@ -1188,3 +1188,141 @@ class TestReadParquetClean:
         assert t2.num_rows == 2
         assert t2.schema.metadata is None
         hash(t2.schema)
+
+
+class TestBoilerplateStrip:
+    def test_matches_duckdb_and_fallback_path(self, ray_session):
+        """Chunks in >= 2 docs are cut from EVERY doc (unlike keep-first);
+        a doc of pure boilerplate disappears; within-doc repeats with
+        df == 1 survive in full.  The anti-join fallback (byte budget 0)
+        must equal the broadcast path."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.chunks import strip_frequent_chunks
+
+        texts = [
+            "a b c d e f",      # "a b c" shared by docs 1-3 -> cut
+            "a b c x y z",
+            "a b c",            # only boilerplate -> doc vanishes
+            "p q r p q r",      # within-doc dup, df=1 -> kept twice
+        ]
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "text": pa.array(texts)})
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = (
+            strip_frequent_chunks(ds, n_tokens=3, max_df=1)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = con.sql("""
+            WITH tt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                 tok AS (SELECT doc_id, unnest(l) AS tk,
+                                generate_subscripts(l, 1) AS i FROM tt),
+                 ch AS (SELECT doc_id, CAST(FLOOR((i - 1) / 3) AS BIGINT) AS ci,
+                               string_agg(tk, ' ' ORDER BY i) AS chunk
+                        FROM tok GROUP BY doc_id, FLOOR((i - 1) / 3)),
+                 df AS (SELECT chunk, count(DISTINCT doc_id) AS c
+                        FROM ch GROUP BY chunk)
+            SELECT doc_id, string_agg(chunk, ' ' ORDER BY ci) AS text
+            FROM ch JOIN df USING (chunk)
+            WHERE df.c <= 1 GROUP BY doc_id ORDER BY doc_id
+        """).df()
+        pd.testing.assert_frame_equal(got, want)
+        assert 3 not in got.doc_id.values
+        assert got.set_index("doc_id").loc[4, "text"] == "p q r p q r"
+
+        ds2 = ray.data.from_arrow(t).repartition(2)
+        via_join = (
+            strip_frequent_chunks(ds2, n_tokens=3, max_df=1,
+                                  broadcast_byte_budget=0)
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(via_join, want)
+
+
+class TestNovelNgramStats:
+    def test_matches_python_reference(self, ray_session):
+        """n_uniq_spans counts spans whose gram occurs exactly once
+        corpus-wide (within-doc repeats disqualify too); n_spans matches
+        dup_ngram_stats' totals."""
+        import collections
+
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.ngrams import novel_ngram_stats
+
+        texts = [
+            "a b c d e",        # grams: abc bcd cde
+            "c d e f g",        # cde shared -> not novel
+            "x y x y x",        # xyx appears twice IN-DOC -> not novel
+        ]
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(texts)})
+        freq = collections.Counter()
+        doc_grams = {}
+        for i, s in zip((1, 2, 3), texts):
+            w = s.split(" ")
+            gs = [tuple(w[j:j + 3]) for j in range(len(w) - 2)]
+            doc_grams[i] = gs
+            freq.update(gs)
+        want = {
+            i: (len(gs), sum(freq[g] == 1 for g in gs))
+            for i, gs in doc_grams.items()
+        }
+        ds = ray.data.from_arrow(t).repartition(2)
+        out = novel_ngram_stats(ds, n=3).to_pandas().set_index("doc_id")
+        for i, (spans, uniq) in want.items():
+            assert out.loc[i, "n_spans"] == spans
+            assert out.loc[i, "n_uniq_spans"] == uniq
+        # doc 3: gram (x,y,x) twice in-doc, (y,x,y) once -> 1 novel of 3
+        assert out.loc[3, "n_uniq_spans"] == 1
+
+
+class TestMaskRareTokens:
+    def test_matches_duckdb_and_determinism(self, ray_session):
+        """Top-V cut is (count desc, token asc) — boundary ties resolve by
+        token text; masked text round-trips token order; n_unk exact;
+        output independent of partitioning."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.text import mask_rare_tokens
+
+        texts = [
+            "a a b c rare",
+            "b b c c a",
+            "zz a b",
+            "",                  # empty doc: 1 empty token -> masked
+        ]
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                      "text": pa.array(texts)})
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = con.sql("""
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                                 generate_subscripts(string_split(text, ' '), 1) AS i
+                          FROM documents),
+            counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+            keep AS (SELECT tok FROM counts ORDER BY n DESC, tok LIMIT 3)
+            SELECT t.doc_id,
+                   string_agg(CASE WHEN k.tok IS NULL THEN '<unk>' ELSE t.tok END,
+                              ' ' ORDER BY i) AS text,
+                   CAST(sum(CASE WHEN k.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unk
+            FROM toks t LEFT JOIN keep k USING (tok)
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """).df()
+        for parts in (1, 3):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            got = (
+                mask_rare_tokens(ds, vocab_size=3)
+                .to_pandas().sort_values("doc_id", ignore_index=True)
+            )
+            pd.testing.assert_frame_equal(got, want)
