@@ -919,6 +919,21 @@ def q_unk_replace(sf_dir: str):
     return mask_rare_tokens(ds, vocab_size=30)
 
 
+def q_span_dedup(sf_dir: str):
+    """Exact-substring duplicate TEXT REMOVAL (the transform half of Lee
+    et al. 2022; dup_ngrams is the measurement half): cut every token
+    covered by an 8-token window whose gram occurs >= 2 times
+    corpus-wide (symmetric — all copies cut), drop docs left empty.
+    Dup-gram set via one bucket exchange; byte-gated broadcast probe
+    with a window-semi + packed-starts join fallback."""
+    import ray.data
+
+    from cloudtile_ray.stages.ngrams import remove_dup_ngram_spans
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return remove_dup_ngram_spans(ds, n=8)
+
+
 def q_lang_top_docs(sf_dir: str):
     """Per-language top-5 longest documents — distributed
     ROW_NUMBER-over-PARTITION: batch-local top-k combiner bounds the
@@ -1639,7 +1654,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "contamination": q_contamination,
         "seq_pack": q_seq_pack,
-        "lang_quantiles": q_lang_quantiles,
         "decontaminated": q_decontaminated,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
@@ -1655,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": q_boilerplate_strip,
         "ngram_novelty": q_ngram_novelty,
         "unk_replace": q_unk_replace,
+        "span_dedup": q_span_dedup,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
@@ -1662,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "train_split": q_train_split,
         "domain_stats": q_domain_stats,
+        "lang_quantiles": q_lang_quantiles,
         "geo_redact": q_geo_redact,
         "doc_embed_join": q_doc_embed_join,
         # certified exact in BOTH rounds 2 and 3 — rotated behind
@@ -2380,6 +2396,37 @@ def oracle_sql() -> dict[str, str]:
                      AS n_uniq_spans
             FROM grams g JOIN freq f USING (gh)
             GROUP BY g.doc_id""",
+        "span_dedup": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS pos
+              FROM documents
+            ),
+            th AS (
+              SELECT doc_id, pos,
+                     list_reduce(
+                       [CAST(0 AS HUGEINT)] ||
+                       list_transform(range(1, length(w) + 1),
+                                      i -> CAST(ord(substr(w, i, 1)) AS HUGEINT)),
+                       (h, c) -> (h * 1000003 + c) % 18446744073709551616
+                     ) AS h
+              FROM toks
+            ),
+            doc_th AS (SELECT doc_id, list(h ORDER BY pos) AS hs FROM th GROUP BY doc_id),
+            grams AS (
+              SELECT doc_id, i,
+                     CAST(list_reduce(
+                       [CAST(0 AS HUGEINT)] || hs[i:i+7],
+                       (a, c) -> (a * 1000003 + c) % 18446744073709551616
+                     ) AS UBIGINT) AS gh
+              FROM (SELECT doc_id, hs, unnest(range(1, len(hs) - 6)) AS i FROM doc_th)
+            ),
+            freq AS (SELECT gh, count(*) AS c FROM grams GROUP BY gh),
+            cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS pos
+                    FROM grams g JOIN freq f USING (gh) WHERE f.c >= 2)
+            SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text
+            FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+            WHERE cov.pos IS NULL GROUP BY t.doc_id""",
         "unk_replace": """
             WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
                                  generate_subscripts(string_split(text, ' '), 1) AS i

@@ -171,7 +171,7 @@ def run_queries(sf_dir: str) -> dict:
         "asof_purchase", "interval_join", "heavy_hitters", "value_quantiles",
         "top_terms", "url_dedup", "dup_ngrams", "corpus_overlap",
         "curated_pack", "para_dedup", "source_mix",
-        "boilerplate_strip", "ngram_novelty", "unk_replace",
+        "boilerplate_strip", "ngram_novelty", "unk_replace", "span_dedup",
     ]
     import gc
 

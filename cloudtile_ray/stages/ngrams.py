@@ -270,6 +270,321 @@ def novel_ngram_stats(
     return _span_stats(ds, n, num_buckets, "n_uniq_spans")
 
 
+def _doc_token_lists(batch: pa.Table):
+    """(tokens ListArray, numpy int64 offsets, doc_id array) for a batch —
+    the split shared by the span-removal kernels."""
+    toks = pc.split_pattern(batch.column("text").combine_chunks(), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    return toks, offs
+
+
+def _cut_covered_tokens(
+    batch: pa.Table, covered_starts_of: "callable", n: int
+) -> pa.Table:
+    """Shared removal kernel: drop every token covered by a window start
+    reported by ``covered_starts_of(gram_hashes, window_flat_positions)``
+    (FLAT positions into the batch's concatenated token-hash array), then
+    reassemble per-doc text.  Documents with zero surviving tokens
+    disappear (matching the oracle's GROUP BY over surviving rows).
+
+    Coverage is computed with one difference-array + cumsum over the flat
+    token axis — windows never cross documents, so +1 at each covered
+    window start and -1 at start+n marks exactly the covered tokens."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    h, offs, _ids = _token_hashes(batch)
+    toks = pc.split_pattern(batch.column("text").combine_chunks(), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    g, _doc_of = _window_gram_hashes(h, offs, n)
+    # valid window FLAT start positions (the same validity mask
+    # _window_gram_hashes applies internally)
+    total = len(h)
+    n_win = total - n + 1
+    win_pos = np.empty(0, np.int64)
+    if n_win > 0:
+        pos_all = np.arange(n_win, dtype=np.int64)
+        d_all = np.searchsorted(offs, pos_all, side="right") - 1
+        valid = pos_all + n <= offs[d_all + 1]
+        win_pos = pos_all[valid]
+    diff = np.zeros(total + 1, np.int64)
+    if len(g):
+        hit_starts = covered_starts_of(g, win_pos)
+        if len(hit_starts):
+            np.add.at(diff, hit_starts, 1)
+            np.add.at(diff, hit_starts + n, -1)
+    covered = np.cumsum(diff[:-1]) > 0
+    keep = ~covered
+    kept_vals = toks.values.filter(pa.array(keep))
+    cs = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+    new_offs = cs[offs]
+    doc_kept = np.diff(new_offs)
+    lists = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept_vals)
+    out = pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text": pc.binary_join(lists, " "),
+        }
+    )
+    return out.filter(pa.array(doc_kept > 0))
+
+
+def remove_dup_ngram_spans(
+    ds,
+    n: int = 8,
+    num_buckets: int | None = None,
+    broadcast_byte_budget: int = 256 << 20,
+) -> "ray.data.Dataset":
+    """Exact-substring duplicate TEXT REMOVAL — the transform half of Lee
+    et al. 2022 (this module's :func:`dup_ngram_stats` is the measurement
+    half): cut every token covered by at least one n-token window whose
+    gram occurs >= 2 times corpus-wide, reassemble the surviving tokens
+    in order, and drop documents left empty.  This is the SYMMETRIC
+    variant — every copy of a duplicated span is removed, including the
+    first (Lee et al.'s suffix-array form keeps one copy; keep-one at
+    span granularity needs a global occurrence order and is not
+    reproducibly SQL-replayable, so the engine offers keep-first at
+    chunk granularity via :func:`chunks.dedup_text_chunks` instead and
+    documents the difference here).
+
+    Scale shape: the duplicated-gram set D comes from the established
+    (gh, k) partials + ONE bucket-exchange rollup (gram strings never
+    move).  D is duplication-sized, not corpus-sized; when its measured
+    bytes fit ``broadcast_byte_budget`` it broadcasts once per worker as
+    a sorted hash array and each batch finishes its own documents with a
+    ``searchsorted`` probe + difference-array coverage — zero further
+    exchanges.  A corpus-scale D falls back to tagging window
+    occurrences and D into one gh-bucket exchange (semi-join), packing
+    each doc's covered starts into a binary blob (doc-bucket exchange),
+    and ONE hash join against the original docs — text rides only that
+    final join."""
+    import ray
+
+    from cloudtile_ray.stages.relational import (
+        bucketed_group_aggregate,
+        hash_join,
+    )
+
+    partials = ds.map_batches(
+        lambda b: dup_ngram_partials(b, n).select(["gh", "k"]),
+        batch_format="pyarrow",
+    )
+    dup_set = bucketed_group_aggregate(
+        partials, ["gh"], [("k", "sum", "c")], num_buckets=num_buckets
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("c"), 2)).select(["gh"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if (dup_set.size_bytes() or 0) <= int(broadcast_byte_budget):
+        tables = [t for t in ray.get(list(dup_set.to_arrow_refs())) if t.num_rows]
+        ghs = (
+            np.sort(
+                np.concatenate(
+                    [t.column("gh").to_numpy(zero_copy_only=False) for t in tables]
+                )
+            )
+            if tables
+            else np.empty(0, np.int64)
+        )
+        ref = ray.put(ghs)
+
+        def per_batch(batch: pa.Table) -> pa.Table:
+            dup = ray.get(ref)
+
+            def covered(g: np.ndarray, win_pos: np.ndarray) -> np.ndarray:
+                if len(dup) == 0:
+                    return np.empty(0, np.int64)
+                gi = g.view(np.int64)
+                pos = np.searchsorted(dup, gi)
+                hit = (pos < len(dup)) & (dup[np.minimum(pos, len(dup) - 1)] == gi)
+                return win_pos[hit]
+
+            return _cut_covered_tokens(batch, covered, n)
+
+        return ds.map_batches(per_batch, batch_format="pyarrow")
+
+    # ---- bucketed fallback: D too big to broadcast ----
+    if num_buckets is None:
+        from cloudtile_ray.stages.util import default_num_buckets
+
+        num_buckets = default_num_buckets(ds)
+
+    def win_rows(batch: pa.Table) -> pa.Table:
+        """(doc_id, s, gh) per window — s is the DOC-RELATIVE start."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "gh": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        h, offs, ids = _token_hashes(batch)
+        total = len(h)
+        n_win = total - n + 1
+        if n_win <= 0:
+            return empty
+        pos_all = np.arange(n_win, dtype=np.int64)
+        d_all = np.searchsorted(offs, pos_all, side="right") - 1
+        valid = pos_all + n <= offs[d_all + 1]
+        g, doc_of = _window_gram_hashes(h, offs, n)
+        s = pos_all[valid] - offs[d_all[valid]]
+        gi = g.view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of]),
+                "s": pa.array(s),
+                "gh": pa.array(gi),
+                "bucket": pa.array((gi % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def tag_dup(t: pa.Table) -> pa.Table:
+        g = t.column("gh").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(len(g), -1, np.int64)),
+                "s": pa.array(np.zeros(len(g), np.int64)),
+                "gh": pa.array(g),
+                "bucket": pa.array((g % num_buckets).astype(np.int64)),
+            }
+        )
+
+    def semi_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "s": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        g = t.column("gh").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        is_dup = d == -1
+        dset = np.unique(g[is_dup])
+        wd, wg, ws = d[~is_dup], g[~is_dup], s[~is_dup]
+        if len(dset) == 0 or len(wg) == 0:
+            return empty
+        pos = np.searchsorted(dset, wg)
+        hit = (pos < len(dset)) & (dset[np.minimum(pos, len(dset) - 1)] == wg)
+        return pa.table({"doc_id": pa.array(wd[hit]), "s": pa.array(ws[hit])})
+
+    covered = (
+        ds.map_batches(win_rows, batch_format="pyarrow")
+        .union(dup_set.map_batches(tag_dup, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(lambda t: semi_bucket(t.drop_columns(["bucket"])), batch_format="pyarrow")
+    )
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        b = t.column("doc_id").to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def pack_starts(t: pa.Table) -> pa.Table:
+        """Per doc: sorted covered starts packed into one binary blob
+        (int64 little-endian) — joinable through Arrow's hash join,
+        which rejects list payloads."""
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "starts": pa.array([], pa.binary()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        new = np.r_[True, d[1:] != d[:-1]]
+        starts_idx = np.flatnonzero(new)
+        byte_offs = np.append(starts_idx, len(d)) * 8
+        blob = s.astype("<i8").tobytes()
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts_idx]),
+                "starts": pa.BinaryArray.from_buffers(
+                    pa.binary(),
+                    len(starts_idx),
+                    [
+                        None,
+                        pa.py_buffer(byte_offs.astype(np.int32).tobytes()),
+                        pa.py_buffer(blob),
+                    ],
+                ),
+            }
+        )
+
+    packed = (
+        covered.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda t: pack_starts(t.drop_columns(["bucket"])),
+            batch_format="pyarrow",
+        )
+    )
+    joined = hash_join(
+        ds.select_columns(["doc_id", "text"]), packed, on=["doc_id"], how="left"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks, offs = _doc_token_lists(batch)
+        total = int(offs[-1])
+        diff = np.zeros(total + 1, np.int64)
+        blobs = batch.column("starts").combine_chunks()
+        # vectorized blob decode: the binary column's value buffer is the
+        # concatenation of every doc's little-endian int64 starts — one
+        # frombuffer + gather, no per-row Python
+        if blobs.null_count < len(blobs):
+            boffs = np.frombuffer(blobs.buffers()[1], np.int32)[
+                blobs.offset : blobs.offset + len(blobs) + 1
+            ].astype(np.int64)
+            lens = np.diff(boffs) // 8  # int64 entries per row
+            if blobs.null_count:
+                lens = np.where(np.asarray(blobs.is_null()), 0, lens)
+            m = int(lens.sum())
+            if m:
+                flat = np.frombuffer(
+                    blobs.buffers()[2], dtype="<i8", count=int(boffs[-1]) // 8
+                )
+                row_first = np.repeat(boffs[:-1] // 8, lens)
+                within = np.arange(m) - np.repeat(
+                    np.concatenate([[0], np.cumsum(lens)])[:-1], lens
+                )
+                rel = flat[row_first + within]
+                st = rel + np.repeat(offs[:-1], lens)
+                np.add.at(diff, st, 1)
+                np.add.at(diff, st + n, -1)
+        covered_m = np.cumsum(diff[:-1]) > 0
+        keep = ~covered_m
+        kept_vals = toks.values.filter(pa.array(keep))
+        cs = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+        new_offs = cs[offs]
+        doc_kept = np.diff(new_offs)
+        lists = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), kept_vals)
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pc.binary_join(lists, " "),
+            }
+        )
+        return out.filter(pa.array(doc_kept > 0))
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def ngram_decontam(
     train_ds,
     eval_ds,

@@ -1326,3 +1326,83 @@ class TestMaskRareTokens:
                 .to_pandas().sort_values("doc_id", ignore_index=True)
             )
             pd.testing.assert_frame_equal(got, want)
+
+
+class TestRemoveDupNgramSpans:
+    def test_both_routes_match_duckdb(self, ray_session):
+        """Symmetric exact-substring removal: every copy of a duplicated
+        n-gram's span is cut (including within-doc repeats); fully
+        covered docs vanish; untouched docs round-trip.  The bucketed
+        fallback (budget 0) must equal the broadcast path."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.ngrams import remove_dup_ngram_spans
+
+        texts = [
+            "a b c d e f g",    # shares "a b c".."c d e" grams with 2,3
+            "z a b c y w q",
+            "a b c d e",        # fully covered -> vanishes
+            "p q r s t",        # untouched
+            "a b c",            # fully covered -> vanishes
+            "m m m m m m",      # within-doc repeated gram -> fully covered
+        ]
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                      "text": pa.array(texts)})
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = con.sql("""
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+                   FROM documents),
+            th AS (SELECT doc_id, pos, list_reduce([CAST(0 AS HUGEINT)] ||
+                   list_transform(range(1, length(w) + 1),
+                                  i -> CAST(ord(substr(w, i, 1)) AS HUGEINT)),
+                   (h, c) -> (h * 1000003 + c) % 18446744073709551616) AS h
+                   FROM toks),
+            doc_th AS (SELECT doc_id, list(h ORDER BY pos) AS hs
+                       FROM th GROUP BY doc_id),
+            grams AS (SELECT doc_id, i,
+                   CAST(list_reduce([CAST(0 AS HUGEINT)] || hs[i:i+2],
+                   (a, c) -> (a * 1000003 + c) % 18446744073709551616)
+                   AS UBIGINT) AS gh
+                   FROM (SELECT doc_id, hs, unnest(range(1, len(hs) - 1)) AS i
+                         FROM doc_th)),
+            freq AS (SELECT gh, count(*) AS c FROM grams GROUP BY gh),
+            cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 3)) AS pos
+                    FROM grams g JOIN freq f USING (gh) WHERE f.c >= 2)
+            SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS text
+            FROM toks t LEFT JOIN cov
+              ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+            WHERE cov.pos IS NULL GROUP BY t.doc_id ORDER BY t.doc_id
+        """).df()
+        for budget in (256 << 20, 0):
+            ds = ray.data.from_arrow(t).repartition(3)
+            got = (
+                remove_dup_ngram_spans(ds, n=3, broadcast_byte_budget=budget)
+                .to_pandas().sort_values("doc_id", ignore_index=True)
+            )
+            pd.testing.assert_frame_equal(got, want)
+        assert set(want.doc_id) == {1, 2, 4}
+        assert want.set_index("doc_id").loc[4, "text"] == "p q r s t"
+
+    def test_duplicate_free_corpus_is_identity(self, ray_session):
+        """With no duplicated grams both routes return every doc
+        unchanged."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.ngrams import remove_dup_ngram_spans
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["a b c d", "e f g h"])})
+        for budget in (256 << 20, 0):
+            ds = ray.data.from_arrow(t).repartition(2)
+            got = (
+                remove_dup_ngram_spans(ds, n=3, broadcast_byte_budget=budget)
+                .to_pandas().sort_values("doc_id", ignore_index=True)
+            )
+            pd.testing.assert_frame_equal(got, t.to_pandas())
