@@ -919,6 +919,20 @@ def q_unk_replace(sf_dir: str):
     return mask_rare_tokens(ds, vocab_size=30)
 
 
+def q_keyword_rank(sf_dir: str):
+    """Ranked retrieval: top-20 docs by sum(tf/df) over the probe terms
+    (log-free tf-idf; ln avoided because DuckDB's and libm's ln are not
+    bit-identical — IEEE division + fixed-order addition are).  Two
+    corpus passes (df partials -> 3-row table; hit-only scoring) and a
+    batch-combined top-k exchange."""
+    import ray.data
+
+    from cloudtile_ray.stages.text import keyword_rank
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return keyword_rank(ds, ["dup", "spark", "merge"], k=20)
+
+
 def q_span_dedup(sf_dir: str):
     """Exact-substring duplicate TEXT REMOVAL (the transform half of Lee
     et al. 2022; dup_ngrams is the measurement half): cut every token
@@ -1652,7 +1666,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band": q_length_band,
         "repetition_stats": q_repetition_stats,
         "top_terms": q_top_terms,
-        "contamination": q_contamination,
         "seq_pack": q_seq_pack,
         "decontaminated": q_decontaminated,
         "dup_ngrams": q_dup_ngrams,
@@ -1670,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_novelty": q_ngram_novelty,
         "unk_replace": q_unk_replace,
         "span_dedup": q_span_dedup,
+        "keyword_rank": q_keyword_rank,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
@@ -1678,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": q_train_split,
         "domain_stats": q_domain_stats,
         "lang_quantiles": q_lang_quantiles,
+        "contamination": q_contamination,
         "geo_redact": q_geo_redact,
         "doc_embed_join": q_doc_embed_join,
         # certified exact in BOTH rounds 2 and 3 — rotated behind
@@ -2396,6 +2411,33 @@ def oracle_sql() -> dict[str, str]:
                      AS n_uniq_spans
             FROM grams g JOIN freq f USING (gh)
             GROUP BY g.doc_id""",
+        "keyword_rank": """
+            WITH tfp AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tf1,
+                     CAST(sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tf2,
+                     CAST(sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END)
+                          AS BIGINT) AS tf3
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY doc_id),
+            dfs AS (SELECT
+              (SELECT count(*) FROM tfp WHERE tf1 > 0) AS df1,
+              (SELECT count(*) FROM tfp WHERE tf2 > 0) AS df2,
+              (SELECT count(*) FROM tfp WHERE tf3 > 0) AS df3)
+            -- additions spelled out left-to-right in the engine's term
+            -- order: each tf/df is one IEEE division, so the float score
+            -- is bit-identical to the numpy side
+            SELECT doc_id,
+                   CAST(tf1 AS DOUBLE) / df1
+                   + CAST(tf2 AS DOUBLE) / df2
+                   + CAST(tf3 AS DOUBLE) / df3 AS score
+            FROM tfp, dfs
+            WHERE tf1 + tf2 + tf3 > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 20""",
         "span_dedup": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,

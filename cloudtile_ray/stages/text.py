@@ -312,6 +312,116 @@ def mask_rare_tokens(ds, vocab_size: int = 20, unk: str = "<unk>"):
     return ds.map_batches(mask_batch, batch_format="pyarrow")
 
 
+def keyword_rank(ds, terms: list[str], k: int = 20):
+    """Retrieval-style ranked keyword search: score every document by
+    ``sum_i tf(term_i, doc) / df(term_i)`` (term frequency weighted by
+    inverse document frequency — the log-free tf-idf core; ln is
+    deliberately avoided because DuckDB's and libm's ``ln`` are not
+    bit-identical, while IEEE division and fixed-order addition are) and
+    return the global top-``k`` by ``(score DESC, doc_id)``.
+
+    Float determinism contract: each per-term ``tf/df`` is one
+    correctly-rounded IEEE-754 division, and the terms are accumulated
+    LEFT TO RIGHT in the caller's ``terms`` order on both sides (the SQL
+    oracle spells the additions out per term in the same order), so the
+    score is bit-identical between numpy and DuckDB — ties and the
+    rank-k boundary cannot diverge.
+
+    Scale shape: pass 1 reduces each batch to one ``(term, df)`` partial
+    row per term (documents never leave the batch) and the final df
+    table is ``len(terms)`` rows — driver-collected and closed over by
+    the scoring pass.  Pass 2 emits only hit documents, and the global
+    top-k routes through :func:`relational.grouped_topk` (batch-local
+    top-k combiner, so the exchange moves at most ``k x batches`` rows)
+    under a single constant group."""
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    terms = list(terms)
+
+    def _per_doc_term_counts(batch: pa.Table) -> tuple:
+        toks = pc.split_pattern(
+            batch.column("text").combine_chunks(), pattern=" "
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        tfs = []
+        for term in terms:
+            eq = pc.equal(flat, term)
+            cs = np.concatenate(
+                [[0], np.cumsum(eq.to_numpy(zero_copy_only=False))]
+            )
+            tfs.append(cs[offs[1:]] - cs[offs[:-1]])
+        return tfs
+
+    def df_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        tfs = _per_doc_term_counts(batch)
+        return pa.table(
+            {
+                "term": pa.array(terms),
+                "df": pa.array(
+                    [int((tf > 0).sum()) for tf in tfs], pa.int64()
+                ),
+            }
+        )
+
+    df_rows = (
+        ds.map_batches(df_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .take(len(terms))
+    )
+    df_of = {r["term"]: r["df"] for r in df_rows}
+    dfs = [df_of.get(t, 0) for t in terms]
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        tfs = _per_doc_term_counts(batch)
+        score = np.zeros(batch.num_rows, np.float64)
+        hit = np.zeros(batch.num_rows, bool)
+        for tf, df in zip(tfs, dfs):
+            if df > 0:
+                # left-to-right accumulation — see determinism contract
+                score = score + tf.astype(np.float64) / np.float64(df)
+            hit |= tf > 0
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(score),
+            }
+        )
+        return out.filter(pa.array(hit))
+
+    from cloudtile_ray.stages.relational import grouped_topk
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "_g", pa.array(np.zeros(t.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    top = grouped_topk(
+        scored, group_col="_g", order_col="score", k=k, descending=True,
+        tie_col="doc_id",
+    )
+    return top.map_batches(
+        lambda t: t.drop_columns(["_g"]), batch_format="pyarrow"
+    )
+
+
 def token_repetition_batch(batch: pa.Table) -> pa.Table:
     """Per-document token-repetition stats (Gopher-style repetition
     signals for quality filtering): ``n_tokens``, ``n_unique`` and

@@ -1406,3 +1406,74 @@ class TestRemoveDupNgramSpans:
                 .to_pandas().sort_values("doc_id", ignore_index=True)
             )
             pd.testing.assert_frame_equal(got, t.to_pandas())
+
+
+class TestKeywordRank:
+    def test_matches_duckdb_bitwise(self, ray_session):
+        """sum(tf/df) scores are bit-identical to the SQL oracle
+        (IEEE division + left-to-right addition in term order); top-k
+        boundary ties resolve by doc_id; docs with no hits excluded."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.text import keyword_rank
+
+        texts = [
+            "x y dup z",            # rare term -> big score
+            "spark spark merge",    # common terms
+            "merge y z",
+            "x y z w",              # no hits -> excluded
+            "dup spark merge",      # all three
+            "spark q",
+            "merge q",
+        ]
+        t = pa.table({"doc_id": pa.array(range(1, 8), pa.int64()),
+                      "text": pa.array(texts)})
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = con.sql("""
+            WITH tfp AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+                     CAST(sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+                     CAST(sum(CASE WHEN tok = 'merge' THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents) GROUP BY doc_id),
+            dfs AS (SELECT
+              (SELECT count(*) FROM tfp WHERE tf1 > 0) AS df1,
+              (SELECT count(*) FROM tfp WHERE tf2 > 0) AS df2,
+              (SELECT count(*) FROM tfp WHERE tf3 > 0) AS df3)
+            SELECT doc_id,
+                   CAST(tf1 AS DOUBLE) / df1
+                   + CAST(tf2 AS DOUBLE) / df2
+                   + CAST(tf3 AS DOUBLE) / df3 AS score
+            FROM tfp, dfs WHERE tf1 + tf2 + tf3 > 0
+            ORDER BY score DESC, doc_id LIMIT 4
+        """).df()
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = (
+            keyword_rank(ds, ["dup", "spark", "merge"], k=4)
+            .to_pandas()
+            .sort_values(["score", "doc_id"], ascending=[False, True],
+                         ignore_index=True)
+        )
+        # bitwise: no tolerance
+        pd.testing.assert_frame_equal(got, want, check_exact=True)
+        assert 4 not in got.doc_id.values
+
+    def test_absent_term_contributes_zero(self, ray_session):
+        """A probe term missing from the corpus is skipped (df=0 division
+        guarded) and the remaining terms still rank."""
+        import pyarrow as pa
+        import ray.data
+
+        from cloudtile_ray.stages.text import keyword_rank
+
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["merge a", "b c"])})
+        ds = ray.data.from_arrow(t)
+        got = keyword_rank(ds, ["nosuchterm", "merge"], k=5).to_pandas()
+        assert got.doc_id.tolist() == [1]
+        assert got.score.tolist() == [1.0]
