@@ -1472,6 +1472,59 @@ def q_media_decode(sf_dir: str):
     return decode_media(ds, fake=True)
 
 
+def _digest_binary_col(t, col: str):
+    """Replace a raw binary column with driver-safe derived columns
+    (nbytes + stable int64 digest) — pandas' astype(str) utf-8-decodes
+    bytes, so binary must never reach the driver's canonicalizer."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.util import stable_hash_strings
+
+    arr = t.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    import pyarrow.compute as pc
+
+    nbytes = pc.binary_length(arr)
+    dig = stable_hash_strings(arr).view(np.int64)
+    return t.drop_columns([col]).append_column(
+        f"{col}_nbytes", pc.cast(nbytes, pa.int64())
+    ).append_column(f"{col}_digest", pa.array(dig))
+
+
+def q_media_resize(sf_dir: str):
+    """Actor-pool image resize (stubbed codec, real plumbing): payload
+    bytes replaced in place, width/height metadata rewritten, non-image
+    rows untouched.  The query projects the binary payload to
+    (nbytes, digest) — raw bytes never reach the driver."""
+    import ray.data
+
+    from cloudtile_ray.stages.multimodal import resize_media, synthesize_media_table
+
+    ds = ray.data.from_arrow(synthesize_media_table(200)).repartition(4)
+    out = resize_media(ds, target_w=64, target_h=48, fake=True)
+    return out.map_batches(
+        lambda t: _digest_binary_col(t, "payload"), batch_format="pyarrow"
+    )
+
+
+def q_media_frames(sf_dir: str):
+    """Actor-pool video frame sampling (stubbed codec, real plumbing):
+    one-to-many row expansion — each video row fans out to 4 frame rows
+    with evenly spaced timestamps; non-video rows drop.  Frame bytes are
+    projected to (nbytes, digest) for the driver."""
+    import ray.data
+
+    from cloudtile_ray.stages.multimodal import sample_frames, synthesize_media_table
+
+    ds = ray.data.from_arrow(synthesize_media_table(200)).repartition(4)
+    out = sample_frames(ds, n_frames=4, fake=True)
+    return out.map_batches(
+        lambda t: _digest_binary_col(t, "frame"), batch_format="pyarrow"
+    )
+
+
 def q_hex_knn(sf_dir: str):
     from cloudtile_ray.stages.join import hex_bucketed_knn
 
@@ -1722,6 +1775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index_ann": q_ivf_index_ann,
         "embed_clusters": q_embed_clusters,
         "media_decode": q_media_decode,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "poly_tiles": q_poly_tiles,
         "line_tiles": q_line_tiles,
     }

@@ -87,3 +87,154 @@ def decode_media(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ResizeStub:
+    """Actor-pool image RESIZE stage (the brief's third multimodal verb).
+    A real deployment loads the codec once per actor in ``__init__`` and
+    re-encodes each payload at ``(target_w, target_h)``; the sandbox has
+    no PIL/ffmpeg, so ``fake=True`` substitutes a deterministic byte
+    decimation (stride chosen from the area ratio) that preserves the
+    REAL contract: payload bytes are replaced (never appended alongside
+    the original — binary columns must not double in flight), width and
+    height metadata are rewritten, non-image rows pass through
+    untouched, and the output schema is identical to the input's."""
+
+    def __init__(self, target_w: int = 64, target_h: int = 48, fake: bool = False):
+        self.tw, self.th, self.fake = int(target_w), int(target_h), fake
+
+    def _resize_real(self, payload: bytes) -> bytes:
+        raise NotImplementedError(
+            "image codecs (PIL) are not installed in this environment; "
+            "run with fake=True for the deterministic stub"
+        )
+
+    def _resize_fake(self, payload: bytes, w: int, h: int) -> bytes:
+        stride = max(1, (max(w, 1) * max(h, 1)) // (self.tw * self.th))
+        return payload[::stride]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        payloads = batch.column("payload")
+        out_p, out_w, out_h = [], [], []
+        for i, kind in enumerate(kinds):
+            p = payloads[i].as_py()
+            if kind != "image":
+                out_p.append(p)
+                out_w.append(ws[i])
+                out_h.append(hs[i])
+                continue
+            if not self.fake:
+                p = self._resize_real(p)
+            else:
+                p = self._resize_fake(p, ws[i], hs[i])
+            out_p.append(p)
+            out_w.append(self.tw)
+            out_h.append(self.th)
+        cols = {}
+        for name in batch.column_names:
+            if name == "payload":
+                cols[name] = pa.array(out_p, pa.binary())
+            elif name == "width":
+                cols[name] = pa.array(out_w, pa.int32())
+            elif name == "height":
+                cols[name] = pa.array(out_h, pa.int32())
+            else:
+                cols[name] = batch.column(name)
+        return pa.table(cols)
+
+
+def resize_media(
+    ds, target_w: int = 64, target_h: int = 48, fake: bool = True,
+    concurrency: int = 2, batch_size: int = 64,
+):
+    """Actor-pool resize over small binary batches."""
+    return ds.map_batches(
+        ResizeStub,
+        fn_constructor_kwargs={
+            "target_w": target_w, "target_h": target_h, "fake": fake
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampleStub:
+    """Actor-pool video FRAME-SAMPLING stage (the brief's fourth
+    multimodal verb): each video row expands to ``n_frames`` frame rows
+    ``(media_id, frame_idx, ts_ms, frame)`` at evenly spaced timestamps;
+    non-video rows are dropped (frames are a video-only concept).  A
+    real deployment seeks the container per timestamp in ``__call__``
+    with a decoder held from ``__init__``; the sandbox stub slices
+    deterministic byte windows instead.  The REAL contract exercised:
+    one-to-many row expansion inside ``map_batches`` (output row count
+    != input row count is legal and streams correctly), per-frame
+    metadata layout, and small-batch sizing for binary payloads."""
+
+    def __init__(self, n_frames: int = 4, fake: bool = False):
+        self.n = int(n_frames)
+        self.fake = fake
+
+    def _frame_real(self, payload: bytes, ts_ms: int) -> bytes:
+        raise NotImplementedError(
+            "video codecs (ffmpeg) are not installed in this environment; "
+            "run with fake=True for the deterministic stub"
+        )
+
+    def _frame_fake(self, payload: bytes, idx: int) -> bytes:
+        # deterministic window: rotate the payload by a frame-dependent
+        # offset and keep a fixed-size slice
+        if not payload:
+            return b""
+        off = (idx * 7919) % len(payload)
+        win = payload[off:] + payload[:off]
+        return win[: min(32, len(win))]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds = (
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+        )
+        durs = batch.column("duration_ms").to_pylist()
+        payloads = batch.column("payload")
+        out = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame": []}
+        for i, kind in enumerate(kinds):
+            if kind != "video":
+                continue
+            p = payloads[i].as_py()
+            dur = max(int(durs[i]), 0)
+            for j in range(self.n):
+                frame = (
+                    self._frame_fake(p, j)
+                    if self.fake
+                    else self._frame_real(p, j * dur // max(self.n, 1))
+                )
+                out["media_id"].append(ids[i])
+                out["frame_idx"].append(j)
+                out["ts_ms"].append(j * dur // max(self.n, 1))
+                out["frame"].append(frame)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+                "ts_ms": pa.array(out["ts_ms"], pa.int64()),
+                "frame": pa.array(out["frame"], pa.binary()),
+            }
+        )
+
+
+def sample_frames(
+    ds, n_frames: int = 4, fake: bool = True,
+    concurrency: int = 2, batch_size: int = 32,
+):
+    """Actor-pool frame sampling: video rows fan out to frame rows."""
+    return ds.map_batches(
+        FrameSampleStub,
+        fn_constructor_kwargs={"n_frames": n_frames, "fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

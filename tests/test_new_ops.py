@@ -1477,3 +1477,77 @@ class TestKeywordRank:
         got = keyword_rank(ds, ["nosuchterm", "merge"], k=5).to_pandas()
         assert got.doc_id.tolist() == [1]
         assert got.score.tolist() == [1.0]
+
+
+class TestMultimodalResizeAndFrames:
+    def test_resize_contract(self, ray_session):
+        """Images: payload replaced (decimated in the fake), width/height
+        rewritten to the target; audio/video rows byte-identical; output
+        schema == input schema."""
+        import ray.data
+
+        from cloudtile_ray.stages.multimodal import (
+            resize_media,
+            synthesize_media_table,
+        )
+
+        t = synthesize_media_table(30)
+        ds = ray.data.from_arrow(t).repartition(3)
+        out = (
+            resize_media(ds, target_w=64, target_h=48, fake=True,
+                         batch_size=8)
+            .to_pandas().sort_values("media_id", ignore_index=True)
+        )
+        src = t.to_pandas().sort_values("media_id", ignore_index=True)
+        assert list(out.columns) == list(src.columns)
+        for i in range(len(out)):
+            if src.kind[i] == "image":
+                assert out.width[i] == 64 and out.height[i] == 48
+                stride = max(1, (src.width[i] * src.height[i]) // (64 * 48))
+                assert out.payload[i] == src.payload[i][::stride]
+            else:
+                assert out.payload[i] == src.payload[i]
+                assert out.width[i] == src.width[i]
+
+    def test_frame_sample_contract(self, ray_session):
+        """One-to-many expansion: exactly n_frames rows per video with
+        evenly spaced ts_ms; non-video rows dropped; deterministic."""
+        import ray.data
+
+        from cloudtile_ray.stages.multimodal import (
+            sample_frames,
+            synthesize_media_table,
+        )
+
+        t = synthesize_media_table(30)
+        n_video = sum(1 for k in t.column("kind").to_pylist() if k == "video")
+        ds = ray.data.from_arrow(t).repartition(3)
+        out = (
+            sample_frames(ds, n_frames=4, fake=True, batch_size=8)
+            .to_pandas().sort_values(["media_id", "frame_idx"],
+                                     ignore_index=True)
+        )
+        assert len(out) == 4 * n_video
+        one = out[out.media_id == out.media_id.iloc[0]]
+        assert one.frame_idx.tolist() == [0, 1, 2, 3]
+        assert one.ts_ms.tolist() == [0, 1250, 2500, 3750]  # dur 5000 / 4
+        out2 = (
+            sample_frames(ray.data.from_arrow(t), n_frames=4, fake=True)
+            .to_pandas().sort_values(["media_id", "frame_idx"],
+                                     ignore_index=True)
+        )
+        assert out.frame.tolist() == out2.frame.tolist()
+
+    def test_real_codecs_raise(self):
+        import pytest
+
+        from cloudtile_ray.stages.multimodal import (
+            FrameSampleStub,
+            ResizeStub,
+            synthesize_media_table,
+        )
+
+        with pytest.raises(NotImplementedError):
+            ResizeStub(fake=False)(synthesize_media_table(3))
+        with pytest.raises(NotImplementedError):
+            FrameSampleStub(fake=False)(synthesize_media_table(3))
