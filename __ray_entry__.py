@@ -919,6 +919,50 @@ def q_unk_replace(sf_dir: str):
     return mask_rare_tokens(ds, vocab_size=30)
 
 
+def q_value_deltas(sf_dir: str):
+    """Per-user LAG: delta_cents vs the previous event in (ts, event_id)
+    order; first event per user excluded (LAG NULL).  One user-bucket
+    exchange + lexsort + shifted difference."""
+    import ray.data
+
+    from cloudtile_ray.stages.events import prep_events, value_deltas
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return value_deltas(ds.map_batches(prep_events, batch_format="pyarrow"))
+
+
+def q_value_decile(sf_dir: str):
+    """Global NTILE(10) over (value, event_id) with per-decile count and
+    exact integer-cents min/max — enumerate_sorted rank + integer tile
+    formula reproducing SQL NTILE's size distribution exactly."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cloudtile_ray.stages.events import prep_events
+    from cloudtile_ray.stages.relational import (
+        bucketed_group_aggregate,
+        global_ntile,
+    )
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"])
+    prepped = ds.map_batches(prep_events, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["event_id", "value", "value_cents"]),
+        batch_format="pyarrow",
+    )
+    tiled = global_ntile(prepped, ["value", "event_id"], k=10, out_col="decile")
+    return bucketed_group_aggregate(
+        tiled,
+        ["decile"],
+        [
+            ("event_id", "count", "n"),
+            ("value_cents", "min", "min_cents"),
+            ("value_cents", "max", "max_cents"),
+        ],
+    )
+
+
 def q_keyword_rank(sf_dir: str):
     """Ranked retrieval: top-20 docs by sum(tf/df) over the probe terms
     (log-free tf-idf; ln avoided because DuckDB's and libm's ln are not
@@ -1715,8 +1759,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "value_quantiles": q_value_quantiles,
         "url_dedup": q_url_dedup,
-        "quality_filter": q_quality_filter,
-        "length_band": q_length_band,
         "repetition_stats": q_repetition_stats,
         "top_terms": q_top_terms,
         "seq_pack": q_seq_pack,
@@ -1737,6 +1779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unk_replace": q_unk_replace,
         "span_dedup": q_span_dedup,
         "keyword_rank": q_keyword_rank,
+        "value_deltas": q_value_deltas,
+        "value_decile": q_value_decile,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
@@ -1746,6 +1790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "lang_quantiles": q_lang_quantiles,
         "contamination": q_contamination,
+        "quality_filter": q_quality_filter,
+        "length_band": q_length_band,
         "geo_redact": q_geo_redact,
         "doc_embed_join": q_doc_embed_join,
         # certified exact in BOTH rounds 2 and 3 — rotated behind
@@ -2466,6 +2512,27 @@ def oracle_sql() -> dict[str, str]:
                      AS n_uniq_spans
             FROM grams g JOIN freq f USING (gh)
             GROUP BY g.doc_id""",
+        "value_deltas": """
+            WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            d AS (SELECT user_id, event_id,
+                         cents - lag(cents) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)
+                           AS delta_cents
+                  FROM e)
+            SELECT user_id, event_id,
+                   CAST(delta_cents AS BIGINT) AS delta_cents
+            FROM d WHERE delta_cents IS NOT NULL""",
+        "value_decile": """
+            WITH r AS (SELECT event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              ntile(10) OVER (ORDER BY value, event_id)
+                                AS decile
+                       FROM events)
+            SELECT decile, count(*) AS n,
+                   min(cents) AS min_cents, max(cents) AS max_cents
+            FROM r GROUP BY decile""",
         "keyword_rank": """
             WITH tfp AS (
               SELECT doc_id,

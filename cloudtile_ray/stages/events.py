@@ -103,6 +103,52 @@ def running_totals(ds) -> "ray.data.Dataset":
     )
 
 
+def value_deltas(ds) -> "ray.data.Dataset":
+    """Per-user LAG — ``delta_cents = value_cents - lag(value_cents) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id)``; each user's first
+    event is excluded (its LAG is NULL, matching the oracle's
+    ``WHERE ... IS NOT NULL``).  Same shape as :func:`running_totals`:
+    one user-bucket exchange, one lexsort, a shifted difference with the
+    segment starts masked out — no per-user Python."""
+    nb = _n_user_buckets(ds)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "delta_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, eid_s, val_s = uid[order], eid[order], val[order]
+        keep = np.empty(len(u_s), dtype=bool)
+        keep[0] = False
+        keep[1:] = u_s[1:] == u_s[:-1]  # segment starts have no LAG
+        delta = np.empty_like(val_s)
+        delta[1:] = val_s[1:] - val_s[:-1]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[keep]),
+                "event_id": pa.array(eid_s[keep]),
+                "delta_cents": pa.array(delta[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
+        )
+    )
+
+
 def session_windows(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
     """Per-user session windows: a new session starts when the gap since
     the previous event exceeds ``gap_us``. Output one row per session with

@@ -474,3 +474,48 @@ def grouped_distinct_count(ds, group_col: str, value_col: str, out_name: str = "
     return bucketed_group_aggregate(
         partials, [group_col], [(out_name, "sum", out_name)]
     )
+
+
+def global_ntile(ds, sort_cols, k: int, out_col: str = "tile"):
+    """SQL ``NTILE(k) OVER (ORDER BY sort_cols)`` — equal-height bucket
+    assignment over a global total order (the histogram-equalization /
+    decile-report primitive).
+
+    Built on :func:`enumerate_sorted` (one range-partitioned sort; rank
+    offsets from block METADATA — block-count rows to the driver, never
+    data), then the tile assigned batch-side from the rank by SQL's exact
+    rule: with ``q = N // k`` and ``m = N % k``, the FIRST m buckets get
+    q+1 rows and the rest get q (``rank * k // N`` would instead spread
+    the m extras evenly — close, but not NTILE; the unit test pins the
+    ragged case).  ``N`` costs one extra ``count()`` pass over the input
+    — the same
+    recompute-beats-pinning trade the engine documents at
+    ``text.top_terms`` (pinning a corpus-scale ranked table to avoid a
+    count would hold the whole dataset in the object store instead).
+    """
+    n_total = ds.count()
+    ranked = enumerate_sorted(ds, sort_cols, rank_col="_ntile_rank")
+    q, m = divmod(n_total, k)
+    big_cutoff = m * (q + 1)  # ranks below this sit in a (q+1)-row bucket
+
+    def assign(t):
+        import numpy as np
+        import pyarrow as pa
+
+        if t.num_rows == 0:
+            return t.drop_columns(["_ntile_rank"]).append_column(
+                out_col, pa.array([], pa.int64())
+            )
+        r = t.column("_ntile_rank").to_numpy(zero_copy_only=False)
+        if q == 0:  # N < k: each row its own 1-based tile
+            tile = r + 1
+        else:
+            in_big = r < big_cutoff
+            tile = np.where(
+                in_big, r // (q + 1), m + (r - big_cutoff) // max(q, 1)
+            ) + 1
+        return t.drop_columns(["_ntile_rank"]).append_column(
+            out_col, pa.array(tile.astype(np.int64))
+        )
+
+    return ranked.map_batches(assign, batch_format="pyarrow")

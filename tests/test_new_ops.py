@@ -1551,3 +1551,117 @@ class TestMultimodalResizeAndFrames:
             ResizeStub(fake=False)(synthesize_media_table(3))
         with pytest.raises(NotImplementedError):
             FrameSampleStub(fake=False)(synthesize_media_table(3))
+
+
+class TestValueDeltas:
+    def test_matches_lag_window(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.events import prep_events, value_deltas
+
+        rng = np.random.default_rng(11)
+        n = 600
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        # duplicate timestamps on purpose — event_id must break the ties
+        ts = base + rng.integers(0, 200, n).astype("timedelta64[s]")
+        t = pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array(ts),
+                "user_id": pa.array(rng.integers(0, 40, n).astype("int64")),
+                "value": pa.array(rng.integers(0, 10_000, n) / 100.0),
+            }
+        )
+        res = (
+            value_deltas(
+                ray.data.from_arrow(t)
+                .repartition(7)
+                .map_batches(prep_events, batch_format="pyarrow")
+            )
+            .to_pandas()
+            .sort_values(["user_id", "event_id"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH e AS (SELECT user_id, event_id, ts,
+                                 CAST(round(value * 100) AS BIGINT) AS cents
+                          FROM t),
+               d AS (SELECT user_id, event_id,
+                            cents - lag(cents) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id)
+                              AS delta_cents
+                     FROM e)
+               SELECT user_id, event_id, CAST(delta_cents AS BIGINT) AS delta_cents
+               FROM d WHERE delta_cents IS NOT NULL
+               ORDER BY user_id, event_id"""
+        ).df()
+        assert res["delta_cents"].tolist() == want["delta_cents"].tolist()
+        assert res["event_id"].tolist() == want["event_id"].tolist()
+        # each user loses exactly its first event
+        n_users = t.column("user_id").to_pandas().nunique()
+        assert len(res) == n - n_users
+
+    def test_single_event_users_vanish(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.events import prep_events, value_deltas
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        t = pa.table(
+            {
+                "event_id": pa.array([0, 1, 2], pa.int64()),
+                "ts": pa.array([base, base, base + np.timedelta64(1, "s")]),
+                "user_id": pa.array([1, 2, 2], pa.int64()),
+                "value": pa.array([1.0, 2.0, 3.5]),
+            }
+        )
+        res = value_deltas(
+            ray.data.from_arrow(t).map_batches(prep_events, batch_format="pyarrow")
+        ).to_pandas()
+        assert res["user_id"].tolist() == [2]
+        assert res["delta_cents"].tolist() == [150]
+
+
+class TestGlobalNtile:
+    def test_matches_sql_ntile(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import global_ntile
+
+        rng = np.random.default_rng(5)
+        # n NOT divisible by k — exercises the ragged-bucket rule
+        n, k = 503, 10
+        t = pa.table(
+            {
+                "rid": pa.array(range(n), pa.int64()),
+                "v": pa.array(rng.integers(0, 50, n).astype("int64")),
+            }
+        )
+        res = (
+            global_ntile(
+                ray.data.from_arrow(t).repartition(6), ["v", "rid"], k=k,
+                out_col="tile",
+            )
+            .to_pandas()
+            .sort_values("rid", ignore_index=True)
+        )
+        want = duckdb.sql(
+            """SELECT rid, ntile(10) OVER (ORDER BY v, rid) AS tile
+               FROM t ORDER BY rid"""
+        ).df()
+        assert res["tile"].tolist() == want["tile"].tolist()
+
+    def test_small_n_fewer_rows_than_tiles(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import global_ntile
+
+        t = pa.table({"rid": pa.array([2, 0, 1], pa.int64())})
+        res = (
+            global_ntile(ray.data.from_arrow(t), ["rid"], k=10)
+            .to_pandas()
+            .sort_values("rid", ignore_index=True)
+        )
+        # SQL NTILE with N < k gives each row its own 1-based tile
+        assert res["tile"].tolist() == [1, 2, 3]
