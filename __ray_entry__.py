@@ -963,6 +963,51 @@ def q_value_decile(sf_dir: str):
     )
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention triangle: users grouped by first-active epoch-day,
+    distinct-user counts per (cohort_day, day_offset).  One user-bucket
+    exchange; per-bucket distinct counts are globally disjoint, so the
+    finish is a days²-sized sum."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.events import cohort_retention
+
+    def add_ts_us(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return b.append_column("ts_us", pa.array(ts))
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
+
+
+def q_rollup_docs(sf_dir: str):
+    """GROUP BY ROLLUP (lang, source) over documents — the full prefix
+    ladder (finest grain, per-lang, grand total) computed as an
+    aggregation tree: raw rows touched once, coarser levels derived from
+    the previous level's key-sized table."""
+    from cloudtile_ray.stages.relational import rollup_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    return rollup_aggregate(
+        ds,
+        ["lang", "source"],
+        [
+            ("doc_id", "count", "n"),
+            ("n_chars", "sum", "sum_chars"),
+            ("n_chars", "max", "max_chars"),
+        ],
+    )
+
+
 def q_keyword_rank(sf_dir: str):
     """Ranked retrieval: top-20 docs by sum(tf/df) over the probe terms
     (log-free tf-idf; ln avoided because DuckDB's and libm's ln are not
@@ -1759,7 +1804,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "value_quantiles": q_value_quantiles,
         "url_dedup": q_url_dedup,
-        "repetition_stats": q_repetition_stats,
         "top_terms": q_top_terms,
         "seq_pack": q_seq_pack,
         "decontaminated": q_decontaminated,
@@ -1769,7 +1813,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_encode": q_token_encode,
         "lang_vocab": q_lang_vocab,
         "curated_pack": q_curated_pack,
-        "chunk_stats": q_chunk_stats,
         "corpus_overlap": q_corpus_overlap,
         # new exact oracles this round — must land in the window
         "para_dedup": q_para_dedup,
@@ -1781,10 +1824,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_rank": q_keyword_rank,
         "value_deltas": q_value_deltas,
         "value_decile": q_value_decile,
+        "cohort_retention": q_cohort_retention,
+        "rollup_docs": q_rollup_docs,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
-        # made room for this round's boilerplate/novelty/unk oracles)
+        # made room for this round's boilerplate/novelty/unk oracles;
+        # repetition_stats / chunk_stats certified in r3 made room for
+        # cohort_retention / rollup_docs)
+        "repetition_stats": q_repetition_stats,
+        "chunk_stats": q_chunk_stats,
         "stratified_sample": q_stratified_sample,
         "train_split": q_train_split,
         "domain_stats": q_domain_stats,
@@ -2533,6 +2582,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, count(*) AS n,
                    min(cents) AS min_cents, max(cents) AS max_cents
             FROM r GROUP BY decile""",
+        "cohort_retention": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day
+                  FROM e GROUP BY user_id),
+            a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                         e.day - f.cohort_day AS day_offset
+                  FROM e JOIN f USING (user_id))
+            SELECT cohort_day, day_offset, count(*) AS n_users
+            FROM a GROUP BY cohort_day, day_offset""",
+        "rollup_docs": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(doc_id) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY ROLLUP (lang, source)""",
         "keyword_rank": """
             WITH tfp AS (
               SELECT doc_id,

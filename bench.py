@@ -172,6 +172,7 @@ def run_queries(sf_dir: str) -> dict:
         "top_terms", "url_dedup", "dup_ngrams", "corpus_overlap",
         "curated_pack", "para_dedup", "source_mix",
         "boilerplate_strip", "ngram_novelty", "unk_replace", "span_dedup",
+        "keyword_rank", "value_deltas", "value_decile",
     ]
     import gc
 

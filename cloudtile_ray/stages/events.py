@@ -149,6 +149,69 @@ def value_deltas(ds) -> "ray.data.Dataset":
     )
 
 
+def cohort_retention(ds) -> "ray.data.Dataset":
+    """Cohort retention matrix — for each signup cohort (a user's FIRST
+    active epoch-day), how many of its users were active again k days
+    later: ``(cohort_day, day_offset) -> n_users`` with ``n_users`` a
+    COUNT DISTINCT of users.  The classic product-analytics triangle.
+
+    Scale shape: one user-bucket exchange (each user's rows land wholly
+    in one bucket, the :func:`running_totals` invariant), then a
+    vectorized per-bucket kernel — lexsort by (user, day), change-flag
+    dedup to distinct (user, day) pairs, cohort day broadcast from each
+    user's segment start, ``np.unique`` counts per (cohort, offset).
+    Because users are bucket-disjoint, per-bucket distinct-user counts
+    are globally disjoint, so the finishing pass is an exact
+    ``sum`` over a days²-sized table — the COUNT DISTINCT never shuffles
+    raw events twice and never ships user ids to the driver."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    nb = _n_user_buckets(ds)
+    day_us = 86_400_000_000
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_day": pa.array([], pa.int64()),
+                    "day_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        day = g.column("ts_us").to_numpy(zero_copy_only=False) // day_us
+        order = np.lexsort((day, uid))
+        u_s, d_s = uid[order], day[order]
+        keep = np.empty(len(u_s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_u, d_u = u_s[keep], d_s[keep]
+        _, seg_start = _user_segments(u_u)
+        cohort = d_u[seg_start]
+        offset = d_u - cohort
+        pairs, counts = np.unique(
+            np.stack([cohort, offset], axis=1), axis=0, return_counts=True
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(pairs[:, 0]),
+                "day_offset": pa.array(pairs[:, 1]),
+                "n_users": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = (
+        ds.map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
+        )
+    )
+    return bucketed_group_aggregate(
+        partials, ["cohort_day", "day_offset"], [("n_users", "sum", "n_users")]
+    )
+
+
 def session_windows(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
     """Per-user session windows: a new session starts when the gap since
     the previous event exceeds ``gap_us``. Output one row per session with

@@ -519,3 +519,84 @@ def global_ntile(ds, sort_cols, k: int, out_col: str = "tile"):
         )
 
     return ranked.map_batches(assign, batch_format="pyarrow")
+
+
+def rollup_aggregate(ds, key_cols, aggregations, all_token: str = "ALL"):
+    """``GROUP BY ROLLUP (k1, k2, ...)`` — the full prefix ladder of
+    aggregate levels, from the finest grain down to the grand total, with
+    rolled-up key columns filled with ``all_token`` (COALESCE-style; the
+    caller's key domain must not contain the token — asserted per level
+    would cost a pass, so documented instead).  String key columns only.
+
+    Scale shape: an AGGREGATION TREE — the raw input is touched exactly
+    once, by the finest-grain :func:`bucketed_group_aggregate`; every
+    coarser level re-aggregates the PREVIOUS level's (already
+    key-cardinality-sized) table, with each kernel replaced by its
+    combiner (count→sum, sum→sum, min→min, max→max).  At corpus scale
+    that means one shuffle of pre-combined partials and then work
+    proportional to the number of distinct key prefixes, never a second
+    pass over the data — the standard ROLLUP trick warehouses use.
+
+    Each level is ``materialize()``d before reuse: every level feeds TWO
+    consumers (its fill-and-union branch and the next-coarser aggregate),
+    and Ray re-executes lineage per consumer — without the pin the union
+    of L levels scans the raw input L times (measured 7.8 s vs 3.0 s at
+    sf0.1).  Pinning aggregate-sized tables is the cheap side of the
+    recompute-vs-pin trade documented at ``text.top_terms`` — these are
+    distinct-key-combination rows, not corpus rows.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("rollup_aggregate needs at least one key column")
+    _DERIVED = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    out_names = [o for _c, _f, o in aggregations]
+    derived = [(o, _DERIVED[f], o) for _c, f, o in aggregations]
+    out_cols = key_cols + out_names
+
+    def fill_level(kept):
+        kept_set = set(kept)
+
+        def fill(t: "pa.Table") -> "pa.Table":
+            cols = {}
+            for k in key_cols:
+                if k in kept_set:
+                    cols[k] = pc.cast(t.column(k), pa.string())
+                else:
+                    cols[k] = pa.nulls(t.num_rows, pa.string()).fill_null(all_token)
+            for o in out_names:
+                cols[o] = t.column(o)
+            return pa.table(cols)
+
+        return fill
+
+    finest = bucketed_group_aggregate(ds, key_cols, aggregations).materialize()
+    levels = [finest.map_batches(fill_level(key_cols), batch_format="pyarrow")]
+    cur = finest
+    for i in range(len(key_cols) - 1, -1, -1):
+        kept = key_cols[:i]
+        if kept:
+            nxt = bucketed_group_aggregate(cur, kept, derived).materialize()
+        else:
+            tot = bucketed_group_aggregate(
+                cur.map_batches(
+                    lambda t: t.append_column(
+                        "_all", pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+                    ),
+                    batch_format="pyarrow",
+                ),
+                ["_all"],
+                derived,
+            )
+            nxt = tot.map_batches(
+                lambda t: t.drop_columns(["_all"]), batch_format="pyarrow"
+            )
+        levels.append(nxt.map_batches(fill_level(kept), batch_format="pyarrow"))
+        cur = nxt
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+    return out.map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")

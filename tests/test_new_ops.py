@@ -1665,3 +1665,122 @@ class TestGlobalNtile:
         )
         # SQL NTILE with N < k gives each row its own 1-based tile
         assert res["tile"].tolist() == [1, 2, 3]
+
+
+class TestCohortRetention:
+    def test_matches_sql_triangle(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.events import cohort_retention
+
+        rng = np.random.default_rng(23)
+        n = 800
+        base = np.datetime64("2024-03-01T00:00:00", "us")
+        ts = base + rng.integers(0, 30 * 86400, n).astype("timedelta64[s]")
+        t = pa.table(
+            {
+                "ts": pa.array(ts),
+                "user_id": pa.array(rng.integers(0, 60, n).astype("int64")),
+            }
+        )
+        prepped = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pa.array(
+                    ts.astype("datetime64[us]").astype(np.int64)
+                ),
+            }
+        )
+        res = (
+            cohort_retention(ray.data.from_arrow(prepped).repartition(7))
+            .to_pandas()
+            .sort_values(["cohort_day", "day_offset"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH e AS (SELECT user_id,
+                                 epoch_us(ts) // 86400000000 AS day FROM t),
+               f AS (SELECT user_id, min(day) AS cohort_day
+                     FROM e GROUP BY user_id),
+               a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                            e.day - f.cohort_day AS day_offset
+                     FROM e JOIN f USING (user_id))
+               SELECT cohort_day, day_offset, count(*) AS n_users
+               FROM a GROUP BY cohort_day, day_offset
+               ORDER BY cohort_day, day_offset"""
+        ).df()
+        assert res["n_users"].tolist() == want["n_users"].tolist()
+        assert res["cohort_day"].tolist() == want["cohort_day"].tolist()
+        assert res["day_offset"].tolist() == want["day_offset"].tolist()
+        # offset 0 row exists for every cohort (the cohort itself)
+        zero = res[res["day_offset"] == 0]
+        assert set(zero["cohort_day"]) == set(res["cohort_day"])
+
+
+class TestRollupAggregate:
+    def test_matches_sql_rollup_three_keys(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import rollup_aggregate
+
+        rng = np.random.default_rng(31)
+        n = 700
+        t = pa.table(
+            {
+                "a": pa.array(rng.choice(["x", "y", "z"], n)),
+                "b": pa.array(rng.choice(["p", "q"], n)),
+                "c": pa.array(rng.choice(["m", "n", "o", "r"], n)),
+                "rid": pa.array(range(n), pa.int64()),
+                "v": pa.array(rng.integers(-50, 50, n).astype("int64")),
+            }
+        )
+        res = (
+            rollup_aggregate(
+                ray.data.from_arrow(t).repartition(6),
+                ["a", "b", "c"],
+                [
+                    ("rid", "count", "n"),
+                    ("v", "sum", "sum_v"),
+                    ("v", "min", "min_v"),
+                    ("v", "max", "max_v"),
+                ],
+            )
+            .to_pandas()
+            .sort_values(["a", "b", "c"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """SELECT coalesce(a,'ALL') AS a, coalesce(b,'ALL') AS b,
+                      coalesce(c,'ALL') AS c,
+                      count(rid) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+                      min(v) AS min_v, max(v) AS max_v
+               FROM t GROUP BY ROLLUP (a, b, c)
+               ORDER BY a, b, c"""
+        ).df()
+        assert res[["a", "b", "c"]].values.tolist() == want[["a", "b", "c"]].values.tolist()
+        for col in ["n", "sum_v", "min_v", "max_v"]:
+            assert res[col].tolist() == want[col].tolist(), col
+
+    def test_single_key_and_empty_keys_rejected(self, ray_session):
+        import pytest
+        import ray.data
+
+        from cloudtile_ray.stages.relational import rollup_aggregate
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", "a", "b"]),
+                "v": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+        res = (
+            rollup_aggregate(
+                ray.data.from_arrow(t), ["k"], [("v", "sum", "s")]
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert res["k"].tolist() == ["ALL", "a", "b"]
+        assert res["s"].tolist() == [6, 3, 3]
+        with pytest.raises(ValueError):
+            rollup_aggregate(ray.data.from_arrow(t), [], [("v", "sum", "s")])
