@@ -986,6 +986,31 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel: users reaching each stage
+    by strict first-occurrence chaining.  Non-funnel rows dropped and
+    stage names int8-encoded before the one user-bucket exchange; the
+    per-bucket kernel loops over stages, not rows."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.events import funnel_counts
+
+    def add_ts_us(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return b.append_column("ts_us", pa.array(ts))
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+    return funnel_counts(ds.map_batches(add_ts_us, batch_format="pyarrow"))
+
+
 def q_rollup_docs(sf_dir: str):
     """GROUP BY ROLLUP (lang, source) over documents — the full prefix
     ladder (finest grain, per-lang, grand total) computed as an
@@ -1805,7 +1830,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q_value_quantiles,
         "url_dedup": q_url_dedup,
         "top_terms": q_top_terms,
-        "seq_pack": q_seq_pack,
         "decontaminated": q_decontaminated,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
@@ -1826,12 +1850,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_decile": q_value_decile,
         "cohort_retention": q_cohort_retention,
         "rollup_docs": q_rollup_docs,
+        "funnel": q_funnel,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
-        # repetition_stats / chunk_stats certified in r3 made room for
-        # cohort_retention / rollup_docs)
+        # repetition_stats / chunk_stats / seq_pack certified in r3 made
+        # room for cohort_retention / rollup_docs / funnel)
+        "seq_pack": q_seq_pack,
         "repetition_stats": q_repetition_stats,
         "chunk_stats": q_chunk_stats,
         "stratified_sample": q_stratified_sample,
@@ -2582,6 +2608,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, count(*) AS n,
                    min(cents) AS min_cents, max(cents) AS max_cents
             FROM r GROUP BY decile""",
+        "funnel": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                       FROM events),
+            s0 AS (SELECT user_id, min(ts_us) AS t FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, min(e.ts_us) AS t
+                   FROM e JOIN s0 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts_us > s0.t
+                   GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, min(e.ts_us) AS t
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts_us > s1.t
+                   GROUP BY e.user_id)
+            SELECT * FROM (
+              SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+                     count(*) AS n_users FROM s0
+              UNION ALL SELECT 1, 'click', count(*) FROM s1
+              UNION ALL SELECT 2, 'purchase', count(*) FROM s2)""",
         "cohort_retention": """
             WITH e AS (SELECT user_id,
                               epoch_us(ts) // 86400000000 AS day

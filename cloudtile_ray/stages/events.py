@@ -212,6 +212,100 @@ def cohort_retention(ds) -> "ray.data.Dataset":
     )
 
 
+def funnel_counts(ds, stages=("view", "click", "purchase")) -> "ray.data.Dataset":
+    """Ordered conversion funnel — for each stage k, how many users
+    performed stage 0, then stage 1 STRICTLY later, ..., then stage k
+    strictly later still (first-occurrence chaining: each stage's anchor
+    is the user's EARLIEST qualifying event, the standard product-funnel
+    definition and exactly the nested ``min(ts) ... WHERE ts > prev``
+    SQL).  Comparisons are on the raw microsecond timestamp only — a
+    stage event sharing its microsecond with the previous anchor does
+    not qualify — so the count is well-defined without a tie-break.
+
+    Scale shape: rows not in ``stages`` are dropped and the stage name
+    dictionary-encoded to int8 BEFORE the exchange (the funnel never
+    ships non-funnel traffic); then the one user-bucket exchange and a
+    per-bucket kernel that is a loop over STAGES (not rows or users):
+    per stage one boolean mask + ``np.minimum.reduceat`` per user
+    segment, threading each user's anchor forward.  Users are
+    bucket-disjoint so per-bucket user counts sum exactly."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    stages = list(stages)
+    nb = _n_user_buckets(ds)
+    imax = np.iinfo(np.int64).max
+
+    def encode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ty = t.column("event_type")
+        idx = pc.index_in(ty, value_set=pa.array(stages, pa.string()))
+        keep = pc.is_valid(idx)
+        t = t.append_column("stage_idx", pc.cast(idx, pa.int8())).filter(keep)
+        return t.select(["user_id", "ts_us", "stage_idx"])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "stage_idx": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        sidx = g.column("stage_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        u_s, t_s, s_s = uid[order], ts[order], sidx[order]
+        starts, seg_start = _user_segments(u_s)
+        new = np.empty(len(u_s), dtype=bool)
+        new[0] = True
+        new[1:] = u_s[1:] != u_s[:-1]
+        seg_id = np.cumsum(new) - 1
+        prev = np.full(len(starts), np.int64(-1))
+        n_users = np.empty(len(stages), dtype=np.int64)
+        for k in range(len(stages)):
+            qual = (s_s == k) & (t_s > prev[seg_id])
+            vals = np.where(qual, t_s, imax)
+            anchor = np.minimum.reduceat(vals, starts)
+            n_users[k] = int((anchor != imax).sum())
+            prev = anchor  # unreached users stay at int64 max: ts > max
+            # never holds, so all later stages auto-fail for them
+        return pa.table(
+            {
+                "stage_idx": pa.array(np.arange(len(stages), dtype=np.int64)),
+                "n_users": pa.array(n_users),
+            }
+        )
+
+    partials = (
+        ds.map_batches(encode, batch_format="pyarrow")
+        .map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
+        )
+    )
+    summed = bucketed_group_aggregate(
+        partials, ["stage_idx"], [("n_users", "sum", "n_users")]
+    )
+
+    def name_stage(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = t.column("stage_idx")
+        names = pc.take(pa.array(stages, pa.string()), idx)
+        return pa.table(
+            {
+                "stage_idx": idx,
+                "stage": names,
+                "n_users": t.column("n_users"),
+            }
+        )
+
+    return summed.map_batches(name_stage, batch_format="pyarrow")
+
+
 def session_windows(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
     """Per-user session windows: a new session starts when the gap since
     the previous event exceeds ``gap_us``. Output one row per session with

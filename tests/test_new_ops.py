@@ -1784,3 +1784,74 @@ class TestRollupAggregate:
         assert res["s"].tolist() == [6, 3, 3]
         with pytest.raises(ValueError):
             rollup_aggregate(ray.data.from_arrow(t), [], [("v", "sum", "s")])
+
+
+class TestFunnelCounts:
+    def test_matches_nested_min_sql(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.events import funnel_counts
+
+        rng = np.random.default_rng(41)
+        n = 1200
+        types = np.array(["view", "click", "purchase", "error", "signup"])
+        base = 1_700_000_000_000_000
+        t = pa.table(
+            {
+                "user_id": pa.array(rng.integers(0, 80, n).astype("int64")),
+                "ts_us": pa.array(base + rng.integers(0, 10**9, n).astype("int64")),
+                "event_type": pa.array(types[rng.integers(0, 5, n)]),
+            }
+        )
+        res = (
+            funnel_counts(ray.data.from_arrow(t).repartition(5))
+            .to_pandas()
+            .sort_values("stage_idx", ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH s0 AS (SELECT user_id, min(ts_us) AS t FROM t
+                           WHERE event_type = 'view' GROUP BY user_id),
+               s1 AS (SELECT t.user_id, min(t.ts_us) AS t2
+                      FROM t JOIN s0 USING (user_id)
+                      WHERE t.event_type = 'click' AND t.ts_us > s0.t
+                      GROUP BY t.user_id),
+               s2 AS (SELECT t.user_id, min(t.ts_us) AS t3
+                      FROM t JOIN s1 USING (user_id)
+                      WHERE t.event_type = 'purchase' AND t.ts_us > s1.t2
+                      GROUP BY t.user_id)
+               SELECT (SELECT count(*) FROM s0) AS a,
+                      (SELECT count(*) FROM s1) AS b,
+                      (SELECT count(*) FROM s2) AS c"""
+        ).df()
+        assert res["stage"].tolist() == ["view", "click", "purchase"]
+        assert res["n_users"].tolist() == [
+            int(want["a"][0]), int(want["b"][0]), int(want["c"][0])
+        ]
+        # funnel counts are monotone non-increasing
+        assert res["n_users"].is_monotonic_decreasing or (
+            res["n_users"].tolist() == sorted(res["n_users"].tolist(), reverse=True)
+        )
+
+    def test_same_microsecond_does_not_qualify(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.events import funnel_counts
+
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "ts_us": pa.array([10, 10, 20, 5, 6], pa.int64()),
+                "event_type": pa.array(
+                    ["view", "click", "purchase", "view", "click"]
+                ),
+            }
+        )
+        res = (
+            funnel_counts(ray.data.from_arrow(t))
+            .to_pandas()
+            .sort_values("stage_idx", ignore_index=True)
+        )
+        # user 1's click shares the view's microsecond -> not counted, so
+        # its purchase is unreachable; user 2 converts view->click.
+        assert res["n_users"].tolist() == [2, 1, 0]
