@@ -1427,6 +1427,30 @@ def q_ivf_ann(sf_dir: str):
     return ivf_topk(cands, queries, k=5)
 
 
+def q_ivf_recall(sf_dir: str):
+    """IVF accuracy/cost ladder: recall@10 vs brute-force ground truth at
+    nprobe 1/2/4/8 with shared coarse centroids — the dial an operator
+    reads before picking a production probe count.  Rows-only
+    (approximate-index quality is not SQL-expressible); deterministic, so
+    the driver's rows-only check is stable."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from cloudtile_ray.stages.similarity import ivf_recall_sweep
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt.column("vec_id"), 3)).sort_by("vec_id")
+    queries = np.stack(qt.column("embedding").to_numpy(zero_copy_only=False))
+    cands = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("vec_id"), 3)),
+        batch_format="pyarrow",
+    )
+    return ivf_recall_sweep(cands, queries, k=10)
+
+
 def q_ivf_index_ann(sf_dir: str):
     """Persistent-IVF ANN: build-once parquet index partitioned by
     inverted list (cached per sf_dir under /tmp), queries read ONLY their
@@ -1894,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tiles_full": q_tiles_full,
         "ivf_ann": q_ivf_ann,
         "ivf_index_ann": q_ivf_index_ann,
+        "ivf_recall": q_ivf_recall,
         "embed_clusters": q_embed_clusters,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,

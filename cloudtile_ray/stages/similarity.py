@@ -129,6 +129,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    centroids: np.ndarray = None,
 ) -> pa.Table:
     """IVF scale path: coarse centroids from a deterministic HASH-MOD
     sample (one k-means sweep), vectors assigned to nearest centroid inside
@@ -140,8 +141,12 @@ def ivf_topk(
     ``map_batches``, gathered as Arrow — every partition contributes
     proportionally, so partition-correlated layouts (per-domain embedding
     shards, cluster-sorted files) cannot collapse the centroid seed the
-    way a first-rows ``limit()`` sample silently does."""
-    Cn = fit_coarse_centroids(ds, n_centroids)
+    way a first-rows ``limit()`` sample silently does.
+
+    ``centroids``: pass a :func:`fit_coarse_centroids` result to skip the
+    fitting pass — :func:`ivf_recall_sweep` fits once and shares across
+    its nprobe rungs so the sweep isolates the probe-count knob."""
+    Cn = centroids if centroids is not None else fit_coarse_centroids(ds, n_centroids)
     cref = ray.put(Cn)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(Q @ Cn.T), axis=1)[:, :nprobe]  # (Q, nprobe)
@@ -538,3 +543,63 @@ def ivf_index_topk(index_path: str, queries: np.ndarray, k: int = 10, nprobe: in
     probe_ref = ray.put(probe.astype(np.int64))
     partials = _partial_topk_ds(dsq, qref, k, probe_ref=probe_ref)
     return _merge_topk(_gather(partials), k)
+
+
+def ivf_recall_sweep(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobes=(1, 2, 4, 8),
+    seed: int = 42,
+) -> pa.Table:
+    """Recall ladder for the IVF scale path — recall@k of :func:`ivf_topk`
+    against :func:`brute_force_topk` ground truth at each ``nprobe`` rung:
+    the accuracy/cost dial an operator reads before choosing a production
+    probe count.
+
+    Coarse centroids are fitted ONCE and shared across rungs (so the
+    sweep varies only the probe count), then the candidate dataset is
+    re-scanned once for the exact truth and once per rung — evaluation
+    runs over a small query SAMPLE, so each scan is a streamed
+    map_batches pass, and the per-rung result tables are k×|Q|-sized
+    (driver-side set intersection is on sampled-query rows, never corpus
+    rows).  Recall divides by each query's TRUTH size (== k unless the
+    candidate pool is smaller), and with shared centroids the ladder is
+    non-decreasing in nprobe by construction — the unit test asserts
+    both.  Deterministic (hash-mod centroid sample), so the rows-only
+    driver check is stable."""
+    truth = brute_force_topk(ds, queries, k=k)
+    truth_sets: dict = {}
+    for q, v in zip(
+        truth.column("q_id").to_numpy(zero_copy_only=False),
+        truth.column("vec_id").to_numpy(zero_copy_only=False),
+    ):
+        truth_sets.setdefault(int(q), set()).add(int(v))
+    Cn = fit_coarse_centroids(ds, n_centroids)
+    out_nprobe, out_recall = [], []
+    for npb in nprobes:
+        at = ivf_topk(
+            ds, queries, k=k, n_centroids=n_centroids, nprobe=int(npb),
+            seed=seed, centroids=Cn,
+        )
+        approx_sets: dict = {}
+        for q, v in zip(
+            at.column("q_id").to_numpy(zero_copy_only=False),
+            at.column("vec_id").to_numpy(zero_copy_only=False),
+        ):
+            approx_sets.setdefault(int(q), set()).add(int(v))
+        recalls = [
+            len(approx_sets.get(q, set()) & t) / len(t)
+            for q, t in truth_sets.items()
+        ]
+        out_nprobe.append(int(npb))
+        out_recall.append(float(np.mean(recalls)) if recalls else 0.0)
+    return pa.table(
+        {
+            "nprobe": pa.array(out_nprobe, pa.int64()),
+            "recall_at_k": pa.array(out_recall, pa.float64()),
+            "k": pa.array([k] * len(out_nprobe), pa.int64()),
+            "n_queries": pa.array([len(truth_sets)] * len(out_nprobe), pa.int64()),
+        }
+    )

@@ -1855,3 +1855,41 @@ class TestFunnelCounts:
         # user 1's click shares the view's microsecond -> not counted, so
         # its purchase is unreachable; user 2 converts view->click.
         assert res["n_users"].tolist() == [2, 1, 0]
+
+
+class TestIvfRecallSweep:
+    def test_ladder_monotone_and_saturates(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.similarity import ivf_recall_sweep
+
+        rng = np.random.default_rng(7)
+        n, d = 600, 16
+        V = rng.normal(size=(n, d))
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32) for row in V],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        queries = rng.normal(size=(4, d))
+        res = ivf_recall_sweep(
+            ray.data.from_arrow(t).repartition(5), queries, k=10,
+            n_centroids=8, nprobes=(1, 2, 4, 8),
+        ).to_pandas()
+        rec = res["recall_at_k"].tolist()
+        assert res["nprobe"].tolist() == [1, 2, 4, 8]
+        # shared centroids: ladder is non-decreasing; probing all 8 of 8
+        # lists IS brute force, so the top rung is exact
+        assert all(a <= b + 1e-12 for a, b in zip(rec, rec[1:]))
+        assert rec[-1] == 1.0
+        assert (res["n_queries"] == 4).all()
+        # determinism: a second run reproduces the ladder exactly
+        res2 = ivf_recall_sweep(
+            ray.data.from_arrow(t).repartition(5), queries, k=10,
+            n_centroids=8, nprobes=(1, 2, 4, 8),
+        ).to_pandas()
+        assert res2["recall_at_k"].tolist() == rec
