@@ -986,6 +986,15 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_cooc_pairs(sf_dir: str):
+    """Top-20 within-document term co-occurrence pairs (distinct unordered
+    token pairs per doc, exact integer counts — the PMI count table)."""
+    from cloudtile_ray.stages.text import cooccurrence_pairs
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return cooccurrence_pairs(ds, k=20)
+
+
 def q_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel: users reaching each stage
     by strict first-occurrence chaining.  Non-funnel rows dropped and
@@ -1854,7 +1863,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": q_value_quantiles,
         "url_dedup": q_url_dedup,
         "top_terms": q_top_terms,
-        "decontaminated": q_decontaminated,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
         "vocab_ids": q_vocab_ids,
@@ -1875,12 +1883,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "rollup_docs": q_rollup_docs,
         "funnel": q_funnel,
+        "cooc_pairs": q_cooc_pairs,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
-        # repetition_stats / chunk_stats / seq_pack certified in r3 made
-        # room for cohort_retention / rollup_docs / funnel)
+        # repetition_stats / chunk_stats / seq_pack / decontaminated
+        # certified in r3 made room for cohort_retention / rollup_docs /
+        # funnel / cooc_pairs)
+        "decontaminated": q_decontaminated,
         "seq_pack": q_seq_pack,
         "repetition_stats": q_repetition_stats,
         "chunk_stats": q_chunk_stats,
@@ -2633,6 +2644,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, count(*) AS n,
                    min(cents) AS min_cents, max(cents) AS max_cents
             FROM r GROUP BY decile""",
+        "cooc_pairs": """
+            WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+                         FROM documents),
+            tok AS (SELECT DISTINCT doc_id, tk FROM raw)
+            SELECT a.tk AS tok_a, b.tk AS tok_b, count(*) AS n
+            FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tk < b.tk
+            GROUP BY a.tk, b.tk
+            ORDER BY n DESC, tok_a, tok_b LIMIT 20""",
         "funnel": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
                        FROM events),

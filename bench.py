@@ -173,7 +173,7 @@ def run_queries(sf_dir: str) -> dict:
         "curated_pack", "para_dedup", "source_mix",
         "boilerplate_strip", "ngram_novelty", "unk_replace", "span_dedup",
         "keyword_rank", "value_deltas", "value_decile",
-        "cohort_retention", "rollup_docs", "funnel",
+        "cohort_retention", "rollup_docs", "funnel", "cooc_pairs",
     ]
     import gc
 

@@ -775,3 +775,97 @@ def encode_with_vocab(ds, vocab_tokens, vocab_ids) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def cooccurrence_pairs(ds, k: int = 20) -> "ray.data.Dataset":
+    """Exact top-``k`` within-document term co-occurrence pairs — the
+    count table under PMI / association mining: for every document, each
+    unordered pair of DISTINCT tokens co-occurring in it counts once;
+    pairs are globally summed and ranked (counts kept as exact integers;
+    the PMI log transform is monotone per margin and left to the caller,
+    which also keeps the oracle bit-exact).
+
+    Scale shape: per batch, Arrow's C++ ``group_by`` dedups (doc, token)
+    and a two-key ``sort_indices`` orders tokens within each doc — pair
+    (i, j) with i<j then satisfies tok_i < tok_j by construction, so the
+    unordered-pair canonical form costs nothing.  The quadratic pair
+    expansion is pure index arithmetic (repeat/cumsum over segment
+    sizes — no loop over docs, rows, or pairs) followed by one Arrow
+    ``take`` + ``binary_join_element_wise`` + ``value_counts``, and is
+    bounded per doc by distinct-token count squared — long repetitive
+    documents collapse at the dedup, and the df-style cap belongs
+    upstream (callers curating raw web text should length-clip first,
+    as the reference pipeline does).  Partials then flow through ONE
+    hash-bucket exchange (:func:`~cloudtile_ray.stages.relational.\
+    bucketed_group_aggregate` — pair cardinality is vocab², too big for
+    per-group Python) and a pair-cardinality-sized sort+limit."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def partials(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tok_a": pa.array([], pa.string()),
+                "tok_b": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(batch.column("text").combine_chunks(), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.values
+        did = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pairs = pa.table({"d": pa.array(did), "tok": flat})
+        dist = pairs.group_by(["d", "tok"]).aggregate([])
+        order = pc.sort_indices(
+            dist, sort_keys=[("d", "ascending"), ("tok", "ascending")]
+        )
+        dist = dist.take(order)
+        d_s = dist.column("d").to_numpy(zero_copy_only=False)
+        tok_s = dist.column("tok").combine_chunks()
+        # distinct-token count per doc (docs with <2 distinct drop out)
+        _, m = np.unique(d_s, return_counts=True)
+        if len(m) == 0:
+            return empty
+        tot = int(m.sum())
+        seg_start = np.cumsum(m) - m
+        gi = np.arange(tot) - np.repeat(seg_start, m)  # local token index i
+        reps = np.repeat(m, m) - 1 - gi  # pairs led by slot i: m_d - 1 - i
+        n_pairs = int(reps.sum())
+        if n_pairs == 0:
+            return empty
+        left_idx = np.repeat(np.arange(tot, dtype=np.int64), reps)
+        block_start = np.cumsum(reps) - reps
+        right_idx = (
+            np.arange(n_pairs, dtype=np.int64)
+            - np.repeat(block_start, reps)
+            + left_idx
+            + 1
+        )
+        joined = pc.binary_join_element_wise(
+            tok_s.take(pa.array(left_idx)),
+            tok_s.take(pa.array(right_idx)),
+            "\x00",  # NUL can't occur inside a space-split token
+        )
+        vc = pc.value_counts(
+            joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+        )
+        split_back = pc.split_pattern(vc.field("values"), pattern="\x00")
+        return pa.table(
+            {
+                "tok_a": pc.list_element(split_back, 0),
+                "tok_b": pc.list_element(split_back, 1),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    counts = bucketed_group_aggregate(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["tok_a", "tok_b"],
+        [("n", "sum", "n")],
+    )
+    return counts.sort(
+        ["n", "tok_a", "tok_b"], descending=[True, False, False]
+    ).limit(k)

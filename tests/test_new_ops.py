@@ -1893,3 +1893,58 @@ class TestIvfRecallSweep:
             n_centroids=8, nprobes=(1, 2, 4, 8),
         ).to_pandas()
         assert res2["recall_at_k"].tolist() == rec
+
+
+class TestCooccurrencePairs:
+    def test_matches_self_join_sql(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.text import cooccurrence_pairs
+
+        rng = np.random.default_rng(13)
+        vocab = np.array(["ant", "bee", "cat", "dog", "elk", "fox", "gnu"])
+        texts = [
+            " ".join(vocab[rng.integers(0, 7, rng.integers(0, 12))])
+            for _ in range(300)
+        ]
+        texts.append("")  # empty doc: one empty token, no pairs
+        texts.append("solo")  # single-token doc: no pairs
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        res = (
+            cooccurrence_pairs(ray.data.from_arrow(t).repartition(5), k=15)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            """WITH raw AS (SELECT doc_id,
+                                   unnest(string_split(text, ' ')) AS tk
+                            FROM t),
+               tok AS (SELECT DISTINCT doc_id, tk FROM raw)
+               SELECT a.tk AS tok_a, b.tk AS tok_b, count(*) AS n
+               FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.tk < b.tk
+               GROUP BY a.tk, b.tk
+               ORDER BY n DESC, tok_a, tok_b LIMIT 15"""
+        ).df()
+        assert res[["tok_a", "tok_b", "n"]].values.tolist() == want.values.tolist()
+
+    def test_duplicate_tokens_count_once_per_doc(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.text import cooccurrence_pairs
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["a b a b a", "b a"]),
+            }
+        )
+        res = cooccurrence_pairs(ray.data.from_arrow(t), k=5).to_pandas()
+        assert res["tok_a"].tolist() == ["a"]
+        assert res["tok_b"].tolist() == ["b"]
+        assert res["n"].tolist() == [2]
