@@ -986,6 +986,19 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_dup_density(sf_dir: str):
+    """Per-source duplicate density: rows total and rows sharing their
+    dedup key (the dedup_exact 64-char text prefix) corpus-wide — the
+    metric behind down-mixing duplicate-heavy sources."""
+    from cloudtile_ray.stages.dedup import add_text_prefix_key, dup_density
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    ds = ds.map_batches(add_text_prefix_key, batch_format="pyarrow")
+    return dup_density(ds, "text_prefix", "source")
+
+
 def q_cooc_pairs(sf_dir: str):
     """Top-20 within-document term co-occurrence pairs (distinct unordered
     token pairs per doc, exact integer counts — the PMI count table)."""
@@ -1866,7 +1879,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
         "vocab_ids": q_vocab_ids,
-        "token_encode": q_token_encode,
         "lang_vocab": q_lang_vocab,
         "curated_pack": q_curated_pack,
         "corpus_overlap": q_corpus_overlap,
@@ -1884,13 +1896,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_docs": q_rollup_docs,
         "funnel": q_funnel,
         "cooc_pairs": q_cooc_pairs,
+        "dup_density": q_dup_density,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
-        # repetition_stats / chunk_stats / seq_pack / decontaminated
-        # certified in r3 made room for cohort_retention / rollup_docs /
-        # funnel / cooc_pairs)
+        # repetition_stats / chunk_stats / seq_pack / decontaminated /
+        # token_encode certified in r3 made room for cohort_retention /
+        # rollup_docs / funnel / cooc_pairs / dup_density)
+        "token_encode": q_token_encode,
         "decontaminated": q_decontaminated,
         "seq_pack": q_seq_pack,
         "repetition_stats": q_repetition_stats,
@@ -2644,6 +2658,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, count(*) AS n,
                    min(cents) AS min_cents, max(cents) AS max_cents
             FROM r GROUP BY decile""",
+        "dup_density": """
+            WITH keyed AS (SELECT source, substr(text, 1, 64) AS p
+                           FROM documents),
+            c AS (SELECT p, count(*) AS cnt FROM keyed GROUP BY p)
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup
+            FROM keyed JOIN c USING (p)
+            GROUP BY source""",
         "cooc_pairs": """
             WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
                          FROM documents),

@@ -2241,3 +2241,111 @@ def cross_corpus_overlap(
 
         return lf.map_batches(semi, batch_format="pyarrow")
     return hash_join(lf, rf, on=(key_col,), how="semi")
+
+
+def dup_density(ds, key_col: str, group_col: str, num_buckets: int = None):
+    """Duplicate density per group — for each ``group_col`` value (source
+    domain, language, crawl snapshot): ``n_docs`` rows total and ``n_dup``
+    rows whose ``key_col`` is shared with at least one other row
+    CORPUS-WIDE (not just within the group).  The curation metric behind
+    source reweighting: a domain whose duplicate share is high gets
+    down-mixed before training.  Counts are exact integers; the rate is
+    left to the caller (float division would cost oracle bit-exactness).
+
+    Scale shape: each batch first collapses to ``(key, group, cnt)``
+    partials with Arrow's C++ ``group_by`` (duplicate-heavy batches
+    shrink map-side), then ONE exchange on ``hash(key) % num_buckets``
+    co-locates every occurrence of a key — identical ``(key, group)``
+    partials from different batches land in the same bucket, so
+    per-bucket key totals are exact global totals.  The in-bucket kernel
+    is ``group_by`` + ``index_in`` + ``if_else`` (no Python over rows),
+    and the finish is a groups-sized sum.  Equality is on the COLUMN
+    provided: pass :func:`add_text_prefix_key`'s prefix for
+    oracle-matched runs, or a 128-bit content hash at corpus scale so
+    the exchange ships 16 bytes per row instead of the text."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+    from cloudtile_ray.stages.util import default_num_buckets, stable_hash_strings
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(ds)
+
+    empty = pa.table(
+        {
+            group_col: pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+        }
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        part = (
+            t.select([key_col, group_col])
+            .group_by([key_col, group_col])
+            .aggregate([([], "count_all")])
+        )
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    group_col: pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "_bkt": pa.array([], pa.int64()),
+                }
+            )
+        k = part.column(key_col)
+        if pa.types.is_string(k.type) or pa.types.is_large_string(k.type) or pa.types.is_binary(k.type):
+            h = stable_hash_strings(k)
+        else:
+            h = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {
+                key_col: k,
+                group_col: part.column(group_col),
+                "cnt": pc.cast(part.column("count_all"), pa.int64()),
+                "_bkt": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        tot = g.group_by([key_col]).aggregate([("cnt", "sum")])
+        idx = pc.index_in(
+            g.column(key_col), value_set=tot.column(key_col).combine_chunks()
+        )
+        row_tot = pc.take(tot.column("cnt_sum").combine_chunks(), idx)
+        cnt = g.column("cnt")
+        dup_cnt = pc.if_else(
+            pc.greater(row_tot, 1), cnt, pa.scalar(0, pa.int64())
+        )
+        staged = pa.table(
+            {
+                group_col: g.column(group_col),
+                "n_docs": cnt,
+                "n_dup": dup_cnt,
+            }
+        )
+        out = staged.group_by([group_col]).aggregate(
+            [("n_docs", "sum"), ("n_dup", "sum")]
+        )
+        return pa.table(
+            {
+                group_col: out.column(group_col),
+                "n_docs": out.column("n_docs_sum"),
+                "n_dup": out.column("n_dup_sum"),
+            }
+        )
+
+    partials = (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_bkt"])), batch_format="pyarrow"
+        )
+    )
+    return bucketed_group_aggregate(
+        partials,
+        [group_col],
+        [("n_docs", "sum", "n_docs"), ("n_dup", "sum", "n_dup")],
+    )

@@ -1948,3 +1948,56 @@ class TestCooccurrencePairs:
         assert res["tok_a"].tolist() == ["a"]
         assert res["tok_b"].tolist() == ["b"]
         assert res["n"].tolist() == [2]
+
+
+class TestDupDensity:
+    def test_matches_sql_and_crosses_groups(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import dup_density
+
+        rng = np.random.default_rng(17)
+        n = 400
+        # small key space forces corpus-wide duplicates, including keys
+        # shared ACROSS groups (a doc counts as dup even when its twin
+        # lives in another source)
+        keys = np.array([f"k{v}" for v in rng.integers(0, 150, n)])
+        grp = np.array([f"s{v}" for v in rng.integers(0, 6, n)])
+        t = pa.table(
+            {
+                "key": pa.array(keys),
+                "grp": pa.array(grp),
+            }
+        )
+        res = (
+            dup_density(ray.data.from_arrow(t).repartition(7), "key", "grp")
+            .to_pandas()
+            .sort_values("grp", ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH c AS (SELECT key, count(*) AS cnt FROM t GROUP BY key)
+               SELECT grp, count(*) AS n_docs,
+                      CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_dup
+               FROM t JOIN c USING (key)
+               GROUP BY grp ORDER BY grp"""
+        ).df()
+        assert res["grp"].tolist() == want["grp"].tolist()
+        assert res["n_docs"].tolist() == want["n_docs"].tolist()
+        assert res["n_dup"].tolist() == want["n_dup"].tolist()
+
+    def test_all_unique_gives_zero_dup(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import dup_density
+
+        t = pa.table(
+            {
+                "key": pa.array([f"u{i}" for i in range(50)]),
+                "grp": pa.array(["a"] * 25 + ["b"] * 25),
+            }
+        )
+        res = dup_density(ray.data.from_arrow(t), "key", "grp").to_pandas()
+        assert res["n_dup"].tolist() == [0, 0]
+        assert sorted(res["n_docs"].tolist()) == [25, 25]
