@@ -986,6 +986,31 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_transitions(sf_dir: str):
+    """Event-type Markov transition counts over consecutive per-user
+    events in (ts, event_id) order — one user-bucket exchange, dictionary
+    codes, np.unique pair counting."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.events import transition_counts
+
+    def add_ts_us(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return b.append_column("ts_us", pa.array(ts))
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id", "event_type"],
+    )
+    return transition_counts(ds.map_batches(add_ts_us, batch_format="pyarrow"))
+
+
 def q_dup_density(sf_dir: str):
     """Per-source duplicate density: rows total and rows sharing their
     dedup key (the dedup_exact 64-char text prefix) corpus-wide — the
@@ -1878,7 +1903,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
-        "vocab_ids": q_vocab_ids,
         "lang_vocab": q_lang_vocab,
         "curated_pack": q_curated_pack,
         "corpus_overlap": q_corpus_overlap,
@@ -1897,13 +1921,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "cooc_pairs": q_cooc_pairs,
         "dup_density": q_dup_density,
+        "transitions": q_transitions,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
         # repetition_stats / chunk_stats / seq_pack / decontaminated /
-        # token_encode certified in r3 made room for cohort_retention /
-        # rollup_docs / funnel / cooc_pairs / dup_density)
+        # token_encode / vocab_ids certified in r3 made room for
+        # cohort_retention / rollup_docs / funnel / cooc_pairs /
+        # dup_density / transitions)
+        "vocab_ids": q_vocab_ids,
         "token_encode": q_token_encode,
         "decontaminated": q_decontaminated,
         "seq_pack": q_seq_pack,
@@ -2658,6 +2685,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, count(*) AS n,
                    min(cents) AS min_cents, max(cents) AS max_cents
             FROM r GROUP BY decile""",
+        "transitions": """
+            WITH o AS (SELECT user_id, event_type,
+                              lag(event_type) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+                                AS prev_type
+                       FROM events)
+            SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type""",
         "dup_density": """
             WITH keyed AS (SELECT source, substr(text, 1, 64) AS p
                            FROM documents),

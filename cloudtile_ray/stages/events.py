@@ -212,6 +212,67 @@ def cohort_retention(ds) -> "ray.data.Dataset":
     )
 
 
+def transition_counts(ds) -> "ray.data.Dataset":
+    """First-order Markov transition matrix over event types — for every
+    consecutive event pair within a user's (ts, event_id)-ordered stream,
+    count ``(prev_type, next_type)`` occurrences.  The behavioral-model /
+    anomaly-baseline primitive.
+
+    Scale shape: the :func:`value_deltas` pattern — one user-bucket
+    exchange, one lexsort, the consecutive-pair mask from user change
+    flags; event types are dictionary-encoded per bucket (Arrow C++) so
+    the pair count is an ``np.unique`` over small integer code pairs,
+    decoded back to strings only for the type²-sized output.  The finish
+    sums type²-sized partials."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    nb = _n_user_buckets(ds)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        ty = g.column("event_type").combine_chunks().dictionary_encode()
+        codes = ty.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, c_s = uid[order], codes[order]
+        within = u_s[1:] == u_s[:-1]  # pair (i-1, i) stays in one user
+        if not within.any():
+            return empty
+        prev_c, next_c = c_s[:-1][within], c_s[1:][within]
+        pairs, counts = np.unique(
+            np.stack([prev_c, next_c], axis=1), axis=0, return_counts=True
+        )
+        vocab = ty.dictionary
+        return pa.table(
+            {
+                "prev_type": vocab.take(pa.array(pairs[:, 0])),
+                "next_type": vocab.take(pa.array(pairs[:, 1])),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = (
+        ds.map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
+        )
+    )
+    return bucketed_group_aggregate(
+        partials, ["prev_type", "next_type"], [("n", "sum", "n")]
+    )
+
+
 def funnel_counts(ds, stages=("view", "click", "purchase")) -> "ray.data.Dataset":
     """Ordered conversion funnel — for each stage k, how many users
     performed stage 0, then stage 1 STRICTLY later, ..., then stage k

@@ -2001,3 +2001,45 @@ class TestDupDensity:
         res = dup_density(ray.data.from_arrow(t), "key", "grp").to_pandas()
         assert res["n_dup"].tolist() == [0, 0]
         assert sorted(res["n_docs"].tolist()) == [25, 25]
+
+
+class TestTransitionCounts:
+    def test_matches_lag_pairs(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.events import transition_counts
+
+        rng = np.random.default_rng(29)
+        n = 900
+        types = np.array(["view", "click", "purchase", "error"])
+        t = pa.table(
+            {
+                "user_id": pa.array(rng.integers(0, 50, n).astype("int64")),
+                "event_id": pa.array(range(n), pa.int64()),
+                # duplicate timestamps: event_id must break ties
+                "ts_us": pa.array(rng.integers(0, 400, n).astype("int64")),
+                "event_type": pa.array(types[rng.integers(0, 4, n)]),
+            }
+        )
+        res = (
+            transition_counts(ray.data.from_arrow(t).repartition(6))
+            .to_pandas()
+            .sort_values(["prev_type", "next_type"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH o AS (SELECT user_id, event_type,
+                                 lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS prev_type
+                          FROM t)
+               SELECT prev_type, event_type AS next_type, count(*) AS n
+               FROM o WHERE prev_type IS NOT NULL
+               GROUP BY prev_type, next_type
+               ORDER BY prev_type, next_type"""
+        ).df()
+        assert res[["prev_type", "next_type"]].values.tolist() == \
+            want[["prev_type", "next_type"]].values.tolist()
+        assert res["n"].tolist() == want["n"].tolist()
+        # total transitions == total events minus one per user present
+        n_users = len(np.unique(t.column("user_id").to_numpy()))
+        assert res["n"].sum() == n - n_users
