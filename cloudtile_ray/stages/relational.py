@@ -521,7 +521,13 @@ def global_ntile(ds, sort_cols, k: int, out_col: str = "tile"):
     return ranked.map_batches(assign, batch_format="pyarrow")
 
 
-def rollup_aggregate(ds, key_cols, aggregations, all_token: str = "ALL"):
+def rollup_aggregate(
+    ds,
+    key_cols,
+    aggregations,
+    all_token: str = "ALL",
+    driver_byte_budget: int = 32 << 20,
+):
     """``GROUP BY ROLLUP (k1, k2, ...)`` — the full prefix ladder of
     aggregate levels, from the finest grain down to the grand total, with
     rolled-up key columns filled with ``all_token`` (COALESCE-style; the
@@ -544,6 +550,16 @@ def rollup_aggregate(ds, key_cols, aggregations, all_token: str = "ALL"):
     sf0.1).  Pinning aggregate-sized tables is the cheap side of the
     recompute-vs-pin trade documented at ``text.top_terms`` — these are
     distinct-key-combination rows, not corpus rows.
+
+    The finest table's byte size is then free metadata, so when it fits
+    ``driver_byte_budget`` the whole coarser ladder is computed
+    DRIVER-side with Arrow's C++ ``group_by`` on the gathered table —
+    each distributed derived level otherwise pays Ray's fixed exchange
+    cost (sort machinery + bucket tasks) to aggregate a handful of rows
+    (measured ~1.5 s of the 3.0 s at sf0.1).  A finest grain too big for
+    the driver (very-high-cardinality leading keys) takes the
+    distributed per-level path unchanged — same results, both routes
+    tested equal.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -573,6 +589,64 @@ def rollup_aggregate(ds, key_cols, aggregations, all_token: str = "ALL"):
         return fill
 
     finest = bucketed_group_aggregate(ds, key_cols, aggregations).materialize()
+
+    if (finest.size_bytes() or 0) <= int(driver_byte_budget):
+        import ray as _ray
+
+        gathered = [
+            t
+            for t in (_ray.get(r) for r in finest.to_arrow_refs())
+            if t.num_columns > 0 and t.num_rows > 0
+        ]
+        if gathered:
+            cur_t = pa.concat_tables(gathered).combine_chunks()
+
+            def local_fill(tbl: "pa.Table", kept) -> "pa.Table":
+                kept_set = set(kept)
+                cols = {}
+                for kcol in key_cols:
+                    if kcol in kept_set:
+                        cols[kcol] = pc.cast(tbl.column(kcol), pa.string())
+                    else:
+                        cols[kcol] = pa.nulls(tbl.num_rows, pa.string()).fill_null(
+                            all_token
+                        )
+                for o in out_names:
+                    cols[o] = tbl.column(o)
+                return pa.table(cols)
+
+            pieces = [local_fill(cur_t, key_cols)]
+            for i in range(len(key_cols) - 1, -1, -1):
+                kept = key_cols[:i]
+                if kept:
+                    g = cur_t.group_by(kept).aggregate(
+                        [(o, f) for o, f, _ in derived]
+                    )
+                else:
+                    g = (
+                        cur_t.append_column(
+                            "_all",
+                            pa.nulls(cur_t.num_rows, pa.int64()).fill_null(0),
+                        )
+                        .group_by(["_all"])
+                        .aggregate([(o, f) for o, f, _ in derived])
+                        .drop_columns(["_all"])
+                    )
+                cur_t = pa.table(
+                    {
+                        **{kcol: g.column(kcol) for kcol in kept},
+                        **{o: g.column(f"{o}_{f}") for o, f, _ in derived},
+                    }
+                )
+                pieces.append(local_fill(cur_t, kept))
+            import ray.data
+
+            return ray.data.from_arrow(
+                pa.concat_tables([p.select(out_cols) for p in pieces])
+            )
+        # all-empty finest: fall through to the distributed path, which
+        # already propagates empties level-by-level
+
     levels = [finest.map_batches(fill_level(key_cols), batch_format="pyarrow")]
     cur = finest
     for i in range(len(key_cols) - 1, -1, -1):

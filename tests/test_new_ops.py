@@ -1718,7 +1718,8 @@ class TestCohortRetention:
 
 
 class TestRollupAggregate:
-    def test_matches_sql_rollup_three_keys(self, ray_session):
+    @pytest.mark.parametrize("budget", [32 << 20, 0])
+    def test_matches_sql_rollup_three_keys(self, ray_session, budget):
         import duckdb
         import ray.data
 
@@ -1745,6 +1746,7 @@ class TestRollupAggregate:
                     ("v", "min", "min_v"),
                     ("v", "max", "max_v"),
                 ],
+                driver_byte_budget=budget,
             )
             .to_pandas()
             .sort_values(["a", "b", "c"], ignore_index=True)
