@@ -986,6 +986,19 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_pivot_source(sf_dir: str):
+    """Long->wide reshape: one row per lang, one zero-filled int64 count
+    column per source (DuckDB PIVOT shape).  Corpus collapses to
+    (lang, source, n) in one exchange; the wide fill is a vectorized
+    scatter per index bucket."""
+    from cloudtile_ray.stages.relational import pivot_counts
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return pivot_counts(ds, "lang", "source")
+
+
 def q_transitions(sf_dir: str):
     """Event-type Markov transition counts over consecutive per-user
     events in (ts, event_id) order — one user-bucket exchange, dictionary
@@ -1903,7 +1916,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": q_top_terms,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
-        "lang_vocab": q_lang_vocab,
         "curated_pack": q_curated_pack,
         "corpus_overlap": q_corpus_overlap,
         # new exact oracles this round — must land in the window
@@ -1922,14 +1934,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooc_pairs": q_cooc_pairs,
         "dup_density": q_dup_density,
         "transitions": q_transitions,
+        "pivot_source": q_pivot_source,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
         # repetition_stats / chunk_stats / seq_pack / decontaminated /
-        # token_encode / vocab_ids certified in r3 made room for
-        # cohort_retention / rollup_docs / funnel / cooc_pairs /
-        # dup_density / transitions)
+        # token_encode / vocab_ids / lang_vocab certified in r3 made room
+        # for cohort_retention / rollup_docs / funnel / cooc_pairs /
+        # dup_density / transitions / pivot_source)
+        "lang_vocab": q_lang_vocab,
         "vocab_ids": q_vocab_ids,
         "token_encode": q_token_encode,
         "decontaminated": q_decontaminated,
@@ -2685,6 +2699,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT decile, count(*) AS n,
                    min(cents) AS min_cents, max(cents) AS max_cents
             FROM r GROUP BY decile""",
+        "pivot_source": """
+            PIVOT (SELECT lang, source FROM documents)
+            ON source USING count(*) GROUP BY lang""",
         "transitions": """
             WITH o AS (SELECT user_id, event_type,
                               lag(event_type) OVER (PARTITION BY user_id

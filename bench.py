@@ -174,7 +174,7 @@ def run_queries(sf_dir: str) -> dict:
         "boilerplate_strip", "ngram_novelty", "unk_replace", "span_dedup",
         "keyword_rank", "value_deltas", "value_decile",
         "cohort_retention", "rollup_docs", "funnel", "cooc_pairs",
-        "dup_density", "transitions",
+        "dup_density", "transitions", "pivot_source",
     ]
     import gc
 

@@ -674,3 +674,86 @@ def rollup_aggregate(
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out.map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
+
+
+def pivot_counts(ds, index_col: str, pivot_col: str, num_buckets: Optional[int] = None):
+    """Long→wide reshape — SQL ``PIVOT ... ON pivot_col USING count(*)
+    GROUP BY index_col``: one output row per ``index_col`` value, one
+    int64 count column PER DISTINCT ``pivot_col`` value (named by the
+    value, zero-filled), matching DuckDB's PIVOT output shape.
+
+    Scale shape: the raw input first collapses to (index, pivot, n)
+    through :func:`bucketed_group_aggregate` — the only corpus-wide
+    exchange.  The distinct pivot values are batch-deduped and gathered
+    to the driver (they become COLUMNS, so the operator is only
+    meaningful when their cardinality is column-count-sized; the index
+    side may be arbitrarily large) and broadcast; a second exchange
+    buckets the aggregated table by index hash, and each bucket fills a
+    dense (indexes-in-bucket × values) matrix with one vectorized
+    scatter — no Python over rows.  Output rides bucket-sized blocks, so
+    a billion-row index never concentrates."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from cloudtile_ray.stages.util import default_num_buckets, stable_hash_strings
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(ds)
+
+    finest = bucketed_group_aggregate(
+        ds, [index_col, pivot_col], [(pivot_col, "count", "n")]
+    ).materialize()
+
+    def batch_vals(t: pa.Table) -> pa.Table:
+        return pa.table({pivot_col: pc.unique(t.column(pivot_col).combine_chunks())})
+
+    val_rows = finest.map_batches(batch_vals, batch_format="pyarrow").take_all()
+    vals = sorted({r[pivot_col] for r in val_rows})
+    vref = ray.put(pa.array(vals, pa.string()))
+
+    def add_ibkt(t: pa.Table) -> pa.Table:
+        k = t.column(index_col)
+        if pa.types.is_string(k.type) or pa.types.is_large_string(k.type) or pa.types.is_binary(k.type):
+            h = stable_hash_strings(k)
+        else:
+            h = k.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = h * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_ibkt", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        value_set = ray.get(vref)
+        nv = len(value_set)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    index_col: pa.array([], pa.string()),
+                    **{str(v): pa.array([], pa.int64()) for v in vals},
+                }
+            )
+        idx_arr = g.column(index_col).combine_chunks()
+        uniq = pc.unique(idx_arr)
+        row = pc.index_in(idx_arr, value_set=uniq).to_numpy(zero_copy_only=False)
+        col = pc.index_in(
+            g.column(pivot_col).combine_chunks(), value_set=value_set
+        ).to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        mat = np.zeros((len(uniq), nv), dtype=np.int64)
+        mat[row, col] = n  # (index, pivot) pairs are distinct post-agg
+        return pa.table(
+            {
+                index_col: uniq,
+                **{str(v): pa.array(mat[:, j]) for j, v in enumerate(vals)},
+            }
+        )
+
+    return (
+        finest.map_batches(add_ibkt, batch_format="pyarrow")
+        .groupby("_ibkt")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_ibkt"])), batch_format="pyarrow"
+        )
+    )

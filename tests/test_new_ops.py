@@ -2045,3 +2045,50 @@ class TestTransitionCounts:
         # total transitions == total events minus one per user present
         n_users = len(np.unique(t.column("user_id").to_numpy()))
         assert res["n"].sum() == n - n_users
+
+
+class TestPivotCounts:
+    def test_matches_duckdb_pivot(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import pivot_counts
+
+        rng = np.random.default_rng(37)
+        n = 500
+        t = pa.table(
+            {
+                "idx": pa.array([f"i{v}" for v in rng.integers(0, 40, n)]),
+                "pv": pa.array([f"p{v}" for v in rng.integers(0, 7, n)]),
+            }
+        )
+        res = (
+            pivot_counts(ray.data.from_arrow(t).repartition(6), "idx", "pv")
+            .to_pandas()
+            .sort_values("idx", ignore_index=True)
+        )
+        want = duckdb.sql(
+            "PIVOT t ON pv USING count(*) GROUP BY idx ORDER BY idx"
+        ).df()
+        assert sorted(res.columns) == sorted(want.columns)
+        want = want[res.columns.tolist()]
+        assert res.values.tolist() == want.values.tolist()
+
+    def test_zero_fill_for_absent_combinations(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import pivot_counts
+
+        t = pa.table(
+            {
+                "idx": pa.array(["a", "a", "b"]),
+                "pv": pa.array(["x", "x", "y"]),
+            }
+        )
+        res = (
+            pivot_counts(ray.data.from_arrow(t), "idx", "pv")
+            .to_pandas()
+            .sort_values("idx", ignore_index=True)
+        )
+        assert res["x"].tolist() == [2, 0]
+        assert res["y"].tolist() == [0, 1]
