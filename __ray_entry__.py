@@ -986,6 +986,26 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_unpivot_lineitem(sf_dir: str):
+    """Wide->long melt of lineitem's four measures — zero-shuffle
+    map_batches expansion (values ride through bit-untouched as
+    float64)."""
+    from cloudtile_ray.stages.relational import unpivot
+
+    ds = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        ],
+    )
+    return unpivot(
+        ds,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def q_pivot_source(sf_dir: str):
     """Long->wide reshape: one row per lang, one zero-filled int64 count
     column per source (DuckDB PIVOT shape).  Corpus collapses to
@@ -1912,7 +1932,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "heavy_hitters": q_heavy_hitters,
         "value_quantiles": q_value_quantiles,
-        "url_dedup": q_url_dedup,
         "top_terms": q_top_terms,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
@@ -1935,14 +1954,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_density": q_dup_density,
         "transitions": q_transitions,
         "pivot_source": q_pivot_source,
+        "unpivot_lineitem": q_unpivot_lineitem,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
         # repetition_stats / chunk_stats / seq_pack / decontaminated /
-        # token_encode / vocab_ids / lang_vocab certified in r3 made room
-        # for cohort_retention / rollup_docs / funnel / cooc_pairs /
-        # dup_density / transitions / pivot_source)
+        # token_encode / vocab_ids / lang_vocab / url_dedup certified in
+        # r3 made room for cohort_retention / rollup_docs / funnel /
+        # cooc_pairs / dup_density / transitions / pivot_source /
+        # unpivot_lineitem)
+        "url_dedup": q_url_dedup,
         "lang_vocab": q_lang_vocab,
         "vocab_ids": q_vocab_ids,
         "token_encode": q_token_encode,
@@ -2702,6 +2724,14 @@ def oracle_sql() -> dict[str, str]:
         "pivot_source": """
             PIVOT (SELECT lang, source FROM documents)
             ON source USING count(*) GROUP BY lang""",
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, measure,
+                   CAST(value AS DOUBLE) AS value
+            FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+                                  l_extendedprice, l_discount, l_tax
+                           FROM lineitem)
+                  ON l_quantity, l_extendedprice, l_discount, l_tax
+                  INTO NAME measure VALUE value)""",
         "transitions": """
             WITH o AS (SELECT user_id, event_type,
                               lag(event_type) OVER (PARTITION BY user_id

@@ -757,3 +757,49 @@ def pivot_counts(ds, index_col: str, pivot_col: str, num_buckets: Optional[int] 
             lambda g: per_bucket(g.drop_columns(["_ibkt"])), batch_format="pyarrow"
         )
     )
+
+
+def unpivot(ds, id_cols, value_cols, name_col: str = "measure", value_col: str = "value"):
+    """Wide→long reshape (SQL UNPIVOT / melt): each input row becomes one
+    output row PER value column, carrying the id columns, the source
+    column's name, and its value cast to float64 (the unified value
+    type, matching DuckDB's promotion).
+
+    Scale shape: zero shuffle — a pure ``map_batches`` expansion.  Ids
+    replicate via one Arrow ``take`` on repeated indices (zero-copy until
+    the take), names are a tiled dictionary-sized array, and the value
+    interleave is a single numpy ``column_stack().ravel()`` — the batch
+    grows by exactly ``len(value_cols)``× and streams on through."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_cols = list(id_cols)
+    value_cols = list(value_cols)
+
+    def expand(t: pa.Table) -> pa.Table:
+        n, m = t.num_rows, len(value_cols)
+        if n == 0:
+            return pa.table(
+                {
+                    **{c: t.column(c) for c in id_cols},
+                    name_col: pa.array([], pa.string()),
+                    value_col: pa.array([], pa.float64()),
+                }
+            )
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), m))
+        vals = np.column_stack(
+            [
+                pc.cast(t.column(c), pa.float64()).to_numpy(zero_copy_only=False)
+                for c in value_cols
+            ]
+        ).ravel()
+        return pa.table(
+            {
+                **{c: t.column(c).take(rep) for c in id_cols},
+                name_col: pa.array(np.tile(np.array(value_cols, dtype=object), n)),
+                value_col: pa.array(vals),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")

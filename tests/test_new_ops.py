@@ -2092,3 +2092,36 @@ class TestPivotCounts:
         )
         assert res["x"].tolist() == [2, 0]
         assert res["y"].tolist() == [0, 1]
+
+
+class TestUnpivot:
+    def test_matches_duckdb_unpivot(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import unpivot
+
+        rng = np.random.default_rng(43)
+        n = 300
+        t = pa.table(
+            {
+                "rid": pa.array(range(n), pa.int64()),
+                "a": pa.array(rng.normal(size=n)),
+                "b": pa.array(rng.integers(0, 9, n).astype("int64")),
+                "c": pa.array(rng.normal(size=n)),
+            }
+        )
+        res = (
+            unpivot(ray.data.from_arrow(t).repartition(4), ["rid"], ["a", "b", "c"])
+            .to_pandas()
+            .sort_values(["rid", "measure"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """SELECT rid, measure, CAST(value AS DOUBLE) AS value
+               FROM (UNPIVOT t ON a, b, c INTO NAME measure VALUE value)
+               ORDER BY rid, measure"""
+        ).df()
+        assert res["measure"].tolist() == want["measure"].tolist()
+        # bit-exact float passthrough (int column promoted to float64)
+        assert res["value"].tolist() == want["value"].tolist()
+        assert len(res) == 3 * n
