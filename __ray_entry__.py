@@ -986,6 +986,23 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_cube_docs(sf_dir: str):
+    """GROUP BY CUBE (lang, source): all four aggregate levels from ONE
+    raw-input shuffle — every subset derived from the materialized
+    finest-grain table (driver-side Arrow under the byte gate)."""
+    from cloudtile_ray.stages.relational import cube_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+    return cube_aggregate(
+        ds,
+        ["lang", "source"],
+        [("doc_id", "count", "n"), ("n_chars", "sum", "sum_chars")],
+    )
+
+
 def q_unpivot_lineitem(sf_dir: str):
     """Wide->long melt of lineitem's four measures — zero-shuffle
     map_batches expansion (values ride through bit-untouched as
@@ -1931,7 +1948,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase": q_asof_purchase,
         "interval_join": q_interval_join,
         "heavy_hitters": q_heavy_hitters,
-        "value_quantiles": q_value_quantiles,
         "top_terms": q_top_terms,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
@@ -1955,15 +1971,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions": q_transitions,
         "pivot_source": q_pivot_source,
         "unpivot_lineitem": q_unpivot_lineitem,
+        "cube_docs": q_cube_docs,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
         # repetition_stats / chunk_stats / seq_pack / decontaminated /
-        # token_encode / vocab_ids / lang_vocab / url_dedup certified in
-        # r3 made room for cohort_retention / rollup_docs / funnel /
-        # cooc_pairs / dup_density / transitions / pivot_source /
-        # unpivot_lineitem)
+        # token_encode / vocab_ids / lang_vocab / url_dedup /
+        # value_quantiles certified in r3 made room for cohort_retention /
+        # rollup_docs / funnel / cooc_pairs / dup_density / transitions /
+        # pivot_source / unpivot_lineitem / cube_docs)
+        "value_quantiles": q_value_quantiles,
         "url_dedup": q_url_dedup,
         "lang_vocab": q_lang_vocab,
         "vocab_ids": q_vocab_ids,
@@ -2724,6 +2742,12 @@ def oracle_sql() -> dict[str, str]:
         "pivot_source": """
             PIVOT (SELECT lang, source FROM documents)
             ON source USING count(*) GROUP BY lang""",
+        "cube_docs": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   count(doc_id) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY CUBE (lang, source)""",
         "unpivot_lineitem": """
             SELECT l_orderkey, l_linenumber, measure,
                    CAST(value AS DOUBLE) AS value

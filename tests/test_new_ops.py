@@ -2125,3 +2125,52 @@ class TestUnpivot:
         # bit-exact float passthrough (int column promoted to float64)
         assert res["value"].tolist() == want["value"].tolist()
         assert len(res) == 3 * n
+
+
+class TestCubeAndGroupingSets:
+    @pytest.mark.parametrize("budget", [32 << 20, 0])
+    def test_cube_matches_sql(self, ray_session, budget):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import cube_aggregate
+
+        rng = np.random.default_rng(47)
+        n = 600
+        t = pa.table(
+            {
+                "a": pa.array(rng.choice(["x", "y", "z"], n)),
+                "b": pa.array(rng.choice(["p", "q", "r"], n)),
+                "rid": pa.array(range(n), pa.int64()),
+                "v": pa.array(rng.integers(-30, 30, n).astype("int64")),
+            }
+        )
+        res = (
+            cube_aggregate(
+                ray.data.from_arrow(t).repartition(5),
+                ["a", "b"],
+                [("rid", "count", "n"), ("v", "sum", "sum_v")],
+                driver_byte_budget=budget,
+            )
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """SELECT coalesce(a,'ALL') AS a, coalesce(b,'ALL') AS b,
+                      count(rid) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+               FROM t GROUP BY CUBE (a, b) ORDER BY a, b"""
+        ).df()
+        assert res[["a", "b"]].values.tolist() == want[["a", "b"]].values.tolist()
+        assert res["n"].tolist() == want["n"].tolist()
+        assert res["sum_v"].tolist() == want["sum_v"].tolist()
+
+    def test_grouping_sets_subset_validation(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import grouping_sets_aggregate
+
+        t = pa.table({"a": pa.array(["x"]), "v": pa.array([1], pa.int64())})
+        with pytest.raises(ValueError):
+            grouping_sets_aggregate(
+                ray.data.from_arrow(t), ["a"], [["zz"]], [("v", "sum", "s")]
+            )
