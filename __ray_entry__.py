@@ -986,6 +986,21 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_minute_series(sf_dir: str):
+    """Gap-filled per-minute event series: count + cents sum for EVERY
+    minute between corpus min and max (zeros for empty minutes) — the
+    time-series export shape.  Corpus collapses to per-bucket partials in
+    one exchange; the calendar-bounded dense fill is driver-side."""
+    import ray.data
+
+    from cloudtile_ray.stages.events import prep_events, resample_fill
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return resample_fill(
+        ds.map_batches(prep_events, batch_format="pyarrow"), unit_us=60_000_000
+    )
+
+
 def q_cube_docs(sf_dir: str):
     """GROUP BY CUBE (lang, source): all four aggregate levels from ONE
     raw-input shuffle — every subset derived from the materialized
@@ -1947,7 +1962,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_accumulate_enc": q_tile_accumulate_enc,
         "asof_purchase": q_asof_purchase,
         "interval_join": q_interval_join,
-        "heavy_hitters": q_heavy_hitters,
         "top_terms": q_top_terms,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
@@ -1972,15 +1986,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_source": q_pivot_source,
         "unpivot_lineitem": q_unpivot_lineitem,
         "cube_docs": q_cube_docs,
+        "minute_series": q_minute_series,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
         # repetition_stats / chunk_stats / seq_pack / decontaminated /
         # token_encode / vocab_ids / lang_vocab / url_dedup /
-        # value_quantiles certified in r3 made room for cohort_retention /
-        # rollup_docs / funnel / cooc_pairs / dup_density / transitions /
-        # pivot_source / unpivot_lineitem / cube_docs)
+        # value_quantiles / heavy_hitters certified in r3 made room for
+        # cohort_retention / rollup_docs / funnel / cooc_pairs /
+        # dup_density / transitions / pivot_source / unpivot_lineitem /
+        # cube_docs / minute_series)
+        "heavy_hitters": q_heavy_hitters,
         "value_quantiles": q_value_quantiles,
         "url_dedup": q_url_dedup,
         "lang_vocab": q_lang_vocab,
@@ -2742,6 +2759,19 @@ def oracle_sql() -> dict[str, str]:
         "pivot_source": """
             PIVOT (SELECT lang, source FROM documents)
             ON source USING count(*) GROUP BY lang""",
+        "minute_series": """
+            WITH e AS (SELECT epoch_us(ts) // 60000000 AS bucket,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            b AS (SELECT bucket, count(*) AS n,
+                         CAST(sum(cents) AS BIGINT) AS sum_cents
+                  FROM e GROUP BY bucket),
+            r AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                                (SELECT max(bucket) FROM b)))
+                    AS bucket)
+            SELECT bucket, coalesce(b.n, 0) AS n,
+                   coalesce(b.sum_cents, 0) AS sum_cents
+            FROM r LEFT JOIN b USING (bucket)""",
         "cube_docs": """
             SELECT coalesce(lang, 'ALL') AS lang,
                    coalesce(source, 'ALL') AS source,

@@ -2174,3 +2174,62 @@ class TestCubeAndGroupingSets:
             grouping_sets_aggregate(
                 ray.data.from_arrow(t), ["a"], [["zz"]], [("v", "sum", "s")]
             )
+
+
+class TestResampleFill:
+    def test_matches_generate_series(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.events import resample_fill
+
+        rng = np.random.default_rng(53)
+        n = 200
+        # sparse: 200 events across ~5000 buckets -> gaps guaranteed
+        t = pa.table(
+            {
+                "ts_us": pa.array(
+                    (rng.integers(0, 5000, n) * 60_000_000
+                     + rng.integers(0, 60_000_000, n)).astype("int64")
+                ),
+                "value_cents": pa.array(rng.integers(-100, 100, n).astype("int64")),
+            }
+        )
+        res = (
+            resample_fill(ray.data.from_arrow(t).repartition(4), unit_us=60_000_000)
+            .to_pandas()
+            .sort_values("bucket", ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH e AS (SELECT ts_us // 60000000 AS bucket, value_cents FROM t),
+               b AS (SELECT bucket, count(*) AS n,
+                            CAST(sum(value_cents) AS BIGINT) AS sum_cents
+                     FROM e GROUP BY bucket),
+               r AS (SELECT unnest(generate_series((SELECT min(bucket) FROM b),
+                                                   (SELECT max(bucket) FROM b)))
+                       AS bucket)
+               SELECT bucket, coalesce(b.n, 0) AS n,
+                      coalesce(b.sum_cents, 0) AS sum_cents
+               FROM r LEFT JOIN b USING (bucket) ORDER BY bucket"""
+        ).df()
+        assert res["bucket"].tolist() == want["bucket"].tolist()
+        assert res["n"].tolist() == want["n"].tolist()
+        assert res["sum_cents"].tolist() == want["sum_cents"].tolist()
+        # the fill actually produced empty buckets
+        assert (res["n"] == 0).any()
+        # dense: no missing bucket between min and max
+        assert len(res) == res["bucket"].iloc[-1] - res["bucket"].iloc[0] + 1
+
+    def test_empty_input(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.events import resample_fill
+
+        t = pa.table(
+            {
+                "ts_us": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            }
+        )
+        res = resample_fill(ray.data.from_arrow(t)).to_pandas()
+        assert len(res) == 0
