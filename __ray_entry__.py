@@ -986,6 +986,29 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_lang_mode(sf_dir: str):
+    """Per-group MODE: each lang's most frequent source (ties broken by
+    source text — a total order, so deterministic).  Pure composition:
+    one (lang, source) count exchange, then the grouped_topk k=1
+    combiner on the vocab-sized count table."""
+    from cloudtile_ray.stages.relational import (
+        bucketed_group_aggregate,
+        grouped_topk,
+    )
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    counts = bucketed_group_aggregate(
+        ds, ["lang", "source"], [("doc_id", "count", "n")]
+    )
+    return grouped_topk(
+        counts, "lang", "n", k=1, descending=True, tie_col="source"
+    ).map_batches(
+        lambda t: t.select(["lang", "source", "n"]), batch_format="pyarrow"
+    )
+
+
 def q_minute_series(sf_dir: str):
     """Gap-filled per-minute event series: count + cents sum for EVERY
     minute between corpus min and max (zeros for empty minutes) — the
@@ -1962,7 +1985,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_accumulate_enc": q_tile_accumulate_enc,
         "asof_purchase": q_asof_purchase,
         "interval_join": q_interval_join,
-        "top_terms": q_top_terms,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
         "curated_pack": q_curated_pack,
@@ -1987,16 +2009,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": q_unpivot_lineitem,
         "cube_docs": q_cube_docs,
         "minute_series": q_minute_series,
+        "lang_mode": q_lang_mode,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
         # repetition_stats / chunk_stats / seq_pack / decontaminated /
         # token_encode / vocab_ids / lang_vocab / url_dedup /
-        # value_quantiles / heavy_hitters certified in r3 made room for
-        # cohort_retention / rollup_docs / funnel / cooc_pairs /
+        # value_quantiles / heavy_hitters / top_terms certified in r3 made
+        # room for cohort_retention / rollup_docs / funnel / cooc_pairs /
         # dup_density / transitions / pivot_source / unpivot_lineitem /
-        # cube_docs / minute_series)
+        # cube_docs / minute_series / lang_mode)
+        "top_terms": q_top_terms,
         "heavy_hitters": q_heavy_hitters,
         "value_quantiles": q_value_quantiles,
         "url_dedup": q_url_dedup,
@@ -2759,6 +2783,14 @@ def oracle_sql() -> dict[str, str]:
         "pivot_source": """
             PIVOT (SELECT lang, source FROM documents)
             ON source USING count(*) GROUP BY lang""",
+        "lang_mode": """
+            WITH c AS (SELECT lang, source, count(doc_id) AS n
+                       FROM documents GROUP BY lang, source),
+            r AS (SELECT lang, source, n,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, source) AS rn
+                  FROM c)
+            SELECT lang, source, n FROM r WHERE rn = 1""",
         "minute_series": """
             WITH e AS (SELECT epoch_us(ts) // 60000000 AS bucket,
                               CAST(round(value * 100) AS BIGINT) AS cents
