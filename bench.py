@@ -174,7 +174,8 @@ def run_queries(sf_dir: str) -> dict:
         "boilerplate_strip", "ngram_novelty", "unk_replace", "span_dedup",
         "keyword_rank", "value_deltas", "value_decile",
         "cohort_retention", "rollup_docs", "funnel", "cooc_pairs",
-        "dup_density", "transitions", "pivot_source",
+        "dup_density", "transitions", "pivot_source", "unpivot_lineitem",
+        "cube_docs", "minute_series", "lang_mode",
     ]
     import gc
 
