@@ -351,7 +351,13 @@ def bucketed_group_aggregate(
     )
 
 
-def enumerate_sorted(ds, sort_cols: Sequence[str], descending=None, rank_col: str = "rank"):
+def enumerate_sorted(
+    ds,
+    sort_cols: Sequence[str],
+    descending=None,
+    rank_col: str = "rank",
+    return_total: bool = False,
+):
     """Global dense 0-based row numbering in ``sort_cols`` order — the
     distributed ROW_NUMBER()-over-everything / zipWithIndex primitive
     (vocabulary-id assignment, global ranking).
@@ -431,7 +437,12 @@ def enumerate_sorted(ds, sort_cols: Sequence[str], descending=None, rank_col: st
             rank_col, pa.array(base + np.arange(t.num_rows, dtype=np.int64))
         )
 
-    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    ranked = ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    if return_total:
+        # `run` finished as the sum of all block row counts — the total N
+        # falls out of the same metadata pass, no extra scan
+        return ranked, run
+    return ranked
 
 
 def grouped_distinct_count(ds, group_col: str, value_col: str, out_name: str = "n_distinct"):
@@ -487,14 +498,14 @@ def global_ntile(ds, sort_cols, k: int, out_col: str = "tile"):
     rule: with ``q = N // k`` and ``m = N % k``, the FIRST m buckets get
     q+1 rows and the rest get q (``rank * k // N`` would instead spread
     the m extras evenly — close, but not NTILE; the unit test pins the
-    ragged case).  ``N`` costs one extra ``count()`` pass over the input
-    — the same
-    recompute-beats-pinning trade the engine documents at
-    ``text.top_terms`` (pinning a corpus-scale ranked table to avoid a
-    count would hold the whole dataset in the object store instead).
+    ragged case).  ``N`` is free: it falls out of ``enumerate_sorted``'s
+    block-metadata pass (the sum of per-block row counts), so NTILE
+    costs exactly what the global sort costs — no separate ``count()``
+    scan of the input.
     """
-    n_total = ds.count()
-    ranked = enumerate_sorted(ds, sort_cols, rank_col="_ntile_rank")
+    ranked, n_total = enumerate_sorted(
+        ds, sort_cols, rank_col="_ntile_rank", return_total=True
+    )
     q, m = divmod(n_total, k)
     big_cutoff = m * (q + 1)  # ranks below this sit in a (q+1)-row bucket
 
