@@ -986,6 +986,87 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_order_revenue(sf_dir: str):
+    """TPC-H Q3 analog: top-10 orders by revenue for one market segment,
+    orders placed before / lineitems shipped after a cutoff.  Scale
+    shape: the segment's customer KEYS broadcast once (dimension side);
+    lineitem pre-aggregates revenue per order through the bucket
+    exchange BEFORE the fact-fact hash join, so the join moves
+    order-grain rows, not line-grain; revenue in integer
+    cent-percent units keeps the sum order-free and SQL-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+
+    cut = int(np.datetime64("1997-06-30T00:00:00", "us").astype(np.int64))
+
+    ct = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = (
+        ct.filter(pc.equal(ct.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .combine_chunks()
+    )
+    kref = ray.put(keys)
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        od = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        mask = pc.and_(
+            pa.array(od < cut),
+            pc.is_in(t.column("o_custkey"), value_set=ray.get(kref)),
+        )
+        return t.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        sd = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        t = t.filter(pa.array(sd > cut))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev": pa.array(rev)}
+        )
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(orders_prep, batch_format="pyarrow")
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    rev = bucketed_group_aggregate(
+        lines, ["l_orderkey"], [("rev", "sum", "revenue_units")]
+    )
+    joined = hash_join(
+        orders, rev, on=["o_orderkey"], right_on=["l_orderkey"], how="inner"
+    )
+    return (
+        joined.sort(["revenue_units", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .map_batches(
+            lambda t: t.select(["o_orderkey", "o_orderdate", "revenue_units"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_lang_mode(sf_dir: str):
     """Per-group MODE: each lang's most frequent source (ties broken by
     source text — a total order, so deterministic).  Pure composition:
@@ -1983,7 +2064,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poly_assign_z6": q_poly_assign_z6,
         # first certified in round 3 — keep in the window
         "tile_accumulate_enc": q_tile_accumulate_enc,
-        "asof_purchase": q_asof_purchase,
         "interval_join": q_interval_join,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
@@ -2010,6 +2090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_docs": q_cube_docs,
         "minute_series": q_minute_series,
         "lang_mode": q_lang_mode,
+        "order_revenue": q_order_revenue,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
@@ -2019,7 +2100,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value_quantiles / heavy_hitters / top_terms certified in r3 made
         # room for cohort_retention / rollup_docs / funnel / cooc_pairs /
         # dup_density / transitions / pivot_source / unpivot_lineitem /
-        # cube_docs / minute_series / lang_mode)
+        # cube_docs / minute_series / lang_mode; asof_purchase for
+        # order_revenue)
+        "asof_purchase": q_asof_purchase,
         "top_terms": q_top_terms,
         "heavy_hitters": q_heavy_hitters,
         "value_quantiles": q_value_quantiles,
@@ -2783,6 +2866,23 @@ def oracle_sql() -> dict[str, str]:
         "pivot_source": """
             PIVOT (SELECT lang, source FROM documents)
             ON source USING count(*) GROUP BY lang""",
+        "order_revenue": """
+            WITH l AS (SELECT l_orderkey,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                                AS rev
+                       FROM lineitem
+                       WHERE l_shipdate > TIMESTAMP '1997-06-30'),
+            r AS (SELECT l_orderkey,
+                         CAST(sum(rev) AS BIGINT) AS revenue_units
+                  FROM l GROUP BY l_orderkey)
+            SELECT o.o_orderkey, o.o_orderdate, r.revenue_units
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+                           AND c.c_mktsegment = 'BUILDING'
+            JOIN r ON r.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate < TIMESTAMP '1997-06-30'
+            ORDER BY revenue_units DESC, o_orderkey LIMIT 10""",
         "lang_mode": """
             WITH c AS (SELECT lang, source, count(doc_id) AS n
                        FROM documents GROUP BY lang, source),
