@@ -986,6 +986,17 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(ds.map_batches(add_ts_us, batch_format="pyarrow"))
 
 
+def q_fuzzy_names(sf_dir: str):
+    """Edit-distance-1 customer-name pairs via SymSpell deletion
+    neighborhoods — |V|x variants + two bucket exchanges instead of a
+    |V|^2 join; only equal-length candidates need the vectorized
+    Hamming==1 verify."""
+    from cloudtile_ray.stages.dedup import fuzzy_pairs
+
+    ds = _read_parquet(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    return fuzzy_pairs(ds, "c_name")
+
+
 def q_order_revenue(sf_dir: str):
     """TPC-H Q3 analog: top-10 orders by revenue for one market segment,
     orders placed before / lineitems shipped after a cutoff.  Scale
@@ -2068,7 +2079,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
         "curated_pack": q_curated_pack,
-        "corpus_overlap": q_corpus_overlap,
         # new exact oracles this round — must land in the window
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
@@ -2091,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minute_series": q_minute_series,
         "lang_mode": q_lang_mode,
         "order_revenue": q_order_revenue,
+        "fuzzy_names": q_fuzzy_names,
         # --- driver window boundary (first 50 above) ---
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
@@ -2101,7 +2112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # room for cohort_retention / rollup_docs / funnel / cooc_pairs /
         # dup_density / transitions / pivot_source / unpivot_lineitem /
         # cube_docs / minute_series / lang_mode; asof_purchase for
-        # order_revenue)
+        # order_revenue; corpus_overlap for fuzzy_names)
+        "corpus_overlap": q_corpus_overlap,
         "asof_purchase": q_asof_purchase,
         "top_terms": q_top_terms,
         "heavy_hitters": q_heavy_hitters,
@@ -2866,6 +2878,11 @@ def oracle_sql() -> dict[str, str]:
         "pivot_source": """
             PIVOT (SELECT lang, source FROM documents)
             ON source USING count(*) GROUP BY lang""",
+        "fuzzy_names": """
+            WITH v AS (SELECT DISTINCT c_name FROM customer)
+            SELECT a.c_name AS a, b.c_name AS b
+            FROM v a JOIN v b ON a.c_name < b.c_name
+            WHERE levenshtein(a.c_name, b.c_name) = 1""",
         "order_revenue": """
             WITH l AS (SELECT l_orderkey,
                               CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -175,7 +175,7 @@ def run_queries(sf_dir: str) -> dict:
         "keyword_rank", "value_deltas", "value_decile",
         "cohort_retention", "rollup_docs", "funnel", "cooc_pairs",
         "dup_density", "transitions", "pivot_source", "unpivot_lineitem",
-        "cube_docs", "minute_series", "lang_mode",
+        "cube_docs", "minute_series", "lang_mode", "fuzzy_names",
     ]
     import gc
 

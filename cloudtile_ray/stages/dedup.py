@@ -2349,3 +2349,148 @@ def dup_density(ds, key_col: str, group_col: str, num_buckets: int = None):
         [group_col],
         [("n_docs", "sum", "n_docs"), ("n_dup", "sum", "n_dup")],
     )
+
+
+def fuzzy_pairs(ds, col: str, num_buckets: int = None):
+    """Edit-distance-≤1 string pair join (SymSpell / FastSS deletion
+    neighborhoods) — every unordered pair of DISTINCT values of ``col``
+    at Levenshtein distance exactly 1 (equal values are not pairs), the
+    record-linkage / typo-clustering primitive.  ASCII values (chars ==
+    bytes == DuckDB ``levenshtein`` units, the
+    :func:`add_text_prefix_key` convention).
+
+    Why no quadratic join: two strings at ed ≤ 1 SHARE A SINGLE-DELETION
+    VARIANT (substitution pairs: delete the differing position from
+    both; insertion pairs: the longer's deletion IS the shorter), so
+    generating each value's ≤ len+1 variants and grouping by variant
+    finds every true pair among |value|× the data, never |value|² —
+    false positives are only equal-length pairs whose deletions meet at
+    different positions (``ab``/``ba``), killed by a Hamming==1 check;
+    length-diff-1 candidates are ed-1 BY CONSTRUCTION (they can only
+    meet via variant == shorter), so no verify is needed there.
+
+    Scale shape: per-batch variant generation loops over CHARACTER
+    POSITIONS (Arrow slice + join per position — never over rows),
+    one hash(variant)-bucket exchange, triangular pair expansion via the
+    :func:`~cloudtile_ray.stages.text.cooccurrence_pairs` repeat/cumsum
+    index math, a second pair-keyed bucket exchange to dedup pairs found
+    through multiple shared variants, then the vectorized padded-byte
+    Hamming verify inside ``map_batches``."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+    from cloudtile_ray.stages.util import default_num_buckets, stable_hash_strings
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(ds)
+
+    distinct = bucketed_group_aggregate(
+        ds.map_batches(lambda t: t.select([col]), batch_format="pyarrow"),
+        [col],
+        [(col, "count", "_n")],
+    )
+
+    BIG = 1 << 30
+
+    def gen_variants(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "variant": pa.array([], pa.string()),
+                "val": pa.array([], pa.string()),
+                "_bkt": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        v = t.column(col).combine_chunks()
+        lens = pc.utf8_length(v).to_numpy(zero_copy_only=False)
+        max_len = int(lens.max(initial=0))
+        var_parts, val_parts = [pa.array(v)], [pa.array(v)]  # identity variant
+        for i in range(max_len):
+            sel = pa.array(lens > i)
+            vi = v.filter(sel)
+            var_parts.append(
+                pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(vi, 0, i),
+                    pc.utf8_slice_codeunits(vi, i + 1, BIG),
+                    "",
+                )
+            )
+            val_parts.append(vi)
+        variant = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in var_parts]
+        )
+        val = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in val_parts]
+        )
+        h = stable_hash_strings(variant)
+        return pa.table(
+            {
+                "variant": variant,
+                "val": val,
+                "_bkt": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            }
+        )
+
+    def expand_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+        )
+        if g.num_rows < 2:
+            return empty
+        # distinct (variant, val) then sort: within a variant group the
+        # values are strictly increasing, so pair (i, j) has a < b free
+        dist = g.group_by(["variant", "val"]).aggregate([])
+        order = pc.sort_indices(
+            dist, sort_keys=[("variant", "ascending"), ("val", "ascending")]
+        )
+        dist = dist.take(order)
+        var_s = dist.column("variant").to_numpy(zero_copy_only=False)
+        val_s = dist.column("val").combine_chunks()
+        _, m = np.unique(var_s, return_counts=True)
+        tot = int(m.sum())
+        seg_start = np.cumsum(m) - m
+        gi = np.arange(tot) - np.repeat(seg_start, m)
+        reps = np.repeat(m, m) - 1 - gi
+        n_pairs = int(reps.sum())
+        if n_pairs == 0:
+            return empty
+        left = np.repeat(np.arange(tot, dtype=np.int64), reps)
+        bstart = np.cumsum(reps) - reps
+        right = np.arange(n_pairs, dtype=np.int64) - np.repeat(bstart, reps) + left + 1
+        return pa.table(
+            {
+                "a": val_s.take(pa.array(left)),
+                "b": val_s.take(pa.array(right)),
+            }
+        )
+
+    candidates = (
+        distinct.map_batches(gen_variants, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: expand_pairs(g.drop_columns(["_bkt"])), batch_format="pyarrow"
+        )
+    )
+    pairs = bucketed_group_aggregate(candidates, ["a", "b"], [("a", "count", "_c")])
+
+    def verify(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_c"])
+        if t.num_rows == 0:
+            return t
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        la = pc.utf8_length(a).to_numpy(zero_copy_only=False)
+        lb = pc.utf8_length(b).to_numpy(zero_copy_only=False)
+        eq_len = la == lb
+        keep = np.ones(t.num_rows, dtype=bool)
+        if eq_len.any():
+            idx = np.nonzero(eq_len)[0]
+            sub_a, sub_b = a.take(pa.array(idx)), b.take(pa.array(idx))
+            L = int(la[idx].max())
+            pad_a = pc.utf8_rpad(sub_a, L, " ").to_numpy(zero_copy_only=False)
+            pad_b = pc.utf8_rpad(sub_b, L, " ").to_numpy(zero_copy_only=False)
+            A = np.frombuffer("".join(pad_a).encode("ascii"), dtype=np.uint8).reshape(-1, L)
+            B = np.frombuffer("".join(pad_b).encode("ascii"), dtype=np.uint8).reshape(-1, L)
+            keep[idx] = (A != B).sum(axis=1) == 1
+        return t.filter(pa.array(keep))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

@@ -2233,3 +2233,48 @@ class TestResampleFill:
         )
         res = resample_fill(ray.data.from_arrow(t)).to_pandas()
         assert len(res) == 0
+
+
+class TestFuzzyPairs:
+    def test_matches_levenshtein_sql(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import fuzzy_pairs
+
+        rng = np.random.default_rng(59)
+        # dense short-string space -> substitutions, insertions, AND the
+        # ab/ba false-positive shape all occur
+        alpha = np.array(list("abc"))
+        vals = ["".join(alpha[rng.integers(0, 3, rng.integers(1, 5))]) for _ in range(400)]
+        t = pa.table({"s": pa.array(vals)})
+        res = (
+            fuzzy_pairs(ray.data.from_arrow(t).repartition(5), "s")
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH v AS (SELECT DISTINCT s FROM t)
+               SELECT a.s AS a, b.s AS b
+               FROM v a JOIN v b ON a.s < b.s
+               WHERE levenshtein(a.s, b.s) = 1
+               ORDER BY a, b"""
+        ).df()
+        assert res[["a", "b"]].values.tolist() == want.values.tolist()
+
+    def test_transposition_is_not_ed1(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.dedup import fuzzy_pairs
+
+        t = pa.table({"s": pa.array(["ab", "ba", "aa", "abc"])})
+        res = (
+            fuzzy_pairs(ray.data.from_arrow(t), "s")
+            .to_pandas()
+            .sort_values(["a", "b"], ignore_index=True)
+        )
+        got = set(map(tuple, res[["a", "b"]].values.tolist()))
+        # ab<->ba is ed 2 (shared deletion variants 'a' and 'b' are the
+        # classic false positive); aa-ab, aa-ba, ab-abc, ba... check SQL set
+        assert ("ab", "ba") not in got
+        assert ("aa", "ab") in got and ("ab", "abc") in got
