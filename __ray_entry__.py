@@ -997,6 +997,33 @@ def q_fuzzy_names(sf_dir: str):
     return fuzzy_pairs(ds, "c_name")
 
 
+def q_json_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` field out of the
+    JSON-string ``props`` column (one vectorized RE2 pass per batch — no
+    per-row json.loads) and aggregate it per event_type.  The extraction
+    is a map_batches kernel, the rollup one small-key exchange."""
+    from cloudtile_ray.stages.events import json_field_int
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "props"]
+    ).map_batches(json_field_int, batch_format="pyarrow")
+    out = bucketed_group_aggregate(
+        ds,
+        ["event_type"],
+        [
+            ("event_id", "count", "n"),
+            ("k", "sum", "sum_k"),
+            ("k", "min", "min_k"),
+            ("k", "max", "max_k"),
+        ],
+    )
+    return out.sort("event_type").map_batches(
+        lambda t: t.select(["event_type", "n", "sum_k", "min_k", "max_k"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_order_revenue(sf_dir: str):
     """TPC-H Q3 analog: top-10 orders by revenue for one market segment,
     orders placed before / lineitems shipped after a cutoff.  Scale
@@ -2078,7 +2105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
-        "curated_pack": q_curated_pack,
         # new exact oracles this round — must land in the window
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
@@ -2102,7 +2128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mode": q_lang_mode,
         "order_revenue": q_order_revenue,
         "fuzzy_names": q_fuzzy_names,
+        "json_extract": q_json_extract,
         # --- driver window boundary (first 50 above) ---
+        # curated_pack (r3-certified exact) rotated behind for json_extract
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
@@ -2113,6 +2141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dup_density / transitions / pivot_source / unpivot_lineitem /
         # cube_docs / minute_series / lang_mode; asof_purchase for
         # order_revenue; corpus_overlap for fuzzy_names)
+        "curated_pack": q_curated_pack,
         "corpus_overlap": q_corpus_overlap,
         "asof_purchase": q_asof_purchase,
         "top_terms": q_top_terms,
@@ -2883,6 +2912,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.c_name AS a, b.c_name AS b
             FROM v a JOIN v b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) = 1""",
+        "json_extract": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                AS k
+                       FROM events)
+            SELECT event_type, count(event_id) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k, max(k) AS max_k
+            FROM e GROUP BY event_type ORDER BY event_type""",
         "order_revenue": """
             WITH l AS (SELECT l_orderkey,
                               CAST(round(l_extendedprice * 100) AS BIGINT)

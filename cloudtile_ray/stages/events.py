@@ -53,6 +53,27 @@ def _user_segments(u_s: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, np.repeat(starts, sizes)
 
 
+def json_field_int(
+    batch: pa.Table, col: str = "props", field: str = "k", out: str = "k"
+) -> pa.Table:
+    """Vectorized JSON scalar extraction: pull an integer field out of a
+    JSON-object string column with one RE2 pass (``pc.extract_regex``) —
+    no per-row ``json.loads``.  Rows missing the field (or with a
+    non-integer value) yield null, matching DuckDB's
+    ``CAST(json_extract_string(props, '$.field') AS BIGINT)`` on the
+    scalar-object shapes the corpus carries.  The narrow contract (no
+    nested objects, no escaped keys) is asserted in tests; a full JSON
+    path language would switch this to a per-actor ``json.loads`` pool.
+    """
+    import pyarrow.compute as pc
+
+    # the terminator class keeps "k": 2.5 from half-matching as 2
+    pat = '"' + field + '"\\s*:\\s*(?P<v>-?\\d+)\\s*[,}]'
+    ex = pc.extract_regex(batch.column(col), pat)
+    vals = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+    return batch.append_column(out, vals)
+
+
 def prep_events(batch: pa.Table) -> pa.Table:
     """Append epoch-us and integer-cents columns (exact arithmetic shared
     with the DuckDB oracles)."""

@@ -2278,3 +2278,35 @@ class TestFuzzyPairs:
         # classic false positive); aa-ab, aa-ba, ab-abc, ba... check SQL set
         assert ("ab", "ba") not in got
         assert ("aa", "ab") in got and ("ab", "abc") in got
+
+
+class TestJsonExtract:
+    """Vectorized JSON integer-field extraction (events.json_field_int)."""
+
+    def test_matches_duckdb_json_extract(self):
+        import duckdb
+
+        from cloudtile_ray.stages.events import json_field_int
+
+        props = [
+            '{"k": 87}', '{"k": 0}', '{"k": -3}', '{ "k" : 12 }',
+            '{"j": 5}', None, '{"k": "x"}', '{"kk": 9, "k": 41}',
+        ]
+        t = pa.table({"props": pa.array(props, pa.string())})
+        got = json_field_int(t).column("k").to_pylist()
+        want = duckdb.sql(
+            """SELECT TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)
+               FROM (SELECT unnest($1::VARCHAR[]) AS p)""",
+            params=[props[:5] + ["{}"] + props[6:]],
+        ).fetchall()
+        # row 5 (None) stays null either way; DuckDB can't take a NULL in
+        # the array literal so it's swapped for {} (also null k)
+        assert got == [w[0] for w in want]
+
+    def test_missing_and_nonint_are_null(self):
+        from cloudtile_ray.stages.events import json_field_int
+
+        t = pa.table({"props": pa.array(['{"a":1}', '{"k":2.5}', '{"k":7}'])})
+        got = json_field_int(t).column("k").to_pylist()
+        # 2.5 must NOT half-match as 2 (TRY_CAST('2.5' AS BIGINT) is null)
+        assert got == [None, None, 7]
