@@ -1024,6 +1024,27 @@ def q_json_extract(sf_dir: str):
     )
 
 
+def q_user_paths(sf_dir: str):
+    """Per-user ordered event-type path string (collect_list + join — the
+    session-path / clickstream export shape).  user_id is a near-unique
+    key at corpus scale, so this rides the bucket exchange; the concat
+    itself is one Arrow binary_join kernel per bucket."""
+    from cloudtile_ray.stages.relational import grouped_string_agg
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return grouped_string_agg(
+        ds,
+        ["user_id"],
+        "event_type",
+        out_name="path",
+        sep=">",
+        order_cols=["ts", "event_id"],
+    ).map_batches(lambda t: t.select(["user_id", "path"]), batch_format="pyarrow")
+
+
 def q_order_revenue(sf_dir: str):
     """TPC-H Q3 analog: top-10 orders by revenue for one market segment,
     orders placed before / lineitems shipped after a cutoff.  Scale
@@ -2101,7 +2122,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "poly_assign_z6": q_poly_assign_z6,
         # first certified in round 3 — keep in the window
-        "tile_accumulate_enc": q_tile_accumulate_enc,
         "interval_join": q_interval_join,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
@@ -2129,8 +2149,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue": q_order_revenue,
         "fuzzy_names": q_fuzzy_names,
         "json_extract": q_json_extract,
+        "user_paths": q_user_paths,
         # --- driver window boundary (first 50 above) ---
-        # curated_pack (r3-certified exact) rotated behind for json_extract
+        # curated_pack / tile_accumulate_enc (r3-certified exact) rotated
+        # behind for json_extract / user_paths
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
@@ -2142,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cube_docs / minute_series / lang_mode; asof_purchase for
         # order_revenue; corpus_overlap for fuzzy_names)
         "curated_pack": q_curated_pack,
+        "tile_accumulate_enc": q_tile_accumulate_enc,
         "corpus_overlap": q_corpus_overlap,
         "asof_purchase": q_asof_purchase,
         "top_terms": q_top_terms,
@@ -2912,6 +2935,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.c_name AS a, b.c_name AS b
             FROM v a JOIN v b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) = 1""",
+        "user_paths": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id""",
         "json_extract": """
             WITH e AS (SELECT event_id, event_type,
                               CAST(json_extract_string(props, '$.k') AS BIGINT)

@@ -351,6 +351,99 @@ def bucketed_group_aggregate(
     )
 
 
+def grouped_string_agg(
+    ds,
+    key_cols: Sequence[str],
+    val_col: str,
+    out_name: str = "vals",
+    sep: str = ",",
+    order_cols: Optional[Sequence[str]] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Order-sensitive per-group string concatenation — SQL's
+    ``string_agg(val, sep ORDER BY order_cols)`` (collect_list + join).
+
+    Concat is NOT a decomposable kernel (order across batches matters), so
+    this can't ride :func:`bucketed_group_aggregate`; exactness instead
+    comes from sorting within the bucket.  Same scale shape as every
+    near-unique-key groupby here: one hash-bucket exchange on
+    ``hash(key) % num_buckets`` (all rows of a group land in one bucket
+    task), then per bucket one lexsort by (keys..., order_cols...),
+    segment offsets from key change-flags, and ``pc.binary_join`` over a
+    zero-copy ListArray — the whole concat is one Arrow C++ kernel, no
+    per-group Python.  Null values are dropped first (string_agg
+    semantics).  A group's concatenated string must fit one task's heap —
+    the same bound any per-group window op already needs.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.util import default_num_buckets, stable_hash_strings
+
+    key_cols = list(key_cols)
+    order_cols = list(order_cols) if order_cols is not None else [val_col]
+    if num_buckets is None:
+        num_buckets = default_num_buckets(ds)
+
+    def add_bucket(t: "pa.Table") -> "pa.Table":
+        t = t.filter(pc.is_valid(t.column(val_col)))
+        if t.num_rows == 0:
+            return t.append_column("_bkt", pa.array([], pa.int64()))
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for kc in key_cols:
+            col = t.column(kc)
+            if (
+                pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)
+                or pa.types.is_binary(col.type)
+            ):
+                ch = stable_hash_strings(col)
+            else:
+                ch = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                ch *= np.uint64(0x9E3779B97F4A7C15)
+            h = h * np.uint64(1000003) + ch
+        return t.append_column(
+            "_bkt", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def agg_bucket(g: "pa.Table") -> "pa.Table":
+        g = g.drop_columns(["_bkt"])
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    **{c: g.column(c) for c in key_cols},
+                    out_name: pa.array([], pa.string()),
+                }
+            )
+        idx = pc.sort_indices(
+            g, sort_keys=[(c, "ascending") for c in key_cols + order_cols]
+        )
+        s = g.take(idx)
+        n = s.num_rows
+        new = np.zeros(n, dtype=bool)
+        new[0] = True
+        for c in key_cols:
+            a = s.column(c).to_numpy(zero_copy_only=False)
+            new[1:] |= a[1:] != a[:-1]
+        starts = np.nonzero(new)[0]
+        vals = s.column(val_col).combine_chunks()
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.chunk(0) if vals.num_chunks else pa.array([], vals.type)
+        offsets = pa.array(np.append(starts, n).astype(np.int64))
+        lst = pa.LargeListArray.from_arrays(offsets, vals)
+        joined = pc.binary_join(lst, sep)
+        out = {c: s.column(c).take(pa.array(starts)) for c in key_cols}
+        out[out_name] = joined
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(agg_bucket, batch_format="pyarrow")
+    )
+
+
 def enumerate_sorted(
     ds,
     sort_cols: Sequence[str],

@@ -2310,3 +2310,55 @@ class TestJsonExtract:
         got = json_field_int(t).column("k").to_pylist()
         # 2.5 must NOT half-match as 2 (TRY_CAST('2.5' AS BIGINT) is null)
         assert got == [None, None, 7]
+
+
+class TestGroupedStringAgg:
+    """Order-sensitive per-group concat (relational.grouped_string_agg)."""
+
+    def test_matches_duckdb_string_agg(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import grouped_string_agg
+
+        rng = np.random.default_rng(7)
+        n = 500
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 40, n)),
+            "o": pa.array(rng.permutation(n)),
+            "v": pa.array([f"w{i%17}" for i in range(n)]),
+        })
+        got = (
+            grouped_string_agg(
+                ray.data.from_arrow(t).repartition(7), ["k"], "v",
+                out_name="s", sep="|", order_cols=["o"],
+            )
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        want = duckdb.sql(
+            """SELECT k, string_agg(v, '|' ORDER BY o) AS s
+               FROM t GROUP BY k ORDER BY k"""
+        ).df()
+        assert got[["k", "s"]].values.tolist() == want.values.tolist()
+
+    def test_nulls_dropped_and_string_keys(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import grouped_string_agg
+
+        t = pa.table({
+            "g": pa.array(["a", "a", "b", "b", "a"]),
+            "v": pa.array(["x", None, "y", "z", "q"]),
+        })
+        got = (
+            grouped_string_agg(ray.data.from_arrow(t), ["g"], "v", out_name="s")
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        want = duckdb.sql(
+            """SELECT g, string_agg(v, ',' ORDER BY v) AS s
+               FROM t GROUP BY g ORDER BY g"""
+        ).df()
+        assert got[["g", "s"]].values.tolist() == want.values.tolist()
