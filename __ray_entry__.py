@@ -1024,6 +1024,19 @@ def q_json_extract(sf_dir: str):
     )
 
 
+def q_rows_window(sf_dir: str):
+    """Bounded ROWS-frame moving sum per user (3-event frame) — the
+    frame-window family next to running_totals' unbounded frame.  One
+    user-bucket exchange; frame sums are two gathers over a segmented
+    prefix sum."""
+    from cloudtile_ray.stages.events import rows_window_sum
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return rows_window_sum(ds, frame=3)
+
+
 def q_user_paths(sf_dir: str):
     """Per-user ordered event-type path string (collect_list + join — the
     session-path / clickstream export shape).  user_id is a near-unique
@@ -2122,7 +2135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "poly_assign_z6": q_poly_assign_z6,
         # first certified in round 3 — keep in the window
-        "interval_join": q_interval_join,
         "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
         # new exact oracles this round — must land in the window
@@ -2150,9 +2162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_names": q_fuzzy_names,
         "json_extract": q_json_extract,
         "user_paths": q_user_paths,
+        "rows_window": q_rows_window,
         # --- driver window boundary (first 50 above) ---
-        # curated_pack / tile_accumulate_enc (r3-certified exact) rotated
-        # behind for json_extract / user_paths
+        # curated_pack / tile_accumulate_enc / interval_join (r3-certified
+        # exact) rotated behind for json_extract / user_paths / rows_window
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
@@ -2165,6 +2178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order_revenue; corpus_overlap for fuzzy_names)
         "curated_pack": q_curated_pack,
         "tile_accumulate_enc": q_tile_accumulate_enc,
+        "interval_join": q_interval_join,
         "corpus_overlap": q_corpus_overlap,
         "asof_purchase": q_asof_purchase,
         "top_terms": q_top_terms,
@@ -2935,6 +2949,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.c_name AS a, b.c_name AS b
             FROM v a JOIN v b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) = 1""",
+        "rows_window": """
+            WITH e AS (SELECT user_id, event_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id, event_id,
+                   CAST(sum(cents) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN 2 PRECEDING
+                                                  AND CURRENT ROW)
+                        AS BIGINT) AS win_cents
+            FROM e""",
         "user_paths": """
             SELECT user_id,
                    string_agg(event_type, '>' ORDER BY ts, event_id) AS path

@@ -124,6 +124,55 @@ def running_totals(ds) -> "ray.data.Dataset":
     )
 
 
+def rows_window_sum(ds, frame: int = 3) -> "ray.data.Dataset":
+    """Per-user ROWS-frame moving sum — ``sum(cents) OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS BETWEEN frame-1 PRECEDING AND
+    CURRENT ROW)``.  The bounded-frame window family (vs running_totals'
+    unbounded frame): windowed sum = prefix[i+1] - prefix[lo] with the
+    frame's low edge clipped at each user's segment start — two numpy
+    gathers over one segmented cumsum, no per-user Python.  Integer cents
+    keep the sums order-free and SQL-exact."""
+    nb = _n_user_buckets(ds)
+    k = int(frame)
+    if k < 1:
+        raise ValueError("frame must be >= 1")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "win_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, eid_s, val_s = uid[order], eid[order], val[order]
+        _, seg_start = _user_segments(u_s)
+        prefix = np.concatenate([[0], np.cumsum(val_s)])
+        i = np.arange(len(u_s))
+        lo = np.maximum(i - (k - 1), seg_start)
+        win = prefix[i + 1] - prefix[lo]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s),
+                "event_id": pa.array(eid_s),
+                "win_cents": pa.array(win),
+            }
+        )
+
+    return (
+        ds.map_batches(prep_events, batch_format="pyarrow")
+        .map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def value_deltas(ds) -> "ray.data.Dataset":
     """Per-user LAG — ``delta_cents = value_cents - lag(value_cents) OVER
     (PARTITION BY user_id ORDER BY ts, event_id)``; each user's first

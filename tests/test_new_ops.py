@@ -2362,3 +2362,64 @@ class TestGroupedStringAgg:
                FROM t GROUP BY g ORDER BY g"""
         ).df()
         assert got[["g", "s"]].values.tolist() == want.values.tolist()
+
+
+class TestRowsWindowSum:
+    """Bounded ROWS-frame moving sum (events.rows_window_sum)."""
+
+    def test_matches_duckdb_rows_frame(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.events import rows_window_sum
+
+        rng = np.random.default_rng(11)
+        n = 400
+        t = pa.table({
+            "event_id": pa.array(np.arange(n)),
+            "user_id": pa.array(rng.integers(0, 25, n)),
+            "ts": pa.array(
+                rng.integers(0, 10**9, n).astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+        })
+        got = (
+            rows_window_sum(ray.data.from_arrow(t).repartition(6), frame=3)
+            .to_pandas()
+            .sort_values(["user_id", "event_id"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH e AS (SELECT user_id, event_id, ts,
+                                 CAST(round(value * 100) AS BIGINT) AS cents
+                          FROM t)
+               SELECT user_id, event_id,
+                      CAST(sum(cents) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS BETWEEN 2 PRECEDING
+                                                     AND CURRENT ROW)
+                           AS BIGINT) AS win_cents
+               FROM e ORDER BY user_id, event_id"""
+        ).df()
+        assert got[["user_id", "event_id", "win_cents"]].values.tolist() == \
+            want.values.tolist()
+
+    def test_frame_1_is_identity(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.events import rows_window_sum
+
+        t = pa.table({
+            "event_id": pa.array([0, 1, 2]),
+            "user_id": pa.array([5, 5, 5]),
+            "ts": pa.array(
+                np.array([10, 20, 30], dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "value": pa.array([1.0, 2.0, 3.0]),
+        })
+        got = (
+            rows_window_sum(ray.data.from_arrow(t), frame=1)
+            .to_pandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        assert got["win_cents"].tolist() == [100, 200, 300]
