@@ -1024,6 +1024,74 @@ def q_json_extract(sf_dir: str):
     )
 
 
+def q_dense_rank(sf_dir: str):
+    """Global DENSE_RANK over a column with ties: rank every order by its
+    total-price cents.  Composition: distinct cents (bucket exchange),
+    enumerate_sorted over the distinct table only, hash join back — the
+    fact table is hashed, never globally sorted."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import global_dense_rank
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100)), pa.int64())
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "cents": cents})
+
+    ds = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(prep, batch_format="pyarrow")
+    return global_dense_rank(ds, "cents", out_col="rank").map_batches(
+        lambda t: t.select(["o_orderkey", "cents", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_cov_stats(sf_dir: str):
+    """Algebraic aggregate: per event_type covariance NUMERATOR
+    ``n*Σ(x*y) − Σx*Σy`` between value-cents and the JSON ``k`` field —
+    covariance/correlation are not Arrow hash kernels but decompose into
+    sums of products, so this rides the partial-agg exchange with one
+    derived column; all-integer arithmetic keeps it SQL-bit-exact (no
+    float accumulation order issues)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.events import json_field_int, prep_events
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = prep_events(json_field_int(t))
+        xy = pc.multiply(t.column("value_cents"), t.column("k"))
+        return t.append_column("xy", xy)
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value", "props"],
+    ).map_batches(derive, batch_format="pyarrow")
+    agg = bucketed_group_aggregate(
+        ds,
+        ["event_type"],
+        [
+            ("event_id", "count", "n"),
+            ("value_cents", "sum", "sx"),
+            ("k", "sum", "sy"),
+            ("xy", "sum", "sxy"),
+        ],
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t.column("n")
+        cov = pc.subtract(
+            pc.multiply(n, t.column("sxy")),
+            pc.multiply(t.column("sx"), t.column("sy")),
+        )
+        return pa.table(
+            {"event_type": t.column("event_type"), "n": n, "cov_num": cov}
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("event_type")
+
+
 def q_rows_window(sf_dir: str):
     """Bounded ROWS-frame moving sum per user (3-event frame) — the
     frame-window family next to running_totals' unbounded frame.  One
@@ -2114,7 +2182,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign_z6": q_tile_assign_z6,
         "tile_ladder_counts": q_tile_ladder_counts,
         "pip_inner": q_pip_inner,
-        "knn_points": q_knn_points,
         # exact-oracle queries not yet driver-certified (VERDICT r3 #1)
         "simhash_pairs": q_simhash_pairs,
         "icosa_knn": q_icosa_knn,
@@ -2135,7 +2202,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q_embedding_neardup,
         "poly_assign_z6": q_poly_assign_z6,
         # first certified in round 3 — keep in the window
-        "dup_ngrams": q_dup_ngrams,
         "ngram_decontam": q_ngram_decontam,
         # new exact oracles this round — must land in the window
         "para_dedup": q_para_dedup,
@@ -2163,9 +2229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": q_json_extract,
         "user_paths": q_user_paths,
         "rows_window": q_rows_window,
+        "cov_stats": q_cov_stats,
+        "dense_rank": q_dense_rank,
         # --- driver window boundary (first 50 above) ---
-        # curated_pack / tile_accumulate_enc / interval_join (r3-certified
-        # exact) rotated behind for json_extract / user_paths / rows_window
+        # curated_pack / tile_accumulate_enc / interval_join / dup_ngrams
+        # (r3-certified exact) rotated behind for json_extract / user_paths
+        # / rows_window / cov_stats
         # certified exact in round 3 — rotated behind for the new oracles
         # (stratified_sample / train_split / domain_stats certified in r3
         # made room for this round's boilerplate/novelty/unk oracles;
@@ -2179,6 +2248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_pack": q_curated_pack,
         "tile_accumulate_enc": q_tile_accumulate_enc,
         "interval_join": q_interval_join,
+        "knn_points": q_knn_points,
+        "dup_ngrams": q_dup_ngrams,
         "corpus_overlap": q_corpus_overlap,
         "asof_purchase": q_asof_purchase,
         "top_terms": q_top_terms,
@@ -2949,6 +3020,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.c_name AS a, b.c_name AS b
             FROM v a JOIN v b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) = 1""",
+        "dense_rank": """
+            WITH o AS (SELECT o_orderkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders)
+            SELECT o_orderkey, cents,
+                   CAST(dense_rank() OVER (ORDER BY cents) AS BIGINT) AS rank
+            FROM o""",
+        "cov_stats": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                AS k
+                       FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(count(*) * sum(cents * k) - sum(cents) * sum(k)
+                        AS BIGINT) AS cov_num
+            FROM e GROUP BY event_type ORDER BY event_type""",
         "rows_window": """
             WITH e AS (SELECT user_id, event_id, ts,
                               CAST(round(value * 100) AS BIGINT) AS cents

@@ -580,6 +580,37 @@ def grouped_distinct_count(ds, group_col: str, value_col: str, out_name: str = "
     )
 
 
+def global_dense_rank(ds, col: str, out_col: str = "rank"):
+    """Global 1-based ``DENSE_RANK() OVER (ORDER BY col)`` for a column
+    WITH ties — the ranking family :func:`enumerate_sorted` (which needs
+    unique keys) can't express.  Pure composition: the distinct values
+    (one bucket exchange — tie groups collapse before anything global
+    happens), `enumerate_sorted` over the now-unique values (one
+    range-partitioned sort of the DISTINCT table, usually far smaller
+    than the input), and a hash join back.  The full input is never
+    sorted — only hashed."""
+    distinct = bucketed_group_aggregate(ds, [col], [(col, "count", "_n")])
+    ranked = enumerate_sorted(
+        distinct.map_batches(
+            lambda t: t.select([col]), batch_format="pyarrow"
+        ),
+        [col],
+        rank_col=out_col,
+    )
+
+    def shift(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index(out_col),
+            out_col,
+            pc.add(t.column(out_col), pa.scalar(1, pa.int64())),
+        )
+
+    return hash_join(ds, ranked.map_batches(shift, batch_format="pyarrow"), on=[col])
+
+
 def global_ntile(ds, sort_cols, k: int, out_col: str = "tile"):
     """SQL ``NTILE(k) OVER (ORDER BY sort_cols)`` — equal-height bucket
     assignment over a global total order (the histogram-equalization /

@@ -2423,3 +2423,40 @@ class TestRowsWindowSum:
             .sort_values("event_id", ignore_index=True)
         )
         assert got["win_cents"].tolist() == [100, 200, 300]
+
+
+class TestGlobalDenseRank:
+    """Tied-value global ranking (relational.global_dense_rank)."""
+
+    def test_matches_duckdb_dense_rank(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import global_dense_rank
+
+        rng = np.random.default_rng(3)
+        n = 300
+        t = pa.table({
+            "id": pa.array(np.arange(n)),
+            "v": pa.array(rng.integers(0, 40, n)),  # heavy ties
+        })
+        got = (
+            global_dense_rank(ray.data.from_arrow(t).repartition(5), "v")
+            .to_pandas()
+            .sort_values("id", ignore_index=True)
+        )
+        want = duckdb.sql(
+            """SELECT id, v,
+                      CAST(dense_rank() OVER (ORDER BY v) AS BIGINT) AS rank
+               FROM t ORDER BY id"""
+        ).df()
+        assert got[["id", "v", "rank"]].values.tolist() == want.values.tolist()
+
+    def test_all_equal_is_rank_one(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import global_dense_rank
+
+        t = pa.table({"id": pa.array([0, 1, 2]), "v": pa.array([7, 7, 7])})
+        got = global_dense_rank(ray.data.from_arrow(t), "v").to_pandas()
+        assert got["rank"].tolist() == [1, 1, 1]
