@@ -1024,6 +1024,21 @@ def q_json_extract(sf_dir: str):
     )
 
 
+def q_hll_users(sf_dir: str):
+    """Approximate distinct users per event_type via HyperLogLog (p=12,
+    ~1.6% RSE) — the sketch scale path next to grouped_distinct_count's
+    exact pair exchange; 4 KiB of registers per group regardless of
+    cardinality.  Deterministic hash => reproducible, but approximate by
+    design: rows-only driver check; the error bound and an exact
+    comparison are pinned in unit tests."""
+    from cloudtile_ray.stages.sketches import hll_distinct
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct(ds, "event_type", "user_id").sort("event_type")
+
+
 def q_dense_rank(sf_dir: str):
     """Global DENSE_RANK over a column with ties: rank every order by its
     total-price cents.  Composition: distinct cents (bucket exchange),
@@ -2249,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_accumulate_enc": q_tile_accumulate_enc,
         "interval_join": q_interval_join,
         "knn_points": q_knn_points,
+        "hll_users": q_hll_users,
         "dup_ngrams": q_dup_ngrams,
         "corpus_overlap": q_corpus_overlap,
         "asof_purchase": q_asof_purchase,

@@ -2460,3 +2460,52 @@ class TestGlobalDenseRank:
         t = pa.table({"id": pa.array([0, 1, 2]), "v": pa.array([7, 7, 7])})
         got = global_dense_rank(ray.data.from_arrow(t), "v").to_pandas()
         assert got["rank"].tolist() == [1, 1, 1]
+
+
+class TestHllDistinct:
+    """HyperLogLog approximate distinct (sketches.hll_distinct)."""
+
+    def test_error_bound_and_determinism(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.sketches import hll_distinct
+
+        rng = np.random.default_rng(0)
+        n = 100_000
+        t = pa.table({
+            "g": pa.array(rng.integers(0, 3, n)),
+            "v": pa.array(rng.integers(0, 30_000, n)),
+        })
+        got = (
+            hll_distinct(ray.data.from_arrow(t).repartition(8), "g", "v")
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        exact = t.to_pandas().groupby("g")["v"].nunique()
+        for _, r in got.iterrows():
+            ex = exact[r["g"]]
+            assert abs(r["approx_distinct"] - ex) / ex < 0.05  # 3x the RSE
+        got2 = (
+            hll_distinct(ray.data.from_arrow(t).repartition(3), "g", "v")
+            .to_pandas().sort_values("g", ignore_index=True)
+        )
+        assert got.equals(got2)  # deterministic at any parallelism
+
+    def test_small_range_linear_counting(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.sketches import hll_distinct
+
+        # 20 distinct values: the linear-counting branch is near-exact
+        t = pa.table({
+            "g": pa.array([0] * 200),
+            "v": pa.array([f"u{i % 20}" for i in range(200)]),
+        })
+        got = hll_distinct(ray.data.from_arrow(t), "g", "v").to_pandas()
+        assert got["approx_distinct"].tolist() == [20]
+
+    def test_p_out_of_range_rejected(self):
+        from cloudtile_ray.stages.sketches import hll_partials
+
+        t = pa.table({"g": pa.array([1]), "v": pa.array([1])})
+        with pytest.raises(ValueError):
+            hll_partials(t, "g", "v", p=8)
