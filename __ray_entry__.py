@@ -1024,6 +1024,54 @@ def q_json_extract(sf_dir: str):
     )
 
 
+def q_bloom_semi(sf_dir: str):
+    """Bloom-prefiltered semi join: lineitems of high-value orders,
+    rolled up per returnflag.  The bloom (10 bits/key, built from the
+    SMALL key side, broadcast once via ray.put) shrinks the fact side
+    before the exact hash semi join — false positives only add verify
+    rows, never wrong output, so the result is SQL-bit-exact while the
+    join's shuffle sees a fraction of the fact table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+    from cloudtile_ray.stages.sketches import bloom_build, bloom_prefilter
+
+    keys = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 400000.0)).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    n_keys = keys.count()
+    num_bits = max(1024, ((10 * n_keys + 7) // 8) * 8)
+    bits_ref = ray.put(bloom_build(keys, "o_orderkey", num_bits))
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        return bloom_prefilter(t, "l_orderkey", ray.get(bits_ref))
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    ).map_batches(prefilter, batch_format="pyarrow")
+    survivors = hash_join(
+        lines, keys, on=["l_orderkey"], right_on=["o_orderkey"], how="semi"
+    )
+
+    def qty_units(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(t.column("l_quantity"), 100)), pa.int64())
+        return pa.table({"l_returnflag": t.column("l_returnflag"), "qty_units": q})
+
+    return bucketed_group_aggregate(
+        survivors.map_batches(qty_units, batch_format="pyarrow"),
+        ["l_returnflag"],
+        [("qty_units", "count", "n"), ("qty_units", "sum", "sum_qty_units")],
+    ).sort("l_returnflag")
+
+
 def q_hll_users(sf_dir: str):
     """Approximate distinct users per event_type via HyperLogLog (p=12,
     ~1.6% RSE) — the sketch scale path next to grouped_distinct_count's
@@ -2194,7 +2242,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship geospatial chain (window anchors)
         "pages_build": q_pages_build,
-        "tile_assign_z6": q_tile_assign_z6,
         "tile_ladder_counts": q_tile_ladder_counts,
         "pip_inner": q_pip_inner,
         # exact-oracle queries not yet driver-certified (VERDICT r3 #1)
@@ -2246,6 +2293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rows_window": q_rows_window,
         "cov_stats": q_cov_stats,
         "dense_rank": q_dense_rank,
+        "bloom_semi": q_bloom_semi,
         # --- driver window boundary (first 50 above) ---
         # curated_pack / tile_accumulate_enc / interval_join / dup_ngrams
         # (r3-certified exact) rotated behind for json_extract / user_paths
@@ -2264,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_accumulate_enc": q_tile_accumulate_enc,
         "interval_join": q_interval_join,
         "knn_points": q_knn_points,
+        "tile_assign_z6": q_tile_assign_z6,
         "hll_users": q_hll_users,
         "dup_ngrams": q_dup_ngrams,
         "corpus_overlap": q_corpus_overlap,
@@ -3036,6 +3085,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.c_name AS a, b.c_name AS b
             FROM v a JOIN v b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) = 1""",
+        "bloom_semi": """
+            WITH k AS (SELECT o_orderkey FROM orders
+                       WHERE o_totalprice > 400000.0),
+            l AS (SELECT l_returnflag,
+                         CAST(round(l_quantity * 100) AS BIGINT) AS qty_units
+                  FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM k))
+            SELECT l_returnflag, count(qty_units) AS n,
+                   CAST(sum(qty_units) AS BIGINT) AS sum_qty_units
+            FROM l GROUP BY l_returnflag ORDER BY l_returnflag""",
         "dense_rank": """
             WITH o AS (SELECT o_orderkey,
                               CAST(round(o_totalprice * 100) AS BIGINT) AS cents

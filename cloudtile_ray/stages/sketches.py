@@ -41,6 +41,60 @@ def _bit_length_u64(w: np.ndarray) -> np.ndarray:
     return out
 
 
+def _bloom_indices(h: np.ndarray, k: int, num_bits: int) -> np.ndarray:
+    """(len(h), k) probe positions via double hashing — h1 + i*h2 mod m
+    (Kirsch-Mitzenmacher construction, public)."""
+    h1 = h
+    h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)  # odd => full cycle
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(num_bits)).astype(
+        np.int64
+    )
+
+
+def bloom_build(ds, col: str, num_bits: int, k: int = 7) -> np.ndarray:
+    """Build a Bloom filter over a key column; returns the bit array
+    (uint8, num_bits/8 bytes) for ``ray.put`` + broadcast into
+    :func:`bloom_prefilter`.
+
+    Scale shape: each block reduces to ONE row carrying its local bloom
+    bytes; the driver ORs block-count rows (driver traffic =
+    blocks x num_bits/8 — e.g. 1k blocks x 1 MiB = 1 GiB worst case;
+    size num_bits to the KEY set, which is small by the broadcast-side
+    contract of this op, exactly like every broadcast join here).  With
+    ~10 bits/key and k=7 the false-positive rate is <1%; FPs only cost
+    extra rows in the exact verify stage, never wrong results."""
+    if num_bits % 8:
+        raise ValueError("num_bits must be a multiple of 8")
+
+    def local_bloom(t: pa.Table) -> pa.Table:
+        bits = np.zeros(num_bits // 8, dtype=np.uint8)
+        if t.num_rows:
+            idx = _bloom_indices(_hash64(t.column(col)), k, num_bits).ravel()
+            np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(
+        local_bloom, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    out = np.zeros(num_bits // 8, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(r["bloom"], dtype=np.uint8)
+    return out
+
+
+def bloom_prefilter(batch: pa.Table, col: str, bits: np.ndarray, k: int = 7) -> pa.Table:
+    """Keep only rows whose key MIGHT be in the bloom (no false
+    negatives) — the broadcast prefilter that shrinks a big probe side
+    before an exact join, instead of shuffling the whole fact table."""
+    if batch.num_rows == 0:
+        return batch
+    num_bits = len(bits) * 8
+    idx = _bloom_indices(_hash64(batch.column(col)), k, num_bits)
+    hit = (bits[idx >> 3] & (np.uint8(1) << (idx & 7).astype(np.uint8))) != 0
+    return batch.filter(pa.array(hit.all(axis=1)))
+
+
 def hll_partials(batch: pa.Table, group_col: str, value_col: str, p: int) -> pa.Table:
     """Batch-side HLL register partials: one row per (group, bucket) seen
     in the batch with the max rho.  p >= 11 keeps the rank word < 2**53

@@ -2509,3 +2509,34 @@ class TestHllDistinct:
         t = pa.table({"g": pa.array([1]), "v": pa.array([1])})
         with pytest.raises(ValueError):
             hll_partials(t, "g", "v", p=8)
+
+
+class TestBloomFilter:
+    """Broadcast Bloom prefilter (sketches.bloom_build/bloom_prefilter)."""
+
+    def test_no_false_negatives_and_fp_rate(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.sketches import bloom_build, bloom_prefilter
+
+        rng = np.random.default_rng(5)
+        keys = pa.table({"k": pa.array(np.arange(2000, dtype=np.int64))})
+        bits = bloom_build(
+            ray.data.from_arrow(keys).repartition(4), "k", num_bits=((10 * 2000) // 8) * 8
+        )
+        probe = pa.table({"k": pa.array(rng.integers(0, 40_000, 10_000))})
+        kept = bloom_prefilter(probe, "k", bits)
+        kept_set = set(kept.column("k").to_pylist())
+        member = probe.column("k").to_numpy() < 2000
+        # every true member survives
+        assert set(probe.column("k").to_numpy()[member].tolist()) <= kept_set
+        # false-positive rate small: non-members that survived
+        non_members = int((~member).sum())
+        fps = len([v for v in kept.column("k").to_pylist() if v >= 2000])
+        assert fps / non_members < 0.03
+
+    def test_empty_batch_passthrough(self):
+        from cloudtile_ray.stages.sketches import bloom_prefilter
+
+        t = pa.table({"k": pa.array([], pa.int64())})
+        assert bloom_prefilter(t, "k", np.zeros(128, np.uint8)).num_rows == 0
