@@ -1024,6 +1024,99 @@ def q_json_extract(sf_dir: str):
     )
 
 
+def q_lang_sim(sf_dir: str):
+    """Cross-group vector similarity: cosine between per-language term
+    COUNT vectors, kept all-integer (dot and squared norms; the final
+    float division is the caller's) so it's SQL-bit-exact.  Scale shape:
+    corpus -> (lang, tok, n) through ONE count exchange (vocab-sized
+    output), pairwise dots via a hash self-join ON TOK (each token row
+    meets only its own token's counterparts — no |vocab|^2 blowup), and
+    the group-cardinality norm table rides the driver (a few rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(), pattern=" ")
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        lang_rep = np.repeat(langs, lens)
+        one = np.ones(len(flat), dtype=np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(lang_rep.tolist(), pa.string()),
+                "tok": flat,
+                "one": pa.array(one),
+            }
+        )
+
+    counts = bucketed_group_aggregate(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["lang", "tok"],
+        [("one", "sum", "n")],
+    )
+
+    def sq(t: pa.Table) -> pa.Table:
+        n = t.column("n")
+        return pa.table(
+            {"lang": t.column("lang"), "n2": pc.multiply(n, n)}
+        )
+
+    norms = bucketed_group_aggregate(
+        counts.map_batches(sq, batch_format="pyarrow"),
+        ["lang"],
+        [("n2", "sum", "norm2")],
+    ).to_pandas()  # group-cardinality rows (a handful of langs)
+    norm_map = dict(zip(norms["lang"], norms["norm2"]))
+
+    left = counts.map_batches(
+        lambda t: pa.table(
+            {"lang_a": t.column("lang"), "tok": t.column("tok"), "na": t.column("n")}
+        ),
+        batch_format="pyarrow",
+    )
+    right = counts.map_batches(
+        lambda t: pa.table(
+            {"lang_b": t.column("lang"), "tok": t.column("tok"), "nb": t.column("n")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(left, right, on=["tok"])
+
+    def dots(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("lang_a"), t.column("lang_b"))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "lang_a": t.column("lang_a"),
+                "lang_b": t.column("lang_b"),
+                "prod": pc.multiply(t.column("na"), t.column("nb")),
+            }
+        )
+
+    agg = bucketed_group_aggregate(
+        joined.map_batches(dots, batch_format="pyarrow"),
+        ["lang_a", "lang_b"],
+        [("prod", "sum", "dot")],
+    )
+
+    def attach_norms(t: pa.Table) -> pa.Table:
+        a = [norm_map[v] for v in t.column("lang_a").to_pylist()]
+        b = [norm_map[v] for v in t.column("lang_b").to_pylist()]
+        return (
+            t.append_column("norm2_a", pa.array(a, pa.int64()))
+            .append_column("norm2_b", pa.array(b, pa.int64()))
+        )
+
+    return agg.map_batches(attach_norms, batch_format="pyarrow").sort(
+        ["lang_a", "lang_b"]
+    )
+
+
 def q_bloom_semi(sf_dir: str):
     """Bloom-prefiltered semi join: lineitems of high-value orders,
     rolled up per returnflag.  The bloom (10 bits/key, built from the
@@ -2242,7 +2335,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship geospatial chain (window anchors)
         "pages_build": q_pages_build,
-        "tile_ladder_counts": q_tile_ladder_counts,
         "pip_inner": q_pip_inner,
         # exact-oracle queries not yet driver-certified (VERDICT r3 #1)
         "simhash_pairs": q_simhash_pairs,
@@ -2294,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cov_stats": q_cov_stats,
         "dense_rank": q_dense_rank,
         "bloom_semi": q_bloom_semi,
+        "lang_sim": q_lang_sim,
         # --- driver window boundary (first 50 above) ---
         # curated_pack / tile_accumulate_enc / interval_join / dup_ngrams
         # (r3-certified exact) rotated behind for json_extract / user_paths
@@ -2313,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join": q_interval_join,
         "knn_points": q_knn_points,
         "tile_assign_z6": q_tile_assign_z6,
+        "tile_ladder_counts": q_tile_ladder_counts,
         "hll_users": q_hll_users,
         "dup_ngrams": q_dup_ngrams,
         "corpus_overlap": q_corpus_overlap,
@@ -3085,6 +3179,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.c_name AS a, b.c_name AS b
             FROM v a JOIN v b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) = 1""",
+        "lang_sim": """
+            WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tk
+                         FROM documents),
+            c AS (SELECT lang, tk, count(*) AS n FROM tok GROUP BY 1, 2),
+            norms AS (SELECT lang, CAST(sum(n * n) AS BIGINT) AS norm2
+                      FROM c GROUP BY lang),
+            dots AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+                            CAST(sum(a.n * b.n) AS BIGINT) AS dot
+                     FROM c a JOIN c b ON a.tk = b.tk AND a.lang < b.lang
+                     GROUP BY 1, 2)
+            SELECT d.lang_a, d.lang_b, d.dot,
+                   na.norm2 AS norm2_a, nb.norm2 AS norm2_b
+            FROM dots d
+            JOIN norms na ON na.lang = d.lang_a
+            JOIN norms nb ON nb.lang = d.lang_b
+            ORDER BY d.lang_a, d.lang_b""",
         "bloom_semi": """
             WITH k AS (SELECT o_orderkey FROM orders
                        WHERE o_totalprice > 400000.0),
