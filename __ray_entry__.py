@@ -1026,16 +1026,15 @@ def q_json_extract(sf_dir: str):
 
 def q_lang_sim(sf_dir: str):
     """Cross-group vector similarity: cosine between per-language term
-    COUNT vectors, kept all-integer (dot and squared norms; the final
-    float division is the caller's) so it's SQL-bit-exact.  Scale shape:
-    corpus -> (lang, tok, n) through ONE count exchange (vocab-sized
-    output), pairwise dots via a hash self-join ON TOK (each token row
-    meets only its own token's counterparts — no |vocab|^2 blowup), and
-    the group-cardinality norm table rides the driver (a few rows)."""
+    COUNT vectors, kept all-integer (dot and squared norms; the float
+    division is the caller's) so it's SQL-bit-exact.  One blocked Gram
+    matmul per token bucket (relational.cross_group_dots) — no token
+    join, no |vocab|-sized shuffle beyond the count partials; the g^2/2
+    result rides the driver only for the final norm attach."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+    from cloudtile_ray.stages.relational import cross_group_dots
 
     ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
@@ -1054,76 +1053,37 @@ def q_lang_sim(sf_dir: str):
             }
         )
 
-    counts = bucketed_group_aggregate(
-        ds.map_batches(pairs, batch_format="pyarrow"),
-        ["lang", "tok"],
-        [("one", "sum", "n")],
+    gram = cross_group_dots(
+        ds.map_batches(pairs, batch_format="pyarrow"), "lang", "tok", "one"
+    ).to_pandas()  # at most g^2 rows (g = #languages)
+    norms = {
+        r.ga: r.dot for r in gram.itertuples() if r.ga == r.gb
+    }
+    off = gram[gram["ga"] < gram["gb"]].sort_values(["ga", "gb"])
+    out = pa.table(
+        {
+            "lang_a": pa.array(off["ga"].tolist(), pa.string()),
+            "lang_b": pa.array(off["gb"].tolist(), pa.string()),
+            "dot": pa.array(off["dot"].tolist(), pa.int64()),
+            "norm2_a": pa.array([norms[a] for a in off["ga"]], pa.int64()),
+            "norm2_b": pa.array([norms[b] for b in off["gb"]], pa.int64()),
+        }
     )
+    import ray.data
 
-    def sq(t: pa.Table) -> pa.Table:
-        n = t.column("n")
-        return pa.table(
-            {"lang": t.column("lang"), "n2": pc.multiply(n, n)}
-        )
-
-    norms = bucketed_group_aggregate(
-        counts.map_batches(sq, batch_format="pyarrow"),
-        ["lang"],
-        [("n2", "sum", "norm2")],
-    ).to_pandas()  # group-cardinality rows (a handful of langs)
-    norm_map = dict(zip(norms["lang"], norms["norm2"]))
-
-    left = counts.map_batches(
-        lambda t: pa.table(
-            {"lang_a": t.column("lang"), "tok": t.column("tok"), "na": t.column("n")}
-        ),
-        batch_format="pyarrow",
-    )
-    right = counts.map_batches(
-        lambda t: pa.table(
-            {"lang_b": t.column("lang"), "tok": t.column("tok"), "nb": t.column("n")}
-        ),
-        batch_format="pyarrow",
-    )
-    joined = hash_join(left, right, on=["tok"])
-
-    def dots(t: pa.Table) -> pa.Table:
-        keep = pc.less(t.column("lang_a"), t.column("lang_b"))
-        t = t.filter(keep)
-        return pa.table(
-            {
-                "lang_a": t.column("lang_a"),
-                "lang_b": t.column("lang_b"),
-                "prod": pc.multiply(t.column("na"), t.column("nb")),
-            }
-        )
-
-    agg = bucketed_group_aggregate(
-        joined.map_batches(dots, batch_format="pyarrow"),
-        ["lang_a", "lang_b"],
-        [("prod", "sum", "dot")],
-    )
-
-    def attach_norms(t: pa.Table) -> pa.Table:
-        a = [norm_map[v] for v in t.column("lang_a").to_pylist()]
-        b = [norm_map[v] for v in t.column("lang_b").to_pylist()]
-        return (
-            t.append_column("norm2_a", pa.array(a, pa.int64()))
-            .append_column("norm2_b", pa.array(b, pa.int64()))
-        )
-
-    return agg.map_batches(attach_norms, batch_format="pyarrow").sort(
-        ["lang_a", "lang_b"]
-    )
+    return ray.data.from_arrow(out)
 
 
 def q_bloom_semi(sf_dir: str):
     """Bloom-prefiltered semi join: lineitems of high-value orders,
     rolled up per returnflag.  The bloom (10 bits/key, built from the
     SMALL key side, broadcast once via ray.put) shrinks the fact side
-    before the exact hash semi join — false positives only add verify
-    rows, never wrong output, so the result is SQL-bit-exact while the
-    join's shuffle sees a fraction of the fact table."""
+    first; false positives then die in an EXACT verify — a broadcast
+    sorted-key searchsorted under a byte gate (the key ARRAY is 6.4x the
+    bloom bits, so there is a size band where only the bloom fits every
+    worker), a hash semi join beyond it.  Either way the output is
+    SQL-bit-exact and the join shuffle — when taken at all — sees a
+    fraction of the fact table."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
@@ -1138,7 +1098,8 @@ def q_bloom_semi(sf_dir: str):
             ["o_orderkey"]
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()  # tiny key side: count, bloom build, and the
+    # broadcast collect all read these blocks — one pass over orders
     n_keys = keys.count()
     num_bits = max(1024, ((10 * n_keys + 7) // 8) * 8)
     bits_ref = ray.put(bloom_build(keys, "o_orderkey", num_bits))
@@ -1150,9 +1111,29 @@ def q_bloom_semi(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_quantity"],
     ).map_batches(prefilter, batch_format="pyarrow")
-    survivors = hash_join(
-        lines, keys, on=["l_orderkey"], right_on=["o_orderkey"], how="semi"
-    )
+
+    if 8 * n_keys <= 128 << 20:  # key array fits the broadcast budget
+        keys_np = np.sort(
+            pa.concat_tables(
+                [pa.table(b) for b in keys.iter_batches(batch_format="pyarrow")]
+            )
+            .column("o_orderkey")
+            .to_numpy(zero_copy_only=False)
+        )
+        keys_ref = ray.put(keys_np)
+
+        def verify(t: pa.Table) -> pa.Table:
+            arr = ray.get(keys_ref)
+            v = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(arr, v)
+            hit = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)] == v)
+            return t.filter(pa.array(hit))
+
+        survivors = lines.map_batches(verify, batch_format="pyarrow")
+    else:
+        survivors = hash_join(
+            lines, keys, on=["l_orderkey"], right_on=["o_orderkey"], how="semi"
+        )
 
     def qty_units(t: pa.Table) -> pa.Table:
         q = pc.cast(pc.round(pc.multiply(t.column("l_quantity"), 100)), pa.int64())

@@ -176,6 +176,7 @@ def run_queries(sf_dir: str) -> dict:
         "cohort_retention", "rollup_docs", "funnel", "cooc_pairs",
         "dup_density", "transitions", "pivot_source", "unpivot_lineitem",
         "cube_docs", "minute_series", "lang_mode", "fuzzy_names",
+        "json_extract", "user_paths", "dense_rank", "bloom_semi", "lang_sim",
     ]
     import gc
 

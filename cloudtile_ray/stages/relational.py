@@ -580,23 +580,125 @@ def grouped_distinct_count(ds, group_col: str, value_col: str, out_name: str = "
     )
 
 
-def global_dense_rank(ds, col: str, out_col: str = "rank"):
+def cross_group_dots(ds, group_col: str, key_col: str, val_col: str, num_buckets=None):
+    """All-pairs dot products between per-group count VECTORS indexed by
+    ``key_col``: ``dot(a,b) = Σ_key v_a(key)·v_b(key)``, including the
+    ``a == b`` diagonal (the squared norms) — the cosine-similarity-matrix
+    kernel.
+
+    Scale shape — a blocked Gram product, no join: batches reduce to local
+    (group, key, Σval) partials; ONE exchange keyed on ``hash(key)`` only
+    (every group's count for a given key meets in one bucket, so in-bucket
+    sums are exact global counts); each bucket scatters its counts into a
+    dense (keys_in_bucket × groups_in_bucket) int64 matrix and computes
+    ``M.T @ M`` — emitting at most |groups|² partial rows per bucket
+    regardless of key cardinality.  The final exchange sums
+    group-pair-cardinality partials.  A token-level hash JOIN computing
+    the same thing measured 4.6 s where this runs in ~1 s (join-actor
+    startup + vocab-sized shuffle vs g² partials).  Intended for SMALL
+    group counts (g ≲ 10³: languages, sources, shards); |vocab| is
+    unbounded."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.util import default_num_buckets, stable_hash_strings
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets(ds)
+
+    def partials(t: pa.Table) -> pa.Table:
+        part = t.group_by([group_col, key_col]).aggregate([(val_col, "sum")])
+        part = part.rename_columns([group_col, key_col, val_col])
+        col = part.column(key_col)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            h = stable_hash_strings(col)
+        else:
+            h = col.to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(
+                0x9E3779B97F4A7C15
+            )
+        return part.append_column(
+            "_bkt", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def gram_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ga": pa.array([], pa.string()),
+                "gb": pa.array([], pa.string()),
+                "dot": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        g = g.drop_columns(["_bkt"])
+        # exact global per-(group, key) counts within this bucket
+        agg = g.group_by([group_col, key_col]).aggregate([(val_col, "sum")])
+        groups = agg.column(group_col).to_numpy(zero_copy_only=False)
+        keys = agg.column(key_col).to_numpy(zero_copy_only=False)
+        vals = agg.column(f"{val_col}_sum").to_numpy(zero_copy_only=False)
+        ug, gi = np.unique(groups, return_inverse=True)
+        uk, ki = np.unique(keys, return_inverse=True)
+        m = np.zeros((len(uk), len(ug)), dtype=np.int64)
+        m[ki, gi] = vals
+        gram = m.T @ m
+        ia, ib = np.triu_indices(len(ug))
+        return pa.table(
+            {
+                "ga": pa.array(ug[ia].tolist(), pa.string()),
+                "gb": pa.array(ug[ib].tolist(), pa.string()),
+                "dot": pa.array(gram[ia, ib]),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(gram_bucket, batch_format="pyarrow")
+    )
+    return bucketed_group_aggregate(parts, ["ga", "gb"], [("dot", "sum", "dot")])
+
+
+def global_dense_rank(
+    ds, col: str, out_col: str = "rank", broadcast_byte_budget: int = 128 << 20
+):
     """Global 1-based ``DENSE_RANK() OVER (ORDER BY col)`` for a column
     WITH ties — the ranking family :func:`enumerate_sorted` (which needs
-    unique keys) can't express.  Pure composition: the distinct values
-    (one bucket exchange — tie groups collapse before anything global
-    happens), `enumerate_sorted` over the now-unique values (one
-    range-partitioned sort of the DISTINCT table, usually far smaller
-    than the input), and a hash join back.  The full input is never
-    sorted — only hashed."""
-    distinct = bucketed_group_aggregate(ds, [col], [(col, "count", "_n")])
-    ranked = enumerate_sorted(
-        distinct.map_batches(
-            lambda t: t.select([col]), batch_format="pyarrow"
-        ),
-        [col],
-        rank_col=out_col,
-    )
+    unique keys) can't express.  The distinct values collapse first (one
+    bucket exchange — tie groups shrink before anything global happens);
+    the rank function IS the sorted distinct array, so within the byte
+    budget it broadcasts once (``ray.put``) and every batch ranks itself
+    with ``np.searchsorted`` — ZERO shuffle for the fact side (a rank
+    join measured 9.5 s vs 1.3 s for the broadcast path on a 150k-row
+    table; join-actor startup dominates small joins).  Beyond the budget
+    the distinct table goes through `enumerate_sorted` (one
+    range-partitioned sort of the DISTINCT table only) and a hash join
+    back — the full input is never globally sorted either way."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    distinct = bucketed_group_aggregate(
+        ds, [col], [(col, "count", "_n")]
+    ).map_batches(lambda t: t.select([col]), batch_format="pyarrow").materialize()
+
+    if distinct.size_bytes() <= int(broadcast_byte_budget):
+        vals = np.sort(
+            pa.concat_tables(
+                [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow")]
+            )
+            .column(col)
+            .to_numpy(zero_copy_only=False)
+        )
+        vals_ref = ray.put(vals)
+
+        def rank_batch(t: pa.Table) -> pa.Table:
+            v = ray.get(vals_ref)
+            r = np.searchsorted(v, t.column(col).to_numpy(zero_copy_only=False)) + 1
+            return t.append_column(out_col, pa.array(r.astype(np.int64)))
+
+        return ds.map_batches(rank_batch, batch_format="pyarrow")
+
+    ranked = enumerate_sorted(distinct, [col], rank_col=out_col)
 
     def shift(t: "pa.Table") -> "pa.Table":
         import pyarrow as pa

@@ -2540,3 +2540,55 @@ class TestBloomFilter:
 
         t = pa.table({"k": pa.array([], pa.int64())})
         assert bloom_prefilter(t, "k", np.zeros(128, np.uint8)).num_rows == 0
+
+
+class TestCrossGroupDots:
+    """Blocked Gram matmul for group count vectors (cross_group_dots)."""
+
+    def test_matches_duckdb_self_join(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import cross_group_dots
+
+        rng = np.random.default_rng(9)
+        n = 2000
+        t = pa.table({
+            "g": pa.array(rng.choice(["a", "b", "c"], n)),
+            "k": pa.array(rng.integers(0, 50, n).astype(str)),
+            "v": pa.array(np.ones(n, dtype=np.int64)),
+        })
+        got = (
+            cross_group_dots(ray.data.from_arrow(t).repartition(6), "g", "k", "v")
+            .to_pandas().sort_values(["ga", "gb"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH c AS (SELECT g, k, CAST(sum(v) AS BIGINT) AS n
+                          FROM t GROUP BY g, k)
+               SELECT a.g AS ga, b.g AS gb, CAST(sum(a.n * b.n) AS BIGINT) AS dot
+               FROM c a JOIN c b ON a.k = b.k AND a.g <= b.g
+               GROUP BY 1, 2 ORDER BY ga, gb"""
+        ).df()
+        assert got[["ga", "gb", "dot"]].values.tolist() == want.values.tolist()
+
+
+class TestDenseRankFallback:
+    def test_join_path_equals_broadcast_path(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import global_dense_rank
+
+        rng = np.random.default_rng(13)
+        t = pa.table({
+            "id": pa.array(np.arange(500)),
+            "v": pa.array(rng.integers(0, 60, 500)),
+        })
+        ds = ray.data.from_arrow(t).repartition(4)
+        bc = global_dense_rank(ds, "v").to_pandas().sort_values("id", ignore_index=True)
+        # byte budget 0 forces the enumerate_sorted + hash-join route
+        jn = (
+            global_dense_rank(ds, "v", broadcast_byte_budget=0)
+            .to_pandas().sort_values("id", ignore_index=True)
+        )
+        assert bc[["id", "v", "rank"]].values.tolist() == \
+            jn[["id", "v", "rank"]].values.tolist()
