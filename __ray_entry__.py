@@ -1146,6 +1146,21 @@ def q_bloom_semi(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def q_value_sketch(sf_dir: str):
+    """Approximate per-event_type value quantiles (p50/p95/p99) via the
+    DDSketch log-bucket histogram — relative error <= alpha=1% with a
+    bounded-size (O(log range)) mergeable state per group, the 100 TB
+    path next to value_quantiles' exact distinct-value exchange.
+    Deterministic (integer bucketing, no hashing) but approximate by
+    design: rows-only driver check; error bound pinned in unit tests."""
+    from cloudtile_ray.stages.sketches import dd_quantiles
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return dd_quantiles(ds, "event_type", "value").sort(["event_type", "q"])
+
+
 def q_hll_users(sf_dir: str):
     """Approximate distinct users per event_type via HyperLogLog (p=12,
     ~1.6% RSE) — the sketch scale path next to grouped_distinct_count's
@@ -2389,6 +2404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign_z6": q_tile_assign_z6,
         "tile_ladder_counts": q_tile_ladder_counts,
         "hll_users": q_hll_users,
+        "value_sketch": q_value_sketch,
         "dup_ngrams": q_dup_ngrams,
         "corpus_overlap": q_corpus_overlap,
         "asof_purchase": q_asof_purchase,

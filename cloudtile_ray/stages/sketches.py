@@ -41,6 +41,95 @@ def _bit_length_u64(w: np.ndarray) -> np.ndarray:
     return out
 
 
+def dd_quantiles(
+    ds,
+    group_col: str,
+    val_col: str,
+    qs=(0.5, 0.95, 0.99),
+    alpha: float = 0.01,
+):
+    """Approximate per-group quantiles with a RELATIVE-error guarantee via
+    a log-bucket histogram (the DDSketch construction — Masson/Rim/Lee,
+    VLDB 2019, public): bucket(x) = ceil(log_gamma(x)) with
+    gamma = (1+alpha)/(1-alpha), so any returned quantile is within
+    alpha of the true value multiplicatively.
+
+    The scale story mirrors :func:`hll_distinct`: a bucket is a ROW
+    ``(group, bucket, count)``, the global merge is the standard count
+    exchange (decomposable sums), and per-group quantile extraction runs
+    over the group's O(log_gamma(max/min)) bucket rows in one task —
+    ~2.3k buckets span [1, 10^10] at alpha=0.01, regardless of row
+    count.  The exact operator (`quantiles.exact_quantiles`) ships every
+    distinct value; this ships a bounded histogram — the 100 TB path.
+
+    Non-positive values: x <= 0 lands in bucket MIN_BUCKET (reported as
+    0.0) — callers with signed data should sketch the two signs
+    separately.  Deterministic by construction (integer bucketing, no
+    hashing), so results are identical at any parallelism."""
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    if not 0 < alpha < 0.3:
+        raise ValueError("alpha must be in (0, 0.3)")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = np.log(gamma)
+    MIN_BUCKET = np.int64(-(2**31))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        x = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.full(len(x), MIN_BUCKET, dtype=np.int64)
+        pos = x > 0
+        b[pos] = np.ceil(np.log(x[pos]) / lg).astype(np.int64)
+        part = pa.table(
+            {
+                group_col: t.column(group_col),
+                "_qb": pa.array(b),
+                "_one": pa.array(np.ones(len(x), dtype=np.int64)),
+            }
+        )
+        agg = part.group_by([group_col, "_qb"]).aggregate([("_one", "sum")])
+        return agg.rename_columns([group_col, "_qb", "n"])
+
+    hist = bucketed_group_aggregate(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        [group_col, "_qb"],
+        [("n", "sum", "n")],
+    )
+
+    qs = tuple(float(q) for q in qs)
+
+    def extract(g: "pa.Table") -> "pa.Table":
+        import pandas as pd
+
+        df = g.to_pandas().sort_values("_qb")
+        out_rows = {group_col: [], "q": [], "value": []}
+        for key, sub in df.groupby(group_col, sort=True):
+            counts = sub["n"].to_numpy()
+            buckets = sub["_qb"].to_numpy()
+            cum = np.cumsum(counts)
+            total = cum[-1]
+            for q in qs:
+                rank = max(1, int(np.ceil(q * total)))
+                i = int(np.searchsorted(cum, rank))
+                b = buckets[i]
+                # bucket (gamma^(b-1), gamma^b] -> midpoint estimate
+                v = 0.0 if b == MIN_BUCKET else 2.0 * gamma**b / (gamma + 1.0)
+                out_rows[group_col].append(key)
+                out_rows["q"].append(q)
+                out_rows["value"].append(v)
+        return pa.table(
+            {
+                group_col: pa.array(out_rows[group_col]),
+                "q": pa.array(out_rows["q"], pa.float64()),
+                "value": pa.array(out_rows["value"], pa.float64()),
+            }
+        )
+
+    # per-group histograms are O(log range) rows: group them in one pass
+    return hist.groupby(group_col).map_groups(extract, batch_format="pyarrow")
+
+
 def _bloom_indices(h: np.ndarray, k: int, num_bits: int) -> np.ndarray:
     """(len(h), k) probe positions via double hashing — h1 + i*h2 mod m
     (Kirsch-Mitzenmacher construction, public)."""

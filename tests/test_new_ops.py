@@ -2592,3 +2592,48 @@ class TestDenseRankFallback:
         )
         assert bc[["id", "v", "rank"]].values.tolist() == \
             jn[["id", "v", "rank"]].values.tolist()
+
+
+class TestDDQuantiles:
+    """DDSketch relative-error quantiles (sketches.dd_quantiles)."""
+
+    def test_relative_error_bound_and_determinism(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.sketches import dd_quantiles
+
+        rng = np.random.default_rng(1)
+        n = 60_000
+        t = pa.table({
+            "g": pa.array(rng.integers(0, 2, n)),
+            "v": pa.array(rng.lognormal(5, 2, n)),
+        })
+        got = (
+            dd_quantiles(ray.data.from_arrow(t).repartition(7), "g", "v", alpha=0.01)
+            .to_pandas().sort_values(["g", "q"], ignore_index=True)
+        )
+        df = t.to_pandas()
+        for _, r in got.iterrows():
+            true = df[df.g == r.g]["v"].quantile(r.q, interpolation="lower")
+            # bucket-midpoint estimate: guaranteed within alpha (1%); allow 2%
+            assert abs(r.value - true) / true < 0.02
+        got2 = (
+            dd_quantiles(ray.data.from_arrow(t).repartition(2), "g", "v", alpha=0.01)
+            .to_pandas().sort_values(["g", "q"], ignore_index=True)
+        )
+        assert got.equals(got2)
+
+    def test_nonpositive_values_report_zero(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.sketches import dd_quantiles
+
+        t = pa.table({"g": pa.array([0] * 10), "v": pa.array([-1.0] * 6 + [0.0] * 4)})
+        got = dd_quantiles(ray.data.from_arrow(t), "g", "v", qs=(0.5,))
+        assert got.to_pandas()["value"].tolist() == [0.0]
+
+    def test_alpha_validated(self):
+        from cloudtile_ray.stages.sketches import dd_quantiles
+
+        with pytest.raises(ValueError):
+            dd_quantiles(None, "g", "v", alpha=0.5)
