@@ -1146,6 +1146,101 @@ def q_bloom_semi(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def q_mad_value(sf_dir: str):
+    """Exact median absolute deviation of event value-cents: two
+    distributed bracket-refinement selections (median, then median of
+    |x - median|) — the robust-statistics composition; no global sort,
+    driver sees two scalars."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.events import prep_events
+    from cloudtile_ray.stages.quantiles import exact_quantiles
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(prep_events, batch_format="pyarrow")
+    med = int(exact_quantiles(ds, "value_cents", {"m": 0.5}).column("m")[0].as_py())
+
+    def dev(t: pa.Table) -> pa.Table:
+        d = pc.abs(pc.subtract(t.column("value_cents"), pa.scalar(med, pa.int64())))
+        return pa.table({"dev_cents": d})
+
+    mad = int(
+        exact_quantiles(
+            ds.map_batches(dev, batch_format="pyarrow"), "dev_cents", {"m": 0.5}
+        )
+        .column("m")[0]
+        .as_py()
+    )
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "median_cents": pa.array([med], pa.int64()),
+                "mad_cents": pa.array([mad], pa.int64()),
+            }
+        )
+    )
+
+
+def q_first_last(sf_dir: str):
+    """Per-user FIRST_VALUE / LAST_VALUE window (boundary gathers on the
+    segmented user bucket) + event count."""
+    from cloudtile_ray.stages.events import first_last_values
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return first_last_values(ds)
+
+
+def q_union_names(sf_dir: str):
+    """Distributed set-op UNION (distinct): customer ∪ supplier names
+    with their origin ('both' when present in each).  ``ds.union`` just
+    concatenates block lists (zero cost); the distinct + origin rollup is
+    one exchange — min/max over an origin flag recovers the three-way
+    tag without a second pass."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    cust = _read_parquet(f"{sf_dir}/customer.parquet", columns=["c_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "name": t.column("c_name"),
+                "flag": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    supp = _read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_name"]).map_batches(
+        lambda t: pa.table(
+            {
+                "name": t.column("s_name"),
+                "flag": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    agg = bucketed_group_aggregate(
+        cust.union(supp),
+        ["name"],
+        [("flag", "min", "fmin"), ("flag", "max", "fmax")],
+    )
+
+    def origin(t: pa.Table) -> pa.Table:
+        fmin = t.column("fmin").to_numpy(zero_copy_only=False)
+        fmax = t.column("fmax").to_numpy(zero_copy_only=False)
+        lab = np.where(fmin != fmax, "both", np.where(fmax == 0, "customer", "supplier"))
+        return pa.table(
+            {"name": t.column("name"), "origin": pa.array(lab.tolist(), pa.string())}
+        )
+
+    return agg.map_batches(origin, batch_format="pyarrow")
+
+
 def q_value_sketch(sf_dir: str):
     """Approximate per-event_type value quantiles (p50/p95/p99) via the
     DDSketch log-bucket histogram — relative error <= alpha=1% with a
@@ -2331,7 +2426,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship geospatial chain (window anchors)
         "pages_build": q_pages_build,
-        "pip_inner": q_pip_inner,
         # exact-oracle queries not yet driver-certified (VERDICT r3 #1)
         "simhash_pairs": q_simhash_pairs,
         "icosa_knn": q_icosa_knn,
@@ -2343,8 +2437,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hex_knn": q_hex_knn,
         "lang_top_docs": q_lang_top_docs,
         "keyword_search": q_keyword_search,
-        "attr_transform": q_attr_transform,
-        "feature_filter": q_feature_filter,
         "knn_embedding": q_knn_embedding,
         "minhash_pairs": q_minhash_pairs,
         "dedup_drop": q_dedup_drop,
@@ -2383,6 +2475,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank": q_dense_rank,
         "bloom_semi": q_bloom_semi,
         "lang_sim": q_lang_sim,
+        "union_names": q_union_names,
+        "first_last": q_first_last,
+        "mad_value": q_mad_value,
         # --- driver window boundary (first 50 above) ---
         # curated_pack / tile_accumulate_enc / interval_join / dup_ngrams
         # (r3-certified exact) rotated behind for json_extract / user_paths
@@ -2403,6 +2498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_points": q_knn_points,
         "tile_assign_z6": q_tile_assign_z6,
         "tile_ladder_counts": q_tile_ladder_counts,
+        "pip_inner": q_pip_inner,
+        "attr_transform": q_attr_transform,
+        "feature_filter": q_feature_filter,
         "hll_users": q_hll_users,
         "value_sketch": q_value_sketch,
         "dup_ngrams": q_dup_ngrams,
@@ -3176,6 +3274,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.c_name AS a, b.c_name AS b
             FROM v a JOIN v b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) = 1""",
+        "mad_value": """
+            WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            m AS (SELECT quantile_disc(cents, 0.5) AS med FROM e)
+            SELECT CAST(m.med AS BIGINT) AS median_cents,
+                   CAST(quantile_disc(abs(e.cents - m.med), 0.5) AS BIGINT)
+                       AS mad_cents
+            FROM e, m GROUP BY m.med""",
+        "first_last": """
+            WITH e AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            o AS (SELECT user_id, cents,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn,
+                         count(*) OVER (PARTITION BY user_id) AS n
+                  FROM e)
+            SELECT user_id,
+                   max(CASE WHEN rn = 1 THEN cents END) AS first_cents,
+                   max(CASE WHEN rn = n THEN cents END) AS last_cents,
+                   CAST(max(n) AS BIGINT) AS n_events
+            FROM o GROUP BY user_id""",
+        "union_names": """
+            WITH u AS (SELECT c_name AS name, 0 AS flag FROM customer
+                       UNION ALL
+                       SELECT s_name AS name, 1 AS flag FROM supplier)
+            SELECT name,
+                   CASE WHEN min(flag) <> max(flag) THEN 'both'
+                        WHEN max(flag) = 0 THEN 'customer'
+                        ELSE 'supplier' END AS origin
+            FROM u GROUP BY name""",
         "lang_sim": """
             WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tk
                          FROM documents),

@@ -173,6 +173,48 @@ def rows_window_sum(ds, frame: int = 3) -> "ray.data.Dataset":
     )
 
 
+def first_last_values(ds) -> "ray.data.Dataset":
+    """Per-user FIRST_VALUE / LAST_VALUE of value-cents in (ts, event_id)
+    order plus the event count — two gathers at the segment boundaries of
+    the user-sorted bucket (the boundary-window family next to LAG and
+    frame sums)."""
+    nb = _n_user_buckets(ds)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "first_cents": pa.array([], pa.int64()),
+                    "last_cents": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, val_s = uid[order], val[order]
+        starts, _ = _user_segments(u_s)
+        ends = np.append(starts[1:], len(u_s)) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts]),
+                "first_cents": pa.array(val_s[starts]),
+                "last_cents": pa.array(val_s[ends]),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(prep_events, batch_format="pyarrow")
+        .map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def value_deltas(ds) -> "ray.data.Dataset":
     """Per-user LAG — ``delta_cents = value_cents - lag(value_cents) OVER
     (PARTITION BY user_id ORDER BY ts, event_id)``; each user's first

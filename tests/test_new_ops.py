@@ -2637,3 +2637,25 @@ class TestDDQuantiles:
 
         with pytest.raises(ValueError):
             dd_quantiles(None, "g", "v", alpha=0.5)
+
+
+class TestFirstLastValues:
+    def test_single_event_user_first_equals_last(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.events import first_last_values
+
+        t = pa.table({
+            "event_id": pa.array([0, 1, 2]),
+            "user_id": pa.array([1, 2, 2]),
+            "ts": pa.array(
+                np.array([5, 9, 3], dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "value": pa.array([1.5, 2.0, 3.0]),
+        })
+        got = (
+            first_last_values(ray.data.from_arrow(t))
+            .to_pandas().sort_values("user_id", ignore_index=True)
+        )
+        # user 1: single event -> first == last; user 2: ts orders (3us, 9us)
+        assert got.values.tolist() == [[1, 150, 150, 1], [2, 300, 200, 2]]
