@@ -1146,6 +1146,82 @@ def q_bloom_semi(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def q_value_histogram(sf_dir: str):
+    """Equi-width histogram of event value-cents (bucket = cents // 2000,
+    i.e. $20 bins): one integer division + the count exchange — the
+    profiling/EDA staple."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.events import prep_events
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = pc.divide(t.column("value_cents"), pa.scalar(2000, pa.int64()))
+        return pa.table(
+            {
+                "bucket": pc.cast(b, pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(prep_events, batch_format="pyarrow")
+    return bucketed_group_aggregate(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        ["bucket"],
+        [("one", "sum", "n")],
+    ).sort("bucket")
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Correlated-subquery analog: orders priced above their own
+    customer's average order price.  The per-customer average rides the
+    count/sum exchange (exact integer sums; the comparison multiplies
+    through by the count instead of dividing — no float); the join back
+    is the hash join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100)), pa.int64())
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "cents": cents,
+            }
+        )
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    per_cust = bucketed_group_aggregate(
+        orders,
+        ["o_custkey"],
+        [("cents", "sum", "sum_cents"), ("cents", "count", "n_orders")],
+    )
+    joined = hash_join(orders, per_cust, on=["o_custkey"])
+
+    def keep_above(t: pa.Table) -> pa.Table:
+        # cents > sum/n  <=>  cents*n > sum  (n > 0; integers, exact)
+        lhs = pc.multiply(t.column("cents"), t.column("n_orders"))
+        t = t.filter(pc.greater(lhs, t.column("sum_cents")))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "cents": t.column("cents"),
+            }
+        )
+
+    return joined.map_batches(keep_above, batch_format="pyarrow")
+
+
 def q_mad_value(sf_dir: str):
     """Exact median absolute deviation of event value-cents: two
     distributed bracket-refinement selections (median, then median of
@@ -2435,8 +2511,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "rolling_fp": q_rolling_fp,
         "hex_knn": q_hex_knn,
-        "lang_top_docs": q_lang_top_docs,
-        "keyword_search": q_keyword_search,
         "knn_embedding": q_knn_embedding,
         "minhash_pairs": q_minhash_pairs,
         "dedup_drop": q_dedup_drop,
@@ -2478,6 +2552,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_names": q_union_names,
         "first_last": q_first_last,
         "mad_value": q_mad_value,
+        "value_histogram": q_value_histogram,
+        "above_avg_orders": q_above_avg_orders,
         # --- driver window boundary (first 50 above) ---
         # curated_pack / tile_accumulate_enc / interval_join / dup_ngrams
         # (r3-certified exact) rotated behind for json_extract / user_paths
@@ -2501,6 +2577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_inner": q_pip_inner,
         "attr_transform": q_attr_transform,
         "feature_filter": q_feature_filter,
+        "lang_top_docs": q_lang_top_docs,
+        "keyword_search": q_keyword_search,
         "hll_users": q_hll_users,
         "value_sketch": q_value_sketch,
         "dup_ngrams": q_dup_ngrams,
@@ -3274,6 +3352,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.c_name AS a, b.c_name AS b
             FROM v a JOIN v b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) = 1""",
+        "value_histogram": """
+            SELECT CAST(round(value * 100) AS BIGINT) // 2000 AS bucket,
+                   count(*) AS n
+            FROM events GROUP BY bucket ORDER BY bucket""",
+        "above_avg_orders": """
+            WITH o AS (SELECT o_orderkey, o_custkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders),
+            a AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS sum_cents,
+                         count(*) AS n_orders
+                  FROM o GROUP BY o_custkey)
+            SELECT o.o_orderkey, o.o_custkey, o.cents
+            FROM o JOIN a USING (o_custkey)
+            WHERE o.cents * a.n_orders > a.sum_cents""",
         "mad_value": """
             WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
                        FROM events),
