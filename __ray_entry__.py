@@ -1146,6 +1146,33 @@ def q_bloom_semi(sf_dir: str):
     ).sort("l_returnflag")
 
 
+def q_value_rank(sf_dir: str):
+    """Competition RANK() with ties (gaps after tie groups) over event
+    value-cents: the tie-count exclusive prefix sum, broadcast as the
+    rank function — the third of the ranking trio (row_number /
+    dense_rank / rank)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.events import prep_events
+    from cloudtile_ray.stages.relational import global_dense_rank
+
+    ds = (
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+        .map_batches(prep_events, batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {"event_id": t.column("event_id"), "cents": t.column("value_cents")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return global_dense_rank(ds, "cents", out_col="rank", method="rank")
+
+
 def q_value_histogram(sf_dir: str):
     """Equi-width histogram of event value-cents (bucket = cents // 2000,
     i.e. $20 bins): one integer division + the count exchange — the
@@ -2508,7 +2535,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_assign_z6": q_line_assign_z6,
         "hex_density": q_hex_density,
         "raster_roundtrip": q_raster_roundtrip,
-        "langid": q_langid,
         "rolling_fp": q_rolling_fp,
         "hex_knn": q_hex_knn,
         "knn_embedding": q_knn_embedding,
@@ -2554,6 +2580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_value": q_mad_value,
         "value_histogram": q_value_histogram,
         "above_avg_orders": q_above_avg_orders,
+        "value_rank": q_value_rank,
         # --- driver window boundary (first 50 above) ---
         # curated_pack / tile_accumulate_enc / interval_join / dup_ngrams
         # (r3-certified exact) rotated behind for json_extract / user_paths
@@ -2579,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_filter": q_feature_filter,
         "lang_top_docs": q_lang_top_docs,
         "keyword_search": q_keyword_search,
+        "langid": q_langid,
         "hll_users": q_hll_users,
         "value_sketch": q_value_sketch,
         "dup_ngrams": q_dup_ngrams,
@@ -3352,6 +3380,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.c_name AS a, b.c_name AS b
             FROM v a JOIN v b ON a.c_name < b.c_name
             WHERE levenshtein(a.c_name, b.c_name) = 1""",
+        "value_rank": """
+            WITH e AS (SELECT event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, cents,
+                   CAST(rank() OVER (ORDER BY cents) AS BIGINT) AS rank
+            FROM e""",
         "value_histogram": """
             SELECT CAST(round(value * 100) AS BIGINT) // 2000 AS bucket,
                    count(*) AS n

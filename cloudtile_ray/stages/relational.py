@@ -450,6 +450,7 @@ def enumerate_sorted(
     descending=None,
     rank_col: str = "rank",
     return_total: bool = False,
+    weight_col: Optional[str] = None,
 ):
     """Global dense 0-based row numbering in ``sort_cols`` order — the
     distributed ROW_NUMBER()-over-everything / zipWithIndex primitive
@@ -466,6 +467,12 @@ def enumerate_sorted(
     Requires the sort key to be UNIQUE per row (offsets are matched to
     blocks by their min key; a tie spanning a block boundary would make
     two blocks share a min key).  Sort keys must be Arrow scalar types.
+
+    ``weight_col``: when given, ranks advance by that int64 column
+    instead of 1 per row — i.e. the output is the EXCLUSIVE PREFIX SUM of
+    the weights in sort order (the distributed cumsum primitive;
+    `return_total` then returns the weight total).  Competition RANK()
+    falls out of weights = per-value tie counts.
     """
     import json
 
@@ -482,7 +489,12 @@ def enumerate_sorted(
         if t.num_rows == 0:
             return pa.table({"key": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
         key = json.dumps([t.column(c)[0].as_py() for c in sort_cols])
-        return pa.table({"key": pa.array([key]), "n": pa.array([t.num_rows], pa.int64())})
+        n = (
+            int(t.column(weight_col).to_numpy(zero_copy_only=False).sum())
+            if weight_col is not None
+            else t.num_rows
+        )
+        return pa.table({"key": pa.array([key]), "n": pa.array([n], pa.int64())})
 
     # one row per block: tiny regardless of corpus size
     meta = ds.map_batches(block_meta, batch_format="pyarrow", batch_size=None).take_all()
@@ -526,9 +538,12 @@ def enumerate_sorted(
         offs = ray.get(off_ref)
         key = json.dumps([t.column(c)[0].as_py() for c in sort_cols])
         base = offs[key]
-        return t.append_column(
-            rank_col, pa.array(base + np.arange(t.num_rows, dtype=np.int64))
-        )
+        if weight_col is not None:
+            w = t.column(weight_col).to_numpy(zero_copy_only=False)
+            local = np.concatenate(([0], np.cumsum(w[:-1], dtype=np.int64)))
+        else:
+            local = np.arange(t.num_rows, dtype=np.int64)
+        return t.append_column(rank_col, pa.array(base + local))
 
     ranked = ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
     if return_total:
@@ -659,7 +674,11 @@ def cross_group_dots(ds, group_col: str, key_col: str, val_col: str, num_buckets
 
 
 def global_dense_rank(
-    ds, col: str, out_col: str = "rank", broadcast_byte_budget: int = 128 << 20
+    ds,
+    col: str,
+    out_col: str = "rank",
+    broadcast_byte_budget: int = 128 << 20,
+    method: str = "dense",
 ):
     """Global 1-based ``DENSE_RANK() OVER (ORDER BY col)`` for a column
     WITH ties — the ranking family :func:`enumerate_sorted` (which needs
@@ -672,33 +691,49 @@ def global_dense_rank(
     table; join-actor startup dominates small joins).  Beyond the budget
     the distinct table goes through `enumerate_sorted` (one
     range-partitioned sort of the DISTINCT table only) and a hash join
-    back — the full input is never globally sorted either way."""
+    back — the full input is never globally sorted either way.
+
+    ``method``: "dense" (DENSE_RANK — consecutive) or "rank"
+    (competition RANK — ties share the rank, gaps after; the rank is the
+    exclusive prefix sum of tie counts + 1, which the fallback computes
+    distributed via `enumerate_sorted(weight_col=...)`)."""
+    if method not in ("dense", "rank"):
+        raise ValueError(f"method={method!r}; expected 'dense' or 'rank'")
     import numpy as np
     import pyarrow as pa
     import ray
 
     distinct = bucketed_group_aggregate(
         ds, [col], [(col, "count", "_n")]
-    ).map_batches(lambda t: t.select([col]), batch_format="pyarrow").materialize()
+    ).materialize()
 
     if distinct.size_bytes() <= int(broadcast_byte_budget):
-        vals = np.sort(
-            pa.concat_tables(
-                [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow")]
-            )
-            .column(col)
-            .to_numpy(zero_copy_only=False)
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow")]
         )
-        vals_ref = ray.put(vals)
+        vals = tbl.column(col).to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        if method == "rank":
+            cnt = tbl.column("_n").to_numpy(zero_copy_only=False)[order]
+            ranks = np.concatenate(([0], np.cumsum(cnt[:-1], dtype=np.int64))) + 1
+        else:
+            ranks = np.arange(1, len(vals) + 1, dtype=np.int64)
+        vals_ref = ray.put((vals, ranks))
 
         def rank_batch(t: pa.Table) -> pa.Table:
-            v = ray.get(vals_ref)
-            r = np.searchsorted(v, t.column(col).to_numpy(zero_copy_only=False)) + 1
-            return t.append_column(out_col, pa.array(r.astype(np.int64)))
+            v, r = ray.get(vals_ref)
+            idx = np.searchsorted(v, t.column(col).to_numpy(zero_copy_only=False))
+            return t.append_column(out_col, pa.array(r[idx]))
 
         return ds.map_batches(rank_batch, batch_format="pyarrow")
 
-    ranked = enumerate_sorted(distinct, [col], rank_col=out_col)
+    ranked = enumerate_sorted(
+        distinct,
+        [col],
+        rank_col=out_col,
+        weight_col="_n" if method == "rank" else None,
+    ).map_batches(lambda t: t.select([col, out_col]), batch_format="pyarrow")
 
     def shift(t: "pa.Table") -> "pa.Table":
         import pyarrow as pa

@@ -2659,3 +2659,36 @@ class TestFirstLastValues:
         )
         # user 1: single event -> first == last; user 2: ts orders (3us, 9us)
         assert got.values.tolist() == [[1, 150, 150, 1], [2, 300, 200, 2]]
+
+
+class TestCompetitionRank:
+    def test_matches_duckdb_rank_both_paths(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import global_dense_rank
+
+        rng = np.random.default_rng(21)
+        t = pa.table({
+            "id": pa.array(np.arange(400)),
+            "v": pa.array(rng.integers(0, 30, 400)),  # heavy ties
+        })
+        want = duckdb.sql(
+            """SELECT id, v, CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rank
+               FROM t ORDER BY id"""
+        ).df()
+        ds = ray.data.from_arrow(t).repartition(5)
+        for budget in (128 << 20, 0):  # broadcast path, then join fallback
+            got = (
+                global_dense_rank(ds, "v", method="rank",
+                                  broadcast_byte_budget=budget)
+                .to_pandas().sort_values("id", ignore_index=True)
+            )
+            assert got[["id", "v", "rank"]].values.tolist() == \
+                want.values.tolist()
+
+    def test_method_validated(self):
+        from cloudtile_ray.stages.relational import global_dense_rank
+
+        with pytest.raises(ValueError):
+            global_dense_rank(None, "v", method="percent")
