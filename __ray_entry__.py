@@ -2502,6 +2502,257 @@ def q_raster_roundtrip(sf_dir: str):
     return ds.map_batches(do, batch_format="pyarrow")
 
 
+def q_range_window(sf_dir: str):
+    """Time-RANGE-frame window: per-user 10-minute trailing sum of value
+    cents (``RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT
+    ROW`` — value-based frame edges incl. equal-ts peers, vs the ROWS
+    frame of ``rows_window``).  One user-bucket exchange; edges from two
+    vectorized searchsorteds over a segment-folded monotone key."""
+    from cloudtile_ray.stages.events import range_window_sum
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return range_window_sum(ds, width_us=600_000_000)
+
+
+def q_value_prank(sf_dir: str):
+    """Global PERCENT_RANK + CUME_DIST over event value cents — exact
+    integer prefix sums over the distinct-value count table, one IEEE
+    division each (bit-identical to DuckDB's window quotients); the rank
+    function broadcasts under a byte gate so the fact side never
+    shuffles."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import global_rank_dist
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "cents": pa.array(np.rint(v * 100).astype(np.int64)),
+            }
+        )
+
+    return global_rank_dist(ds.map_batches(cents, batch_format="pyarrow"), "cents")
+
+
+def q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13 analog: the distribution of per-customer order counts,
+    INCLUDING zero-order customers (the LEFT-JOIN-count family).  Scale
+    shape: orders collapse to customer grain through one bucket exchange,
+    the count histogram through a second (distribution-sized output);
+    the zero bucket needs only two scalars — total customers (a metadata
+    count) minus customers holding orders — never an outer join of the
+    two tables."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    orders = _read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    per_cust = bucketed_group_aggregate(
+        orders, ["o_custkey"], [("o_custkey", "count", "n_orders")]
+    ).materialize()
+    n_customers = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).count()
+    n_with_orders = per_cust.count()
+    dist = bucketed_group_aggregate(
+        per_cust, ["n_orders"], [("n_orders", "count", "n_custs")]
+    )
+    n_zero = int(n_customers - n_with_orders)
+    if n_zero > 0:
+        zero_row = ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_orders": pa.array([0], pa.int64()),
+                    "n_custs": pa.array([n_zero], pa.int64()),
+                }
+            )
+        )
+        dist = dist.union(zero_row)
+    return dist.sort(["n_custs", "n_orders"], descending=[True, True])
+
+
+def q_big_orders(sf_dir: str):
+    """TPC-H Q18 analog: orders whose total lineitem quantity exceeds 300
+    units, with customer name and order price (the HAVING-threshold +
+    join-back family).  Scale shape: lineitem collapses to order grain
+    through the bucket exchange and is FILTERED to the tiny qualifying
+    set before any join; orders join that set hash-partitioned; customer
+    names attach by a second key join — line-grain rows never move."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+
+    threshold = 30_000  # quantity cents: 300 units
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "qty": pa.array(np.rint(q * 100).astype(np.int64)),
+            }
+        )
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(line_prep, batch_format="pyarrow")
+    qty = bucketed_group_aggregate(
+        lines, ["l_orderkey"], [("qty", "sum", "sum_qty_cents")]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("sum_qty_cents"), threshold)),
+        batch_format="pyarrow",
+    )
+
+    def order_prep(t: pa.Table) -> pa.Table:
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "price_cents": pa.array(np.rint(p * 100).astype(np.int64)),
+            }
+        )
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    ).map_batches(order_prep, batch_format="pyarrow")
+    big = hash_join(orders, qty, on=["o_orderkey"], right_on=["l_orderkey"])
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = hash_join(big, cust, on=["o_custkey"], right_on=["c_custkey"])
+    return out.map_batches(
+        lambda t: t.select(["c_name", "o_orderkey", "price_cents", "sum_qty_cents"]),
+        batch_format="pyarrow",
+    ).sort(["sum_qty_cents", "o_orderkey"], descending=[True, False])
+
+
+def q_source_jaccard(sf_dir: str):
+    """Set-similarity matrix: Jaccard between sources over their DISTINCT
+    token vocabularies — |A∩B| via :func:`cross_group_dots` on the 0/1
+    incidence table (dot = intersection, squared norm = set size, ≤
+    sources² partial rows per token bucket), then ONE integer division
+    per pair: bit-exact vs the SQL self-join replay."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import (
+        bucketed_group_aggregate,
+        cross_group_dots,
+    )
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def incidence(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(), pattern=" ")
+        flat = toks.flatten()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src_rep = np.repeat(t.column("source").to_numpy(zero_copy_only=False), lens)
+        # batch-local distinct (source, token)
+        grp = pa.table(
+            {"source": pa.array(src_rep.tolist(), pa.string()), "tok": flat}
+        ).group_by(["source", "tok"]).aggregate([])
+        return grp.append_column(
+            "one", pa.array(np.ones(grp.num_rows, dtype=np.int64))
+        )
+
+    # batch-local distinct is not globally distinct: collapse across
+    # batches (one token-keyed bucket exchange), weight pinned at 1 so the
+    # Gram dot counts SET intersections
+    inc = bucketed_group_aggregate(
+        ds.map_batches(incidence, batch_format="pyarrow"),
+        ["source", "tok"],
+        [("one", "min", "one")],
+    )
+    gram = cross_group_dots(
+        inc, group_col="source", key_col="tok", val_col="one"
+    ).to_pandas()  # at most g^2 rows (g = #sources)
+    sizes = {r.ga: r.dot for r in gram.itertuples() if r.ga == r.gb}
+    # zero-intersection pairs don't exist in the SQL inner-join replay
+    off = gram[(gram["ga"] < gram["gb"]) & (gram["dot"] > 0)].sort_values(
+        ["ga", "gb"]
+    )
+    inter = off["dot"].to_numpy()
+    na = np.array([sizes[a] for a in off["ga"]], dtype=np.int64)
+    nb = np.array([sizes[b] for b in off["gb"]], dtype=np.int64)
+    out = pa.table(
+        {
+            "src_a": pa.array(off["ga"].tolist(), pa.string()),
+            "src_b": pa.array(off["gb"].tolist(), pa.string()),
+            "n_inter": pa.array(inter.astype(np.int64)),
+            "jaccard": pa.array(inter / (na + nb - inter)),
+        }
+    )
+    import ray.data
+
+    return ray.data.from_arrow(out)
+
+
+def q_name_clusters(sf_dir: str):
+    """Entity-resolution clusters: connected components of the
+    edit-distance-1 customer-name graph (``fuzzy_names``' edges), labels
+    via the DISTRIBUTED large-star/small-star CC operator — this query
+    certifies `resolve_clusters_distributed` end-to-end against an exact
+    recursive-CTE oracle (min-label transitive closure).  Node ids are
+    the names' custkeys (names are unique per key in this corpus; the
+    oracle maps identically via min(c_custkey) per name)."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.dedup import fuzzy_pairs, resolve_clusters_distributed
+    from cloudtile_ray.stages.relational import hash_join
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    pairs = fuzzy_pairs(cust, "c_name")
+    ids = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    # name -> node id (min custkey per name; a tiny two-column table)
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    nid = bucketed_group_aggregate(
+        ids, ["c_name"], [("c_custkey", "min", "node_id")]
+    ).materialize()
+    e1 = hash_join(pairs, nid, on=["a"], right_on=["c_name"]).map_batches(
+        lambda t: pa.table({"b": t.column("b"), "id_a": t.column("node_id")}),
+        batch_format="pyarrow",
+    )
+    edges = hash_join(e1, nid, on=["b"], right_on=["c_name"]).map_batches(
+        lambda t: pa.table(
+            {"id_a": t.column("id_a"), "id_b": t.column("node_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    labels = resolve_clusters_distributed(edges, id_cols=("id_a", "id_b"))
+    named = hash_join(
+        labels.map_batches(
+            lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow"
+        ),
+        nid,
+        on=["doc_id"],
+        right_on=["node_id"],
+    )
+    return named.map_batches(
+        lambda t: pa.table(
+            {"c_name": t.column("c_name"), "cluster_id": t.column("cluster_id")}
+        ),
+        batch_format="pyarrow",
+    ).sort(["c_name"])
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2652,6 +2903,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "sliding_counts": q_sliding_counts,
         "bigrams": q_bigrams,
+        # round-4 session-8 additions (exact oracles)
+        "range_window": q_range_window,
+        "value_prank": q_value_prank,
+        "cust_order_dist": q_cust_order_dist,
+        "big_orders": q_big_orders,
+        "source_jaccard": q_source_jaccard,
+        "name_clusters": q_name_clusters,
         # rows-only (non-SQL-expressible: approximate / geometric / stubbed)
         "cell_index": q_cell_index,
         "tiles_full": q_tiles_full,
@@ -3843,4 +4101,81 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) rn
                   FROM s)
             SELECT q_id, vec_id FROM r WHERE rn <= 5""",
+        "range_window": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id, event_id,
+                   CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS win_cents
+            FROM e""",
+        "value_prank": """
+            WITH e AS (SELECT event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, cents,
+                   percent_rank() OVER (ORDER BY cents) AS prank,
+                   cume_dist() OVER (ORDER BY cents) AS cume_dist
+            FROM e""",
+        "cust_order_dist": """
+            WITH co AS (SELECT c.c_custkey,
+                               count(o.o_orderkey) AS n_orders
+                        FROM customer c
+                        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        GROUP BY c.c_custkey)
+            SELECT CAST(n_orders AS BIGINT) AS n_orders,
+                   count(*) AS n_custs
+            FROM co GROUP BY n_orders
+            ORDER BY n_custs DESC, n_orders DESC""",
+        "big_orders": """
+            WITH q AS (SELECT l_orderkey,
+                              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                                   AS BIGINT) AS sum_qty_cents
+                       FROM lineitem GROUP BY l_orderkey
+                       HAVING sum_qty_cents > 30000)
+            SELECT c.c_name, o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+                   q.sum_qty_cents
+            FROM q
+            JOIN orders o ON o.o_orderkey = q.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY q.sum_qty_cents DESC, o.o_orderkey""",
+        "source_jaccard": """
+            WITH st AS (SELECT DISTINCT source, tok FROM
+                          (SELECT source,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents)),
+            sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+            ix AS (SELECT a.source AS src_a, b.source AS src_b,
+                          count(*) AS n_inter
+                   FROM st a JOIN st b
+                     ON a.tok = b.tok AND a.source < b.source
+                   GROUP BY a.source, b.source)
+            SELECT ix.src_a, ix.src_b,
+                   CAST(ix.n_inter AS BIGINT) AS n_inter,
+                   CAST(ix.n_inter AS DOUBLE) / (sa.n + sb.n - ix.n_inter)
+                     AS jaccard
+            FROM ix
+            JOIN sz sa ON sa.source = ix.src_a
+            JOIN sz sb ON sb.source = ix.src_b
+            ORDER BY src_a, src_b""",
+        "name_clusters": """
+            WITH RECURSIVE
+            ids AS (SELECT c_name, min(c_custkey) AS node_id
+                    FROM customer GROUP BY c_name),
+            edges AS (SELECT ia.node_id AS a, ib.node_id AS b
+                      FROM ids ia JOIN ids ib ON ia.c_name < ib.c_name
+                      WHERE levenshtein(ia.c_name, ib.c_name) = 1),
+            sym AS (SELECT a, b FROM edges
+                    UNION ALL SELECT b, a FROM edges),
+            lbl(node, label) AS (
+                SELECT DISTINCT a, a FROM sym
+                UNION
+                SELECT s.b, l.label FROM lbl l JOIN sym s ON s.a = l.node),
+            cc AS (SELECT node, min(label) AS cluster_id
+                   FROM lbl GROUP BY node)
+            SELECT i.c_name, CAST(cc.cluster_id AS BIGINT) AS cluster_id
+            FROM cc JOIN ids i ON i.node_id = cc.node
+            ORDER BY i.c_name""",
     }

@@ -173,6 +173,81 @@ def rows_window_sum(ds, frame: int = 3) -> "ray.data.Dataset":
     )
 
 
+def range_window_sum(ds, width_us: int = 600_000_000) -> "ray.data.Dataset":
+    """Per-user time-RANGE-frame moving sum — ``sum(cents) OVER
+    (PARTITION BY user_id ORDER BY ts RANGE BETWEEN width PRECEDING AND
+    CURRENT ROW)``.  Unlike the ROWS frame (:func:`rows_window_sum`) the
+    frame edges are VALUE-based: every row whose ts lies in
+    ``[cur_ts - width, cur_ts]`` is in frame, including *later* peer rows
+    with the same ts (SQL RANGE peers) — so the edges come from two
+    ``searchsorted`` gathers, not index arithmetic.  Segments share one
+    global searchsorted by folding (segment, ts) into a single monotone
+    int64 key (segment index x time span + offset; the fold is
+    overflow-checked and falls back to a per-segment loop only if a
+    bucket would overflow, which needs ~3e5 users x a century in one
+    bucket).  Integer cents keep sums order-free and SQL-exact.
+
+    Scale: one user-bucket exchange; per-bucket work is one lexsort +
+    two binary searches — the same cost profile as the ROWS frame."""
+    nb = _n_user_buckets(ds)
+    w = int(width_us)
+    if w < 0:
+        raise ValueError("width_us must be >= 0")
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "win_cents": pa.array([], pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, ts_s, eid_s, val_s = uid[order], ts[order], eid[order], val[order]
+        starts, seg_start = _user_segments(u_s)
+        # fold (segment, ts) into one monotone key so ONE searchsorted
+        # serves every segment; rebase ts so the fold fits int64
+        t0 = int(ts_s.min())
+        span = int(ts_s.max()) - t0 + w + 1
+        # per-row segment ordinal: rank of the row's segment start
+        seg_ids = np.searchsorted(starts, seg_start)
+        if len(starts) * span > np.iinfo(np.int64).max // 2:
+            # degenerate fold range: per-segment binary searches
+            lo = np.empty(len(u_s), dtype=np.int64)
+            hi = np.empty(len(u_s), dtype=np.int64)
+            ends = np.append(starts[1:], len(u_s))
+            for s, e in zip(starts, ends):
+                seg_ts = ts_s[s:e]
+                lo[s:e] = s + np.searchsorted(seg_ts, seg_ts - w, side="left")
+                hi[s:e] = s + np.searchsorted(seg_ts, seg_ts, side="right")
+        else:
+            key = seg_ids * span + (ts_s - t0)
+            lo_probe = seg_ids * span + np.maximum(ts_s - t0 - w, 0)
+            lo = np.searchsorted(key, lo_probe, side="left")
+            hi = np.searchsorted(key, key, side="right")
+        prefix = np.concatenate([[0], np.cumsum(val_s)])
+        win = prefix[hi] - prefix[lo]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s),
+                "event_id": pa.array(eid_s),
+                "win_cents": pa.array(win),
+            }
+        )
+
+    return (
+        ds.map_batches(prep_events, batch_format="pyarrow")
+        .map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def first_last_values(ds) -> "ray.data.Dataset":
     """Per-user FIRST_VALUE / LAST_VALUE of value-cents in (ts, event_id)
     order plus the event count — two gathers at the segment boundaries of

@@ -748,6 +748,76 @@ def global_dense_rank(
     return hash_join(ds, ranked.map_batches(shift, batch_format="pyarrow"), on=[col])
 
 
+def global_rank_dist(
+    ds,
+    col: str,
+    broadcast_byte_budget: int = 128 << 20,
+):
+    """Global ``PERCENT_RANK()`` and ``CUME_DIST()`` over ``ORDER BY col``
+    — the normalized-rank window family next to :func:`global_dense_rank`.
+    percent_rank = (rank - 1) / (N - 1) with competition rank;
+    cume_dist = (# rows with value <= v) / N.  Both numerators are exact
+    integer prefix sums over the DISTINCT-value count table (one bucket
+    exchange — tie groups collapse before anything global), and each
+    output is ONE IEEE-double division, so the result is bit-identical to
+    DuckDB's window functions (which compute the same quotients).
+
+    Within the byte budget the sorted distinct array + its two prefix-sum
+    arrays broadcast once (``ray.put``) and every fact batch ranks itself
+    with ``np.searchsorted`` — zero fact-side shuffle.  Beyond it the
+    distinct table routes through :func:`enumerate_sorted`
+    (weight_col=count gives the exclusive prefix sum distributed) and a
+    hash join back; N comes from one scalar Sum over the count column.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    distinct = bucketed_group_aggregate(
+        ds, [col], [(col, "count", "_n")]
+    ).materialize()
+
+    if distinct.size_bytes() <= int(broadcast_byte_budget):
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow")]
+        )
+        vals = tbl.column(col).to_numpy(zero_copy_only=False)
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        cnt = tbl.column("_n").to_numpy(zero_copy_only=False)[order].astype(np.int64)
+        n_total = int(cnt.sum())
+        excl = np.concatenate(([0], np.cumsum(cnt[:-1], dtype=np.int64)))
+        cume = excl + cnt  # rows with value <= v
+        ref = ray.put((vals, excl, cume))
+        denom_pr = float(n_total - 1) if n_total > 1 else 1.0
+        denom_cd = float(n_total)
+
+        def rank_batch(t: pa.Table) -> pa.Table:
+            v, e, c = ray.get(ref)
+            idx = np.searchsorted(v, t.column(col).to_numpy(zero_copy_only=False))
+            t = t.append_column("prank", pa.array(e[idx] / denom_pr))
+            return t.append_column("cume_dist", pa.array(c[idx] / denom_cd))
+
+        return ds.map_batches(rank_batch, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    n_total = int(distinct.aggregate(Sum("_n", alias_name="n"))["n"])
+    ranked = enumerate_sorted(distinct, [col], rank_col="_excl", weight_col="_n")
+    denom_pr = float(n_total - 1) if n_total > 1 else 1.0
+    denom_cd = float(n_total)
+
+    def finish(t: "pa.Table") -> "pa.Table":
+        e = t.column("_excl").to_numpy(zero_copy_only=False)
+        n = t.column("_n").to_numpy(zero_copy_only=False)
+        out = t.select([col])
+        out = out.append_column("prank", pa.array(e / denom_pr))
+        return out.append_column("cume_dist", pa.array((e + n) / denom_cd))
+
+    rank_fn = ranked.map_batches(finish, batch_format="pyarrow")
+    return hash_join(ds, rank_fn, on=[col])
+
+
 def global_ntile(ds, sort_cols, k: int, out_col: str = "tile"):
     """SQL ``NTILE(k) OVER (ORDER BY sort_cols)`` — equal-height bucket
     assignment over a global total order (the histogram-equalization /

@@ -2692,3 +2692,212 @@ class TestCompetitionRank:
 
         with pytest.raises(ValueError):
             global_dense_rank(None, "v", method="percent")
+
+
+class TestRangeWindowSum:
+    """Time-RANGE-frame moving sum (events.range_window_sum): value-based
+    frame edges including equal-ts peers — vs the ROWS frame's index
+    arithmetic."""
+
+    def test_matches_duckdb_range_frame_with_peers(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.events import range_window_sum
+
+        rng = np.random.default_rng(31)
+        n = 500
+        # coarse second grid => plenty of exact-ts peers within users
+        t = pa.table({
+            "event_id": pa.array(np.arange(n)),
+            "user_id": pa.array(rng.integers(0, 12, n)),
+            "ts": pa.array(
+                (rng.integers(0, 120, n) * 1_000_000).astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+        })
+        got = (
+            range_window_sum(
+                ray.data.from_arrow(t).repartition(6), width_us=30_000_000
+            )
+            .to_pandas()
+            .sort_values(["user_id", "event_id"], ignore_index=True)
+        )
+        want = duckdb.sql(
+            """WITH e AS (SELECT user_id, event_id, ts,
+                                 CAST(round(value * 100) AS BIGINT) AS cents
+                          FROM t)
+               SELECT user_id, event_id,
+                      CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 30 SECONDS PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS win_cents
+               FROM e ORDER BY user_id, event_id"""
+        ).df()
+        assert got[["user_id", "event_id", "win_cents"]].values.tolist() == \
+            want.values.tolist()
+
+    def test_width_zero_sums_exact_ts_peers(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.events import range_window_sum
+
+        t = pa.table({
+            "event_id": pa.array([0, 1, 2]),
+            "user_id": pa.array([5, 5, 5]),
+            "ts": pa.array(
+                np.array([10, 10, 30], dtype="datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 3.0]),
+        })
+        got = (
+            range_window_sum(ray.data.from_arrow(t), width_us=0)
+            .to_pandas()
+            .sort_values("event_id", ignore_index=True)
+        )
+        # the two ts=10 rows are RANGE peers: both frames hold both rows
+        assert got["win_cents"].tolist() == [300, 300, 300]
+
+    def test_width_validated(self):
+        from cloudtile_ray.stages.events import range_window_sum
+
+        with pytest.raises(ValueError):
+            range_window_sum(None, width_us=-1)
+
+
+class TestGlobalRankDist:
+    """PERCENT_RANK + CUME_DIST (relational.global_rank_dist) — bit-exact
+    IEEE quotients on both the broadcast and the enumerate+join path."""
+
+    def test_matches_duckdb_both_paths(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.relational import global_rank_dist
+
+        rng = np.random.default_rng(41)
+        t = pa.table({
+            "id": pa.array(np.arange(500)),
+            "v": pa.array(rng.integers(0, 40, 500)),  # heavy ties
+        })
+        want = duckdb.sql(
+            """SELECT id, v,
+                      percent_rank() OVER (ORDER BY v) AS prank,
+                      cume_dist() OVER (ORDER BY v) AS cume_dist
+               FROM t ORDER BY id"""
+        ).df()
+        ds = ray.data.from_arrow(t).repartition(5)
+        for budget in (128 << 20, 0):
+            got = (
+                global_rank_dist(ds, "v", broadcast_byte_budget=budget)
+                .to_pandas().sort_values("id", ignore_index=True)
+            )
+            # bit-exact float comparison, not approx
+            assert got["prank"].values.tolist() == want["prank"].values.tolist()
+            assert got["cume_dist"].values.tolist() == \
+                want["cume_dist"].values.tolist()
+
+    def test_single_row_percent_rank_zero(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import global_rank_dist
+
+        t = pa.table({"id": pa.array([1]), "v": pa.array([42])})
+        got = global_rank_dist(ray.data.from_arrow(t), "v").to_pandas()
+        assert got["prank"].tolist() == [0.0]
+        assert got["cume_dist"].tolist() == [1.0]
+
+
+class TestSourceJaccardQuery:
+    """q_source_jaccard: repeated tokens (within a doc, across docs and
+    across batches) must not inflate the DISTINCT-set intersection."""
+
+    def test_duplicate_tokens_count_once(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+
+        docs = pa.table({
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "text": pa.array([
+                "apple banana apple",   # src_a: {apple, banana}
+                "banana cherry",        # src_a: {banana, cherry}
+                "apple apple",          # src_b: {apple}
+                "banana date",          # src_b: {banana, date}
+                "cherry cherry cherry", # src_b: {cherry}
+                "elderberry",           # src_b: {elderberry}
+            ]),
+            "lang": pa.array(["en"] * 6),
+            "source": pa.array(["sa", "sa", "sb", "sb", "sb", "sb"]),
+            "n_chars": pa.array([1] * 6, pa.int64()),
+        })
+        pq.write_table(docs, tmp_path / "documents.parquet")
+        got = entry.q_source_jaccard(str(tmp_path)).to_pandas()
+        # A={apple,banana,cherry} (3), B={apple,banana,cherry,date,elderberry} (5)
+        # inter=3, union=5 -> 0.6
+        assert got["src_a"].tolist() == ["sa"]
+        assert got["n_inter"].tolist() == [3]
+        assert got["jaccard"].tolist() == [3 / 5]
+
+
+class TestNameClustersQuery:
+    """q_name_clusters: e2e entity-resolution labels through the
+    distributed CC operator on a fixture with two known clusters and one
+    isolated name (which must be absent — no self-edge rows)."""
+
+    def test_known_clusters(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+
+        cust = pa.table({
+            "c_custkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "c_name": pa.array(["cat", "cut", "dog", "dot", "zebra"]),
+            "c_nationkey": pa.array([0] * 5, pa.int32()),
+            "c_acctbal": pa.array([0.0] * 5),
+            "c_mktsegment": pa.array(["BUILDING"] * 5),
+        })
+        pq.write_table(cust, tmp_path / "customer.parquet")
+        got = (
+            entry.q_name_clusters(str(tmp_path))
+            .to_pandas()
+            .sort_values("c_name", ignore_index=True)
+        )
+        assert got["c_name"].tolist() == ["cat", "cut", "dog", "dot"]
+        assert got["cluster_id"].tolist() == [10, 10, 12, 12]
+
+
+class TestCustOrderDistQuery:
+    """q_cust_order_dist: the zero-order bucket (LEFT-JOIN semantics) is
+    synthesized from two scalars, never an outer join."""
+
+    def test_zero_order_customers_counted(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import __ray_entry__ as entry
+
+        cust = pa.table({
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_name": pa.array(["a", "b", "c", "d"]),
+            "c_nationkey": pa.array([0] * 4, pa.int32()),
+            "c_acctbal": pa.array([0.0] * 4),
+            "c_mktsegment": pa.array(["BUILDING"] * 4),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0]),
+            "o_orderdate": pa.array(
+                np.array([0, 1, 2], dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * 3),
+        })
+        pq.write_table(cust, tmp_path / "customer.parquet")
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        got = entry.q_cust_order_dist(str(tmp_path)).to_pandas()
+        dist = dict(zip(got["n_orders"], got["n_custs"]))
+        # custs 3 and 4 have no orders; cust 1 has 2; cust 2 has 1
+        assert dist == {0: 2, 1: 1, 2: 1}
