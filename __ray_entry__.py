@@ -2753,6 +2753,66 @@ def q_name_clusters(sf_dir: str):
     ).sort(["c_name"])
 
 
+def q_name_triangles(sf_dir: str):
+    """Distributed triangle counting (node-iterator with degree ordering,
+    Suri & Vassilvitskii 2011) on the edit-distance-1 customer-name graph:
+    per-node triangle participation counts.  Wedges are generated only at
+    each edge's lower-(degree, id) endpoint — O(E^1.5) total work
+    regardless of skew — and closed with ONE hash join against the edge
+    set."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.dedup import fuzzy_pairs
+    from cloudtile_ray.stages.graph import triangle_counts
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    pairs = fuzzy_pairs(cust, "c_name")
+    nid = bucketed_group_aggregate(
+        cust, ["c_name"], [("c_custkey", "min", "node_id")]
+    ).materialize()
+    e1 = hash_join(pairs, nid, on=["a"], right_on=["c_name"]).map_batches(
+        lambda t: pa.table({"b": t.column("b"), "id_a": t.column("node_id")}),
+        batch_format="pyarrow",
+    )
+    edges = hash_join(e1, nid, on=["b"], right_on=["c_name"]).map_batches(
+        lambda t: pa.table(
+            {"id_a": t.column("id_a"), "id_b": t.column("node_id")}
+        ),
+        batch_format="pyarrow",
+    )
+    return triangle_counts(edges, id_cols=("id_a", "id_b")).sort(["node"])
+
+
+def q_value_quantiles_cont(sf_dir: str):
+    """Interpolated PERCENTILE_CONT (p25/p50/p90) of event value cents —
+    both bracketing order statistics per q resolve through the shared
+    bracket-refinement passes (no global sort), then DuckDB's exact
+    lo*(1-frac) + hi*frac two-product interpolation keeps the doubles
+    bit-identical."""
+    from cloudtile_ray.stages.events import prep_events
+    from cloudtile_ray.stages.quantiles import exact_quantiles_cont
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(prep_events_value_only, batch_format="pyarrow")
+    return exact_quantiles_cont(
+        ds, "value_cents", {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    )
+
+
+def prep_events_value_only(batch):
+    """cents column without needing ts (events prep for value-only ops)."""
+    import pyarrow as pa
+
+    v = batch.column("value").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"value_cents": pa.array(np.rint(v * 100).astype(np.int64))}
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2910,6 +2970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_orders": q_big_orders,
         "source_jaccard": q_source_jaccard,
         "name_clusters": q_name_clusters,
+        "name_triangles": q_name_triangles,
+        "value_quantiles_cont": q_value_quantiles_cont,
         # rows-only (non-SQL-expressible: approximate / geometric / stubbed)
         "cell_index": q_cell_index,
         "tiles_full": q_tiles_full,
@@ -4178,4 +4240,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT i.c_name, CAST(cc.cluster_id AS BIGINT) AS cluster_id
             FROM cc JOIN ids i ON i.node_id = cc.node
             ORDER BY i.c_name""",
+        "name_triangles": """
+            WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
+                         FROM customer GROUP BY c_name),
+            ed AS (SELECT ia.node_id AS a, ib.node_id AS b
+                   FROM ids ia JOIN ids ib ON ia.c_name < ib.c_name
+                   WHERE levenshtein(ia.c_name, ib.c_name) = 1),
+            ce AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                   FROM ed),
+            tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                    FROM ce e1
+                    JOIN ce e2 ON e2.u = e1.v
+                    JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v),
+            corners AS (SELECT x AS node FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+            SELECT CAST(node AS BIGINT) AS node, count(*) AS n_tri
+            FROM corners GROUP BY node ORDER BY node""",
+        "value_quantiles_cont": """
+            SELECT quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
+                   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
+                   quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90
+            FROM events""",
     }

@@ -87,6 +87,21 @@ def _collect_bracket(slim, column: str, lo: int, hi: int) -> np.ndarray:
     return np.sort(np.concatenate(parts or [np.array([], dtype=np.int64)]))
 
 
+def _prep_column(ds, column: str, materialize: bool):
+    """Project to the one column (+ global count/min/max) shared by every
+    selection entry point."""
+    from ray.data.aggregate import Count, Max, Min
+
+    slim = ds.map_batches(lambda t: t.select([column]), batch_format="pyarrow")
+    if materialize:
+        slim = slim.materialize()
+    stats = slim.aggregate(Count(), Min(column), Max(column))
+    n = int(stats["count()"])
+    if n == 0:
+        raise ValueError("exact selection on an empty dataset")
+    return slim, n, int(stats[f"min({column})"]), int(stats[f"max({column})"])
+
+
 def exact_quantiles(
     ds,
     column: str,
@@ -98,19 +113,66 @@ def exact_quantiles(
     """Exact quantiles of integer ``column`` at the given {name: q}
     fractions; returns a one-row Arrow table with one int64 column per
     name.  See module docstring for the algorithm and rank convention."""
-    from ray.data.aggregate import Count, Max, Min
+    slim, n, glo, ghi = _prep_column(ds, column, materialize)
+    ranks = {name: max(0, math.ceil(q * n) - 1) for name, q in qs.items()}
+    done = _exact_ranks(slim, column, ranks, glo, ghi, bucket_count, collect_threshold)
+    return pa.table({name: pa.array([done[name]], type=pa.int64()) for name in qs})
 
-    slim = ds.map_batches(lambda t: t.select([column]), batch_format="pyarrow")
-    if materialize:
-        slim = slim.materialize()
-    stats = slim.aggregate(Count(), Min(column), Max(column))
-    n = int(stats["count()"])
-    if n == 0:
-        raise ValueError("exact_quantiles on an empty dataset")
-    glo, ghi = int(stats[f"min({column})"]), int(stats[f"max({column})"])
 
-    # per-quantile state: value bracket [lo, hi] and target rank within it
-    state = {name: [glo, ghi, max(0, math.ceil(q * n) - 1)] for name, q in qs.items()}
+def exact_quantiles_cont(
+    ds,
+    column: str,
+    qs: dict[str, float],
+    bucket_count: int = 128,
+    collect_threshold: int = 65536,
+    materialize: bool = True,
+) -> pa.Table:
+    """Interpolated (``quantile_cont`` / PERCENTILE_CONT) quantiles of
+    integer ``column``: h = q*(n-1); result = v[floor(h)]*(ceil(h)-h) +
+    v[ceil(h)]*(h-floor(h)) — DuckDB's exact two-product interpolation
+    arithmetic on the two bracketing order statistics (NOT the
+    algebraically-equal lo+frac*(hi-lo), which differs by 1 ULP), so
+    the float64 output is bit-identical to the SQL oracle.  Both ranks
+    for every q resolve through the SAME shared bracket-refinement
+    passes as :func:`exact_quantiles` (the cut sets union), so p25/p50/
+    p90 together still cost ~2 streaming scans and no global sort."""
+    slim, n, glo, ghi = _prep_column(ds, column, materialize)
+    plan: dict[str, tuple[int, float]] = {}
+    ranks: dict[str, int] = {}
+    for name, q in qs.items():
+        h = q * (n - 1)
+        lo_rank = int(math.floor(h))
+        frac = h - lo_rank
+        plan[name] = (lo_rank, frac)
+        ranks[f"{name}__lo"] = lo_rank
+        if frac > 0.0:
+            ranks[f"{name}__hi"] = min(lo_rank + 1, n - 1)
+    done = _exact_ranks(slim, column, ranks, glo, ghi, bucket_count, collect_threshold)
+    out: dict[str, float] = {}
+    for name, (lo_rank, frac) in plan.items():
+        vlo = float(done[f"{name}__lo"])
+        if frac > 0.0:
+            vhi = float(done[f"{name}__hi"])
+            # DuckDB: lo*(ceil(h)-h) + hi*(h-floor(h))
+            out[name] = vlo * (1.0 - frac) + vhi * frac
+        else:
+            out[name] = vlo
+    return pa.table({name: pa.array([out[name]], type=pa.float64()) for name in qs})
+
+
+def _exact_ranks(
+    slim,
+    column: str,
+    ranks: dict[str, int],
+    glo: int,
+    ghi: int,
+    bucket_count: int = 128,
+    collect_threshold: int = 65536,
+) -> dict[str, int]:
+    """Resolve the value at each 0-indexed ascending rank by shared
+    iterative bracket refinement (see module docstring)."""
+    # per-rank state: value bracket [lo, hi] and target rank within it
+    state = {name: [glo, ghi, r] for name, r in ranks.items()}
     done: dict[str, int] = {}
 
     for _ in range(64):
@@ -148,9 +210,9 @@ def exact_quantiles(
             else:
                 state[name] = [new_lo, new_hi, new_r]
     else:
-        raise RuntimeError("exact_quantiles failed to converge")
+        raise RuntimeError("exact rank selection failed to converge")
 
-    return pa.table({name: pa.array([done[name]], type=pa.int64()) for name in qs})
+    return done
 
 
 def grouped_quantiles(

@@ -2901,3 +2901,108 @@ class TestCustOrderDistQuery:
         dist = dict(zip(got["n_orders"], got["n_custs"]))
         # custs 3 and 4 have no orders; cust 1 has 2; cust 2 has 1
         assert dist == {0: 2, 1: 1, 2: 1}
+
+
+class TestTriangleCounts:
+    """Distributed triangle counting (graph.triangle_counts)."""
+
+    def test_known_graph_both_paths(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.graph import triangle_counts
+
+        # K4 minus edge (1,4): triangles {1,2,3} and {2,3,4};
+        # input has duplicates, reversed pairs and a self-loop to exercise
+        # canonicalization
+        t = pa.table({
+            "a": pa.array([1, 2, 1, 3, 3, 4, 2, 2], pa.int64()),
+            "b": pa.array([2, 1, 3, 2, 4, 2, 3, 2], pa.int64()),
+        })
+        want = {1: 1, 2: 2, 3: 2, 4: 1}
+        ds = ray.data.from_arrow(t).repartition(3)
+        for budget in (64 << 20, 0):  # broadcast orientation, join fallback
+            got = (
+                triangle_counts(ds, broadcast_byte_budget=budget)
+                .to_pandas()
+            )
+            assert dict(zip(got["node"], got["n_tri"])) == want
+
+    def test_matches_brute_force_random(self, ray_session):
+        import itertools
+
+        import ray.data
+
+        from cloudtile_ray.stages.graph import triangle_counts
+
+        rng = np.random.default_rng(53)
+        n_nodes, n_edges = 40, 200
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        es = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+        adj = {i: set() for i in range(n_nodes)}
+        for u, v in es:
+            adj[u].add(v)
+            adj[v].add(u)
+        want: dict[int, int] = {}
+        for x, y, z in itertools.combinations(range(n_nodes), 3):
+            if y in adj[x] and z in adj[x] and z in adj[y]:
+                for q in (x, y, z):
+                    want[q] = want.get(q, 0) + 1
+        t = pa.table({
+            "a": pa.array(a.astype(np.int64)),
+            "b": pa.array(b.astype(np.int64)),
+        })
+        got = (
+            triangle_counts(ray.data.from_arrow(t).repartition(4))
+            .to_pandas()
+        )
+        assert dict(zip(got["node"], got["n_tri"])) == want
+
+    def test_triangle_free_graph_empty(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.graph import triangle_counts
+
+        # a path graph has no triangles
+        t = pa.table({
+            "a": pa.array([0, 1, 2, 3], pa.int64()),
+            "b": pa.array([1, 2, 3, 4], pa.int64()),
+        })
+        got = triangle_counts(ray.data.from_arrow(t)).to_pandas()
+        assert len(got) == 0
+
+
+class TestExactQuantilesCont:
+    """Interpolated PERCENTILE_CONT selection (quantiles.exact_quantiles_cont)."""
+
+    def test_matches_duckdb_bit_exact(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.quantiles import exact_quantiles_cont
+
+        rng = np.random.default_rng(61)
+        t = pa.table({"v": pa.array(rng.integers(-500, 10_000, 777))})
+        got = exact_quantiles_cont(
+            ray.data.from_arrow(t).repartition(5),
+            "v",
+            {"p10": 0.1, "p50": 0.5, "p95": 0.95},
+            collect_threshold=16,  # force several refinement passes
+        )
+        want = duckdb.sql(
+            """SELECT quantile_cont(v, 0.1) AS p10,
+                      quantile_cont(v, 0.5) AS p50,
+                      quantile_cont(v, 0.95) AS p95 FROM t"""
+        ).df()
+        for c in ("p10", "p50", "p95"):
+            assert got.column(c).to_pylist() == [want[c][0]]  # bit-exact
+
+    def test_integer_rank_no_interpolation(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.quantiles import exact_quantiles_cont
+
+        # n=5: q=0.5 -> h=2.0 exactly, no interpolation
+        t = pa.table({"v": pa.array([10, 20, 30, 40, 50])})
+        got = exact_quantiles_cont(ray.data.from_arrow(t), "v", {"p50": 0.5})
+        assert got.column("p50").to_pylist() == [30.0]
