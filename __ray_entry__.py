@@ -2586,12 +2586,17 @@ def q_big_orders(sf_dir: str):
     units, with customer name and order price (the HAVING-threshold +
     join-back family).  Scale shape: lineitem collapses to order grain
     through the bucket exchange and is FILTERED to the tiny qualifying
-    set before any join; orders join that set hash-partitioned; customer
-    names attach by a second key join — line-grain rows never move."""
+    set before any join; that HAVING-filtered set and the customer name
+    map are both dimension-sized, so they attach via broadcast_lookup
+    (byte-gated, hash-join fallback) — line- and order-grain rows never
+    shuffle."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
 
     threshold = 30_000  # quantity cents: 300 units
 
@@ -2628,11 +2633,13 @@ def q_big_orders(sf_dir: str):
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     ).map_batches(order_prep, batch_format="pyarrow")
-    big = hash_join(orders, qty, on=["o_orderkey"], right_on=["l_orderkey"])
+    big = broadcast_lookup(
+        orders, qty.materialize(), on=["o_orderkey"], right_on=["l_orderkey"]
+    )
     cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    out = hash_join(big, cust, on=["o_custkey"], right_on=["c_custkey"])
+    out = broadcast_lookup(big, cust, on=["o_custkey"], right_on=["c_custkey"])
     return out.map_batches(
         lambda t: t.select(["c_name", "o_orderkey", "price_cents", "sum_qty_cents"]),
         batch_format="pyarrow",
@@ -2707,41 +2714,28 @@ def q_name_clusters(sf_dir: str):
     certifies `resolve_clusters_distributed` end-to-end against an exact
     recursive-CTE oracle (min-label transitive closure).  Node ids are
     the names' custkeys (names are unique per key in this corpus; the
-    oracle maps identically via min(c_custkey) per name)."""
+    oracle maps identically via min(c_custkey) per name).  The name→id
+    map is key-cardinality-sized, so it attaches via broadcast_lookup
+    (zero exchange) — the two hash_joins this replaced spawned 2×
+    num_partitions aggregator actors and dominated the query wall-time."""
     import pyarrow as pa
 
     from cloudtile_ray.stages.dedup import fuzzy_pairs, resolve_clusters_distributed
-    from cloudtile_ray.stages.relational import hash_join
 
-    cust = _read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    pairs = fuzzy_pairs(cust, "c_name")
-    ids = _read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    # name -> node id (min custkey per name; a tiny two-column table)
-    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+    pairs, nid = _name_graph_edges(sf_dir)
+    labels = resolve_clusters_distributed(pairs, id_cols=("id_a", "id_b"))
+    from cloudtile_ray.stages.relational import broadcast_lookup
 
-    nid = bucketed_group_aggregate(
-        ids, ["c_name"], [("c_custkey", "min", "node_id")]
-    ).materialize()
-    e1 = hash_join(pairs, nid, on=["a"], right_on=["c_name"]).map_batches(
-        lambda t: pa.table({"b": t.column("b"), "id_a": t.column("node_id")}),
-        batch_format="pyarrow",
-    )
-    edges = hash_join(e1, nid, on=["b"], right_on=["c_name"]).map_batches(
-        lambda t: pa.table(
-            {"id_a": t.column("id_a"), "id_b": t.column("node_id")}
-        ),
-        batch_format="pyarrow",
-    )
-    labels = resolve_clusters_distributed(edges, id_cols=("id_a", "id_b"))
-    named = hash_join(
+    named = broadcast_lookup(
         labels.map_batches(
             lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow"
         ),
-        nid,
+        nid.map_batches(
+            lambda t: pa.table(
+                {"node_id": t.column("node_id"), "c_name": t.column("c_name")}
+            ),
+            batch_format="pyarrow",
+        ),
         on=["doc_id"],
         right_on=["node_id"],
     )
@@ -2753,18 +2747,20 @@ def q_name_clusters(sf_dir: str):
     ).sort(["c_name"])
 
 
-def q_name_triangles(sf_dir: str):
-    """Distributed triangle counting (node-iterator with degree ordering,
-    Suri & Vassilvitskii 2011) on the edit-distance-1 customer-name graph:
-    per-node triangle participation counts.  Wedges are generated only at
-    each edge's lower-(degree, id) endpoint — O(E^1.5) total work
-    regardless of skew — and closed with ONE hash join against the edge
-    set."""
+def _name_graph_edges(sf_dir: str):
+    """(edges, nid): integer-id edge list of the edit-distance-1
+    customer-name graph plus the name→node_id map — shared by
+    q_name_clusters / q_name_triangles.  Both id attaches go through
+    :func:`~cloudtile_ray.stages.relational.broadcast_lookup` (the map
+    is one row per distinct name: dimension-sized, never worth an
+    exchange)."""
     import pyarrow as pa
 
     from cloudtile_ray.stages.dedup import fuzzy_pairs
-    from cloudtile_ray.stages.graph import triangle_counts
-    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
 
     cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
@@ -2773,16 +2769,29 @@ def q_name_triangles(sf_dir: str):
     nid = bucketed_group_aggregate(
         cust, ["c_name"], [("c_custkey", "min", "node_id")]
     ).materialize()
-    e1 = hash_join(pairs, nid, on=["a"], right_on=["c_name"]).map_batches(
+    e1 = broadcast_lookup(pairs, nid, on=["a"], right_on=["c_name"]).map_batches(
         lambda t: pa.table({"b": t.column("b"), "id_a": t.column("node_id")}),
         batch_format="pyarrow",
     )
-    edges = hash_join(e1, nid, on=["b"], right_on=["c_name"]).map_batches(
+    edges = broadcast_lookup(e1, nid, on=["b"], right_on=["c_name"]).map_batches(
         lambda t: pa.table(
             {"id_a": t.column("id_a"), "id_b": t.column("node_id")}
         ),
         batch_format="pyarrow",
     )
+    return edges, nid
+
+
+def q_name_triangles(sf_dir: str):
+    """Distributed triangle counting (node-iterator with degree ordering,
+    Suri & Vassilvitskii 2011) on the edit-distance-1 customer-name graph:
+    per-node triangle participation counts.  Wedges are generated only at
+    each edge's lower-(degree, id) endpoint — O(E^1.5) total work
+    regardless of skew — and closed with ONE hash join against the edge
+    set.  Ids attach via broadcast_lookup (see q_name_clusters)."""
+    from cloudtile_ray.stages.graph import triangle_counts
+
+    edges, _ = _name_graph_edges(sf_dir)
     return triangle_counts(edges, id_cols=("id_a", "id_b")).sort(["node"])
 
 

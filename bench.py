@@ -177,6 +177,8 @@ def run_queries(sf_dir: str) -> dict:
         "dup_density", "transitions", "pivot_source", "unpivot_lineitem",
         "cube_docs", "minute_series", "lang_mode", "fuzzy_names",
         "json_extract", "user_paths", "dense_rank", "bloom_semi", "lang_sim",
+        "range_window", "value_prank", "cust_order_dist", "big_orders",
+        "source_jaccard", "value_quantiles_cont",
     ]
     import gc
 

@@ -191,6 +191,49 @@ def triangle_counts(
         .groupby("_bkt")
         .map_groups(wedges, batch_format="pyarrow")
     )
+
+    if canon.size_bytes() <= int(broadcast_byte_budget):
+        # close wedges against a BROADCAST edge set: one sorted packed-key
+        # array, membership by searchsorted per wedge batch — no join, no
+        # aggregator actors (the join's per-partition actor spawn is a
+        # fixed multi-second cost that dominates at bench scale; the
+        # fallback below is the 100-TB path when edges outgrow the budget).
+        # Key packing hashes (u, v) into one uint64 pair-key: collisions
+        # are impossible because we compare u and v separately via the
+        # index found for the packed key only after an exact sort — so
+        # instead of packing we sort the edge table by (u, v) and binary
+        # search u's segment, then v within it.
+        et = pa.concat_tables(
+            [pa.table(b) for b in canon.iter_batches(batch_format="pyarrow")]
+        )
+        eu = et.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = et.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        pair_dtype = np.dtype([("u", np.int64), ("v", np.int64)])
+        epairs = np.empty(len(eu), dtype=pair_dtype)
+        epairs["u"], epairs["v"] = eu, ev
+        epairs.sort(kind="stable")
+        eref = ray.put(epairs)
+
+        def close_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            ep = ray.get(eref)
+            wu = t.column("w_u").to_numpy(zero_copy_only=False)
+            wv = t.column("w_v").to_numpy(zero_copy_only=False)
+            wpairs = np.empty(len(wu), dtype=ep.dtype)
+            wpairs["u"], wpairs["v"] = wu, wv
+            idx = np.searchsorted(ep, wpairs, side="left")
+            idx_c = np.minimum(idx, len(ep) - 1)
+            hit = (ep[idx_c] == wpairs) & (idx < len(ep))
+            return t.filter(pa.array(hit))
+
+        tri = wedge_ds.map_batches(close_broadcast, batch_format="pyarrow")
+        return bucketed_group_aggregate(
+            tri.map_batches(_corners, batch_format="pyarrow"),
+            ["node"],
+            [("node", "count", "n_tri")],
+        )
+
     # Ray 2.49's join cannot take a side whose blocks are ALL empty (the
     # schema broadcast rides real blocks — see relational.py's shuffle
     # patch), and a triangle-free graph makes the wedge side exactly that.
@@ -221,16 +264,18 @@ def triangle_counts(
     )
     tri = hash_join(wedge_ds, closing, on=["w_u", "w_v"], right_on=["u", "v"])
 
-    def corners(t: pa.Table) -> pa.Table:
-        cols = [
-            t.column("w_u").combine_chunks().cast(pa.int64()),
-            t.column("w_v").combine_chunks().cast(pa.int64()),
-            t.column("apex").combine_chunks().cast(pa.int64()),
-        ]
-        return pa.table({"node": pa.concat_arrays(cols)})
-
     return bucketed_group_aggregate(
-        tri.map_batches(corners, batch_format="pyarrow"),
+        tri.map_batches(_corners, batch_format="pyarrow"),
         ["node"],
         [("node", "count", "n_tri")],
     )
+
+
+def _corners(t: pa.Table) -> pa.Table:
+    """Scatter each closed wedge (= triangle) to its 3 corner nodes."""
+    cols = [
+        t.column("w_u").combine_chunks().cast(pa.int64()),
+        t.column("w_v").combine_chunks().cast(pa.int64()),
+        t.column("apex").combine_chunks().cast(pa.int64()),
+    ]
+    return pa.table({"node": pa.concat_arrays(cols)})

@@ -150,6 +150,77 @@ def hash_join(
     )
 
 
+def broadcast_lookup(
+    ds,
+    lookup_ds,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    byte_budget: int = 256 << 20,
+    drop_missing: bool = True,
+):
+    """Map-side inner join against a SMALL key→attributes table: the
+    lookup side is collected once, ``ray.put`` once, and probed per batch
+    with ``pyarrow.compute.index_in`` — the big side never shuffles (zero
+    exchange, the 100-TB shape for dimension/id-map attaches).  Falls
+    back to the hash-partitioned :func:`hash_join` when the lookup side's
+    measured bytes exceed ``byte_budget`` (same gating convention as the
+    df attach in ``text.top_terms_per_doc``), so callers get the
+    broadcast plan when it is safe and the bounded-memory exchange when
+    it is not.
+
+    ``on``/``right_on`` follow :func:`hash_join`; single-column keys only
+    take the fast ``index_in`` path (multi-column keys always fall back).
+    With ``drop_missing`` (inner semantics) rows whose key is absent from
+    the lookup are filtered; otherwise they keep null attribute values
+    (left-join semantics).  The lookup's key column(s) are not duplicated
+    into the output; all its other columns are appended."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    r_on = list(right_on) if right_on is not None else list(on)
+    if len(on) != 1 or (lookup_ds.size_bytes() or byte_budget + 1) > byte_budget:
+        how = "inner" if drop_missing else "left"
+        joined = hash_join(ds, lookup_ds, on=on, right_on=right_on, how=how)
+        drop = [c for c in r_on if c not in list(on)]
+        if drop:
+            joined = joined.map_batches(
+                lambda t, d=tuple(drop): t.drop_columns(
+                    [c for c in d if c in t.column_names]
+                ),
+                batch_format="pyarrow",
+            )
+        return joined
+
+    import ray
+
+    key, rkey = on[0], r_on[0]
+    lut = pa.concat_tables(
+        [t for t in ray.get(list(lookup_ds.to_arrow_refs())) if t.num_columns],
+        promote_options="default",
+    ).combine_chunks()
+    val_cols = [c for c in lut.column_names if c != rkey]
+    lref = ray.put(lut)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            out = t
+            for c in val_cols:
+                out = out.append_column(
+                    c, pa.chunked_array([[]], type=lut.schema.field(c).type)
+                )
+            return out
+        lu = ray.get(lref)
+        idx = pc.index_in(t.column(key).combine_chunks(), value_set=lu.column(rkey))
+        out = t
+        for c in val_cols:
+            out = out.append_column(c, pc.take(lu.column(c), idx))
+        if drop_missing:
+            out = out.filter(pc.is_valid(idx))
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def grouped_topk(
     ds,
     group_col: str,

@@ -3006,3 +3006,91 @@ class TestExactQuantilesCont:
         t = pa.table({"v": pa.array([10, 20, 30, 40, 50])})
         got = exact_quantiles_cont(ray.data.from_arrow(t), "v", {"p50": 0.5})
         assert got.column("p50").to_pylist() == [30.0]
+
+
+class TestBroadcastLookup:
+    """Map-side dimension attach (relational.broadcast_lookup)."""
+
+    def _fixtures(self):
+        big = pa.table({
+            "k": pa.array([1, 2, 3, 2, 9], pa.int64()),
+            "x": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        })
+        lut = pa.table({
+            "key": pa.array([1, 2, 3, 4], pa.int64()),
+            "name": pa.array(["a", "b", "c", "d"]),
+            "w": pa.array([100, 200, 300, 400], pa.int64()),
+        })
+        return big, lut
+
+    def test_broadcast_path_inner(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import broadcast_lookup
+
+        big, lut = self._fixtures()
+        got = (
+            broadcast_lookup(
+                ray.data.from_arrow(big).repartition(3),
+                ray.data.from_arrow(lut),
+                on=["k"],
+                right_on=["key"],
+            )
+            .to_pandas()
+            .sort_values(["k", "x"], ignore_index=True)
+        )
+        # k=9 dropped (inner); lookup key column not duplicated
+        assert list(got.columns) == ["k", "x", "name", "w"]
+        assert got["k"].tolist() == [1, 2, 2, 3]
+        assert got["name"].tolist() == ["a", "b", "b", "c"]
+        assert got["w"].tolist() == [100, 200, 200, 300]
+
+    def test_left_semantics_keeps_missing(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import broadcast_lookup
+
+        big, lut = self._fixtures()
+        got = (
+            broadcast_lookup(
+                ray.data.from_arrow(big),
+                ray.data.from_arrow(lut),
+                on=["k"],
+                right_on=["key"],
+                drop_missing=False,
+            )
+            .to_pandas()
+            .sort_values(["k", "x"], ignore_index=True)
+        )
+        assert len(got) == 5
+        assert got[got["k"] == 9]["name"].isna().all()
+
+    def test_fallback_matches_broadcast(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import broadcast_lookup
+
+        big, lut = self._fixtures()
+        fast = (
+            broadcast_lookup(
+                ray.data.from_arrow(big),
+                ray.data.from_arrow(lut),
+                on=["k"],
+                right_on=["key"],
+            )
+            .to_pandas()
+        )
+        slow = (
+            broadcast_lookup(
+                ray.data.from_arrow(big),
+                ray.data.from_arrow(lut),
+                on=["k"],
+                right_on=["key"],
+                byte_budget=0,  # force the hash_join fallback
+            )
+            .to_pandas()
+        )
+        key = ["k", "x"]
+        fast = fast.sort_values(key, ignore_index=True)[sorted(fast.columns)]
+        slow = slow.sort_values(key, ignore_index=True)[sorted(slow.columns)]
+        assert fast.equals(slow)
