@@ -2646,6 +2646,35 @@ def q_big_orders(sf_dir: str):
     ).sort(["sum_qty_cents", "o_orderkey"], descending=[True, False])
 
 
+def q_skyline_parts(sf_dir: str):
+    """Skyline / Pareto-dominance query: parts not dominated on
+    (maximize p_size, minimize price) — local per-block frontiers shrink
+    the corpus to its winners, one single-bucket reduce finishes (see
+    :func:`~cloudtile_ray.stages.relational.pareto_frontier`; the oracle
+    replays the textbook NOT EXISTS dominance predicate)."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import pareto_frontier
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "p_size": t.column("p_size").cast(pa.int64()),
+                "price_cents": pa.array(np.rint(p * 100).astype(np.int64)),
+            }
+        )
+
+    ds = _read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return pareto_frontier(ds, max_cols=["p_size"], min_cols=["price_cents"]).sort(
+        ["p_partkey"]
+    )
+
+
 def q_source_jaccard(sf_dir: str):
     """Set-similarity matrix: Jaccard between sources over their DISTINCT
     token vocabularies — |A∩B| via :func:`cross_group_dots` on the 0/1
@@ -2795,6 +2824,29 @@ def q_name_triangles(sf_dir: str):
     return triangle_counts(edges, id_cols=("id_a", "id_b")).sort(["node"])
 
 
+def q_name_hops(sf_dir: str):
+    """Multi-source BFS hop distance (capped at 4) over the
+    edit-distance-1 customer-name graph, seeds = nodes with
+    node_id % 97 == 1.  Certifies the iterative frontier-expansion
+    operator (:func:`~cloudtile_ray.stages.graph.bfs_hops`) against an
+    oracle of 4 unrolled relaxation CTEs — after k rounds every distance
+    <= k is exact, so the cap makes BFS SQL-replayable without unbounded
+    recursion."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.graph import bfs_hops
+
+    def pick_seeds(t: pa.Table) -> pa.Table:
+        ids = t.column("node_id").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(ids[ids % 97 == 1])})
+
+    edges, nid = _name_graph_edges(sf_dir)
+    seeds = nid.map_batches(pick_seeds, batch_format="pyarrow")
+    return bfs_hops(edges, seeds, max_hops=4, id_cols=("id_a", "id_b")).sort(
+        ["node"]
+    )
+
+
 def q_value_quantiles_cont(sf_dir: str):
     """Interpolated PERCENTILE_CONT (p25/p50/p90) of event value cents —
     both bracketing order statistics per q resolve through the shared
@@ -2891,6 +2943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_clusters": q_name_clusters,
         "name_triangles": q_name_triangles,
         "value_quantiles_cont": q_value_quantiles_cont,
+        "skyline_parts": q_skyline_parts,
+        "name_hops": q_name_hops,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -4254,4 +4308,44 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90
             FROM events""",
+        "name_hops": """
+            WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
+                         FROM customer GROUP BY c_name),
+            ed AS (SELECT ia.node_id AS a, ib.node_id AS b
+                   FROM ids ia JOIN ids ib ON ia.c_name < ib.c_name
+                   WHERE levenshtein(ia.c_name, ib.c_name) = 1),
+            sym AS (SELECT a AS s, b AS n FROM ed
+                    UNION ALL SELECT b, a FROM ed),
+            d0 AS (SELECT node_id AS node, CAST(0 AS BIGINT) AS dist
+                   FROM ids WHERE node_id % 97 = 1),
+            d1 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT * FROM d0 UNION ALL
+                       SELECT sym.n, d0.dist + 1 FROM d0
+                       JOIN sym ON sym.s = d0.node) GROUP BY node),
+            d2 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT * FROM d1 UNION ALL
+                       SELECT sym.n, d1.dist + 1 FROM d1
+                       JOIN sym ON sym.s = d1.node) GROUP BY node),
+            d3 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT * FROM d2 UNION ALL
+                       SELECT sym.n, d2.dist + 1 FROM d2
+                       JOIN sym ON sym.s = d2.node) GROUP BY node),
+            d4 AS (SELECT node, min(dist) AS dist FROM (
+                       SELECT * FROM d3 UNION ALL
+                       SELECT sym.n, d3.dist + 1 FROM d3
+                       JOIN sym ON sym.s = d3.node) GROUP BY node)
+            SELECT node, dist FROM d4 ORDER BY node""",
+        "skyline_parts": """
+            WITH pts AS (SELECT p_partkey,
+                                CAST(p_size AS BIGINT) AS p_size,
+                                CAST(round(p_retailprice * 100) AS BIGINT)
+                                    AS price_cents
+                         FROM part)
+            SELECT p.p_partkey, p.p_size, p.price_cents
+            FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.p_size >= p.p_size AND q.price_cents <= p.price_cents
+                  AND (q.p_size > p.p_size OR q.price_cents < p.price_cents))
+            ORDER BY p.p_partkey""",
     }

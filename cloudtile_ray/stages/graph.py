@@ -279,3 +279,104 @@ def _corners(t: pa.Table) -> pa.Table:
         t.column("apex").combine_chunks().cast(pa.int64()),
     ]
     return pa.table({"node": pa.concat_arrays(cols)})
+
+
+def bfs_hops(
+    edges,
+    seeds,
+    max_hops: int,
+    id_cols: tuple[str, str] = ("a", "b"),
+    seed_col: str = "node",
+    num_buckets: int | None = None,
+    frontier_byte_budget: int = 256 << 20,
+):
+    """Multi-source BFS hop distance over an undirected edge-list Dataset,
+    CAPPED at ``max_hops``: returns (node, dist) for every node whose true
+    hop distance from the seed set is <= max_hops (after k relaxation
+    rounds every distance <= k is exact — the cap makes the operator's
+    semantics finite and SQL-replayable as ``max_hops`` unrolled
+    relaxation CTEs, no unbounded recursion).
+
+    Scale shape per round: only the NEW frontier (nodes first reached last
+    round) expands — it rides :func:`relational.broadcast_lookup` against
+    the symmetrized edge list (broadcast under ``frontier_byte_budget``,
+    hash-join fallback when a wavefront outgrows it), then one node-keyed
+    bucket exchange folds candidates into the accumulated distance table
+    with min().  Rounds end early when a frontier is empty, so sparse
+    seed sets on wide graphs never pay the full cap."""
+    import ray.data
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    a_col, b_col = id_cols
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    if num_buckets is None:
+        num_buckets = default_num_buckets(edges)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).combine_chunks().cast(pa.int64())
+        b = t.column(b_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "nbr": pa.concat_arrays([b, a])}
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def seed_prep(t: pa.Table) -> pa.Table:
+        n = t.column(seed_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"node": n, "dist": pa.array(np.zeros(len(n), np.int64))}
+        )
+
+    dist = (
+        bucketed_group_aggregate(
+            seeds.map_batches(seed_prep, batch_format="pyarrow"),
+            ["node"],
+            [("dist", "min", "dist")],
+        )
+        .materialize()
+    )
+    frontier = dist
+
+    for k in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+        cand = broadcast_lookup(
+            sym,
+            frontier.map_batches(
+                lambda t: t.select(["node"]), batch_format="pyarrow"
+            ),
+            on=["src"],
+            right_on=["node"],
+            byte_budget=frontier_byte_budget,
+        ).map_batches(
+            lambda t, _k=k: pa.table(
+                {
+                    "node": t.column("nbr"),
+                    "dist": pa.array(
+                        np.full(t.num_rows, _k, dtype=np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        new_dist = bucketed_group_aggregate(
+            dist.union(cand),
+            ["node"],
+            [("dist", "min", "dist")],
+            num_buckets=num_buckets,
+        ).materialize()
+        # nodes first reached THIS round: dist == k (BFS distances never
+        # improve once set, so the new frontier is exactly the k-level)
+        frontier = new_dist.map_batches(
+            lambda t, _k=k: t.filter(pc.equal(t.column("dist"), _k)),
+            batch_format="pyarrow",
+        ).materialize()
+        dist = new_dist
+
+    return dist

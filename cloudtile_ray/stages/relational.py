@@ -1344,3 +1344,77 @@ def cube_aggregate(ds, key_cols, aggregations, **kw):
         for combo in combinations(key_cols, r):
             sets.append(list(combo))
     return grouping_sets_aggregate(ds, key_cols, sets, aggregations, **kw)
+
+
+def pareto_frontier(
+    ds,
+    max_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+):
+    """2-D Pareto frontier (SQL "skyline" / dominance query): keep every
+    row not DOMINATED by another — q dominates p when q is >= p on the
+    maximized column and <= p on the minimized one, strictly better on at
+    least one.  Duplicate points (equal on both) never dominate each
+    other, so all copies of a frontier point survive — exactly the SQL
+    ``NOT EXISTS (... dominating row)`` semantics the oracle replays.
+
+    Exactly one column in each of ``max_cols`` / ``min_cols`` (the 2-D
+    case has the vectorized kernel below; higher dimensions would need a
+    block-nested-loop fallback).
+
+    Scale shape: the frontier operator is the rare ALL-REDUCE-shaped
+    query with a tiny certificate — a block's local frontier is a
+    superset filter for the global one (any globally-undominated row is
+    undominated in its own block), and a random 2-D block's frontier is
+    ~O(log n) rows.  So: one ``map_batches`` local-frontier pass over the
+    corpus (each block shrinks to its frontier), then the survivors —
+    thousands of rows, not the corpus — collapse through a single-bucket
+    exchange where the same kernel runs once, globally.  No sort, no
+    all-to-all: the only moved rows are local winners."""
+    import numpy as np
+    import pyarrow as pa
+
+    if len(max_cols) != 1 or len(min_cols) != 1:
+        raise ValueError("pareto_frontier: exactly one max col and one min col")
+    mx, mn = max_cols[0], min_cols[0]
+
+    def local_frontier(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        s = t.column(mx).to_numpy(zero_copy_only=False)
+        p = t.column(mn).to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -s))  # size desc, price asc
+        s_s, p_s = s[order], p[order]
+        # group boundaries over equal maximized values
+        new_grp = np.empty(len(s_s), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = s_s[1:] != s_s[:-1]
+        grp_id = np.cumsum(new_grp) - 1
+        # min minimized value within each group = first element (sorted)
+        grp_min = p_s[new_grp]
+        # running min of group minima over STRICTLY larger maximized
+        # values: prefix min of grp_min shifted one group back
+        runmin = np.minimum.accumulate(grp_min)
+        before = np.empty_like(runmin)
+        before[0] = np.iinfo(np.int64).max if p_s.dtype.kind == "i" else np.inf
+        before[1:] = runmin[:-1]
+        # p survives iff it ties its group's min (no same-max strictly
+        # cheaper row) and beats every strictly-larger-max row's min
+        keep_s = (p_s == grp_min[grp_id]) & (p_s < before[grp_id])
+        keep = np.zeros(len(s), dtype=bool)
+        keep[order] = keep_s
+        return t.filter(pa.array(keep))
+
+    local = ds.map_batches(local_frontier, batch_format="pyarrow")
+
+    def to_one_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("_bkt", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    return (
+        local.map_batches(to_one_bucket, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: local_frontier(g.drop_columns(["_bkt"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -3094,3 +3094,127 @@ class TestBroadcastLookup:
         fast = fast.sort_values(key, ignore_index=True)[sorted(fast.columns)]
         slow = slow.sort_values(key, ignore_index=True)[sorted(slow.columns)]
         assert fast.equals(slow)
+
+
+class TestParetoFrontier:
+    """2-D skyline (relational.pareto_frontier)."""
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import pareto_frontier
+
+        rng = np.random.default_rng(71)
+        n = 500
+        size = rng.integers(1, 40, n)
+        price = rng.integers(1, 1000, n)
+        # plant an exact duplicate pair on the frontier: neither dominates
+        size[0] = size[1] = 50
+        price[0] = price[1] = 1
+        t = pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "size": pa.array(size.astype(np.int64)),
+            "price": pa.array(price.astype(np.int64)),
+        })
+        want = set()
+        for i in range(n):
+            dominated = np.any(
+                (size >= size[i]) & (price <= price[i])
+                & ((size > size[i]) | (price < price[i]))
+            )
+            if not dominated:
+                want.add(i)
+        got = pareto_frontier(
+            ray.data.from_arrow(t).repartition(7),
+            max_cols=["size"],
+            min_cols=["price"],
+        ).to_pandas()
+        assert set(got["id"]) == want
+        assert 0 in want and 1 in want  # both duplicate copies survive
+
+    def test_single_block_equals_many_blocks(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import pareto_frontier
+
+        rng = np.random.default_rng(73)
+        t = pa.table({
+            "id": pa.array(np.arange(300, dtype=np.int64)),
+            "a": pa.array(rng.integers(0, 50, 300).astype(np.int64)),
+            "b": pa.array(rng.integers(0, 50, 300).astype(np.int64)),
+        })
+        one = pareto_frontier(
+            ray.data.from_arrow(t), max_cols=["a"], min_cols=["b"]
+        ).to_pandas()
+        many = pareto_frontier(
+            ray.data.from_arrow(t).repartition(11), max_cols=["a"], min_cols=["b"]
+        ).to_pandas()
+        assert set(one["id"]) == set(many["id"])
+
+
+class TestBfsHops:
+    """Capped multi-source BFS (graph.bfs_hops)."""
+
+    @staticmethod
+    def _brute(edges, seeds, cap):
+        from collections import deque
+
+        adj = {}
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        dist = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= cap:
+                continue
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    dq.append(w)
+        return dist
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.graph import bfs_hops
+
+        rng = np.random.default_rng(83)
+        n_nodes, n_edges = 200, 350
+        a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        es = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+        seeds = [0, 7, 42]
+        for cap in (0, 2, 6):
+            want = self._brute(es, seeds, cap)
+            got = bfs_hops(
+                ray.data.from_arrow(
+                    pa.table({"a": pa.array(a), "b": pa.array(b)})
+                ).repartition(4),
+                ray.data.from_arrow(
+                    pa.table({"node": pa.array(seeds, pa.int64())})
+                ),
+                max_hops=cap,
+            ).to_pandas()
+            assert dict(zip(got["node"], got["dist"])) == want, cap
+
+    def test_join_fallback_matches(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.graph import bfs_hops
+
+        rng = np.random.default_rng(89)
+        a = rng.integers(0, 60, 120).astype(np.int64)
+        b = rng.integers(0, 60, 120).astype(np.int64)
+        t = pa.table({"a": pa.array(a), "b": pa.array(b)})
+        seeds = ray.data.from_arrow(pa.table({"node": pa.array([3], pa.int64())}))
+        fast = bfs_hops(
+            ray.data.from_arrow(t), seeds, max_hops=4
+        ).to_pandas()
+        slow = bfs_hops(
+            ray.data.from_arrow(t), seeds, max_hops=4, frontier_byte_budget=0
+        ).to_pandas()
+        assert dict(zip(fast["node"], fast["dist"])) == dict(
+            zip(slow["node"], slow["dist"])
+        )
