@@ -1876,6 +1876,22 @@ def q_lang_quantiles(sf_dir: str):
     return grouped_quantiles(ds, "lang", "n_chars", {"p50": 0.5, "p90": 0.9})
 
 
+def q_lang_quantiles_cont(sf_dir: str):
+    """Per-language interpolated PERCENTILE_CONT (p25/p50/p90) of doc
+    length — the grouped form of ``value_quantiles_cont``: both
+    bracketing ranks of every (language, q) resolve through the shared
+    multi-group refinement passes, then the two-product interpolation
+    keeps the float64s bit-identical to the SQL oracle."""
+    from cloudtile_ray.stages.quantiles import grouped_quantiles_cont
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return grouped_quantiles_cont(
+        ds, "lang", "n_chars", {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    )
+
+
 def q_decontaminated(sf_dir: str):
     """Decontamination drop: corpus ids minus every probe hit — the scan
     feeds the hash-partitioned shuffle anti-join (drop ids never touch
@@ -2847,6 +2863,67 @@ def q_name_hops(sf_dir: str):
     )
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact-phrase retrieval ("fast scan") over documents via the
+    positional-inverted-index operator — postings pruned to the query's
+    terms map-side, term-i positions rebased to the phrase anchor, one
+    doc-bucket exchange intersects (see
+    :func:`~cloudtile_ray.stages.text.phrase_search`).  The oracle
+    replays it boundary-aware as ``' '||text||' ' LIKE '% fast scan %'``."""
+    from cloudtile_ray.stages.text import phrase_search
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return phrase_search(ds, ["fast", "scan"]).sort(["doc_id"])
+
+
+def q_user_setops(sf_dir: str):
+    """EXCEPT / INTERSECT set-ops in one pass: clickers-minus-purchasers
+    ('except') and clickers-who-purchased ('intersect'), classified from
+    per-user max() flags through ONE user-bucket exchange — the same
+    flag-rollup shape as ``union_names``, so all three SQL set operators
+    ride the identical distributed plan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def flags(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        is_c = pc.equal(et, "click")
+        is_p = pc.equal(et, "purchase")
+        keep = pc.or_(is_c, is_p)
+        return pa.table(
+            {
+                "user_id": t.column("user_id").filter(keep),
+                "clicked": is_c.filter(keep).cast(pa.int64()),
+                "purchased": is_p.filter(keep).cast(pa.int64()),
+            }
+        )
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(flags, batch_format="pyarrow")
+    agg = bucketed_group_aggregate(
+        ds,
+        ["user_id"],
+        [("clicked", "max", "clicked"), ("purchased", "max", "purchased")],
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        c = t.column("clicked").to_numpy(zero_copy_only=False)
+        p = t.column("purchased").to_numpy(zero_copy_only=False)
+        keep = c == 1
+        op = np.where(p[keep] == 1, "intersect", "except")
+        return pa.table(
+            {
+                "user_id": t.column("user_id").filter(pa.array(keep)),
+                "setop": pa.array(op.astype(object), pa.string()),
+            }
+        )
+
+    return agg.map_batches(classify, batch_format="pyarrow").sort(["user_id"])
+
+
 def q_value_quantiles_cont(sf_dir: str):
     """Interpolated PERCENTILE_CONT (p25/p50/p90) of event value cents —
     both bracketing order statistics per q resolve through the shared
@@ -2945,6 +3022,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_cont": q_value_quantiles_cont,
         "skyline_parts": q_skyline_parts,
         "name_hops": q_name_hops,
+        "phrase_search": q_phrase_search,
+        "user_setops": q_user_setops,
+        "lang_quantiles_cont": q_lang_quantiles_cont,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -4308,6 +4388,27 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90
             FROM events""",
+        "lang_quantiles_cont": """
+            SELECT lang,
+                   quantile_cont(n_chars, 0.25) AS p25,
+                   quantile_cont(n_chars, 0.5) AS p50,
+                   quantile_cont(n_chars, 0.9) AS p90
+            FROM documents GROUP BY lang ORDER BY lang""",
+        "user_setops": """
+            WITH c AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+            p AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase')
+            SELECT user_id, 'except' AS setop
+            FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+            UNION ALL
+            SELECT user_id, 'intersect' AS setop
+            FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+            ORDER BY user_id""",
+        "phrase_search": """
+            SELECT doc_id FROM documents
+            WHERE ' ' || text || ' ' LIKE '% fast scan %'
+            ORDER BY doc_id""",
         "name_hops": """
             WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
                          FROM customer GROUP BY c_name),

@@ -240,8 +240,85 @@ def grouped_quantiles(
     there each group fits a task trivially and driver-side G x bins state
     would not.
     """
-    import ray
-    from ray.data.aggregate import Count, Max, Min, Sum
+    slim, groups, n_of, lo_of, hi_of = _grouped_prep(
+        ds, group_col, column, materialize
+    )
+    state = {
+        (g, name): [lo_of[g], hi_of[g], max(0, math.ceil(q * n_of[g]) - 1)]
+        for g in groups
+        for name, q in qs.items()
+    }
+    done = _grouped_exact_ranks(
+        slim, group_col, column, state, bucket_count, collect_threshold
+    )
+    order = sorted(groups)
+    cols = {group_col: pa.array(order)}
+    for name in qs:
+        cols[name] = pa.array([done[(g, name)] for g in order], type=pa.int64())
+    return pa.table(cols)
+
+
+def grouped_quantiles_cont(
+    ds,
+    group_col: str,
+    column: str,
+    qs: dict[str, float],
+    bucket_count: int = 128,
+    collect_threshold: int = 65536,
+    materialize: bool = True,
+) -> pa.Table:
+    """Per-group interpolated (``quantile_cont`` / PERCENTILE_CONT)
+    quantiles — the grouped form of :func:`exact_quantiles_cont`: for each
+    group, h = q*(n_g-1) and both bracketing order statistics resolve
+    through the SAME shared multi-group bracket-refinement passes as
+    :func:`grouped_quantiles`, then DuckDB's two-product
+    lo*(1-frac)+hi*frac interpolation keeps the float64 output
+    bit-identical to the SQL oracle.  One row per group, one float64
+    column per quantile name; same small-G/huge-group scale envelope as
+    the disc variant."""
+    slim, groups, n_of, lo_of, hi_of = _grouped_prep(
+        ds, group_col, column, materialize
+    )
+    state: dict[tuple, list] = {}
+    plan: dict[tuple, tuple[int, float]] = {}
+    for g in groups:
+        n = n_of[g]
+        for name, q in qs.items():
+            h = q * (n - 1)
+            lo_rank = int(math.floor(h))
+            frac = h - lo_rank
+            plan[(g, name)] = (lo_rank, frac)
+            state[(g, f"{name}__lo")] = [lo_of[g], hi_of[g], lo_rank]
+            if frac > 0.0:
+                state[(g, f"{name}__hi")] = [
+                    lo_of[g],
+                    hi_of[g],
+                    min(lo_rank + 1, n - 1),
+                ]
+    done = _grouped_exact_ranks(
+        slim, group_col, column, state, bucket_count, collect_threshold
+    )
+    order = sorted(groups)
+    cols: dict = {group_col: pa.array(order)}
+    for name in qs:
+        vals = []
+        for g in order:
+            _lo_rank, frac = plan[(g, name)]
+            vlo = float(done[(g, f"{name}__lo")])
+            if frac > 0.0:
+                vhi = float(done[(g, f"{name}__hi")])
+                vals.append(vlo * (1.0 - frac) + vhi * frac)
+            else:
+                vals.append(vlo)
+        cols[name] = pa.array(vals, type=pa.float64())
+    return pa.table(cols)
+
+
+def _grouped_prep(ds, group_col: str, column: str, materialize: bool):
+    """(slim, groups, n_of, lo_of, hi_of) shared by the grouped selection
+    entry points: project to the two columns and take per-group
+    count/min/max in one aggregate."""
+    from ray.data.aggregate import Count, Max, Min
 
     slim = ds.map_batches(
         lambda t: t.select([group_col, column]), batch_format="pyarrow"
@@ -254,18 +331,28 @@ def grouped_quantiles(
         .to_pandas()
     )
     if not len(stats):
-        raise ValueError("grouped_quantiles on an empty dataset")
+        raise ValueError("grouped selection on an empty dataset")
     groups = stats[group_col].tolist()
     n_of = dict(zip(groups, stats["count()"].astype(int)))
     lo_of = dict(zip(groups, stats[f"min({column})"].astype(int)))
     hi_of = dict(zip(groups, stats[f"max({column})"].astype(int)))
+    return slim, groups, n_of, lo_of, hi_of
 
-    # state[(g, name)] = [lo, hi, rank-within-bracket]
-    state = {
-        (g, name): [lo_of[g], hi_of[g], max(0, math.ceil(q * n_of[g]) - 1)]
-        for g in groups
-        for name, q in qs.items()
-    }
+
+def _grouped_exact_ranks(
+    slim,
+    group_col: str,
+    column: str,
+    state: dict,
+    bucket_count: int = 128,
+    collect_threshold: int = 65536,
+) -> dict:
+    """Resolve every ``state[(group, name)] = [lo, hi, rank]`` bracket to
+    its exact value via the shared multi-group refinement passes (see
+    :func:`grouped_quantiles`); returns {(group, name): value}."""
+    import ray
+    from ray.data.aggregate import Sum
+
     done: dict[tuple, int] = {}
 
     def _pass(cuts_by_group: dict) -> dict:
@@ -411,10 +498,6 @@ def grouped_quantiles(
                     sub = v[(v >= lo) & (v <= hi)]
                     done[(g, name)] = int(sub[r])
     else:
-        raise RuntimeError("grouped_quantiles failed to converge")
+        raise RuntimeError("grouped rank selection failed to converge")
 
-    order = sorted(groups)
-    cols = {group_col: pa.array(order)}
-    for name in qs:
-        cols[name] = pa.array([done[(g, name)] for g in order], type=pa.int64())
-    return pa.table(cols)
+    return done

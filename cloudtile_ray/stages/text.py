@@ -869,3 +869,107 @@ def cooccurrence_pairs(ds, k: int = 20) -> "ray.data.Dataset":
     return counts.sort(
         ["n", "tok_a", "tok_b"], descending=[True, False, False]
     ).limit(k)
+
+
+def phrase_search(ds, phrase: list[str], id_col: str = "doc_id", text_col: str = "text"):
+    """Token-level PHRASE search via a positional inverted index: return
+    the ids of documents whose whitespace token stream contains the exact
+    consecutive sequence ``phrase`` (the retrieval-engine primitive
+    ``\"w1 w2 ...\"`` — token-boundary-aware, unlike a raw substring scan;
+    the SQL oracle replays it as ``' '||text||' ' LIKE '% w1 w2 ... %'``,
+    which is equivalent for a single-space-delimited corpus).
+
+    Scale shape: tokenize emits positions ONLY for the |phrase| query
+    terms (the posting stream is pruned map-side to a vanishing fraction
+    of the token stream — the index-the-query trick), each term-i posting
+    is rebased to ``pos - i`` so a phrase occurrence is |phrase| postings
+    agreeing on one (doc, anchor) key, and ONE doc-bucket exchange +
+    a per-bucket sorted structured-array intersection finds the docs.
+    No full positional index is materialized; for a standing index the
+    unpruned emit + write_parquet of the same stream is the build."""
+    import numpy as np
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    if len(phrase) < 1:
+        raise ValueError("phrase must have at least one token")
+    term_ids = {w: i for i, w in enumerate(phrase)}
+    if len(term_ids) != len(phrase):
+        # repeated words are fine — postings for a repeated word fan out
+        # to every position the word holds in the phrase
+        term_ids = None
+    nterms = len(phrase)
+    num_buckets = default_num_buckets(ds)
+
+    def postings(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col).combine_chunks(), pattern=" ")
+        flat = toks.flatten()
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(ids, counts)
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1].astype(np.int64), counts
+        )
+        out_doc, out_anchor, out_term = [], [], []
+        for i, w in enumerate(phrase):
+            m = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            m = np.asarray(m, dtype=bool)
+            out_doc.append(doc_of[m])
+            out_anchor.append(pos[m] - i)  # rebase to the phrase start
+            out_term.append(np.full(int(m.sum()), i, dtype=np.int64))
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate(out_doc)),
+                "anchor": pa.array(np.concatenate(out_anchor)),
+                "term": pa.array(np.concatenate(out_term)),
+            }
+        )
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        d = t.column("doc").to_numpy(zero_copy_only=False)
+        h = d.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_bkt", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def match_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        d = g.column("doc").to_numpy(zero_copy_only=False)
+        a = g.column("anchor").to_numpy(zero_copy_only=False)
+        tm = g.column("term").to_numpy(zero_copy_only=False)
+        # an anchor fires when all nterms distinct term slots agree on
+        # (doc, anchor): count DISTINCT (doc, anchor, term) triples per
+        # (doc, anchor) — duplicates are impossible (one term occupies one
+        # position once), so a plain count works
+        key = np.empty(len(d), dtype=np.dtype([("d", np.int64), ("a", np.int64)]))
+        key["d"], key["a"] = d, a
+        order = np.argsort(key, kind="stable")
+        ks, ts = key[order], tm[order]
+        new = np.empty(len(ks), dtype=bool)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+        gid = np.cumsum(new) - 1
+        hits = np.bincount(gid, minlength=gid[-1] + 1)
+        full = hits == nterms
+        anchor_doc = ks["d"][new]
+        # anchors must be >= 0 (a term matched before the phrase start
+        # rebases negative) — they never complete, but guard anyway
+        docs = np.unique(anchor_doc[full[: len(anchor_doc)]])
+        return pa.table({id_col: pa.array(docs)})
+
+    matched = (
+        posts.map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: match_bucket(g.drop_columns(["_bkt"])),
+            batch_format="pyarrow",
+        )
+    )
+    # bucket outputs are already doc-distinct and doc-disjoint
+    return matched

@@ -3218,3 +3218,98 @@ class TestBfsHops:
         assert dict(zip(fast["node"], fast["dist"])) == dict(
             zip(slow["node"], slow["dist"])
         )
+
+
+class TestPhraseSearch:
+    """Positional inverted-index phrase match (text.phrase_search)."""
+
+    def test_matches_python_token_scan(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.text import phrase_search
+
+        docs = [
+            "the quick brown fox",          # no
+            "table table table scan",       # 'table table' x2 overlapping
+            "fast table table slow",        # yes
+            "table slow table",             # no (not consecutive)
+            "table",                        # no (only one token)
+            "x table tabletop table table", # yes (boundary-aware)
+        ]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+            "text": pa.array(docs),
+        })
+        phrase = ["table", "table"]
+        want = {
+            i for i, d in enumerate(docs)
+            if any(
+                d.split()[j : j + 2] == phrase
+                for j in range(len(d.split()) - 1)
+            )
+        }
+        got = phrase_search(
+            ray.data.from_arrow(t).repartition(3), phrase
+        ).to_pandas()
+        assert set(got["doc_id"]) == want == {1, 2, 5}
+
+    def test_three_term_phrase(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.text import phrase_search
+
+        rng = np.random.default_rng(97)
+        vocab = ["a", "b", "c", "d"]
+        docs = [
+            " ".join(rng.choice(vocab, rng.integers(3, 30)))
+            for _ in range(300)
+        ]
+        t = pa.table({
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "text": pa.array(docs),
+        })
+        phrase = ["a", "b", "a"]
+        want = {
+            i for i, d in enumerate(docs)
+            if any(
+                d.split()[j : j + 3] == phrase
+                for j in range(len(d.split()) - 2)
+            )
+        }
+        got = phrase_search(
+            ray.data.from_arrow(t).repartition(5), phrase
+        ).to_pandas()
+        assert set(got["doc_id"]) == want
+
+
+class TestGroupedQuantilesCont:
+    """Per-group PERCENTILE_CONT (quantiles.grouped_quantiles_cont)."""
+
+    def test_matches_duckdb_bit_exact(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.quantiles import grouped_quantiles_cont
+
+        rng = np.random.default_rng(101)
+        n = 900
+        t = pa.table({
+            "g": pa.array(rng.choice(["x", "y", "z"], n)),
+            "v": pa.array(rng.integers(-100, 5000, n)),
+        })
+        got = grouped_quantiles_cont(
+            ray.data.from_arrow(t).repartition(6),
+            "g",
+            "v",
+            {"p10": 0.1, "p50": 0.5, "p95": 0.95},
+            collect_threshold=16,
+        ).to_pandas()
+        want = duckdb.sql(
+            """SELECT g, quantile_cont(v, 0.1) AS p10,
+                      quantile_cont(v, 0.5) AS p50,
+                      quantile_cont(v, 0.95) AS p95
+               FROM t GROUP BY g ORDER BY g"""
+        ).df()
+        got = got.sort_values("g", ignore_index=True)
+        for c in ("p10", "p50", "p95"):
+            assert got[c].tolist() == want[c].tolist()  # bit-exact
