@@ -2924,6 +2924,20 @@ def q_user_setops(sf_dir: str):
     return agg.map_batches(classify, batch_format="pyarrow").sort(["user_id"])
 
 
+def q_name_pagerank(sf_dir: str):
+    """PageRank (10 damped power iterations) over the edit-distance-1
+    customer-name graph — certifies the iterative rank-propagation
+    operator (:func:`~cloudtile_ray.stages.graph.pagerank`).  Rows-only:
+    distributed float summation order is not fixed, so ranks reproduce
+    only to ~1e-12 — not hash-comparable SQL output (the integer-exact
+    graph queries name_clusters / name_triangles / name_hops carry the
+    oracle burden for this family)."""
+    from cloudtile_ray.stages.graph import pagerank
+
+    edges, _ = _name_graph_edges(sf_dir)
+    return pagerank(edges, n_iters=10, id_cols=("id_a", "id_b")).sort(["node"])
+
+
 def q_value_quantiles_cont(sf_dir: str):
     """Interpolated PERCENTILE_CONT (p25/p50/p90) of event value cents —
     both bracketing order statistics per q resolve through the shared
@@ -3106,6 +3120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index_ann": q_ivf_index_ann,
         "ivf_recall": q_ivf_recall,
         "embed_clusters": q_embed_clusters,
+        "name_pagerank": q_name_pagerank,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,

@@ -380,3 +380,140 @@ def bfs_hops(
         dist = new_dist
 
     return dist
+
+
+def pagerank(
+    edges,
+    n_iters: int = 10,
+    damping: float = 0.85,
+    id_cols: tuple[str, str] = ("a", "b"),
+    num_buckets: int | None = None,
+    rank_byte_budget: int = 256 << 20,
+):
+    """PageRank by power iteration over an undirected edge-list Dataset
+    (each edge walks both ways), fixed ``n_iters`` rounds -> Dataset
+    (node, rank).  Ranks sum to ~1.0; dangling mass is redistributed
+    uniformly each round so the total stays stochastic.
+
+    Scale shape per round: the rank/out-degree quotient table is
+    node-cardinality-sized; it attaches to the edge list through
+    :func:`relational.broadcast_lookup` (broadcast under
+    ``rank_byte_budget``, hash-join fallback for web-scale node sets),
+    contributions fold through ONE dst-keyed bucket exchange, and the
+    damping/teleport correction is a vectorized map.  Nothing driver-side
+    grows with the graph except one scalar (the dangling mass) per round.
+
+    Floating-point note: distributed summation order is NOT fixed, so
+    ranks are reproducible only to ~1e-12 across runs/parallelism — this
+    operator is registered rows-only (no SQL oracle), unlike the
+    integer-exact graph queries (CC, triangles, BFS)."""
+    import ray.data
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    a_col, b_col = id_cols
+    if num_buckets is None:
+        num_buckets = default_num_buckets(edges)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).combine_chunks().cast(pa.int64())
+        b = t.column(b_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    deg = bucketed_group_aggregate(
+        sym.map_batches(
+            lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"
+        ),
+        ["node"],
+        [("node", "count", "deg")],
+        num_buckets=num_buckets,
+    ).materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return deg.map_batches(
+            lambda t: pa.table(
+                {"node": pa.array([], pa.int64()), "rank": pa.array([], pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+
+    # rank table starts uniform; deg rides along so the quotient is a map
+    rank = deg.map_batches(
+        lambda t, _n=n_nodes: pa.table(
+            {
+                "node": t.column("node"),
+                "deg": t.column("deg"),
+                "rank": pa.array(np.full(t.num_rows, 1.0 / _n)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    from ray.data.aggregate import Sum
+
+    for _ in range(n_iters):
+        contrib = broadcast_lookup(
+            sym,
+            rank.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "share": pa.array(
+                            t.column("rank").to_numpy(zero_copy_only=False)
+                            / t.column("deg").to_numpy(zero_copy_only=False)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["src"],
+            right_on=["node"],
+            byte_budget=rank_byte_budget,
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t.column("dst"), "inflow": t.column("share")}
+            ),
+            batch_format="pyarrow",
+        )
+        inflow = bucketed_group_aggregate(
+            contrib, ["node"], [("inflow", "sum", "inflow")], num_buckets=num_buckets
+        )
+        # every node of an undirected graph has deg >= 1, so no dangling
+        # mass; the teleport term is the uniform (1 - damping) / n
+        new_rank = broadcast_lookup(
+            deg,
+            inflow,
+            on=["node"],
+            right_on=["node"],
+            byte_budget=rank_byte_budget,
+            drop_missing=False,
+        ).map_batches(
+            lambda t, _n=n_nodes, _d=damping: pa.table(
+                {
+                    "node": t.column("node"),
+                    "deg": t.column("deg"),
+                    "rank": pa.array(
+                        (1.0 - _d) / _n
+                        + _d
+                        * np.nan_to_num(
+                            t.column("inflow")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.float64)
+                        )
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        rank = new_rank.materialize()
+
+    return rank.map_batches(
+        lambda t: t.select(["node", "rank"]), batch_format="pyarrow"
+    )

@@ -3313,3 +3313,43 @@ class TestGroupedQuantilesCont:
         got = got.sort_values("g", ignore_index=True)
         for c in ("p10", "p50", "p95"):
             assert got[c].tolist() == want[c].tolist()  # bit-exact
+
+
+class TestPagerank:
+    """Power-iteration PageRank (graph.pagerank)."""
+
+    def test_matches_dense_reference(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.graph import pagerank
+
+        rng = np.random.default_rng(103)
+        n_nodes, n_edges = 40, 120
+        a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        # dense reference on the same symmetrized multigraph
+        nodes = np.unique(np.concatenate([a, b]))
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        m = len(nodes)
+        A = np.zeros((m, m))
+        for x, y in zip(a, b):
+            A[idx[int(y)], idx[int(x)]] += 1.0
+            A[idx[int(x)], idx[int(y)]] += 1.0
+        deg = A.sum(axis=0)
+        P = A / deg
+        r = np.full(m, 1.0 / m)
+        d = 0.85
+        for _ in range(10):
+            r = (1 - d) / m + d * (P @ r)
+        got = pagerank(
+            ray.data.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)}))
+            .repartition(4),
+            n_iters=10,
+        ).to_pandas()
+        got_r = dict(zip(got["node"], got["rank"]))
+        assert len(got_r) == m
+        for v in nodes:
+            assert abs(got_r[int(v)] - r[idx[int(v)]]) < 1e-9
+        assert abs(sum(got_r.values()) - 1.0) < 1e-9
