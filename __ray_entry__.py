@@ -2924,6 +2924,20 @@ def q_user_setops(sf_dir: str):
     return agg.map_batches(classify, batch_format="pyarrow").sort(["user_id"])
 
 
+def q_float_quantiles(sf_dir: str):
+    """Exact quantile_disc over the RAW double ``value`` column (no cent
+    scaling): the integer bracket-refinement selection applied through
+    the order-isomorphic float64<->int64 bit-pattern map, so the selected
+    doubles are bit-identical to the SQL oracle — float columns at 100 TB
+    get exact percentiles with no global sort."""
+    from cloudtile_ray.stages.quantiles import exact_quantiles_float
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_quantiles_float(
+        ds, "value", {"p05": 0.05, "p50": 0.5, "p95": 0.95}
+    )
+
+
 def q_name_pagerank(sf_dir: str):
     """PageRank (10 damped power iterations) over the edit-distance-1
     customer-name graph — certifies the iterative rank-propagation
@@ -3039,6 +3053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "user_setops": q_user_setops,
         "lang_quantiles_cont": q_lang_quantiles_cont,
+        "float_quantiles": q_float_quantiles,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -4402,6 +4417,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90
+            FROM events""",
+        "float_quantiles": """
+            SELECT quantile_disc(value, 0.05) AS p05,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.95) AS p95
             FROM events""",
         "lang_quantiles_cont": """
             SELECT lang,

@@ -501,3 +501,61 @@ def _grouped_exact_ranks(
         raise RuntimeError("grouped rank selection failed to converge")
 
     return done
+
+
+def _float_to_ordered_int(v: np.ndarray) -> np.ndarray:
+    """Order-isomorphic float64 -> int64 key (IEEE totalOrder): positives
+    keep their signed bit pattern, negatives flip the 63 value bits so
+    descending magnitude becomes ascending key.  -0.0 < +0.0 and NaN
+    sorts above +inf under this order — callers should drop NaN/null
+    first if SQL comparison semantics are required."""
+    bu = np.ascontiguousarray(v, dtype=np.float64).view(np.uint64)
+    mask = np.where(
+        (bu >> np.uint64(63)).astype(bool),
+        np.uint64(0x7FFFFFFFFFFFFFFF),
+        np.uint64(0),
+    )
+    return (bu ^ mask).view(np.int64)
+
+
+def _ordered_int_to_float(key: int) -> float:
+    """Inverse of :func:`_float_to_ordered_int` for one key."""
+    k = np.int64(key)
+    if k < 0:
+        k = np.int64(k ^ np.int64(0x7FFFFFFFFFFFFFFF))
+    return float(np.array([k], dtype=np.int64).view(np.float64)[0])
+
+
+def exact_quantiles_float(
+    ds,
+    column: str,
+    qs: dict[str, float],
+    bucket_count: int = 128,
+    collect_threshold: int = 65536,
+    materialize: bool = True,
+) -> pa.Table:
+    """Exact ``quantile_disc`` selection over a FLOAT64 column — the
+    integer bracket-refinement machinery applied through the
+    order-isomorphic float64<->int64 bit-pattern mapping, so the selected
+    order statistics come back as the exact doubles present in the data
+    (bit-identical to the SQL oracle; no global sort, same ~2-scan cost
+    as :func:`exact_quantiles`).  Nulls and NaNs are dropped before
+    selection (SQL aggregate semantics)."""
+
+    def to_key(t: pa.Table) -> pa.Table:
+        v = t.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        return pa.table({"__fkey": pa.array(_float_to_ordered_int(v))})
+
+    keyed = ds.map_batches(to_key, batch_format="pyarrow")
+    slim, n, glo, ghi = _prep_column(keyed, "__fkey", materialize)
+    ranks = {name: max(0, math.ceil(q * n) - 1) for name, q in qs.items()}
+    done = _exact_ranks(
+        slim, "__fkey", ranks, glo, ghi, bucket_count, collect_threshold
+    )
+    return pa.table(
+        {
+            name: pa.array([_ordered_int_to_float(done[name])], pa.float64())
+            for name in qs
+        }
+    )

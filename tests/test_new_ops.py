@@ -3353,3 +3353,43 @@ class TestPagerank:
         for v in nodes:
             assert abs(got_r[int(v)] - r[idx[int(v)]]) < 1e-9
         assert abs(sum(got_r.values()) - 1.0) < 1e-9
+
+
+class TestExactQuantilesFloat:
+    """Float64 quantile_disc via the bit-pattern order isomorphism."""
+
+    def test_matches_duckdb_bit_exact(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from cloudtile_ray.stages.quantiles import exact_quantiles_float
+
+        rng = np.random.default_rng(107)
+        v = np.concatenate([
+            rng.standard_normal(500) * 1e4,
+            rng.standard_normal(300) * 1e-7,
+            -rng.exponential(5.0, 200),
+        ])
+        t = pa.table({"v": pa.array(v)})
+        got = exact_quantiles_float(
+            ray.data.from_arrow(t).repartition(5),
+            "v",
+            {"p01": 0.01, "p50": 0.5, "p99": 0.99},
+            collect_threshold=16,  # force several refinement passes
+        )
+        want = duckdb.sql(
+            """SELECT quantile_disc(v, 0.01) AS p01,
+                      quantile_disc(v, 0.5) AS p50,
+                      quantile_disc(v, 0.99) AS p99 FROM t"""
+        ).df()
+        for c in ("p01", "p50", "p99"):
+            assert got.column(c).to_pylist() == [want[c][0]]  # bit-exact
+
+    def test_nan_and_null_dropped(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.quantiles import exact_quantiles_float
+
+        t = pa.table({"v": pa.array([3.0, float("nan"), 1.0, None, 2.0])})
+        got = exact_quantiles_float(ray.data.from_arrow(t), "v", {"p50": 0.5})
+        assert got.column("p50").to_pylist() == [2.0]
