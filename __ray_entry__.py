@@ -492,6 +492,20 @@ def q_sliding_counts(sf_dir: str):
     return sliding_window_counts(ds, width_us=7_200_000_000, step_us=3_600_000_000)
 
 
+def q_asof_next(sf_dir: str):
+    """FORWARD as-of join: each 'click' event's first strictly-later
+    'purchase' by the same user — the mirror of ``asof_purchase`` (same
+    one-exchange segmented-cumsum plan, read at the next right instead
+    of the previous)."""
+    from cloudtile_ray.stages.events import asof_join_forward
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    return asof_join_forward(ds, "click", "purchase").sort(["left_id"])
+
+
 def q_asof_purchase(sf_dir: str):
     """Temporal as-of join: each 'click' event's latest strictly-prior
     'purchase' by the same user (reference has no temporal ops — this is
@@ -3054,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_setops": q_user_setops,
         "lang_quantiles_cont": q_lang_quantiles_cont,
         "float_quantiles": q_float_quantiles,
+        "asof_next": q_asof_next,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -4418,6 +4433,24 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90
             FROM events""",
+        "asof_next": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+                       FROM events),
+            l AS (SELECT * FROM e WHERE event_type = 'click'),
+            r AS (SELECT * FROM e WHERE event_type = 'purchase'),
+            j AS (SELECT l.event_id AS left_id, r.event_id AS right_id,
+                         r.ts_us - l.ts_us AS lead_us,
+                         row_number() OVER (PARTITION BY l.event_id
+                                            ORDER BY r.ts_us, r.event_id) AS rn
+                  FROM l JOIN r ON r.user_id = l.user_id
+                    AND (r.ts_us > l.ts_us
+                         OR (r.ts_us = l.ts_us AND r.event_id > l.event_id)))
+            SELECT l.user_id, l.event_id AS left_id,
+                   coalesce(j.right_id, -1) AS right_id,
+                   coalesce(j.lead_us, -1) AS lead_us
+            FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+              ON j.left_id = l.event_id
+            ORDER BY left_id""",
         "float_quantiles": """
             SELECT quantile_disc(value, 0.05) AS p05,
                    quantile_disc(value, 0.5) AS p50,

@@ -766,6 +766,70 @@ def asof_join(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
     )
 
 
+def asof_join_forward(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
+    """Forward as-of join — to each ``left_type`` event attach the FIRST
+    ``right_type`` event strictly after it in (ts, event_id) order within
+    the same user: the mirror of :func:`asof_join` (same single
+    user-bucket exchange + segmented cumsum merge, read at the next right
+    instead of the previous one).  Output (user_id, left_id, right_id,
+    lead_us) with the -1 sentinel when no later right event exists."""
+    nb = _n_user_buckets(ds)
+    empty = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "left_id": pa.array([], type=pa.int64()),
+            "right_id": pa.array([], type=pa.int64()),
+            "lead_us": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, ts_s, eid_s, et_s = uid[order], ts[order], eid[order], et[order]
+        is_r = et_s == right_type
+        lpos = np.nonzero(et_s == left_type)[0]
+        if lpos.size == 0:
+            return empty
+        # the next right after position p is global right #cum_r[p]
+        # (inclusive count at p; p itself is never a right); it must fall
+        # before p's user-segment end
+        cum_r = np.cumsum(is_r)
+        starts, seg_start = _user_segments(u_s)
+        sizes = np.diff(np.append(starts, len(u_s)))
+        seg_end = np.repeat(starts + sizes, sizes)
+        rpos = np.nonzero(is_r)[0]
+        nxt = cum_r[lpos]  # index into rpos
+        right_id = np.full(lpos.size, -1, dtype=np.int64)
+        lead = np.full(lpos.size, -1, dtype=np.int64)
+        if rpos.size:
+            cand = np.minimum(nxt, len(rpos) - 1)
+            hit = (nxt < len(rpos)) & (rpos[cand] < seg_end[lpos])
+            match = rpos[cand[hit]]
+            right_id[hit] = eid_s[match]
+            lead[hit] = ts_s[match] - ts_s[lpos[hit]]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[lpos]),
+                "left_id": pa.array(eid_s[lpos]),
+                "right_id": pa.array(right_id),
+                "lead_us": pa.array(lead),
+            }
+        )
+
+    return (
+        ds.map_batches(prep_events, batch_format="pyarrow")
+        .map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 class IntervalIndex:
     """Broadcastable index over (possibly overlapping) [start, end] closed
     intervals: a coarse time-bucket grid maps each bucket to the interval

@@ -3393,3 +3393,53 @@ class TestExactQuantilesFloat:
         t = pa.table({"v": pa.array([3.0, float("nan"), 1.0, None, 2.0])})
         got = exact_quantiles_float(ray.data.from_arrow(t), "v", {"p50": 0.5})
         assert got.column("p50").to_pylist() == [2.0]
+
+
+class TestAsofForward:
+    """Forward as-of join (events.asof_join_forward)."""
+
+    def test_matches_python_reference(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.events import asof_join_forward
+
+        rng = np.random.default_rng(109)
+        n = 400
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        ts = base + rng.integers(0, 3_600_000_000, n).astype("timedelta64[us]")
+        t = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(ts),
+            "user_id": pa.array(rng.integers(0, 25, n).astype(np.int64)),
+            "event_type": pa.array(rng.choice(["click", "purchase", "view"], n)),
+            "value": pa.array(rng.random(n)),
+        })
+        got = asof_join_forward(
+            ray.data.from_arrow(t).repartition(4), "click", "purchase"
+        ).to_pandas()
+        # python reference
+        rows = list(zip(
+            t.column("user_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+        ))
+        want = {}
+        for u, tts, eid, et in rows:
+            if et != "click":
+                continue
+            cands = [
+                (rt, rid) for (ru, rt, rid, ret) in rows
+                if ru == u and ret == "purchase"
+                and (rt, rid) > (tts, eid)
+            ]
+            if cands:
+                rt, rid = min(cands)
+                want[eid] = (rid, int((rt - tts).total_seconds() * 1e6))
+            else:
+                want[eid] = (-1, -1)
+        got_map = {
+            int(r.left_id): (int(r.right_id), int(r.lead_us))
+            for r in got.itertuples()
+        }
+        assert got_map == want
