@@ -506,6 +506,33 @@ def q_asof_next(sf_dir: str):
     return asof_join_forward(ds, "click", "purchase").sort(["left_id"])
 
 
+def q_value_band_pairs(sf_dir: str):
+    """Numeric band (range) self-join: event pairs whose value cents
+    differ by <= 5 — banded bucketing replicates each row once into the
+    band below, every pair generated exactly once by its lex-smaller row
+    (see :func:`~cloudtile_ray.stages.relational.band_self_join`); the
+    oracle replays the quadratic ABS-diff self-join."""
+    from cloudtile_ray.stages.relational import band_self_join
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    ).map_batches(prep_events_value_id, batch_format="pyarrow")
+    return band_self_join(ds, "event_id", "value_cents", eps=5).sort(["a", "b"])
+
+
+def prep_events_value_id(batch):
+    """(event_id, value_cents) projection for value-pair ops."""
+    import pyarrow as pa
+
+    v = batch.column("value").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "event_id": batch.column("event_id"),
+            "value_cents": pa.array(np.rint(v * 100).astype(np.int64)),
+        }
+    )
+
+
 def q_asof_purchase(sf_dir: str):
     """Temporal as-of join: each 'click' event's latest strictly-prior
     'purchase' by the same user (reference has no temporal ops — this is
@@ -3069,6 +3096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quantiles_cont": q_lang_quantiles_cont,
         "float_quantiles": q_float_quantiles,
         "asof_next": q_asof_next,
+        "value_band_pairs": q_value_band_pairs,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -4433,6 +4461,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) AS p50,
                    quantile_cont(CAST(round(value * 100) AS BIGINT), 0.9) AS p90
             FROM events""",
+        "value_band_pairs": """
+            WITH e AS (SELECT event_id,
+                              CAST(round(value * 100) AS BIGINT) AS v
+                       FROM events)
+            SELECT x.event_id AS a, y.event_id AS b,
+                   abs(y.v - x.v) AS diff
+            FROM e x JOIN e y
+              ON x.event_id < y.event_id AND abs(x.v - y.v) <= 5
+            ORDER BY a, b""",
         "asof_next": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
                        FROM events),

@@ -1418,3 +1418,116 @@ def pareto_frontier(
             batch_format="pyarrow",
         )
     )
+
+
+def band_self_join(ds, id_col: str, value_col: str, eps: int, num_buckets_hint=None):
+    """Numeric band (range) self-join: every unordered pair of rows whose
+    integer ``value_col`` values differ by at most ``eps`` (and whose ids
+    differ) -> Dataset (a, b, diff) with a = smaller id.  The
+    value-proximity primitive next to the temporal range joins
+    (``events.interval_join`` / ``asof_join``).
+
+    Scale shape: NO quadratic join — rows land in band bucket
+    ``floor(v / eps)`` and are replicated ONCE into the bucket below
+    (2x the data moves, period), because a pair within eps spans at most
+    adjacent buckets.  Each pair is generated exactly once, by its
+    (value, id)-lexicographically smaller row, inside that row's home
+    bucket: per bucket one sort + one ``searchsorted`` bounds each row's
+    partner window and the expansion is the repeat/cumsum index math used
+    by the wedge/co-occurrence kernels (no Python over rows).  Output
+    size is data-dependent (sum of window widths); eps controls it the
+    way an LSH band width does.
+
+    Bands are value-range-many, so they ride the exchange HASHED into a
+    fixed bucket count (the repo's near-unique-key groupby discipline);
+    when two adjacent bands hash together a cross-band pair can surface
+    through both the partner's home and guest copies, so each bucket
+    dedups its (a, b) output — dup copies never cross buckets, making
+    the local unique globally exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    if eps < 0:
+        raise ValueError("eps must be >= 0")
+    step = max(int(eps), 1)
+    nb = num_buckets_hint or default_num_buckets(ds)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.floor_divide(v, step)
+        band = np.concatenate([b, b - 1])
+        h = band.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return pa.table(
+            {
+                "_bkt": pa.array((h % np.uint64(nb)).astype(np.int64)),
+                "v": pa.array(np.concatenate([v, v])),
+                "id": pa.array(np.concatenate([i, i])),
+                "home": pa.array(
+                    np.concatenate(
+                        [np.ones(len(v), np.int8), np.zeros(len(v), np.int8)]
+                    )
+                ),
+            }
+        )
+
+    def pairs_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "diff": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        i = g.column("id").to_numpy(zero_copy_only=False)
+        h = g.column("home").to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, v))
+        v_s, i_s, h_s = v[order], i[order], h[order]
+        # partner window of row k: rows after k (lex) with v <= v_k + eps
+        hi = np.searchsorted(v_s, v_s + eps, side="right")
+        lo = np.arange(1, len(v_s) + 1, dtype=np.int64)
+        reps = np.maximum(hi - lo, 0)
+        reps[h_s == 0] = 0  # guests only serve as partners
+        n_pairs = int(reps.sum())
+        if n_pairs == 0:
+            return empty
+        left_idx = np.repeat(np.arange(len(v_s), dtype=np.int64), reps)
+        block_start = np.cumsum(reps) - reps
+        right_idx = (
+            np.arange(n_pairs, dtype=np.int64)
+            - np.repeat(block_start, reps)
+            + left_idx
+            + 1
+        )
+        ia, ib = i_s[left_idx], i_s[right_idx]
+        # ids can repeat across value ties only if the same id appears
+        # twice in the input; a pair of the same id (home + its guest
+        # copy never share a bucket, but identical input ids could) is
+        # dropped to keep a != b semantics
+        keep = ia != ib
+        ia, ib = ia[keep], ib[keep]
+        diff = (v_s[right_idx] - v_s[left_idx])[keep]
+        pk = np.empty(len(ia), dtype=np.dtype([("a", np.int64), ("b", np.int64)]))
+        pk["a"], pk["b"] = np.minimum(ia, ib), np.maximum(ia, ib)
+        uniq, first = np.unique(pk, return_index=True)
+        return pa.table(
+            {
+                "a": pa.array(uniq["a"]),
+                "b": pa.array(uniq["b"]),
+                "diff": pa.array(diff[first]),
+            }
+        )
+
+    return (
+        ds.map_batches(scatter, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: pairs_bucket(g.drop_columns(["_bkt"])),
+            batch_format="pyarrow",
+        )
+    )

@@ -3443,3 +3443,53 @@ class TestAsofForward:
             for r in got.itertuples()
         }
         assert got_map == want
+
+
+class TestBandSelfJoin:
+    """Numeric band (range) self-join (relational.band_self_join)."""
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import band_self_join
+
+        rng = np.random.default_rng(113)
+        n = 300
+        v = rng.integers(0, 200, n).astype(np.int64)  # heavy value ties
+        ids = np.arange(n, dtype=np.int64)
+        t = pa.table({"id": pa.array(ids), "v": pa.array(v)})
+        for eps in (0, 3, 10):
+            want = set()
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if abs(int(v[i]) - int(v[j])) <= eps:
+                        want.add((min(i, j), max(i, j)))
+            got = band_self_join(
+                ray.data.from_arrow(t).repartition(5), "id", "v", eps
+            ).to_pandas()
+            pairs = set(zip(got["a"], got["b"]))
+            assert len(got) == len(pairs), f"dup pairs at eps={eps}"
+            assert pairs == want, eps
+            assert (got["diff"].abs() <= eps).all()
+
+    def test_few_buckets_forces_adjacent_band_collisions(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import band_self_join
+
+        rng = np.random.default_rng(127)
+        v = rng.integers(0, 50, 150).astype(np.int64)
+        ids = np.arange(150, dtype=np.int64)
+        t = pa.table({"id": pa.array(ids), "v": pa.array(v)})
+        want = {
+            (i, j)
+            for i in range(150)
+            for j in range(i + 1, 150)
+            if abs(int(v[i]) - int(v[j])) <= 4
+        }
+        got = band_self_join(
+            ray.data.from_arrow(t), "id", "v", 4, num_buckets_hint=2
+        ).to_pandas()
+        pairs = set(zip(got["a"], got["b"]))
+        assert len(got) == len(pairs)
+        assert pairs == want
