@@ -1350,6 +1350,7 @@ def pareto_frontier(
     ds,
     max_cols: Sequence[str] = (),
     min_cols: Sequence[str] = (),
+    group_col: Optional[str] = None,
 ):
     """2-D Pareto frontier (SQL "skyline" / dominance query): keep every
     row not DOMINATED by another — q dominates p when q is >= p on the
@@ -1370,7 +1371,14 @@ def pareto_frontier(
     corpus (each block shrinks to its frontier), then the survivors —
     thousands of rows, not the corpus — collapse through a single-bucket
     exchange where the same kernel runs once, globally.  No sort, no
-    all-to-all: the only moved rows are local winners."""
+    all-to-all: the only moved rows are local winners.
+
+    With ``group_col`` the frontier is computed WITHIN each group (the
+    per-brand / per-language skyline): the local pass segments each block
+    by group (a small-cardinality loop over groups present in the block —
+    the grouped_quantiles envelope, G <= ~10^4 — around the same
+    vectorized kernel) and the final reduce keys the exchange on
+    hash(group) instead of one bucket."""
     import numpy as np
     import pyarrow as pa
 
@@ -1378,9 +1386,7 @@ def pareto_frontier(
         raise ValueError("pareto_frontier: exactly one max col and one min col")
     mx, mn = max_cols[0], min_cols[0]
 
-    def local_frontier(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
+    def frontier_2d(t: pa.Table) -> pa.Table:
         s = t.column(mx).to_numpy(zero_copy_only=False)
         p = t.column(mn).to_numpy(zero_copy_only=False)
         order = np.lexsort((p, -s))  # size desc, price asc
@@ -1405,13 +1411,51 @@ def pareto_frontier(
         keep[order] = keep_s
         return t.filter(pa.array(keep))
 
+    def local_frontier(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        if group_col is None:
+            return frontier_2d(t)
+        gcol = t.column(group_col)
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        de = gcol.dictionary_encode()
+        codes = de.indices.to_numpy()
+        parts = []
+        for code in np.unique(codes):  # loop over GROUPS, never rows
+            parts.append(frontier_2d(t.filter(pa.array(codes == code))))
+        return pa.concat_tables(parts)
+
     local = ds.map_batches(local_frontier, batch_format="pyarrow")
 
-    def to_one_bucket(t: pa.Table) -> pa.Table:
-        return t.append_column("_bkt", pa.array(np.zeros(t.num_rows, np.int64)))
+    if group_col is None:
+
+        def to_bucket(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_bkt", pa.array(np.zeros(t.num_rows, np.int64))
+            )
+
+    else:
+        from cloudtile_ray.stages.util import default_num_buckets, stable_hash_strings
+
+        nb = default_num_buckets(ds)
+
+        def to_bucket(t: pa.Table) -> pa.Table:
+            g = t.column(group_col)
+            if isinstance(g, pa.ChunkedArray):
+                g = g.combine_chunks()
+            if pa.types.is_integer(g.type):
+                h = g.to_numpy(zero_copy_only=False).astype(np.uint64) * np.uint64(
+                    0x9E3779B97F4A7C15
+                )
+            else:
+                h = stable_hash_strings(g).astype(np.uint64)
+            return t.append_column(
+                "_bkt", pa.array((h % np.uint64(nb)).astype(np.int64))
+            )
 
     return (
-        local.map_batches(to_one_bucket, batch_format="pyarrow")
+        local.map_batches(to_bucket, batch_format="pyarrow")
         .groupby("_bkt")
         .map_groups(
             lambda g: local_frontier(g.drop_columns(["_bkt"])),

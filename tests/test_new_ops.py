@@ -3493,3 +3493,39 @@ class TestBandSelfJoin:
         pairs = set(zip(got["a"], got["b"]))
         assert len(got) == len(pairs)
         assert pairs == want
+
+
+class TestGroupedParetoFrontier:
+    """Per-group skyline (pareto_frontier with group_col)."""
+
+    def test_matches_brute_force_per_group(self, ray_session):
+        import ray.data
+
+        from cloudtile_ray.stages.relational import pareto_frontier
+
+        rng = np.random.default_rng(131)
+        n = 400
+        g = rng.choice(["b1", "b2", "b3"], n)
+        size = rng.integers(1, 30, n).astype(np.int64)
+        price = rng.integers(1, 400, n).astype(np.int64)
+        t = pa.table({
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "brand": pa.array(g),
+            "size": pa.array(size),
+            "price": pa.array(price),
+        })
+        want = set()
+        for i in range(n):
+            dom = np.any(
+                (g == g[i]) & (size >= size[i]) & (price <= price[i])
+                & ((size > size[i]) | (price < price[i]))
+            )
+            if not dom:
+                want.add(i)
+        got = pareto_frontier(
+            ray.data.from_arrow(t).repartition(7),
+            max_cols=["size"],
+            min_cols=["price"],
+            group_col="brand",
+        ).to_pandas()
+        assert set(got["id"]) == want
