@@ -2732,6 +2732,37 @@ def q_skyline_parts(sf_dir: str):
     )
 
 
+def q_skyline_brand(sf_dir: str):
+    """Per-GROUP skyline: within each brand, parts not dominated on
+    (maximize p_size, minimize price).  Same local-frontier shrink as
+    ``skyline_parts`` but the blocks segment by brand and the final reduce
+    keys its exchange on hash(brand) instead of one bucket — the grouped
+    dominance query (``pareto_frontier(group_col=...)``) stays one small
+    exchange over local winners at any corpus size."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import pareto_frontier
+
+    def prep(t: pa.Table) -> pa.Table:
+        p = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "p_brand": t.column("p_brand"),
+                "p_size": t.column("p_size").cast(pa.int64()),
+                "price_cents": pa.array(np.rint(p * 100).astype(np.int64)),
+            }
+        )
+
+    ds = _read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_size", "p_retailprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return pareto_frontier(
+        ds, max_cols=["p_size"], min_cols=["price_cents"], group_col="p_brand"
+    ).sort(["p_partkey"])
+
+
 def q_source_jaccard(sf_dir: str):
     """Set-similarity matrix: Jaccard between sources over their DISTINCT
     token vocabularies — |A∩B| via :func:`cross_group_dots` on the 0/1
@@ -3045,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     section); rows-only (non-SQL-expressible) queries come last."""
     return {
         # exact oracles never driver- or judge-certified (round-4 adds)
+        "skyline_brand": q_skyline_brand,
         "ngram_decontam": q_ngram_decontam,
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
@@ -4552,6 +4584,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (
                 SELECT 1 FROM pts q
                 WHERE q.p_size >= p.p_size AND q.price_cents <= p.price_cents
+                  AND (q.p_size > p.p_size OR q.price_cents < p.price_cents))
+            ORDER BY p.p_partkey""",
+        "skyline_brand": """
+            WITH pts AS (SELECT p_partkey, p_brand,
+                                CAST(p_size AS BIGINT) AS p_size,
+                                CAST(round(p_retailprice * 100) AS BIGINT)
+                                    AS price_cents
+                         FROM part)
+            SELECT p.p_partkey, p.p_brand, p.p_size, p.price_cents
+            FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.p_brand = p.p_brand
+                  AND q.p_size >= p.p_size AND q.price_cents <= p.price_cents
                   AND (q.p_size > p.p_size OR q.price_cents < p.price_cents))
             ORDER BY p.p_partkey""",
     }
