@@ -2763,6 +2763,46 @@ def q_skyline_brand(sf_dir: str):
     ).sort(["p_partkey"])
 
 
+def q_lang_token_outer(sf_dir: str):
+    """FULL OUTER join over genuinely disjoint key spaces: corpus term
+    frequencies of the English vs French sub-corpora joined full-outer
+    on the token — tokens present in only one language survive with the
+    other side COALESCEd to 0 (the contrastive-vocabulary table a
+    bilingual corpus audit produces).  Each side shrinks to vocab size
+    through :func:`bucketed_group_aggregate` BEFORE the join, so the
+    full-outer exchange moves two vocabularies, never two corpora;
+    all-integer output keeps the oracle bit-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+    from cloudtile_ray.stages.text import doc_term_freqs
+
+    def side(lang: str, name: str):
+        def pick(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("lang"), lang)).select(
+                ["doc_id", "text"]
+            )
+
+        ds = _read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        ).map_batches(pick, batch_format="pyarrow")
+        ds = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
+        return bucketed_group_aggregate(ds, ["tk"], [("tf", "sum", name)])
+
+    j = hash_join(side("en", "n_en"), side("fr", "n_fr"), on=["tk"], how="full")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_en = pc.fill_null(t.column("n_en"), pa.scalar(0, pa.int64()))
+        n_fr = pc.fill_null(t.column("n_fr"), pa.scalar(0, pa.int64()))
+        keep = pc.greater_equal(pc.add(n_en, n_fr), 20)
+        return pa.table(
+            {"tk": t.column("tk"), "n_en": n_en, "n_fr": n_fr}
+        ).filter(keep)
+
+    return j.map_batches(finish, batch_format="pyarrow").sort(["tk"])
+
+
 def q_source_jaccard(sf_dir: str):
     """Set-similarity matrix: Jaccard between sources over their DISTINCT
     token vocabularies — |A∩B| via :func:`cross_group_dots` on the 0/1
@@ -3077,6 +3117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # exact oracles never driver- or judge-certified (round-4 adds)
         "skyline_brand": q_skyline_brand,
+        "lang_token_outer": q_lang_token_outer,
         "ngram_decontam": q_ngram_decontam,
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
@@ -4600,4 +4641,17 @@ def oracle_sql() -> dict[str, str]:
                   AND q.p_size >= p.p_size AND q.price_cents <= p.price_cents
                   AND (q.p_size > p.p_size OR q.price_cents < p.price_cents))
             ORDER BY p.p_partkey""",
+        "lang_token_outer": """
+            WITH en AS (SELECT tk, count(*) AS n_en FROM (
+                          SELECT unnest(string_split(text, ' ')) AS tk
+                          FROM documents WHERE lang = 'en') GROUP BY 1),
+                 fr AS (SELECT tk, count(*) AS n_fr FROM (
+                          SELECT unnest(string_split(text, ' ')) AS tk
+                          FROM documents WHERE lang = 'fr') GROUP BY 1)
+            SELECT COALESCE(en.tk, fr.tk) AS tk,
+                   COALESCE(n_en, 0) AS n_en,
+                   COALESCE(n_fr, 0) AS n_fr
+            FROM en FULL OUTER JOIN fr ON en.tk = fr.tk
+            WHERE COALESCE(n_en, 0) + COALESCE(n_fr, 0) >= 20
+            ORDER BY tk""",
     }
