@@ -1483,6 +1483,70 @@ def q_cov_stats(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow").sort("event_type")
 
 
+def q_regr_value(sf_dir: str):
+    """Per-group ordinary-least-squares fit (SQL ``regr_slope`` /
+    ``regr_intercept``): value-cents regressed on the JSON ``k`` field
+    within each event_type.  OLS is an ALGEBRAIC aggregate — it
+    decomposes into five integer sums (n, Σx, Σy, Σxy, Σx²) that ride
+    the same partial-agg exchange as any sum, then a closed-form finish
+    on the G-row result.  Slope numerator/denominator are computed as
+    exact BIGINTs; the only float ops (two casts + divide for slope,
+    then multiply/subtract/divide for intercept) are written as the SAME
+    IEEE sequence in the oracle, so the doubles are bit-exact — never
+    DuckDB's own ``regr_slope()``, whose streaming float accumulation is
+    not order-portable across engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.events import json_field_int, prep_events
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = prep_events(json_field_int(t))
+        x, y = t.column("k"), t.column("value_cents")
+        t = t.append_column("xy", pc.multiply(x, y))
+        return t.append_column("xx", pc.multiply(x, x))
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value", "props"],
+    ).map_batches(derive, batch_format="pyarrow")
+    agg = bucketed_group_aggregate(
+        ds,
+        ["event_type"],
+        [
+            ("event_id", "count", "n"),
+            ("k", "sum", "sx"),
+            ("value_cents", "sum", "sy"),
+            ("xy", "sum", "sxy"),
+            ("xx", "sum", "sxx"),
+        ],
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy().astype(np.int64)
+        sx = t.column("sx").to_numpy().astype(np.int64)
+        sy = t.column("sy").to_numpy().astype(np.int64)
+        sxy = t.column("sxy").to_numpy().astype(np.int64)
+        sxx = t.column("sxx").to_numpy().astype(np.int64)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = num.astype(np.float64) / den.astype(np.float64)
+        intercept = (
+            sy.astype(np.float64) - slope * sx.astype(np.float64)
+        ) / n.astype(np.float64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pa.array(n),
+                "slope": pa.array(slope),
+                "intercept": pa.array(intercept),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow").sort("event_type")
+
+
 def q_rows_window(sf_dir: str):
     """Bounded ROWS-frame moving sum per user (3-event frame) — the
     frame-window family next to running_totals' unbounded frame.  One
@@ -3118,6 +3182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact oracles never driver- or judge-certified (round-4 adds)
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
+        "regr_value": q_regr_value,
         "ngram_decontam": q_ngram_decontam,
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
@@ -4066,6 +4131,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) * sum(cents * k) - sum(cents) * sum(k)
                         AS BIGINT) AS cov_num
             FROM e GROUP BY event_type ORDER BY event_type""",
+        "regr_value": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS y,
+                              CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                AS x
+                       FROM events),
+                 s AS (SELECT event_type, count(*) AS n,
+                              CAST(sum(x) AS BIGINT) AS sx,
+                              CAST(sum(y) AS BIGINT) AS sy,
+                              CAST(count(*) * sum(x * y) - sum(x) * sum(y)
+                                   AS BIGINT) AS num,
+                              CAST(count(*) * sum(x * x) - sum(x) * sum(x)
+                                   AS BIGINT) AS den
+                       FROM e GROUP BY event_type)
+            SELECT event_type, n,
+                   CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+            FROM s ORDER BY event_type""",
         "rows_window": """
             WITH e AS (SELECT user_id, event_id, ts,
                               CAST(round(value * 100) AS BIGINT) AS cents
