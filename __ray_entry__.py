@@ -1547,6 +1547,49 @@ def q_regr_value(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow").sort("event_type")
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, Inf. Proc. Letters 2006): each doc draws a reproducible
+    uniform u from an integer hash of its id and ranks by ``u^(1/w)`` with
+    weight w = n_chars; the global top-100 keys ARE a weighted sample.
+    Selection-by-ordering is float-robust across engines (a 1-ulp ``pow``
+    divergence flips an order only between keys closer than ~1e-16 — the
+    reason ordering is safe where float VALUE comparison is not), and the
+    returned columns are all-integer.  Scale shape: per-batch top-k
+    combiner, then ONE k×batches-row bucket reduce
+    (:func:`~cloudtile_ray.stages.relational.grouped_topk` with a
+    constant group) — the corpus never sorts globally."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import grouped_topk
+
+    def derive(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        u = ((did * 2654435761) % 1000003 + 1).astype(np.float64) / 1000004.0
+        key = np.power(u, 1.0 / w)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                "es_key": pa.array(key),
+                "_g": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(derive, batch_format="pyarrow")
+    top = grouped_topk(
+        ds, "_g", "es_key", k=100, descending=True, tie_col="doc_id"
+    )
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "n_chars"])
+
+    return top.map_batches(strip, batch_format="pyarrow").sort(["doc_id"])
+
+
 def q_rows_window(sf_dir: str):
     """Bounded ROWS-frame moving sum per user (3-event frame) — the
     frame-window family next to running_totals' unbounded frame.  One
@@ -3183,6 +3226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
         "regr_value": q_regr_value,
+        "weighted_sample": q_weighted_sample,
         "ngram_decontam": q_ngram_decontam,
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
@@ -4151,6 +4195,17 @@ def oracle_sql() -> dict[str, str]:
                     - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
                       * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
             FROM s ORDER BY event_type""",
+        "weighted_sample": """
+            WITH d AS (SELECT doc_id, n_chars,
+                              ((doc_id * 2654435761) % 1000003) + 1 AS uh
+                       FROM documents),
+                 k AS (SELECT doc_id, n_chars,
+                              pow(CAST(uh AS DOUBLE) / 1000004.0,
+                                  1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+                       FROM d),
+                 s AS (SELECT doc_id, n_chars FROM k
+                       ORDER BY es_key DESC, doc_id LIMIT 100)
+            SELECT doc_id, n_chars FROM s ORDER BY doc_id""",
         "rows_window": """
             WITH e AS (SELECT user_id, event_id, ts,
                               CAST(round(value * 100) AS BIGINT) AS cents
