@@ -2810,6 +2810,117 @@ def q_big_orders(sf_dir: str):
     ).sort(["sum_qty_cents", "o_orderkey"], descending=[True, False])
 
 
+def q_region_revenue(sf_dir: str):
+    """TPC-H Q5 analog: 1996 revenue per nation where the customer and
+    the line's supplier share a nation inside region ASIA.  Scale shape:
+    nation/region fold to a driver-side constant; the supplier→nation
+    and customer→nation attaches ride broadcast_lookup (byte-gated,
+    hash-join fallback when a side outgrows the budget); lineitem
+    pre-aggregates revenue to (orderkey, supp-nation) grain through the
+    bucket exchange BEFORE the fact-fact join, so the one real exchange
+    moves order-grain rows, not line-grain.  Integer cent-percent
+    revenue units keep the sum order-free and SQL-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+        hash_join,
+    )
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = rt.filter(pc.equal(rt.column("r_name"), "ASIA")).column("r_regionkey")
+    nt = nt.filter(pc.is_in(nt.column("n_regionkey"), value_set=asia.combine_chunks()))
+    nation_keys = nt.column("n_nationkey").combine_chunks()
+    name_of = dict(
+        zip(nt.column("n_nationkey").to_pylist(), nt.column("n_name").to_pylist())
+    )
+
+    lo = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": pa.array(rev),
+            }
+        )
+
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(nation_keys),
+    )
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    # drop_missing=True doubles as the supplier-in-region semi filter
+    lines = broadcast_lookup(lines, supp, on=["l_suppkey"], right_on=["s_suppkey"])
+    rev = bucketed_group_aggregate(
+        lines, ["l_orderkey", "s_nationkey"], [("rev", "sum", "revenue_units")]
+    )
+
+    def order_prep(t: pa.Table) -> pa.Table:
+        od = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return t.filter(pa.array((od >= lo) & (od < hi))).select(
+            ["o_orderkey", "o_custkey"]
+        )
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nation_keys),
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_prep, batch_format="pyarrow")
+    orders = broadcast_lookup(orders, cust, on=["o_custkey"], right_on=["c_custkey"])
+
+    joined = hash_join(
+        rev, orders, on=["l_orderkey"], right_on=["o_orderkey"], how="inner"
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("s_nationkey"), t.column("c_nationkey")))
+        return t.select(["s_nationkey", "revenue_units"])
+
+    per_nation = bucketed_group_aggregate(
+        joined.map_batches(same_nation, batch_format="pyarrow"),
+        ["s_nationkey"],
+        [("revenue_units", "sum", "revenue_units")],
+    )
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        names = [name_of[k] for k in t.column("s_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "revenue_units": t.column("revenue_units"),
+            }
+        )
+
+    return per_nation.map_batches(attach_name, batch_format="pyarrow").sort(
+        ["revenue_units", "n_name"], descending=[True, False]
+    )
+
+
 def q_skyline_parts(sf_dir: str):
     """Skyline / Pareto-dominance query: parts not dominated on
     (maximize p_size, minimize price) — local per-block frontiers shrink
@@ -3223,6 +3334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     section); rows-only (non-SQL-expressible) queries come last."""
     return {
         # exact oracles never driver- or judge-certified (round-4 adds)
+        "region_revenue": q_region_revenue,
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
         "regr_value": q_regr_value,
@@ -4230,6 +4342,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(k) AS BIGINT) AS sum_k,
                    min(k) AS min_k, max(k) AS max_k
             FROM e GROUP BY event_type ORDER BY event_type""",
+        "region_revenue": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_units
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY revenue_units DESC, n_name""",
         "order_revenue": """
             WITH l AS (SELECT l_orderkey,
                               CAST(round(l_extendedprice * 100) AS BIGINT)
