@@ -2921,6 +2921,127 @@ def q_region_revenue(sf_dir: str):
     )
 
 
+def q_ship_volume(sf_dir: str):
+    """TPC-H Q7 analog: shipping volume between NATION_1 and NATION_2 (both
+    directions) by ship year, 1996-1997.  Scale shape: both dimension
+    attaches (supplier→nation onto lineitem, customer→nation onto
+    orders) are byte-gated broadcasts whose drop_missing doubles as the
+    two-nation semi filter, so line- and order-grain rows never shuffle
+    for them; lineitem collapses to (orderkey, supp-nation, year) grain
+    through the bucket exchange before the single fact-fact hash join.
+    Integer cent-percent revenue units keep the sums SQL-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+        hash_join,
+    )
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    pair = ("NATION_1", "NATION_2")
+    nt = nt.filter(pc.is_in(nt.column("n_name"), value_set=pa.array(pair)))
+    nation_keys = nt.column("n_nationkey").combine_chunks()
+    name_of = dict(
+        zip(nt.column("n_nationkey").to_pylist(), nt.column("n_name").to_pylist())
+    )
+
+    lo = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64))
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        sd = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        yr = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "l_year": pa.array(yr),
+                "rev": pa.array(rev),
+            }
+        )
+
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(nation_keys),
+    )
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    lines = broadcast_lookup(lines, supp, on=["l_suppkey"], right_on=["s_suppkey"])
+    rev = bucketed_group_aggregate(
+        lines,
+        ["l_orderkey", "s_nationkey", "l_year"],
+        [("rev", "sum", "revenue_units")],
+    )
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(nation_keys),
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    orders = broadcast_lookup(orders, cust, on=["o_custkey"], right_on=["c_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]), batch_format="pyarrow"
+    )
+
+    joined = hash_join(
+        rev, orders, on=["l_orderkey"], right_on=["o_orderkey"], how="inner"
+    )
+
+    def cross_nation(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.not_equal(t.column("s_nationkey"), t.column("c_nationkey"))
+        )
+        return t.select(["s_nationkey", "c_nationkey", "l_year", "revenue_units"])
+
+    per_pair = bucketed_group_aggregate(
+        joined.map_batches(cross_nation, batch_format="pyarrow"),
+        ["s_nationkey", "c_nationkey", "l_year"],
+        [("revenue_units", "sum", "revenue_units")],
+    )
+
+    def attach_names(t: pa.Table) -> pa.Table:
+        sn = [name_of[k] for k in t.column("s_nationkey").to_pylist()]
+        cn = [name_of[k] for k in t.column("c_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "supp_nation": pa.array(sn, type=pa.string()),
+                "cust_nation": pa.array(cn, type=pa.string()),
+                "l_year": t.column("l_year"),
+                "revenue_units": t.column("revenue_units"),
+            }
+        )
+
+    return per_pair.map_batches(attach_names, batch_format="pyarrow").sort(
+        ["supp_nation", "cust_nation", "l_year"]
+    )
+
+
 def q_skyline_parts(sf_dir: str):
     """Skyline / Pareto-dominance query: parts not dominated on
     (maximize p_size, minimize price) — local per-block frontiers shrink
@@ -3335,6 +3456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # exact oracles never driver- or judge-certified (round-4 adds)
         "region_revenue": q_region_revenue,
+        "ship_volume": q_ship_volume,
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
         "regr_value": q_regr_value,
@@ -4359,6 +4481,25 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n.n_name
             ORDER BY revenue_units DESC, n_name""",
+        "ship_volume": """
+            SELECT ns.n_name AS supp_nation,
+                   nc.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_units
+            FROM supplier s
+            JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+                   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3""",
         "order_revenue": """
             WITH l AS (SELECT l_orderkey,
                               CAST(round(l_extendedprice * 100) AS BIGINT)
