@@ -3042,6 +3042,113 @@ def q_ship_volume(sf_dir: str):
     )
 
 
+def q_market_share(sf_dir: str):
+    """TPC-H Q8 analog: NATION_1's share of ASIA-customer order revenue by
+    order year, 1996-1997.  Both numerator and denominator are exact
+    integer cent-percent sums carried through the same exchanges; the
+    single final division per year is the only float op, so the double
+    is bit-identical to the oracle's.  Scale shape mirrors
+    region_revenue: dimension attaches broadcast, lineitem pre-collapses
+    to order grain (two sums in one pass) before the fact-fact join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+        hash_join,
+    )
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    rt = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = rt.filter(pc.equal(rt.column("r_name"), "ASIA")).column("r_regionkey")
+    cust_nations = (
+        nt.filter(pc.is_in(nt.column("n_regionkey"), value_set=asia.combine_chunks()))
+        .column("n_nationkey")
+        .combine_chunks()
+    )
+    target_key = nt.filter(pc.equal(nt.column("n_name"), "NATION_1")).column(
+        "n_nationkey"
+    )[0].as_py()
+
+    lo = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64))
+
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "vol": pa.array(rev),
+                "num": pa.array(np.where(sn == target_key, rev, 0)),
+            }
+        )
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    lines = broadcast_lookup(lines, supp, on=["l_suppkey"], right_on=["s_suppkey"])
+    lines = lines.map_batches(line_prep, batch_format="pyarrow")
+    rev = bucketed_group_aggregate(
+        lines, ["l_orderkey"], [("vol", "sum", "vol"), ("num", "sum", "num")]
+    )
+
+    def order_prep(t: pa.Table) -> pa.Table:
+        od = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+        )
+        t = t.append_column(
+            "o_year", pa.array(od.astype("datetime64[Y]").astype(np.int64) + 1970)
+        )
+        odi = od.astype(np.int64)
+        return t.filter(pa.array((odi >= lo) & (odi < hi))).select(
+            ["o_orderkey", "o_custkey", "o_year"]
+        )
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(cust_nations),
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_prep, batch_format="pyarrow")
+    orders = broadcast_lookup(orders, cust, on=["o_custkey"], right_on=["c_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "o_year"]), batch_format="pyarrow"
+    )
+
+    joined = hash_join(
+        rev, orders, on=["l_orderkey"], right_on=["o_orderkey"], how="inner"
+    )
+    per_year = bucketed_group_aggregate(
+        joined, ["o_year"], [("vol", "sum", "vol"), ("num", "sum", "num")]
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        num = t.column("num").to_numpy(zero_copy_only=False).astype(np.float64)
+        vol = t.column("vol").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"o_year": t.column("o_year"), "mkt_share": pa.array(num / vol)}
+        )
+
+    return per_year.map_batches(share, batch_format="pyarrow").sort(["o_year"])
+
+
 def q_skyline_parts(sf_dir: str):
     """Skyline / Pareto-dominance query: parts not dominated on
     (maximize p_size, minimize price) — local per-block frontiers shrink
@@ -3457,6 +3564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact oracles never driver- or judge-certified (round-4 adds)
         "region_revenue": q_region_revenue,
         "ship_volume": q_ship_volume,
+        "market_share": q_market_share,
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
         "regr_value": q_regr_value,
@@ -4500,6 +4608,29 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate < TIMESTAMP '1998-01-01'
             GROUP BY 1, 2, 3
             ORDER BY 1, 2, 3""",
+        "market_share": """
+            WITH x AS (
+              SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS vol,
+                     CASE WHEN ns.n_name = 'NATION_1'
+                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                          ELSE 0 END AS num
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = nc.n_regionkey
+              WHERE r.r_name = 'ASIA'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT o_year,
+                   CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(vol) AS BIGINT) AS DOUBLE) AS mkt_share
+            FROM x GROUP BY o_year ORDER BY o_year""",
         "order_revenue": """
             WITH l AS (SELECT l_orderkey,
                               CAST(round(l_extendedprice * 100) AS BIGINT)
