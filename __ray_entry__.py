@@ -3149,6 +3149,131 @@ def q_market_share(sf_dir: str):
     return per_year.map_batches(share, batch_format="pyarrow").sort(["o_year"])
 
 
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15 analog: supplier(s) with maximum lineitem revenue in
+    1996Q1 (the HAVING = MAX join-back family).  Scale shape: lineitem
+    collapses to supplier grain through the bucket exchange; the
+    supplier-grain table is materialized once (dimension-sized), its max
+    is one distributed scalar aggregate, and the name attach is a
+    byte-gated broadcast — no second pass over lineitem, no sort."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+
+    lo = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("1996-04-01T00:00:00", "us").astype(np.int64))
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        sd = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        return pa.table({"l_suppkey": t.column("l_suppkey"), "rev": pa.array(rev)})
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    rev = bucketed_group_aggregate(
+        lines, ["l_suppkey"], [("rev", "sum", "total_revenue_units")]
+    ).materialize()
+    best = rev.max("total_revenue_units")
+    top = rev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("total_revenue_units"), best)),
+        batch_format="pyarrow",
+    )
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = broadcast_lookup(top, supp, on=["l_suppkey"], right_on=["s_suppkey"])
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t.column("l_suppkey"),
+                "s_name": t.column("s_name"),
+                "total_revenue_units": t.column("total_revenue_units"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(["s_suppkey"])
+
+
+def q_idle_customers(sf_dir: str):
+    """TPC-H Q22 analog: per nation, the count and total balance of
+    customers with above-average positive balance and no order since the
+    1999 cutoff.  The average threshold is applied by integer cross-multiply
+    (cents * n_positive > sum_positive_cents) so the compare is exact
+    and order-free — no float average ever materializes.  Scale shape:
+    the positive-balance moments are one distributed scalar aggregate;
+    the never-ordered test is a hash-partitioned ANTI join on the
+    projected o_custkey column (the only exchange that moves fact rows);
+    the final nation rollup is bucket-exchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": t.column("c_nationkey"),
+                "cents": pa.array(cents),
+            }
+        )
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).map_batches(cust_prep, batch_format="pyarrow").materialize()
+
+    pos = cust.filter(expr="cents > 0")
+    agg = pos.aggregate(Sum("cents", alias_name="s"), Count(alias_name="n"))
+    s_cents, n_pos = int(agg["s"]), int(agg["n"])
+
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pa.array(
+                t.column("cents").to_numpy(zero_copy_only=False) * n_pos > s_cents
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(
+            pc.field("o_orderdate")
+            >= pa.scalar(np.datetime64("1999-01-01", "us"))
+        ),
+    )
+    idle = hash_join(rich, orders, on=["c_custkey"], right_on=["o_custkey"], how="anti")
+    out = bucketed_group_aggregate(
+        idle.map_batches(
+            lambda t: t.select(["c_nationkey", "cents"]), batch_format="pyarrow"
+        ),
+        ["c_nationkey"],
+        [("cents", "count", "numcust"), ("cents", "sum", "totacctbal_cents")],
+    )
+    return out.sort(["c_nationkey"])
+
+
 def q_skyline_parts(sf_dir: str):
     """Skyline / Pareto-dominance query: parts not dominated on
     (maximize p_size, minimize price) — local per-block frontiers shrink
@@ -3565,6 +3690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": q_region_revenue,
         "ship_volume": q_ship_volume,
         "market_share": q_market_share,
+        "top_supplier": q_top_supplier,
+        "idle_customers": q_idle_customers,
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
         "regr_value": q_regr_value,
@@ -4631,6 +4758,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
                    / CAST(CAST(sum(vol) AS BIGINT) AS DOUBLE) AS mkt_share
             FROM x GROUP BY o_year ORDER BY o_year""",
+        "top_supplier": """
+            WITH r AS (SELECT l_suppkey,
+                              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                                   AS BIGINT) AS total_revenue_units
+                       FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                         AND l_shipdate < TIMESTAMP '1996-04-01'
+                       GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_units
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_units = (SELECT max(total_revenue_units) FROM r)
+            ORDER BY s_suppkey""",
+        "idle_customers": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                       FROM customer),
+            pos AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+                           count(*) AS n
+                    FROM c WHERE cents > 0)
+            SELECT c.c_nationkey,
+                   count(*) AS numcust,
+                   CAST(sum(c.cents) AS BIGINT) AS totacctbal_cents
+            FROM c, pos
+            WHERE c.cents * pos.n > pos.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+            GROUP BY c.c_nationkey
+            ORDER BY c.c_nationkey""",
         "order_revenue": """
             WITH l AS (SELECT l_orderkey,
                               CAST(round(l_extendedprice * 100) AS BIGINT)
