@@ -3274,6 +3274,17 @@ def q_idle_customers(sf_dir: str):
     return out.sort(["c_nationkey"])
 
 
+def q_bpe_pairs(sf_dir: str):
+    """One BPE-training merge iteration over the corpus: the top-50
+    adjacent character pairs weighted by word frequency (see
+    ``text.bpe_pair_counts`` for the scale shape — the corpus never
+    shuffles at occurrence grain)."""
+    from cloudtile_ray.stages.text import bpe_pair_counts
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_pair_counts(docs, k=50)
+
+
 def q_skyline_parts(sf_dir: str):
     """Skyline / Pareto-dominance query: parts not dominated on
     (maximize p_size, minimize price) — local per-block frontiers shrink
@@ -3692,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": q_market_share,
         "top_supplier": q_top_supplier,
         "idle_customers": q_idle_customers,
+        "bpe_pairs": q_bpe_pairs,
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
         "regr_value": q_regr_value,
@@ -4758,6 +4770,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
                    / CAST(CAST(sum(vol) AS BIGINT) AS DOUBLE) AS mkt_share
             FROM x GROUP BY o_year ORDER BY o_year""",
+        "bpe_pairs": """
+            WITH w AS (
+              SELECT unnest(string_split(
+                       regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' ')) AS word
+              FROM documents),
+            wc AS (SELECT word, count(*) AS n
+                   FROM w WHERE length(word) >= 2 GROUP BY word),
+            p AS (SELECT substring(word, CAST(i AS INT), 2) AS pair, n
+                  FROM wc, UNNEST(range(1, length(word))) AS t(i))
+            SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+            FROM p GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 50""",
         "top_supplier": """
             WITH r AS (SELECT l_suppkey,
                               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

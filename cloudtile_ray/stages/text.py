@@ -973,3 +973,101 @@ def phrase_search(ds, phrase: list[str], id_col: str = "doc_id", text_col: str =
     )
     # bucket outputs are already doc-distinct and doc-disjoint
     return matched
+
+
+def _word_count_partials(batch: pa.Table, min_len: int = 2) -> pa.Table:
+    """Per-batch (word, n) partials over lowercase ALPHA tokens (split on
+    ``[^a-z]+`` — same semantics as the langid oracle's
+    ``string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))``).
+    Batch-local ``value_counts`` collapses occurrences before the word
+    exchange, so the shuffle moves one row per distinct word per batch."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column("text")), pattern="[^a-z]+"
+    )
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    flat = flat.filter(
+        pc.greater_equal(pc.utf8_length(flat), min_len)
+    )
+    vc = pc.value_counts(flat)
+    return pa.table(
+        {
+            "word": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        }
+    )
+
+
+def _bigram_partials(t: pa.Table) -> pa.Table:
+    """Expand a (word, n) table to weighted adjacent-character-pair
+    partials — one BPE-training count step.  Fully vectorized on the
+    Arrow string buffers: words are ascii (the upstream split keeps
+    [a-z] only), so pair ids are byte pairs ``b[i]*256 + b[i+1]`` read
+    straight from the data buffer; per-word position masks come from the
+    offsets buffer; the batch collapses to distinct pair ids with an
+    int64-exact ``np.add.at`` before anything ships."""
+    arr = t.column("word")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return pa.table(
+            {"pair_id": pa.array([], type=pa.int64()),
+             "cnt": pa.array([], type=pa.int64())}
+        )
+    n = t.column("n").to_numpy(zero_copy_only=False)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, ends = off[:-1], off[1:]
+    k = np.maximum(ends - starts - 1, 0)
+    wi = np.repeat(np.arange(len(k)), k)
+    cum = np.concatenate(([0], np.cumsum(k)))
+    p = starts[wi] + (np.arange(cum[-1]) - cum[wi])
+    pair_id = buf[p].astype(np.int64) * 256 + buf[p + 1]
+    uniq, inv = np.unique(pair_id, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(acc, inv, n[wi])
+    return pa.table({"pair_id": pa.array(uniq), "cnt": pa.array(acc)})
+
+
+def bpe_pair_counts(ds, k: int = 50) -> "ray.data.Dataset":
+    """Top-``k`` adjacent character pairs by word-frequency-weighted count
+    — exactly the statistic one BPE-training merge iteration maximizes
+    (beyond-the-reference training-data operator).
+
+    Shape: batch-local (word, n) partials -> ONE bucket exchange to
+    global word counts (words are a near-unique key — see
+    ``relational.bucketed_group_aggregate``) -> vectorized bigram
+    expansion batch-side, collapsing each batch to <= 676 distinct pair
+    ids -> one tiny ``groupby(pair_id).sum`` (pair space is bounded by
+    the alphabet squared, so Ray's sort aggregate is fine) -> decode ids
+    to 2-char strings, sort (cnt desc, pair asc), limit ``k``.  The
+    corpus never shuffles at word-occurrence or pair-occurrence grain."""
+    from ray.data.aggregate import Sum
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    words = ds.map_batches(_word_count_partials, batch_format="pyarrow")
+    wc = bucketed_group_aggregate(words, ["word"], [("n", "sum", "n")])
+    pairs = (
+        wc.map_batches(_bigram_partials, batch_format="pyarrow")
+        .groupby("pair_id")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        ids = t.column("pair_id").to_numpy(zero_copy_only=False)
+        raw = np.empty((len(ids), 2), dtype=np.uint8)
+        raw[:, 0], raw[:, 1] = ids // 256, ids % 256
+        s = raw.tobytes().decode("ascii")
+        pair = pa.array([s[i : i + 2] for i in range(0, 2 * len(ids), 2)],
+                        type=pa.string())
+        return pa.table({"pair": pair, "cnt": t.column("cnt")})
+
+    return (
+        pairs.map_batches(decode, batch_format="pyarrow")
+        .sort(["cnt", "pair"], descending=[True, False])
+        .limit(k)
+    )

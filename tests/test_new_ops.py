@@ -3529,3 +3529,32 @@ class TestGroupedParetoFrontier:
             group_col="brand",
         ).to_pandas()
         assert set(got["id"]) == want
+
+
+def test_bigram_partials_buffer_math():
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.text import _bigram_partials
+
+    t = pa.table({"word": ["hello", "ab", "xy"], "n": [3, 2, 5]})
+    out = _bigram_partials(t)
+    d = dict(zip(out.column("pair_id").to_pylist(), out.column("cnt").to_pylist()))
+
+    def pid(s):
+        return ord(s[0]) * 256 + ord(s[1])
+
+    assert d[pid("he")] == 3 and d[pid("el")] == 3
+    assert d[pid("ll")] == 3 and d[pid("lo")] == 3
+    assert d[pid("ab")] == 2 and d[pid("xy")] == 5
+    assert sum(d.values()) == 4 * 3 + 2 + 5
+
+    # a sliced (non-zero offset) array must read the right buffer window
+    arr = pa.array(["zz", "abc"]).slice(1, 1)
+    out2 = _bigram_partials(pa.table({"word": arr, "n": pa.array([7])}))
+    d2 = dict(zip(out2.column("pair_id").to_pylist(), out2.column("cnt").to_pylist()))
+    assert d2 == {pid("ab"): 7, pid("bc"): 7}
+
+    # empty input keeps the schema
+    empty = _bigram_partials(pa.table({"word": pa.array([], type=pa.string()),
+                                       "n": pa.array([], type=pa.int64())}))
+    assert empty.num_rows == 0 and empty.column_names == ["pair_id", "cnt"]
