@@ -3274,6 +3274,68 @@ def q_idle_customers(sf_dir: str):
     return out.sort(["c_nationkey"])
 
 
+def q_no_conversion(sf_dir: str):
+    """Correlated NOT EXISTS over event time: users who signed up but
+    never purchased after their LAST signup (the funnel-dropout /
+    cart-abandonment shape).  Scale shape: both event classes collapse to user grain
+    map-side through one bucket exchange each (min signup ts, max
+    purchase ts — events at occurrence grain never shuffle); the
+    user-grain LEFT join is hash-partitioned; the correlated time
+    predicate becomes a null-or-<= filter on two scalars."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+
+    def prep(kind):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), kind))
+            ts = (
+                t.column("ts")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            return pa.table({"user_id": t.column("user_id"), "ts_us": pa.array(ts)})
+
+        return f
+
+    ev = f"{sf_dir}/events.parquet"
+    signups = bucketed_group_aggregate(
+        _read_parquet(ev, columns=["user_id", "event_type", "ts"]).map_batches(
+            prep("signup"), batch_format="pyarrow"
+        ),
+        ["user_id"],
+        [("ts_us", "max", "signup_us")],
+    )
+    buys = bucketed_group_aggregate(
+        _read_parquet(ev, columns=["user_id", "event_type", "ts"]).map_batches(
+            prep("purchase"), batch_format="pyarrow"
+        ),
+        ["user_id"],
+        [("ts_us", "max", "last_buy_us")],
+    )
+    j = hash_join(
+        signups,
+        buys.map_batches(
+            lambda t: t.rename_columns(["buy_user", "last_buy_us"]),
+            batch_format="pyarrow",
+        ),
+        on=["user_id"],
+        right_on=["buy_user"],
+        how="left",
+    )
+
+    def dropout(t: pa.Table) -> pa.Table:
+        keep = pc.or_kleene(
+            pc.is_null(t.column("last_buy_us")),
+            pc.less_equal(t.column("last_buy_us"), t.column("signup_us")),
+        )
+        return t.filter(keep).select(["user_id", "signup_us"])
+
+    return j.map_batches(dropout, batch_format="pyarrow").sort(["user_id"])
+
+
 def q_bpe_pairs(sf_dir: str):
     """One BPE-training merge iteration over the corpus: the top-50
     adjacent character pairs weighted by word frequency (see
@@ -3704,6 +3766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier": q_top_supplier,
         "idle_customers": q_idle_customers,
         "bpe_pairs": q_bpe_pairs,
+        "no_conversion": q_no_conversion,
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
         "regr_value": q_regr_value,
@@ -4770,6 +4833,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(sum(num) AS BIGINT) AS DOUBLE)
                    / CAST(CAST(sum(vol) AS BIGINT) AS DOUBLE) AS mkt_share
             FROM x GROUP BY o_year ORDER BY o_year""",
+        "no_conversion": """
+            WITH s AS (SELECT user_id, max(epoch_us(ts)) AS signup_us
+                       FROM events WHERE event_type = 'signup'
+                       GROUP BY user_id)
+            SELECT s.user_id, s.signup_us
+            FROM s
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.event_type = 'purchase'
+                                AND e.user_id = s.user_id
+                                AND epoch_us(e.ts) > s.signup_us)
+            ORDER BY s.user_id""",
         "bpe_pairs": """
             WITH w AS (
               SELECT unnest(string_split(
