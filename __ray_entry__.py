@@ -3735,6 +3735,267 @@ def prep_events_value_only(batch):
     )
 
 
+def q_priority_exists(sf_dir: str):
+    """TPC-H Q4 analog: per-priority count of 1996-Q1 orders that have at
+    least one returned (``l_returnflag='R'``) line — the EXISTS /
+    semi-join count shape.  Scale shape: the lineitem side is filtered
+    and projected to BARE order keys batch-side (one int64 column, with a
+    batch-local ``unique`` combiner so duplicate keys shrink before the
+    exchange), then a hash semi join keeps qualifying orders; the final
+    rollup is a 5-group priority count through the bucket exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import (
+        bucketed_group_aggregate,
+        hash_join,
+    )
+
+    lo = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("1996-04-01T00:00:00", "us").astype(np.int64))
+
+    def order_prep(t: pa.Table) -> pa.Table:
+        od = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return t.filter(pa.array((od >= lo) & (od < hi))).select(
+            ["o_orderkey", "o_orderpriority"]
+        )
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_prep, batch_format="pyarrow")
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        return pa.table(
+            {"l_orderkey": pc.unique(t.column("l_orderkey").combine_chunks())}
+        )
+
+    keys = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(returned_keys, batch_format="pyarrow")
+
+    qualifying = hash_join(
+        orders, keys, on=["o_orderkey"], right_on=["l_orderkey"], how="semi"
+    )
+    return bucketed_group_aggregate(
+        qualifying,
+        ["o_orderpriority"],
+        [("o_orderkey", "count", "order_count")],
+    ).sort(["o_orderpriority"])
+
+
+def q_nation_profit(sf_dir: str):
+    """TPC-H Q9 analog: per (supplier-nation, ship-year) profit on
+    'widget' parts, profit = revenue − 50%-of-retail unit cost.  Scale
+    shape: both dimension attaches (part→retail-cents with the LIKE
+    filter as ``drop_missing``, supplier→nationkey) are byte-gated
+    broadcasts — line-grain rows never shuffle for them; the only
+    exchange is the final (nation, year) rollup, already tiny.  All
+    arithmetic is integer cents×percent units so the sum is order-free
+    and SQL-bit-exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    part = part.filter(pc.match_substring(part.column("p_name"), "widget"))
+    retail_cents = pa.array(
+        np.rint(part.column("p_retailprice").to_numpy(zero_copy_only=False) * 100)
+        .astype(np.int64)
+    )
+    part_dim = pa.table(
+        {"p_partkey": part.column("p_partkey"), "retail_cents": retail_cents}
+    )
+    part_ref = ray.put(part_dim.combine_chunks())
+
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    name_of = dict(
+        zip(nt.column("n_nationkey").to_pylist(), nt.column("n_name").to_pylist())
+    )
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        dim = ray.get(part_ref)
+        idx = pc.index_in(
+            t.column("l_partkey").combine_chunks(), value_set=dim.column("p_partkey")
+        )
+        t = t.append_column("retail_cents", pc.take(dim.column("retail_cents"), idx))
+        t = t.filter(pc.is_valid(idx))  # semi filter: widget parts only
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        rc = t.column("retail_cents").to_numpy(zero_copy_only=False)
+        profit = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        ) - rc * qty * 50
+        yr = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "o_year": pa.array(yr),
+                "profit": pa.array(profit),
+            }
+        )
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    supp = _read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    lines = broadcast_lookup(lines, supp, on=["l_suppkey"], right_on=["s_suppkey"])
+
+    per = bucketed_group_aggregate(
+        lines, ["s_nationkey", "o_year"], [("profit", "sum", "profit_units")]
+    )
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        names = [name_of[k] for k in t.column("s_nationkey").to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, type=pa.string()),
+                "o_year": t.column("o_year"),
+                "profit_units": t.column("profit_units"),
+            }
+        )
+
+    return per.map_batches(attach_name, batch_format="pyarrow").sort(
+        ["n_name", "o_year"]
+    )
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10 analog: top-20 customers by revenue on RETURNED lines
+    against 1996-H2 orders, with nation name attached.  Scale shape:
+    lineitem filters to R-flag and pre-collapses to order grain through
+    the bucket exchange; the order→customer map attaches via the
+    byte-gated broadcast (hash-join fallback past the budget); the
+    customer-grain rollup rides a second bucket exchange, after which
+    the table is customer-sized — ``sort().limit(20)`` moves only that
+    shrunken table.  Integer cent-percent revenue units; (revenue desc,
+    custkey asc) is a total order so the top-20 set is deterministic."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+
+    lo = int(np.datetime64("1996-07-01T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev": pa.array(rev)}
+        )
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    per_order = bucketed_group_aggregate(
+        lines, ["l_orderkey"], [("rev", "sum", "rev")]
+    )
+
+    def order_prep(t: pa.Table) -> pa.Table:
+        od = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return t.filter(pa.array((od >= lo) & (od < hi))).select(
+            ["o_orderkey", "o_custkey"]
+        )
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_prep, batch_format="pyarrow")
+    # per_order is order-grain (small after the rollup): attach custkey by
+    # broadcasting the FILTERED order map; drop_missing doubles as the
+    # date-range semi filter on the revenue side
+    rev_cust = broadcast_lookup(per_order, orders, on=["l_orderkey"], right_on=["o_orderkey"])
+    per_cust = bucketed_group_aggregate(
+        rev_cust, ["o_custkey"], [("rev", "sum", "revenue_units")]
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    nt = pq.read_table(f"{sf_dir}/nation.parquet")
+    nidx = pc.index_in(
+        cust.column("c_nationkey").combine_chunks(), value_set=nt.column("n_nationkey")
+    )
+    cust = pa.table(
+        {
+            "c_custkey": cust.column("c_custkey"),
+            "c_name": cust.column("c_name"),
+            "n_name": pc.take(nt.column("n_name"), nidx),
+        }
+    )
+    cust_ref = ray.put(cust.combine_chunks())
+
+    def add_dims(t: pa.Table) -> pa.Table:
+        dim = ray.get(cust_ref)
+        idx = pc.index_in(
+            t.column("o_custkey").combine_chunks(), value_set=dim.column("c_custkey")
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": pc.take(dim.column("c_name"), idx),
+                "n_name": pc.take(dim.column("n_name"), idx),
+                "revenue_units": t.column("revenue_units"),
+            }
+        )
+
+    named = per_cust.map_batches(add_dims, batch_format="pyarrow")
+    return named.sort(["revenue_units", "c_custkey"], descending=[True, False]).limit(
+        20
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -3823,6 +4084,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "float_quantiles": q_float_quantiles,
         "asof_next": q_asof_next,
         "value_band_pairs": q_value_band_pairs,
+        "priority_exists": q_priority_exists,
+        "nation_profit": q_nation_profit,
+        "returned_revenue": q_returned_revenue,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -5450,4 +5714,45 @@ def oracle_sql() -> dict[str, str]:
             FROM en FULL OUTER JOIN fr ON en.tk = fr.tk
             WHERE COALESCE(n_en, 0) + COALESCE(n_fr, 0) >= 20
             ORDER BY tk""",
+        "priority_exists": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority""",
+        "nation_profit": """
+            SELECT n.n_name,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                            - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                              * CAST(round(l.l_quantity) AS BIGINT) * 50)
+                        AS BIGINT) AS profit_units
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY 1, 2""",
+        "returned_revenue": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_units
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_units DESC, c_custkey
+            LIMIT 20""",
     }
