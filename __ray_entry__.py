@@ -3996,6 +3996,290 @@ def q_returned_revenue(sf_dir: str):
     )
 
 
+def q_part_suppliers(sf_dir: str):
+    """TPC-H Q16 analog: per (brand, type, size) count of DISTINCT
+    suppliers that shipped the part, excluding negative-balance suppliers
+    (the reference query's NOT-IN complaint list).  Scale shape: the
+    part dimension broadcasts with the brand exclusion folded into
+    ``drop_missing``; the NOT-IN set is supplier-sized and applied as a
+    vectorized ``is_in`` inversion per batch (no anti-join exchange);
+    COUNT(DISTINCT) decomposes into two bucket exchanges — collapse to
+    (brand, type, size, suppkey) grain, then count rows per (brand,
+    type, size) — so Arrow's C++ hash aggregation does all the work."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    bad = supp.filter(pc.less(supp.column("s_acctbal"), 0.0)).column(
+        "s_suppkey"
+    ).combine_chunks()
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=~pc.field("p_brand").isin(["Brand#1"]),
+    )
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(t.column("l_suppkey"), value_set=bad))
+        return t.filter(keep)
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    ).map_batches(line_prep, batch_format="pyarrow")
+    lines = broadcast_lookup(lines, part, on=["l_partkey"], right_on=["p_partkey"])
+
+    distinct = bucketed_group_aggregate(
+        lines,
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+        [("l_partkey", "min", "_drop")],
+    ).drop_columns(["_drop"])
+    counts = bucketed_group_aggregate(
+        distinct,
+        ["p_brand", "p_type", "p_size"],
+        [("l_suppkey", "count", "supplier_cnt")],
+    )
+    return counts.sort(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        descending=[True, False, False, False],
+    )
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 analog: one-scalar revenue under an OR-of-ANDs predicate
+    spanning both join sides (brand × size-range × quantity-range).
+    Scale shape: the part attributes broadcast; the full disjunction
+    evaluates as three vectorized boolean AND-chains OR'd per batch —
+    no row loop, no shuffle at all; per-batch partial sums fold through
+    ``Dataset.sum`` (one scalar to the driver)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import broadcast_lookup
+
+    part = _read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    lines = broadcast_lookup(lines, part, on=["l_partkey"], right_on=["p_partkey"])
+
+    ARMS = [("Brand#2", 1, 5, 1, 11), ("Brand#13", 1, 10, 10, 20), ("Brand#23", 1, 15, 20, 30)]
+
+    def rev(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand")
+        size = t.column("p_size").to_numpy(zero_copy_only=False)
+        qty = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        keep = np.zeros(t.num_rows, dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in ARMS:
+            arm = pc.equal(brand, b).to_numpy(zero_copy_only=False)
+            arm &= (size >= s_lo) & (size <= s_hi) & (qty >= q_lo) & (qty <= q_hi)
+            keep |= arm
+        t = t.filter(pa.array(keep))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        r = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        return pa.table({"rev": pa.array([int(r.sum())], type=pa.int64())})
+
+    total = lines.map_batches(rev, batch_format="pyarrow").sum("rev")
+    return pa.table({"revenue_units": pa.array([int(total or 0)], type=pa.int64())})
+
+
+def q_supplier_share(sf_dir: str):
+    """TPC-H Q20 analog: suppliers for whom 'widget' parts were the
+    dominant share (>20%) of 1996 shipped quantity — the nested-aggregate-threshold
+    shape (an aggregate compared against a fraction of another aggregate
+    at the same grain).  Scale shape: the widget flag broadcasts with
+    the part dim; BOTH sums ride one supplier-keyed bucket exchange
+    (the CASE side is built batch-side); the share test cross-
+    multiplies (``5*widget > total``, i.e. share > 20%) so no float
+    division exists."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    widget = pc.match_substring(part.column("p_name"), "widget")
+    part_dim = pa.table(
+        {
+            "p_partkey": part.column("p_partkey"),
+            "is_widget": pc.cast(widget, pa.int64()),
+        }
+    )
+    part_ref = ray.put(part_dim.combine_chunks())
+
+    lo = int(np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64))
+    hi = int(np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64))
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        sd = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        t = t.filter(pa.array((sd >= lo) & (sd < hi)))
+        dim = ray.get(part_ref)
+        idx = pc.index_in(
+            t.column("l_partkey").combine_chunks(), value_set=dim.column("p_partkey")
+        )
+        isw = pc.take(dim.column("is_widget"), idx).to_numpy(zero_copy_only=False)
+        qty = np.rint(t.column("l_quantity").to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "total_qty": pa.array(qty),
+                "widget_qty": pa.array(qty * isw.astype(np.int64)),
+            }
+        )
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    per = bucketed_group_aggregate(
+        lines,
+        ["l_suppkey"],
+        [("total_qty", "sum", "total_qty"), ("widget_qty", "sum", "widget_qty")],
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sref = ray.put(supp.combine_chunks())
+
+    def majority(t: pa.Table) -> pa.Table:
+        w = t.column("widget_qty").to_numpy(zero_copy_only=False)
+        tot = t.column("total_qty").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(5 * w > tot))
+        dim = ray.get(sref)
+        idx = pc.index_in(
+            t.column("l_suppkey").combine_chunks(), value_set=dim.column("s_suppkey")
+        )
+        return pa.table(
+            {
+                "s_suppkey": t.column("l_suppkey"),
+                "s_name": pc.take(dim.column("s_name"), idx),
+                "widget_qty": t.column("widget_qty"),
+                "total_qty": t.column("total_qty"),
+            }
+        )
+
+    return per.map_batches(majority, batch_format="pyarrow").sort(["s_suppkey"])
+
+
+def q_late_suppliers(sf_dir: str):
+    """TPC-H Q21 analog: per supplier, the number of MULTI-supplier orders
+    where that supplier shipped the final (max-shipdate) line — the
+    multi-EXISTS-on-the-same-table shape, decomposed into shrinking
+    exchanges instead of correlated subqueries.  Plan: (1) collapse to
+    (order, supplier) grain; (2) per-order distinct-supplier count and
+    max shipdate in one second exchange; (3) join the order-grain facts
+    back to the (order, supplier, max-shipdate-per-supplier) grain —
+    order-grain rows, never line-grain; (4) min-suppkey tie-break among
+    final-shipdate owners, then a supplier-keyed count.  Every exchange
+    operates on strictly coarser grain than its input."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        sd = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "sd": pa.array(sd),
+            }
+        )
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+
+    # (order, supplier) grain with each supplier's max shipdate
+    pair = bucketed_group_aggregate(
+        lines, ["l_orderkey", "l_suppkey"], [("sd", "max", "supp_max_sd")]
+    )
+    # order grain: distinct-supplier count + global max shipdate
+    order = bucketed_group_aggregate(
+        pair,
+        ["l_orderkey"],
+        [("l_suppkey", "count", "nsupp"), ("supp_max_sd", "max", "max_sd")],
+    )
+    order = order.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("nsupp"), 2)).select(
+            ["l_orderkey", "max_sd"]
+        ),
+        batch_format="pyarrow",
+    )
+    # keep (order, supplier) rows owning the order's final shipdate;
+    # drop_missing doubles as the nsupp>=2 semi filter
+    owned = broadcast_lookup(pair, order, on=["l_orderkey"])
+    owned = owned.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("supp_max_sd"), t.column("max_sd"))
+        ).select(["l_orderkey", "l_suppkey"]),
+        batch_format="pyarrow",
+    )
+    late = bucketed_group_aggregate(
+        owned, ["l_orderkey"], [("l_suppkey", "min", "late_supp")]
+    )
+    per_supp = bucketed_group_aggregate(
+        late, ["late_supp"], [("l_orderkey", "count", "numwait")]
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sref = ray.put(supp.combine_chunks())
+
+    def add_name(t: pa.Table) -> pa.Table:
+        dim = ray.get(sref)
+        idx = pc.index_in(
+            t.column("late_supp").combine_chunks(), value_set=dim.column("s_suppkey")
+        )
+        return pa.table(
+            {
+                "s_name": pc.take(dim.column("s_name"), idx),
+                "numwait": t.column("numwait"),
+            }
+        )
+
+    return per_supp.map_batches(add_name, batch_format="pyarrow").sort(
+        ["numwait", "s_name"], descending=[True, False]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4087,6 +4371,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_exists": q_priority_exists,
         "nation_profit": q_nation_profit,
         "returned_revenue": q_returned_revenue,
+        "part_suppliers": q_part_suppliers,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "supplier_share": q_supplier_share,
+        "late_suppliers": q_late_suppliers,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -5755,4 +6043,62 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY revenue_units DESC, c_custkey
             LIMIT 20""",
+        "part_suppliers": """
+            SELECT p.p_brand, p.p_type, p.p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#1'
+              AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "disjunctive_revenue": """
+            SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_units
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)""",
+        "supplier_share": """
+            WITH per AS (
+              SELECT l.l_suppkey,
+                     CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                       AS total_qty,
+                     CAST(sum(CASE WHEN p.p_name LIKE '%widget%'
+                              THEN CAST(round(l.l_quantity) AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS widget_qty
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY 1)
+            SELECT s.s_suppkey, s.s_name, per.widget_qty, per.total_qty
+            FROM per
+            JOIN supplier s ON s.s_suppkey = per.l_suppkey
+            WHERE 5 * per.widget_qty > per.total_qty
+            ORDER BY s.s_suppkey""",
+        "late_suppliers": """
+            WITH ord AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS nsupp,
+                     max(l_shipdate) AS max_sd
+              FROM lineitem GROUP BY 1),
+            last_line AS (
+              SELECT l.l_orderkey, min(l.l_suppkey) AS late_supp
+              FROM lineitem l
+              JOIN ord o ON o.l_orderkey = l.l_orderkey
+                        AND l.l_shipdate = o.max_sd
+              WHERE o.nsupp >= 2
+              GROUP BY 1)
+            SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM last_line j
+            JOIN supplier s ON s.s_suppkey = j.late_supp
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name""",
     }
