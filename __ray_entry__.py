@@ -4280,6 +4280,42 @@ def q_late_suppliers(sf_dir: str):
     )
 
 
+def q_bbox_pairs(sf_dir: str):
+    """Rectangle-overlap spatial self-join over the metro pages: each
+    geocoded metro doc gets a deterministic bbox (doc_id-derived width/
+    height), and the result is every overlapping pair with its overlap
+    area — the R-tree-style range join, executed by
+    :func:`cloudtile_ray.stages.join.box_overlap_pairs` (grid-cell
+    exchange + corner-cell pair ownership, no dedup pass; see its
+    docstring for the partitioning assumption)."""
+    import pyarrow as pa
+
+    from cloudtile_ray.sources.pages import derive_geo_arrays
+    from cloudtile_ray.stages.join import box_overlap_pairs
+
+    def boxes(t: pa.Table) -> pa.Table:
+        m = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = derive_geo_arrays(m)
+        keep = g["is_metro"] & g["has_geo"]
+        m = m[keep]
+        w = g["lon_mi"][keep]
+        s = g["lat_mi"][keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(m),
+                "west": pa.array(w),
+                "south": pa.array(s),
+                "east": pa.array(w + 20 + (m % 7) * 10),
+                "north": pa.array(s + 16 + (m % 5) * 8),
+            }
+        )
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return box_overlap_pairs(docs.map_batches(boxes, batch_format="pyarrow")).sort(
+        ["doc_a", "doc_b"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4375,6 +4411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "supplier_share": q_supplier_share,
         "late_suppliers": q_late_suppliers,
+        "bbox_pairs": q_bbox_pairs,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -6101,4 +6138,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON s.s_suppkey = j.late_supp
             GROUP BY 1
             ORDER BY numwait DESC, s_name""",
+        "bbox_pairs": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            boxes AS (
+              SELECT doc_id, lon_mi AS w, lat_mi AS s,
+                     lon_mi + 20 + (doc_id % 7) * 10 AS e,
+                     lat_mi + 16 + (doc_id % 5) * 8 AS n
+              FROM geo WHERE is_metro)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST((LEAST(a.e, b.e) - GREATEST(a.w, b.w))
+                        * (LEAST(a.n, b.n) - GREATEST(a.s, b.s)) AS BIGINT)
+                     AS ov_area
+            FROM boxes a
+            JOIN boxes b ON a.doc_id < b.doc_id
+                        AND a.w <= b.e AND b.w <= a.e
+                        AND a.s <= b.n AND b.s <= a.n
+            ORDER BY doc_a, doc_b""",
     }

@@ -785,3 +785,119 @@ def _hex_knn_search(
     return knn_merge(
         pa.concat_tables(_gather(_partial_knn_ds(full, q, k))), k
     )
+
+
+def box_overlap_pairs(
+    ds,
+    id_col: str = "doc_id",
+    cols: Sequence[str] = ("west", "south", "east", "north"),
+    cell_mi: int = 100,
+    num_parts: int | None = None,
+):
+    """All unordered pairs of rectangles that overlap (inclusive edges) —
+    the rectangle-intersection / range-overlap spatial join (beyond the
+    reference, which has no join operator; the bbox prefilter shape every
+    R-tree join uses, here as the join itself).
+
+    Scale shape: each box is replicated to every ``cell_mi``-sized grid
+    cell its extent touches (boxes must be smaller than a cell, so at
+    most 2×2 cells per box — asserted); one cell-keyed exchange
+    (:func:`~cloudtile_ray.stages.dedup.grouped_buckets_apply`) then
+    pairs boxes locally with a vectorized triangular expansion.  A pair
+    that co-occurs in several cells is emitted ONLY by the cell that
+    contains the overlap region's (west, south) corner, so no dedup
+    exchange is needed — the output is exact with zero post-processing.
+    Partitioning assumption (documented per the custom-operator rule):
+    box extents are bounded by ``cell_mi``; a corpus of boxes larger
+    than a cell needs a coarser ``cell_mi`` or a broadcast plan.
+
+    Returns (doc_a, doc_b, ov_area) with ``doc_a < doc_b`` and
+    ``ov_area`` the integer width×height of the (inclusive-coordinate)
+    overlap region — 0 for boxes that merely touch along an edge."""
+    from cloudtile_ray.stages.dedup import grouped_buckets_apply
+
+    wcol, scol, ecol, ncol = cols
+    OFF = np.int64(1) << np.int64(20)
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        w = t.column(wcol).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column(scol).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t.column(ecol).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column(ncol).to_numpy(zero_copy_only=False).astype(np.int64)
+        if t.num_rows and (
+            int((e - w).max()) >= cell_mi or int((n - s).max()) >= cell_mi
+        ):
+            raise ValueError(
+                f"box extent exceeds cell_mi={cell_mi}; pass a coarser grid"
+            )
+        doc = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cx0, cx1 = w // cell_mi, e // cell_mi
+        cy0, cy1 = s // cell_mi, n // cell_mi
+        parts = []
+        for cx, cy, mask in (
+            (cx0, cy0, None),
+            (cx1, cy0, cx1 != cx0),
+            (cx0, cy1, cy1 != cy0),
+            (cx1, cy1, (cx1 != cx0) & (cy1 != cy0)),
+        ):
+            if mask is None:
+                keep = np.ones(len(doc), dtype=bool)
+            else:
+                keep = mask
+            parts.append(
+                {
+                    "cell": (cx[keep] + OFF) * (OFF * 2) + (cy[keep] + OFF),
+                    id_col: doc[keep],
+                    "w": w[keep],
+                    "s": s[keep],
+                    "e": e[keep],
+                    "n": n[keep],
+                }
+            )
+        out = {
+            k: pa.array(np.concatenate([p[k] for p in parts]))
+            for k in parts[0]
+        }
+        return pa.table(out)
+
+    cells = ds.map_batches(to_cells, batch_format="pyarrow")
+
+    def pair_cell(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "ov_area": pa.array([], pa.int64()),
+            }
+        )
+        m = g.num_rows
+        if m < 2:
+            return empty
+        cell = int(g.column("cell")[0].as_py())
+        ccx, ccy = cell // int(OFF * 2) - int(OFF), cell % int(OFF * 2) - int(OFF)
+        doc = g.column(id_col).to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        s = g.column("s").to_numpy(zero_copy_only=False)
+        e = g.column("e").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        i, j = np.triu_indices(m, 1)
+        ow, oe = np.maximum(w[i], w[j]), np.minimum(e[i], e[j])
+        os_, on = np.maximum(s[i], s[j]), np.minimum(n[i], n[j])
+        keep = (ow <= oe) & (os_ <= on)
+        # corner-cell ownership: only the cell holding the overlap's
+        # (west, south) corner emits the pair
+        keep &= (ow // cell_mi == ccx) & (os_ // cell_mi == ccy)
+        if not keep.any():
+            return empty
+        i, j = i[keep], j[keep]
+        area = (oe[keep] - ow[keep]) * (on[keep] - os_[keep])
+        da, db = np.minimum(doc[i], doc[j]), np.maximum(doc[i], doc[j])
+        return pa.table(
+            {
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "ov_area": pa.array(area.astype(np.int64)),
+            }
+        )
+
+    return grouped_buckets_apply(cells, ["cell"], pair_cell, num_parts=num_parts)

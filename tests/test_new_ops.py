@@ -3558,3 +3558,72 @@ def test_bigram_partials_buffer_math():
     empty = _bigram_partials(pa.table({"word": pa.array([], type=pa.string()),
                                        "n": pa.array([], type=pa.int64())}))
     assert empty.num_rows == 0 and empty.column_names == ["pair_id", "cnt"]
+
+
+def test_box_overlap_pairs_brute_force(ray_session):
+    """Grid-cell plan == quadratic truth, including boxes that straddle
+    cell borders and pairs co-resident in several cells (the corner-cell
+    ownership rule must emit each exactly once)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from cloudtile_ray.stages.join import box_overlap_pairs
+
+    rng = np.random.default_rng(7)
+    n = 120
+    # spread across ~6x6 cells of 100 so many boxes straddle borders;
+    # include negatives to exercise floor-division cells
+    w = rng.integers(-300, 300, n)
+    s = rng.integers(-300, 300, n)
+    e = w + rng.integers(0, 99, n)
+    no = s + rng.integers(0, 99, n)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "west": pa.array(w),
+            "south": pa.array(s),
+            "east": pa.array(e),
+            "north": pa.array(no),
+        }
+    )
+    got = (
+        box_overlap_pairs(ray.data.from_arrow(t).repartition(5))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    want = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            ow, oe = max(w[i], w[j]), min(e[i], e[j])
+            os_, on = max(s[i], s[j]), min(no[i], no[j])
+            if ow <= oe and os_ <= on:
+                want[(i, j)] = (oe - ow) * (on - os_)
+    got_pairs = {
+        (a, b): ar
+        for a, b, ar in zip(got["doc_a"], got["doc_b"], got["ov_area"])
+    }
+    assert got_pairs == want
+    # duplicates would betray broken corner ownership
+    assert len(got) == len(got_pairs)
+
+
+def test_box_overlap_pairs_rejects_oversized(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from cloudtile_ray.stages.join import box_overlap_pairs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "west": pa.array([0, 10], type=pa.int64()),
+            "south": pa.array([0, 10], type=pa.int64()),
+            "east": pa.array([150, 20], type=pa.int64()),  # wider than cell
+            "north": pa.array([5, 20], type=pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="cell_mi"):
+        box_overlap_pairs(ray.data.from_arrow(t)).materialize()
