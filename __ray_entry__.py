@@ -4316,6 +4316,75 @@ def q_bbox_pairs(sf_dir: str):
     )
 
 
+def q_value_outliers(sf_dir: str):
+    """Tukey-fence (1.5×IQR) outlier report per event type — the robust-
+    statistics filter composed from the engine's distributed quantile
+    selection.  Scale shape: q1/q3 resolve via
+    :func:`~cloudtile_ray.stages.quantiles.exact_quantiles` (shared
+    bracket-refinement scans, no global sort — two scalars reach the
+    driver); the fence test then runs as one vectorized integer compare
+    per batch (cross-multiplied by 2, so 1.5×IQR needs no float), and
+    the per-type rollup rides the bucket exchange."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.events import prep_events
+    from cloudtile_ray.stages.quantiles import exact_quantiles
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    ).map_batches(prep_events, batch_format="pyarrow")
+    qt = exact_quantiles(ds, "value_cents", {"q1": 0.25, "q3": 0.75})
+    q1 = int(qt.column("q1")[0].as_py())
+    q3 = int(qt.column("q3")[0].as_py())
+    lo2, hi2 = 2 * q1 - 3 * (q3 - q1), 2 * q3 + 3 * (q3 - q1)
+
+    def fence(t: pa.Table) -> pa.Table:
+        v = t.column("value_cents").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((2 * v < lo2) | (2 * v > hi2))).select(
+            ["event_type", "value_cents"]
+        )
+
+    out = bucketed_group_aggregate(
+        ds.map_batches(fence, batch_format="pyarrow"),
+        ["event_type"],
+        [
+            ("value_cents", "count", "n_outliers"),
+            ("value_cents", "min", "min_cents"),
+            ("value_cents", "max", "max_cents"),
+        ],
+    )
+    return out.sort(["event_type"])
+
+
+def q_lm_score(sf_dir: str):
+    """Bigram-LM familiarity scoring: train the corpus bigram model, then
+    score every document by total corpus frequency of its own bigrams —
+    see :func:`cloudtile_ray.stages.text.bigram_familiarity` for the
+    two-pass, integer-exact plan."""
+    from cloudtile_ray.stages.text import bigram_familiarity
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_familiarity(docs)
+
+
+def q_name_kcore(sf_dir: str):
+    """Bounded 2-core peel (3 rounds) of the edit-distance-1 customer-name
+    graph: iteratively drop degree-<2 nodes, return the surviving
+    subgraph's degree table — the density filter that prunes chain-like
+    noise from entity-resolution graphs.  See
+    :func:`cloudtile_ray.stages.graph.kcore_peel`; the oracle unrolls the
+    three peel rounds as CTE stages (the :func:`bfs_hops` convention for
+    finite iterative semantics)."""
+    from cloudtile_ray.stages.graph import kcore_peel
+
+    edges, _nid = _name_graph_edges(sf_dir)
+    return kcore_peel(edges, k=2, rounds=3, id_cols=("id_a", "id_b")).rename_columns(
+        ["node", "deg"]
+    ).sort(["node"])
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4412,6 +4481,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_share": q_supplier_share,
         "late_suppliers": q_late_suppliers,
         "bbox_pairs": q_bbox_pairs,
+        "value_outliers": q_value_outliers,
+        "lm_score": q_lm_score,
+        "name_kcore": q_name_kcore,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -6153,4 +6225,61 @@ def oracle_sql() -> dict[str, str]:
                         AND a.w <= b.e AND b.w <= a.e
                         AND a.s <= b.n AND b.s <= a.n
             ORDER BY doc_a, doc_b""",
+        "value_outliers": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            q AS (SELECT quantile_disc(cents, 0.25) AS q1,
+                         quantile_disc(cents, 0.75) AS q3 FROM c)
+            SELECT c.event_type,
+                   CAST(count(*) AS BIGINT) AS n_outliers,
+                   min(c.cents) AS min_cents,
+                   max(c.cents) AS max_cents
+            FROM c, q
+            WHERE 2 * c.cents < 2 * q.q1 - 3 * (q.q3 - q.q1)
+               OR 2 * c.cents > 2 * q.q3 + 3 * (q.q3 - q.q1)
+            GROUP BY 1
+            ORDER BY 1""",
+        "lm_score": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents),
+            p AS (SELECT doc_id, unnest(l) AS tk,
+                         generate_subscripts(l, 1) AS i FROM t),
+            b AS (SELECT a.doc_id, a.tk || ' ' || c.tk AS bigram
+                  FROM p a JOIN p c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+            g AS (SELECT bigram, count(*) AS c FROM b GROUP BY 1)
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(g.c) AS BIGINT) AS familiarity
+            FROM b JOIN g USING (bigram)
+            GROUP BY 1
+            ORDER BY 1""",
+        "name_kcore": """
+            WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
+                         FROM customer GROUP BY c_name),
+            e0 AS (SELECT ia.node_id AS a, ib.node_id AS b
+                   FROM ids ia JOIN ids ib ON ia.c_name < ib.c_name
+                   WHERE levenshtein(ia.c_name, ib.c_name) = 1),
+            d1 AS (SELECT n, count(*) AS deg FROM (
+                       SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0)
+                   GROUP BY 1),
+            k1 AS (SELECT n FROM d1 WHERE deg >= 2),
+            e1 AS (SELECT e0.a, e0.b FROM e0
+                   JOIN k1 ka ON ka.n = e0.a JOIN k1 kb ON kb.n = e0.b),
+            d2 AS (SELECT n, count(*) AS deg FROM (
+                       SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1)
+                   GROUP BY 1),
+            k2 AS (SELECT n FROM d2 WHERE deg >= 2),
+            e2 AS (SELECT e1.a, e1.b FROM e1
+                   JOIN k2 ka ON ka.n = e1.a JOIN k2 kb ON kb.n = e1.b),
+            d3 AS (SELECT n, count(*) AS deg FROM (
+                       SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2)
+                   GROUP BY 1),
+            k3 AS (SELECT n FROM d3 WHERE deg >= 2),
+            e3 AS (SELECT e2.a, e2.b FROM e2
+                   JOIN k3 ka ON ka.n = e2.a JOIN k3 kb ON kb.n = e2.b)
+            SELECT n AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
+            GROUP BY 1
+            ORDER BY 1""",
     }

@@ -517,3 +517,73 @@ def pagerank(
     return rank.map_batches(
         lambda t: t.select(["node", "rank"]), batch_format="pyarrow"
     )
+
+
+def kcore_peel(
+    edges,
+    k: int,
+    rounds: int,
+    id_cols: tuple[str, str] = ("a", "b"),
+    num_buckets: int | None = None,
+):
+    """Bounded-round k-core peeling over an undirected edge-list Dataset:
+    ``rounds`` iterations of (compute degree, drop nodes with degree <
+    ``k``, drop their edges), then the degree table of the surviving
+    subgraph — the community-density filter (entity-resolution noise
+    pruning, spam-cluster detection).  The round cap makes the semantics
+    finite and SQL-replayable as ``rounds`` unrolled CTE stages (the
+    same convention as :func:`bfs_hops`); on graphs that reach the
+    peeling fixpoint within the cap (checked each round — the loop exits
+    early) the result IS the true k-core.
+
+    Scale shape per round: degrees fold through one node-keyed bucket
+    exchange (node ids may be strings — the exchange hashes them, never
+    Ray per-group Python); the survivor set — already node-grain, and
+    strictly shrinking — attaches back to the edge list via two
+    byte-gated :func:`~cloudtile_ray.stages.relational.broadcast_lookup`
+    semi-filters (hash-join fallback past the budget).  Edges never
+    carry payload; every exchange operates on node- or edge-grain keys
+    only."""
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+
+    a_col, b_col = id_cols
+    if k < 1 or rounds < 1:
+        raise ValueError("k and rounds must be >= 1")
+
+    def degrees(es):
+        def endpoints(t: pa.Table) -> pa.Table:
+            both = pa.concat_tables(
+                [
+                    pa.table({"n": t.column(a_col)}),
+                    pa.table({"n": t.column(b_col)}),
+                ]
+            )
+            return both.append_column(
+                "one", pa.array(np.ones(both.num_rows, np.int64))
+            )
+
+        return bucketed_group_aggregate(
+            es.map_batches(endpoints, batch_format="pyarrow"),
+            ["n"],
+            [("one", "sum", "deg")],
+            num_buckets=num_buckets,
+        )
+
+    def survivors_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("deg"), k)).select(["n"])
+
+    es = edges
+    n_nodes = None
+    for _ in range(rounds):
+        deg = degrees(es)
+        surv = deg.map_batches(survivors_only, batch_format="pyarrow").materialize()
+        n_surv = surv.count()
+        if n_nodes is not None and n_surv == n_nodes:
+            break  # fixpoint: no node was peeled; further rounds are no-ops
+        n_nodes = n_surv
+        es = broadcast_lookup(es, surv, on=[a_col], right_on=["n"])
+        es = broadcast_lookup(es, surv, on=[b_col], right_on=["n"]).materialize()
+    return degrees(es)

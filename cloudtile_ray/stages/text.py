@@ -1071,3 +1071,95 @@ def bpe_pair_counts(ds, k: int = 50) -> "ray.data.Dataset":
         .sort(["cnt", "pair"], descending=[True, False])
         .limit(k)
     )
+
+
+def bigram_familiarity(ds) -> "ray.data.Dataset":
+    """Per-document corpus-familiarity score: Σ over the doc's word
+    bigrams of that bigram's CORPUS frequency (count duplicates on both
+    sides) — the integer-exact core of an n-gram LM perplexity screen
+    (high = stock phrasing, low = novel text), SQL-replayable because no
+    log/float enters.
+
+    Two passes over the stream, zero corpus-sized shuffles:
+
+    1. **model build** — batch-local (bigram → count) partials (the
+       doc-boundary-safe positional pairing from :func:`bigram_counts`)
+       collapse through one bigram-keyed bucket exchange
+       (:func:`~cloudtile_ray.stages.relational.bucketed_group_aggregate`
+       — bigram keys are vocab²-cardinality, never Ray per-group Python).
+    2. **score** — batch-local (doc, bigram → count) partials attach the
+       model via :func:`~cloudtile_ray.stages.relational.broadcast_lookup`
+       (byte-gated ``ray.put``; hash-join fallback when the model
+       outgrows the budget), multiply, and collapse to doc grain through
+       a second bucket exchange.
+
+    Docs with fewer than two tokens have no bigrams and are absent from
+    the output (inner-join semantics, matching the SQL oracle)."""
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bigram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column("text").combine_chunks(), ""), pattern=" "
+        )
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return empty
+        ends = np.cumsum(lens) - 1
+        keep = np.ones(n, dtype=bool)
+        keep[ends] = False
+        left = flat.slice(0, n - 1).filter(pa.array(keep[: n - 1]))
+        right = flat.slice(1).filter(pa.array(keep[: n - 1]))
+        big = pc.binary_join_element_wise(left, right, " ")
+        doc_of_tok = np.repeat(
+            batch.column("doc_id").to_numpy(zero_copy_only=False), lens
+        )
+        docs = pa.array(doc_of_tok[: n - 1][keep[: n - 1]])
+        part = (
+            pa.table({"doc_id": docs, "bigram": big})
+            .group_by(["doc_id", "bigram"])
+            .aggregate([("doc_id", "count")])
+        )
+        return pa.table(
+            {
+                "doc_id": part.column("doc_id"),
+                "bigram": part.column("bigram"),
+                "cnt": pc.cast(part.column("doc_id_count"), pa.int64()),
+            }
+        )
+
+    pairs = ds.map_batches(doc_bigrams, batch_format="pyarrow")
+    model = bucketed_group_aggregate(pairs, ["bigram"], [("cnt", "sum", "c")])
+    scored = broadcast_lookup(pairs, model, on=["bigram"])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cnt": t.column("cnt"),
+                "w": pa.array(cnt * c),
+            }
+        )
+
+    return bucketed_group_aggregate(
+        scored.map_batches(weigh, batch_format="pyarrow"),
+        ["doc_id"],
+        [("cnt", "sum", "n_bigrams"), ("w", "sum", "familiarity")],
+    ).sort(["doc_id"])

@@ -3627,3 +3627,49 @@ def test_box_overlap_pairs_rejects_oversized(ray_session):
     )
     with pytest.raises(Exception, match="cell_mi"):
         box_overlap_pairs(ray.data.from_arrow(t)).materialize()
+
+
+def test_kcore_peel_brute_force(ray_session):
+    """3-round 2-core peel == the same peel computed densely, on a random
+    sparse graph; includes a chain (fully peeled) and a clique (kept)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from cloudtile_ray.stages.graph import kcore_peel
+
+    rng = np.random.default_rng(3)
+    n = 60
+    a = rng.integers(0, n, 150)
+    b = rng.integers(0, n, 150)
+    # chain 100-101-102-103 (degree-1 ends peel it entirely)
+    # clique 200..204 (every degree 4: survives any number of rounds)
+    extra_a = [100, 101, 102] + [i for i in range(200, 205) for j in range(i + 1, 205)]
+    extra_b = [101, 102, 103] + [j for i in range(200, 205) for j in range(i + 1, 205)]
+    a = np.concatenate([a, np.array(extra_a)])
+    b = np.concatenate([b, np.array(extra_b)])
+    keep = a != b
+    edges = {tuple(sorted(p)) for p in zip(a[keep].tolist(), b[keep].tolist())}
+
+    k, rounds = 2, 3
+    es = set(edges)
+    for _ in range(rounds):
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        alive = {u for u, d in deg.items() if d >= k}
+        es = {(u, v) for u, v in es if u in alive and v in alive}
+    want = {}
+    for u, v in es:
+        want[u] = want.get(u, 0) + 1
+        want[v] = want.get(v, 0) + 1
+
+    ea, eb = zip(*sorted(edges))
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
+    ).repartition(4)
+    got = kcore_peel(ds, k=k, rounds=rounds).to_pandas()
+    got_map = dict(zip(got["n"], got["deg"]))
+    assert got_map == want
+    assert 103 not in got_map and 200 in got_map
