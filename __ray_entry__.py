@@ -4385,6 +4385,64 @@ def q_name_kcore(sf_dir: str):
     ).sort(["node"])
 
 
+def q_radius_pairs(sf_dir: str):
+    """Fixed-radius near-neighbor self-join over the metro pages: every
+    pair of geocoded metro docs within 30 milli-degrees (planar), with
+    squared distance — see
+    :func:`cloudtile_ray.stages.join.radius_pairs` (ghost-cell exchange,
+    each pair materializes in exactly one cell)."""
+    import pyarrow as pa
+
+    from cloudtile_ray.sources.pages import derive_geo_arrays
+    from cloudtile_ray.stages.join import radius_pairs
+
+    def metro_points(t: pa.Table) -> pa.Table:
+        m = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = derive_geo_arrays(m)
+        keep = g["is_metro"] & g["has_geo"]
+        return pa.table(
+            {
+                "doc_id": pa.array(m[keep]),
+                "lon_mi": pa.array(g["lon_mi"][keep]),
+                "lat_mi": pa.array(g["lat_mi"][keep]),
+            }
+        )
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return radius_pairs(
+        docs.map_batches(metro_points, batch_format="pyarrow"), radius=30
+    ).sort(["doc_a", "doc_b"])
+
+
+def q_cms_terms(sf_dir: str):
+    """Count-Min-sketch frequency estimates vs truth for the exact top-20
+    corpus tokens — the fixed-size approximate path next to
+    ``heavy_hitters``'s vocabulary-sized exact exchange (rows-only by
+    design: the sketch hash is not SQL-expressible; the CMS guarantee
+    est >= true is asserted here and error-bounded in unit tests).
+    Scale shape: per-batch token partials fold into one local
+    (depth×width) counter block (a single binary row per block — merge
+    is element-wise add), so sketch traffic is O(blocks), independent
+    of corpus or vocabulary size."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.sketches import cms_build, cms_query
+    from cloudtile_ray.stages.text import heavy_hitters, token_count_partials
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = docs.map_batches(token_count_partials, batch_format="pyarrow")
+    sketch = cms_build(partials, "tok", "n", depth=4, width=1 << 14)
+    top = heavy_hitters(docs, k=20).to_pandas()
+    est = cms_query(sketch, pa.array(top["tok"].astype(str)))
+    out = pd.DataFrame(
+        {"tok": top["tok"], "true_n": top["n"], "est_n": est.astype("int64")}
+    )
+    assert bool((out["est_n"] >= out["true_n"]).all())  # CMS one-sided bound
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4484,6 +4542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "lm_score": q_lm_score,
         "name_kcore": q_name_kcore,
+        "radius_pairs": q_radius_pairs,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -4559,6 +4618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only (non-SQL-expressible: approximate / geometric / stubbed)
         "hll_users": q_hll_users,
         "value_sketch": q_value_sketch,
+        "cms_terms": q_cms_terms,
         "cell_index": q_cell_index,
         "tiles_full": q_tiles_full,
         "ivf_ann": q_ivf_ann,
@@ -6282,4 +6342,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3)
             GROUP BY 1
             ORDER BY 1""",
+        "radius_pairs": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            m AS (SELECT doc_id, lon_mi, lat_mi FROM geo WHERE is_metro)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST((a.lon_mi - b.lon_mi) * (a.lon_mi - b.lon_mi)
+                        + (a.lat_mi - b.lat_mi) * (a.lat_mi - b.lat_mi)
+                        AS BIGINT) AS d2
+            FROM m a
+            JOIN m b ON a.doc_id < b.doc_id
+            WHERE (a.lon_mi - b.lon_mi) * (a.lon_mi - b.lon_mi)
+                  + (a.lat_mi - b.lat_mi) * (a.lat_mi - b.lat_mi) <= 900
+            ORDER BY doc_a, doc_b""",
     }

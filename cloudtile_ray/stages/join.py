@@ -901,3 +901,111 @@ def box_overlap_pairs(
         )
 
     return grouped_buckets_apply(cells, ["cell"], pair_cell, num_parts=num_parts)
+
+
+def radius_pairs(
+    ds,
+    radius: int,
+    id_col: str = "doc_id",
+    lon_col: str = "lon_mi",
+    lat_col: str = "lat_mi",
+    num_parts: int | None = None,
+):
+    """All unordered point pairs within planar distance ``radius``
+    (inclusive, integer milli-degree coordinates) — the fixed-radius
+    near-neighbor join (beyond the reference; complements :func:`knn`'s
+    k-nearest semantics with distance-threshold semantics).
+
+    Scale shape: grid cells of side ``radius``; every candidate pair
+    spans cells at Chebyshev distance ≤ 1, and the 8-neighborhood splits
+    into half received and half sent — each point is a RESIDENT of its
+    home cell and a GHOST in 4 fixed backward neighbors, so every
+    cross-cell pair materializes in exactly one cell and same-cell pairs
+    pair residents triangularly: no dedup exchange exists.  One
+    cell-keyed exchange (:func:`~cloudtile_ray.stages.dedup.
+    grouped_buckets_apply`), vectorized distance check per cell.
+    Partitioning assumption: point density per radius-sized cell is
+    bounded (a hot cell's pair expansion is quadratic in its own
+    population — matching the output size, which a join must emit
+    anyway).
+
+    Returns (doc_a, doc_b, d2) with ``doc_a < doc_b`` and ``d2`` the
+    squared integer distance."""
+    from cloudtile_ray.stages.dedup import grouped_buckets_apply
+
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    r2 = radius * radius
+    OFF = np.int64(1) << np.int64(20)
+    GHOST_SHIFTS = ((-1, 0), (-1, -1), (0, -1), (1, -1))
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        x = t.column(lon_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column(lat_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cx, cy = x // radius, y // radius
+        docs, xs, ys, cells, ghosts = [], [], [], [], []
+        for dx, dy in ((0, 0),) + GHOST_SHIFTS:
+            docs.append(doc)
+            xs.append(x)
+            ys.append(y)
+            cells.append((cx + dx + OFF) * (OFF * 2) + (cy + dy + OFF))
+            ghosts.append(
+                np.full(len(doc), 0 if (dx, dy) == (0, 0) else 1, np.int64)
+            )
+        return pa.table(
+            {
+                "cell": pa.array(np.concatenate(cells)),
+                id_col: pa.array(np.concatenate(docs)),
+                "x": pa.array(np.concatenate(xs)),
+                "y": pa.array(np.concatenate(ys)),
+                "g": pa.array(np.concatenate(ghosts)),
+            }
+        )
+
+    cells = ds.map_batches(to_cells, batch_format="pyarrow")
+
+    def pair_cell(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows < 2:
+            return empty
+        doc = t.column(id_col).to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        res = np.flatnonzero(g == 0)
+        gho = np.flatnonzero(g == 1)
+        out_i, out_j = [], []
+        if len(res) >= 2:
+            i, j = np.triu_indices(len(res), 1)
+            out_i.append(res[i])
+            out_j.append(res[j])
+        if len(res) and len(gho):
+            i, j = np.meshgrid(res, gho, indexing="ij")
+            out_i.append(i.ravel())
+            out_j.append(j.ravel())
+        if not out_i:
+            return empty
+        i = np.concatenate(out_i)
+        j = np.concatenate(out_j)
+        d2 = (x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2
+        keep = d2 <= r2
+        if not keep.any():
+            return empty
+        i, j, d2 = i[keep], j[keep], d2[keep]
+        da, db = np.minimum(doc[i], doc[j]), np.maximum(doc[i], doc[j])
+        return pa.table(
+            {
+                "doc_a": pa.array(da),
+                "doc_b": pa.array(db),
+                "d2": pa.array(d2.astype(np.int64)),
+            }
+        )
+
+    return grouped_buckets_apply(cells, ["cell"], pair_cell, num_parts=num_parts)

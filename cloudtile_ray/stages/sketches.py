@@ -278,3 +278,67 @@ def hll_distinct(
         )
 
     return sums.map_batches(estimate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005, public construction)
+# ---------------------------------------------------------------------------
+
+
+def _cms_cells(h: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(len(h), depth) int64 cell ids: row d uses the double-hashing family
+    h1 + d*h2 (same construction as :func:`_bloom_indices`), flattened to
+    row-major (d * width + col)."""
+    h1 = h
+    h2 = (h >> np.uint64(17)) | np.uint64(1)  # odd => full-period stride
+    d = np.arange(depth, dtype=np.uint64)
+    cells = (h1[:, None] + d[None, :] * h2[:, None]) % np.uint64(width)
+    return (d[None, :] * np.uint64(width) + cells).astype(np.int64)
+
+
+def cms_build(ds, key_col: str, weight_col: str | None, depth: int, width: int):
+    """Count-Min frequency sketch of ``key_col`` (weighted by
+    ``weight_col`` when given): ``depth × width`` int64 counters in
+    O(depth·width) space regardless of key cardinality — the approximate
+    scale path next to the exact heavy-hitter exchange
+    (:func:`cloudtile_ray.stages.text.heavy_hitters`'s count table is
+    vocabulary-sized; the sketch is fixed-size and its point estimate
+    overcounts by at most ~2N/width with probability 1 - 2^-depth).
+
+    Scale shape mirrors :func:`bloom_build`: each batch folds its keys
+    into ONE local (depth·width) counter array (np.add.at — vectorized
+    scatter-add), emitted as a single binary row; the driver sums the
+    per-block partials (sketch merge IS element-wise addition, the
+    mergeability that makes CMS distributed-safe).  Hashing is the
+    repo-wide deterministic hash, so the sketch is bit-reproducible at
+    any parallelism.  Returns the (depth, width) int64 counter matrix."""
+    size = depth * width
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counters = np.zeros(size, dtype=np.int64)
+        if batch.num_rows:
+            h = _hash64(batch.column(key_col))
+            cells = _cms_cells(h, depth, width)
+            if weight_col is None:
+                w = np.ones(len(h), dtype=np.int64)
+            else:
+                w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            np.add.at(counters, cells.ravel(), np.repeat(w, depth))
+        return pa.table({"sketch": pa.array([counters.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.zeros(size, dtype=np.int64)
+    for row in parts:
+        total += np.frombuffer(row["sketch"], dtype=np.int64)
+    return total.reshape(depth, width)
+
+
+def cms_query(sketch: np.ndarray, keys: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Point-estimate counts for ``keys``: min over the depth rows of each
+    key's cells (the CMS estimate — always >= the true count)."""
+    depth, width = sketch.shape
+    h = _hash64(keys)
+    cells = _cms_cells(h, depth, width)
+    return sketch.ravel()[cells].min(axis=1)

@@ -3673,3 +3673,83 @@ def test_kcore_peel_brute_force(ray_session):
     got_map = dict(zip(got["n"], got["deg"]))
     assert got_map == want
     assert 103 not in got_map and 200 in got_map
+
+
+def test_radius_pairs_brute_force(ray_session):
+    """Ghost-cell plan == quadratic truth; exactly-once emission across
+    cell borders (points straddling cells at distance == radius)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from cloudtile_ray.stages.join import radius_pairs
+
+    rng = np.random.default_rng(11)
+    n = 150
+    x = rng.integers(-120, 120, n)
+    y = rng.integers(-120, 120, n)
+    # boundary-exact pair: distance exactly == radius across a cell line
+    x = np.concatenate([x, [0, 30]])
+    y = np.concatenate([y, [50, 50]])
+    ids = np.arange(len(x), dtype=np.int64)
+    t = pa.table(
+        {"doc_id": pa.array(ids), "lon_mi": pa.array(x), "lat_mi": pa.array(y)}
+    )
+    r = 30
+    got = radius_pairs(ray.data.from_arrow(t).repartition(5), radius=r).to_pandas()
+    got_pairs = {
+        (a, b): d for a, b, d in zip(got["doc_a"], got["doc_b"], got["d2"])
+    }
+    want = {}
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            d2 = int((x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2)
+            if d2 <= r * r:
+                want[(i, j)] = d2
+    assert got_pairs == want
+    assert len(got) == len(got_pairs)  # no duplicate emissions
+    assert (n, n + 1) in got_pairs and got_pairs[(n, n + 1)] == r * r
+
+
+def test_cms_sketch_bounds_and_merge(ray_session):
+    """CMS point estimates are one-sided (est >= true), within the
+    epsilon bound for a comfortable width, identical across block splits
+    (merge == element-wise add), and deterministic across runs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from cloudtile_ray.stages.sketches import cms_build, cms_query
+
+    rng = np.random.default_rng(5)
+    # zipf-ish key stream: key i appears ~ n/(i+1) times
+    keys = np.repeat(
+        [f"k{i}" for i in range(200)], (4000 / np.arange(1, 201)).astype(int)
+    )
+    rng.shuffle(keys)
+    t = pa.table({"key": pa.array(keys.astype(object), pa.string())})
+    true = {f"k{i}": int(4000 // (i + 1)) for i in range(200)}
+    n_total = len(keys)
+
+    depth, width = 4, 1 << 12
+    s1 = cms_build(ray.data.from_arrow(t).repartition(7), "key", None, depth, width)
+    s2 = cms_build(ray.data.from_arrow(t).repartition(2), "key", None, depth, width)
+    assert (s1 == s2).all()  # partitioning-invariant (mergeable)
+    assert s1.sum() == n_total * depth
+
+    probe = pa.array([f"k{i}" for i in range(200)])
+    est = cms_query(s1, probe)
+    tr = np.array([true[f"k{i}"] for i in range(200)])
+    assert (est >= tr).all()  # never undercounts
+    # standard bound: overcount <= e*N/width whp; allow 2x slack
+    assert (est - tr).max() <= 2 * np.e * n_total / width
+
+    # weighted build == unweighted on the expanded stream
+    import pyarrow.compute as pc
+
+    vc = pc.value_counts(t.column("key").combine_chunks())
+    wt = pa.table(
+        {"key": vc.field("values"), "n": pc.cast(vc.field("counts"), pa.int64())}
+    )
+    s3 = cms_build(ray.data.from_arrow(wt).repartition(3), "key", "n", depth, width)
+    assert (s3 == s1).all()
