@@ -4443,6 +4443,49 @@ def q_cms_terms(sf_dir: str):
     return out
 
 
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 analog: parts whose revenue exceeds 1.2× the AVERAGE
+    part revenue — the HAVING-vs-global-aggregate shape, made scale-free
+    (a fixed corpus fraction would select nothing once the part count
+    outgrows it; TPC-H itself scales Q11's fraction by 1/SF).  Scale
+    shape: one part-keyed bucket exchange builds the per-part sums; the
+    global sum and part count are dataset-side aggregates (two scalars
+    to the driver — never a join); the threshold folds into ONE exact
+    integer bound T = floor(12*total / (10*n)) + 1 computed with Python
+    bigints (rev > 1.2*total/n ⟺ rev >= T), so the per-row test is a
+    plain int64 compare with no float and no overflow at any scale."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        return pa.table({"l_partkey": t.column("l_partkey"), "rev": pa.array(rev)})
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    per_part = bucketed_group_aggregate(
+        lines, ["l_partkey"], [("rev", "sum", "revenue_units")]
+    ).materialize()
+    total = int(per_part.sum("revenue_units") or 0)
+    n_parts = per_part.count()
+    thresh = (12 * total) // (10 * n_parts) + 1 if n_parts else 0
+
+    def keep(t: pa.Table) -> pa.Table:
+        r = t.column("revenue_units").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(r >= thresh))
+
+    return per_part.map_batches(keep, batch_format="pyarrow").sort(
+        ["revenue_units", "l_partkey"], descending=[True, False]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4543,6 +4586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": q_lm_score,
         "name_kcore": q_name_kcore,
         "radius_pairs": q_radius_pairs,
+        "important_parts": q_important_parts,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -6353,4 +6397,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE (a.lon_mi - b.lon_mi) * (a.lon_mi - b.lon_mi)
                   + (a.lat_mi - b.lat_mi) * (a.lat_mi - b.lat_mi) <= 900
             ORDER BY doc_a, doc_b""",
+        "important_parts": """
+            WITH per AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                          AS BIGINT) AS revenue_units
+              FROM lineitem GROUP BY 1)
+            SELECT l_partkey, revenue_units
+            FROM per
+            WHERE revenue_units * 10 * (SELECT count(*) FROM per) >
+                  (SELECT sum(revenue_units) FROM per) * 12
+            ORDER BY revenue_units DESC, l_partkey""",
     }

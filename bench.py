@@ -179,6 +179,8 @@ def run_queries(sf_dir: str) -> dict:
         "json_extract", "user_paths", "dense_rank", "bloom_semi", "lang_sim",
         "range_window", "value_prank", "cust_order_dist", "big_orders",
         "source_jaccard", "value_quantiles_cont",
+        "nation_profit", "late_suppliers", "part_suppliers",
+        "bbox_pairs", "radius_pairs", "lm_score", "value_outliers",
     ]
     import gc
 
