@@ -4486,6 +4486,32 @@ def q_important_parts(sf_dir: str):
     )
 
 
+def q_footprint_area(sf_dir: str):
+    """Exact polygon area of every extracted footprint ring — certifies
+    the HTML footprint parse + the vectorized shoelace kernel
+    (:func:`cloudtile_ray.stages.polygons.ring_double_areas_mi2`) against
+    the generator's closed form: the diamond with half-diagonal
+    d = 200 + doc_id%100 has double-area exactly 4d².  Pure map work
+    (parse + one flattened cross-product pass per batch), zero
+    exchanges."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.polygons import (
+        extract_footprints,
+        ring_double_areas_mi2,
+    )
+
+    fp = _geocoded(sf_dir).map_batches(extract_footprints, batch_format="pyarrow")
+
+    def area(t: pa.Table) -> pa.Table:
+        a2 = ring_double_areas_mi2(t.column("fp_lon"), t.column("fp_lat"))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "double_area_mi2": pa.array(a2)}
+        )
+
+    return fp.map_batches(area, batch_format="pyarrow").sort(["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4587,6 +4613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_kcore": q_name_kcore,
         "radius_pairs": q_radius_pairs,
         "important_parts": q_important_parts,
+        "footprint_area": q_footprint_area,
         # never driver-certified, but judge-re-verified green in r3;
         # entries past the 50-slot boundary land here by design
         "simhash_pairs": q_simhash_pairs,
@@ -6409,4 +6436,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE revenue_units * 10 * (SELECT count(*) FROM per) >
                   (SELECT sum(revenue_units) FROM per) * 12
             ORDER BY revenue_units DESC, l_partkey""",
+        "footprint_area": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT doc_id,
+                   CAST(4 * (200 + doc_id % 100) * (200 + doc_id % 100)
+                        AS BIGINT) AS double_area_mi2
+            FROM geo
+            WHERE doc_id % 5 = 0
+            ORDER BY doc_id""",
     }

@@ -3753,3 +3753,30 @@ def test_cms_sketch_bounds_and_merge(ray_session):
     )
     s3 = cms_build(ray.data.from_arrow(wt).repartition(3), "key", "n", depth, width)
     assert (s3 == s1).all()
+
+
+def test_ring_double_areas():
+    """Shoelace double areas: open + closed rings, odd double-area,
+    empty ring, degree->milli snapping, and slice-offset safety."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.polygons import ring_double_areas_mi2
+
+    lon = pa.array(
+        [[0, 2, 2, 0], [0, 1, 0], [0, 1, 0], [], [0, 2, 2, 0, 0]],
+        type=pa.list_(pa.float64()),
+    )
+    lat = pa.array(
+        [[0, 0, 2, 2], [0, 0, 1], [0, 2, 0], [], [0, 0, 2, 2, 0]],
+        type=pa.list_(pa.float64()),
+    )
+    got = ring_double_areas_mi2(lon, lat, scale=1)
+    # square 2x2 -> 2A=8; triangle -> 2A=1 (odd!); degenerate -> 0;
+    # empty -> 0; explicitly closed square -> same 8
+    assert got.tolist() == [8, 1, 0, 0, 8]
+
+    # degrees scale to the milli lattice: 0.002 deg square -> 2A = 8 mi^2
+    lond = pa.array([[0.0, 0.002, 0.002, 0.0]], type=pa.list_(pa.float64()))
+    latd = pa.array([[0.0, 0.0, 0.002, 0.002]], type=pa.list_(pa.float64()))
+    assert ring_double_areas_mi2(lond, latd).tolist() == [8]
