@@ -181,6 +181,7 @@ def run_queries(sf_dir: str) -> dict:
         "source_jaccard", "value_quantiles_cont",
         "nation_profit", "late_suppliers", "part_suppliers",
         "bbox_pairs", "radius_pairs", "lm_score", "value_outliers",
+        "important_parts", "footprint_area",
     ]
     import gc
 

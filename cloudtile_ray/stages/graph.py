@@ -575,6 +575,10 @@ def kcore_peel(
     def survivors_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t.column("deg"), k)).select(["n"])
 
+    import ray
+
+    byte_budget = 256 << 20
+
     es = edges
     n_nodes = None
     for _ in range(rounds):
@@ -584,6 +588,25 @@ def kcore_peel(
         if n_nodes is not None and n_surv == n_nodes:
             break  # fixpoint: no node was peeled; further rounds are no-ops
         n_nodes = n_surv
-        es = broadcast_lookup(es, surv, on=[a_col], right_on=["n"])
-        es = broadcast_lookup(es, surv, on=[b_col], right_on=["n"]).materialize()
+        if (surv.size_bytes() or byte_budget + 1) <= byte_budget:
+            # one map stage filters BOTH endpoints against the broadcast
+            # survivor set (half the stages of two lookup passes; the set
+            # ships once via ray.put)
+            sset = pa.concat_tables(
+                [t for t in ray.get(list(surv.to_arrow_refs())) if t.num_columns]
+            ).column("n").combine_chunks()
+            sref = ray.put(sset)
+
+            def both_alive(t: pa.Table, _ref=sref) -> pa.Table:
+                ss = ray.get(_ref)
+                keep = pc.and_(
+                    pc.is_in(t.column(a_col), value_set=ss),
+                    pc.is_in(t.column(b_col), value_set=ss),
+                )
+                return t.filter(keep)
+
+            es = es.map_batches(both_alive, batch_format="pyarrow").materialize()
+        else:
+            es = broadcast_lookup(es, surv, on=[a_col], right_on=["n"])
+            es = broadcast_lookup(es, surv, on=[b_col], right_on=["n"]).materialize()
     return degrees(es)
