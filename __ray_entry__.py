@@ -4183,7 +4183,24 @@ def q_supplier_share(sf_dir: str):
             }
         )
 
-    return per.map_batches(majority, batch_format="pyarrow").sort(["s_suppkey"])
+    out = per.map_batches(majority, batch_format="pyarrow").sort(["s_suppkey"])
+    # the qualifying set is dimension-sized by construction (suppliers
+    # clearing a 20% share); gather as Arrow so an EMPTY result still
+    # carries its schema (Ray's to_pandas drops columns on zero rows)
+    import ray as _ray
+
+    blocks = [t for t in _ray.get(list(out.to_arrow_refs())) if t.num_columns]
+    schema = pa.schema(
+        [
+            ("s_suppkey", pa.int64()),
+            ("s_name", pa.string()),
+            ("widget_qty", pa.int64()),
+            ("total_qty", pa.int64()),
+        ]
+    )
+    if not blocks:
+        return schema.empty_table()
+    return pa.concat_tables(blocks).select(schema.names)
 
 
 def q_late_suppliers(sf_dir: str):
