@@ -3780,3 +3780,34 @@ def test_ring_double_areas():
     lond = pa.array([[0.0, 0.002, 0.002, 0.0]], type=pa.list_(pa.float64()))
     latd = pa.array([[0.0, 0.0, 0.002, 0.002]], type=pa.list_(pa.float64()))
     assert ring_double_areas_mi2(lond, latd).tolist() == [8]
+
+
+def test_bigram_familiarity_cross_partition(ray_session):
+    """Familiarity = Σ doc-bigram count × corpus count, with bigrams never
+    crossing document boundaries and the model built across partitions."""
+    import pyarrow as pa
+    import ray
+
+    from cloudtile_ray.stages.text import bigram_familiarity
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b",   # bigrams: (a b)x2, (b a)x1
+                    "a b",       # (a b)x1
+                    "c",         # no bigram -> absent from output
+                    "b a",       # (b a)x1
+                ]
+            ),
+        }
+    )
+    # corpus counts: (a b)=3, (b a)=2
+    got = bigram_familiarity(
+        ray.data.from_arrow(docs).repartition(4)
+    ).to_pandas().set_index("doc_id")
+    assert got.loc[0, "n_bigrams"] == 3 and got.loc[0, "familiarity"] == 2 * 3 + 1 * 2
+    assert got.loc[1, "n_bigrams"] == 1 and got.loc[1, "familiarity"] == 3
+    assert got.loc[3, "n_bigrams"] == 1 and got.loc[3, "familiarity"] == 2
+    assert 2 not in got.index
