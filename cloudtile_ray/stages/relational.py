@@ -157,6 +157,7 @@ def broadcast_lookup(
     right_on: Optional[Sequence[str]] = None,
     byte_budget: int = 256 << 20,
     drop_missing: bool = True,
+    semi: bool = False,
 ):
     """Map-side inner join against a SMALL key→attributes table: the
     lookup side is collected once, ``ray.put`` once, and probed per batch
@@ -173,13 +174,19 @@ def broadcast_lookup(
     With ``drop_missing`` (inner semantics) rows whose key is absent from
     the lookup are filtered; otherwise they keep null attribute values
     (left-join semantics).  The lookup's key column(s) are not duplicated
-    into the output; all its other columns are appended."""
+    into the output; all its other columns are appended.
+
+    ``semi=True`` makes this a pure existence filter: no lookup columns
+    are appended and — unlike the inner fallback — DUPLICATE keys on the
+    lookup side never duplicate probe rows, so callers may feed a
+    batch-deduped (not globally deduped) key stream; the past-budget
+    fallback is ``hash_join(how='semi')`` with the same guarantee."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     r_on = list(right_on) if right_on is not None else list(on)
     if len(on) != 1 or (lookup_ds.size_bytes() or byte_budget + 1) > byte_budget:
-        how = "inner" if drop_missing else "left"
+        how = "semi" if semi else ("inner" if drop_missing else "left")
         joined = hash_join(ds, lookup_ds, on=on, right_on=right_on, how=how)
         drop = [c for c in r_on if c not in list(on)]
         if drop:
@@ -198,7 +205,10 @@ def broadcast_lookup(
         [t for t in ray.get(list(lookup_ds.to_arrow_refs())) if t.num_columns],
         promote_options="default",
     ).combine_chunks()
-    val_cols = [c for c in lut.column_names if c != rkey]
+    val_cols = [] if semi else [c for c in lut.column_names if c != rkey]
+    if semi:
+        lut = lut.select([rkey])
+        drop_missing = True
     lref = ray.put(lut)
 
     def attach(t: pa.Table) -> pa.Table:

@@ -3095,6 +3095,36 @@ class TestBroadcastLookup:
         slow = slow.sort_values(key, ignore_index=True)[sorted(slow.columns)]
         assert fast.equals(slow)
 
+    def test_semi_never_duplicates_probe_rows(self, ray_session):
+        """semi=True is a pure existence filter: duplicate lookup keys
+        must not fan out probe rows on the broadcast path OR the
+        hash_join fallback, and no lookup columns are appended."""
+        import ray.data
+
+        from cloudtile_ray.stages.relational import broadcast_lookup
+
+        big, _ = self._fixtures()
+        dup_keys = pa.table({
+            "key": pa.array([2, 2, 3, 3, 3, 7], pa.int64()),
+            "junk": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        })
+        for budget in (256 << 20, 0):  # broadcast path, then fallback
+            got = (
+                broadcast_lookup(
+                    ray.data.from_arrow(big).repartition(3),
+                    ray.data.from_arrow(dup_keys),
+                    on=["k"],
+                    right_on=["key"],
+                    byte_budget=budget,
+                    semi=True,
+                )
+                .to_pandas()
+                .sort_values(["k", "x"], ignore_index=True)
+            )
+            assert list(got.columns) == ["k", "x"], budget
+            assert got["k"].tolist() == [2, 2, 3], budget
+            assert got["x"].tolist() == [20, 40, 30], budget
+
 
 class TestParetoFrontier:
     """2-D skyline (relational.pareto_frontier)."""
