@@ -16,6 +16,7 @@ from typing import Any
 import numpy as np
 
 from cloudtile_ray.sources.pages import (
+    EPOCH_2024_US,
     KNN_QUERIES_MI,
     N_ZONES,
     PAGES_SQL_CTE,
@@ -4865,6 +4866,169 @@ def q_min_cost_supplier(sf_dir: str):
     return named.map_batches(project, batch_format="pyarrow").sort(["p_partkey"])
 
 
+def q_zorder_cells(sf_dir: str):
+    """Morton (Z-order) spatial histogram: every geocoded page keyed to
+    its 16-bit z-cell on the 256x256 global grid, then a count per cell
+    — the locality-preserving linearization used to range-partition
+    spatial data (a contiguous z-range IS a shard boundary; see
+    cloudtile_ray/geo/zorder.py).  Pure integer quantize + three
+    branch-free shift-mask passes per axis inside ``map_batches``; the
+    only exchange is the <=65k-key count groupby.  The SQL oracle
+    replays the bit-interleave with the same unrolled shift/mask terms
+    (``_ZSPREAD_SQL``)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from cloudtile_ray.geo.zorder import zorder_cells_mi
+
+    def cell(t: pa.Table) -> pa.Table:
+        lon = t.column("lon_mi").to_numpy(zero_copy_only=False)
+        lat = t.column("lat_mi").to_numpy(zero_copy_only=False)
+        return pa.table({"zcell": pa.array(zorder_cells_mi(lon, lat))})
+
+    return (
+        _geo_only(sf_dir)
+        .map_batches(cell, batch_format="pyarrow")
+        .groupby("zcell")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def q_value_zscore(sf_dir: str):
+    """Per-event-type standardization join-back: z = (x - mean)/stddev
+    of value-cents within each event_type, attached to every event row
+    — the classic normalize-against-group-statistics shape (feature
+    scaling before model training).  Scale shape: per-batch integer
+    partials (n, sum, sum-of-squares) fold the corpus to one tiny
+    per-type table on the driver; the per-type (mean, std) scalars are
+    then closed over by a map stage — ZERO exchanges touch the big
+    side.  Float parity with the oracle: mean/var/std are computed from
+    the exact integer sums with the identical double-op sequence
+    (s/n, ss/n - mean*mean, sqrt) on both sides, and the per-row z is
+    (x - mean)/std in float64 — bit-identical IEEE ops, so the driver's
+    value-hash compare holds."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow as pa
+
+        cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+                "s": pa.array(cents),
+                "ss": pa.array(cents * cents),
+            }
+        ).group_by("event_type").aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        return g.rename_columns(["event_type", "n", "s", "ss"])
+
+    stats = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("ss", alias_name="ss"))
+        .to_pandas()
+    )  # one row per event_type — aggregate-sized driver gather
+    types = stats["event_type"].tolist()
+    n_arr = stats["n"].to_numpy(dtype=np.float64)
+    s_arr = stats["s"].to_numpy(dtype=np.float64)
+    ss_arr = stats["ss"].to_numpy(dtype=np.float64)
+    mu_by_type = s_arr / n_arr
+    sd_by_type = np.sqrt(ss_arr / n_arr - mu_by_type * mu_by_type)
+    type_arr = pa.array(types)
+
+    def zscore(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.index_in(t.column("event_type"), type_arr).to_numpy(
+            zero_copy_only=False
+        )
+        cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        vz = (cents.astype(np.float64) - mu_by_type[idx]) / sd_by_type[idx]
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "vz": pa.array(vz),
+            }
+        )
+
+    return ds.map_batches(zscore, batch_format="pyarrow")
+
+
+def q_latest_snapshot(sf_dir: str):
+    """Keep-newest-crawl per canonical URL: each page appears as two
+    crawl-style snapshot rows (tracking-param variant / case+slash
+    variant) with distinct integer fetch times; canonicalize, then keep
+    the row with the greatest ``warc_ts`` per ``canon_url`` (tie -> the
+    lower snapshot kind, the web-archive convention for replay picks).
+    This is the CDX dedup step of every crawl-corpus build.  Scale
+    shape: the snapshot expansion and canonicalization are pure map
+    work; the grouped argmax rides :func:`grouped_topk`'s batch-local
+    k=1 combiner + one bucket exchange — rows moved <= groups-per-batch,
+    never the corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.pipelines.single_step import pages_dataset
+    from cloudtile_ray.stages.dedup import canonicalize_urls
+    from cloudtile_ray.stages.relational import grouped_topk
+
+    pages = pages_dataset(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "url", "warc_ts"]), batch_format="pyarrow"
+    )
+
+    def snapshots(t: pa.Table) -> pa.Table:
+        m = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        base = t.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u = t.column("url")
+        has_q = pc.match_substring(u, "?")
+        va = pc.binary_join_element_wise(
+            u, pc.if_else(has_q, "&utm_source=feed", "?utm_source=feed"), ""
+        )
+        vb = pc.binary_join_element_wise(
+            pc.utf8_upper(u), pc.if_else(has_q, "", "/"), ""
+        )
+        ids = t.column("doc_id").combine_chunks()
+        ts_a = base + ((m * 31) % 1000) * 1_000_000
+        ts_b = base + ((m * 57) % 1000) * 1_000_000
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([ids] * 2),
+                "url": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in (va, vb)]
+                ),
+                "ts_us": pa.array(np.concatenate([ts_a, ts_b])),
+                "snap": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(m), np.int64), np.ones(len(m), np.int64)]
+                    )
+                ),
+            }
+        )
+
+    snaps = pages.map_batches(snapshots, batch_format="pyarrow").map_batches(
+        canonicalize_urls, batch_format="pyarrow"
+    ).map_batches(lambda t: t.drop_columns(["url"]), batch_format="pyarrow")
+    # ts ties are real ((31-57)·m ≡ 0 mod 1000 whenever m % 500 == 0):
+    # grouped_topk resolves order_col ties by ASCENDING tie_col, so the
+    # lower snapshot kind wins — mirrored by the oracle's ORDER BY ts
+    # DESC, snap.
+    return grouped_topk(
+        snaps, "canon_url", "ts_us", k=1, descending=True, tie_col="snap"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4892,6 +5056,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "zorder_cells": q_zorder_cells,
+        "value_zscore": q_value_zscore,
+        "latest_snapshot": q_latest_snapshot,
         "late_lines": q_late_lines,
         "promo_share": q_promo_share,
         "small_qty_revenue": q_small_qty_revenue,
@@ -5190,7 +5357,67 @@ def oracle_sql() -> dict[str, str]:
                   FROM geo g CROSS JOIN q),
             r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2, doc_id) rn FROM d)
             SELECT q_id, doc_id, CAST(d2 AS BIGINT) AS d2 FROM r WHERE rn <= 5"""
+    # _ZSPREAD_SQL: unrolled Morton bit-spread (geo/zorder.py:spread_bits_8)
+    # as a SQL expression — same three shift-mask passes, masks in decimal
+    # (0x0F0F=3855, 0x3333=13107, 0x5555=21845).
+    def _zspread_sql(e: str) -> str:
+        a = f"((({e}) | (({e}) << 4)) & 3855)"
+        b = f"((({a}) | (({a}) << 2)) & 13107)"
+        return f"((({b}) | (({b}) << 1)) & 21845)"
+
+    _zcx = "((lon_mi + 180000) * 256) // 360000"
+    _zcy = "((lat_mi + 90000) * 256) // 180000"
+    zorder_sql = f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+        cells AS (SELECT {_zcx} AS cx, {_zcy} AS cy FROM geo)
+        SELECT CAST({_zspread_sql('cx')} | ({_zspread_sql('cy')} << 1) AS BIGINT)
+                 AS zcell,
+               count(*) AS n_docs
+        FROM cells GROUP BY 1"""
+
     return {
+        "zorder_cells": zorder_sql,
+        "value_zscore": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            st AS (SELECT event_type,
+                          CAST(count(*) AS DOUBLE) AS n,
+                          CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) AS s,
+                          CAST(CAST(sum(cents * cents) AS BIGINT) AS DOUBLE) AS ss
+                   FROM c GROUP BY 1),
+            m AS (SELECT event_type, s / n AS mean,
+                         sqrt(ss / n - (s / n) * (s / n)) AS std
+                  FROM st)
+            SELECT c.event_id, c.event_type,
+                   (CAST(c.cents AS DOUBLE) - m.mean) / m.std AS vz
+            FROM c JOIN m USING (event_type)""",
+        "latest_snapshot": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            v AS (
+              SELECT doc_id,
+                     CASE WHEN in_url THEN url || '&utm_source=feed'
+                          ELSE url || '?utm_source=feed' END AS u,
+                     {EPOCH_2024_US} + doc_id * 1000000
+                       + ((doc_id * 31) % 1000) * 1000000 AS ts_us,
+                     CAST(0 AS BIGINT) AS snap
+              FROM pages_url
+              UNION ALL
+              SELECT doc_id,
+                     CASE WHEN in_url THEN upper(url)
+                          ELSE upper(url) || '/' END,
+                     {EPOCH_2024_US} + doc_id * 1000000
+                       + ((doc_id * 57) % 1000) * 1000000,
+                     CAST(1 AS BIGINT)
+              FROM pages_url
+            ),
+            c AS (SELECT doc_id, ts_us, snap,
+                         regexp_replace(
+                           regexp_replace(lower(u), '[?&]utm_[a-z_]+=[^&]*$', ''),
+                           '/$', '') AS canon_url
+                  FROM v),
+            r AS (SELECT *, row_number() OVER (PARTITION BY canon_url
+                                               ORDER BY ts_us DESC, snap) AS rn
+                  FROM c)
+            SELECT doc_id, ts_us, snap, canon_url FROM r WHERE rn = 1""",
         # hex-bucketed kNN returns EXACTLY the exact-kNN answer (the ring
         # search either proves optimality or falls back) — same oracle
         "hex_knn": knn_sql,

@@ -345,3 +345,48 @@ class TestLines:
                     settings,
                     col,
                 )
+
+
+class TestZOrder:
+    def test_spread_bits_matches_naive_interleave(self):
+        from cloudtile_ray.geo.zorder import morton_key_8, spread_bits_8
+
+        rng = np.random.default_rng(7)
+        v = rng.integers(0, 256, size=512).astype(np.uint32)
+
+        def naive_spread(x: int) -> int:
+            return sum(((x >> b) & 1) << (2 * b) for b in range(8))
+
+        got = spread_bits_8(v)
+        assert got.tolist() == [naive_spread(int(x)) for x in v]
+
+        cx = rng.integers(0, 256, size=512).astype(np.uint32)
+        cy = rng.integers(0, 256, size=512).astype(np.uint32)
+        keys = morton_key_8(cx, cy)
+        assert keys.dtype == np.int64
+        want = [naive_spread(int(a)) | (naive_spread(int(b)) << 1)
+                for a, b in zip(cx, cy)]
+        assert keys.tolist() == want
+
+    def test_zcell_prefix_is_quadrant(self):
+        # a shared 2k-bit key prefix <=> same cell of the 2^k x 2^k grid:
+        # check via the top 2 bits = global quadrant
+        from cloudtile_ray.geo.zorder import zorder_cells_mi
+
+        lon = np.array([-180000, -1, 0, 179999], dtype=np.int64)
+        lat = np.array([-90000, -1, 0, 89999], dtype=np.int64)
+        k = zorder_cells_mi(lon, lat)
+        assert ((k >= 0) & (k < 1 << 16)).all()
+        # quadrant = (x_msb) | (y_msb << 1) = key's top two bits swapped in
+        quad = ((k >> 14) & 3).tolist()
+        assert quad == [0, 0, 3, 3]  # SW, SW, NE, NE
+
+    def test_zcell_domain_edges(self):
+        from cloudtile_ray.geo.zorder import zorder_cells_mi
+
+        # corner cells: (0,0) -> key 0; (255,255) -> all-ones 16-bit key
+        k = zorder_cells_mi(
+            np.array([-180000, 179999], dtype=np.int64),
+            np.array([-90000, 89999], dtype=np.int64),
+        )
+        assert k.tolist() == [0, (1 << 16) - 1]
