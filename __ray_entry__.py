@@ -5029,6 +5029,88 @@ def q_latest_snapshot(sf_dir: str):
     )
 
 
+def q_pmi_pairs(sf_dir: str):
+    """Collocation mining: top-50 adjacent-token bigrams by pointwise
+    mutual information (min count 5; score column = lift, e^PMI — same
+    ranking, zero transcendental replay) — one tokenize pass emits
+    unigram AND bigram partials, one vocab²-bounded exchange,
+    vocab-bounded driver gather for the unigram attach (see
+    :func:`cloudtile_ray.stages.text.bigram_pmi`)."""
+    from cloudtile_ray.stages.text import bigram_pmi
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_pmi(ds, k=50, min_count=5)
+
+
+def q_zone_overlap(sf_dir: str):
+    """Area-weighted zonal aggregation: per zone, the summed intersection
+    area (mi²) and count of overlapping footprint bounding boxes — vector
+    zonal statistics over the HTML-extracted diamond footprints
+    (:func:`cloudtile_ray.stages.join.zonal_box_overlap`).  The bbox
+    integers are recovered exactly from the parsed degree ring
+    (rint(deg·1000); parse error ≪ 0.5), so every product/sum is int64
+    and the SQL replay is exact from the generator's closed form
+    (d = 200 + doc_id%100 around (lon_mi, lat_mi))."""
+    import pyarrow as pa
+
+    from cloudtile_ray.sources.pages import zone_boxes_mi
+    from cloudtile_ray.stages.join import zonal_box_overlap
+    from cloudtile_ray.stages.polygons import extract_footprints
+
+    fp = _geocoded(sf_dir).map_batches(extract_footprints, batch_format="pyarrow")
+
+    def bbox(t: pa.Table) -> pa.Table:
+        lon = t.column("fp_lon")
+        lat = t.column("fp_lat")
+        if isinstance(lon, pa.ChunkedArray):
+            lon = lon.combine_chunks()
+        if isinstance(lat, pa.ChunkedArray):
+            lat = lat.combine_chunks()
+        offs = lon.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.rint(lon.flatten().to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+        y = np.rint(lat.flatten().to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+        starts = offs[:-1]
+        return pa.table(
+            {
+                "w_mi": pa.array(np.minimum.reduceat(x, starts)),
+                "s_mi": pa.array(np.minimum.reduceat(y, starts)),
+                "e_mi": pa.array(np.maximum.reduceat(x, starts)),
+                "n_mi": pa.array(np.maximum.reduceat(y, starts)),
+            }
+        )
+
+    boxes = np.column_stack([np.arange(N_ZONES, dtype=np.int64), zone_boxes_mi()])
+    return zonal_box_overlap(
+        fp.map_batches(bbox, batch_format="pyarrow"), boxes
+    )
+
+
+def q_line_length(sf_dir: str):
+    """Per-polyline path length in degrees: parse the data-polyline
+    chevrons, one diff+hypot pass over the flattened coordinate lists
+    (:func:`cloudtile_ray.stages.lines.path_lengths_deg`).  Float-exact
+    vs the oracle because the per-row op sequence is fixed (two sqrt
+    terms folded left-to-right) and both sides divide the same integers
+    by 1000.0."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.lines import extract_lines, path_lengths_deg
+
+    ln = _geocoded(sf_dir).map_batches(extract_lines, batch_format="pyarrow")
+
+    def ll(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "path_len_deg": pa.array(
+                    path_lengths_deg(t.column("ln_lon"), t.column("ln_lat"))
+                ),
+            }
+        )
+
+    return ln.map_batches(ll, batch_format="pyarrow").sort(["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5073,6 +5155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "pmi_pairs": q_pmi_pairs,
+        "zone_overlap": q_zone_overlap,
+        "line_length": q_line_length,
         "zorder_cells": q_zorder_cells,
         "value_zscore": q_value_zscore,
         "latest_snapshot": q_latest_snapshot,
@@ -5107,15 +5192,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooc_pairs": q_cooc_pairs,
         "dup_density": q_dup_density,
         "transitions": q_transitions,
-        "pivot_source": q_pivot_source,
-        "unpivot_lineitem": q_unpivot_lineitem,
-        "cube_docs": q_cube_docs,
         # --- driver window boundary (first 50 above: the 13 verdict-named
         # queries + 37 round-4 adds) --- the never-certified section
         # outgrew the 50-slot window; overflow entries below are all green
         # in the builder's full local DuckDB sweep
         # (scripts/check_correctness.py re-runs it in one command; the
         # judge re-ran the r3 sweep independently)
+        "pivot_source": q_pivot_source,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "cube_docs": q_cube_docs,
         "minute_series": q_minute_series,
         "lang_mode": q_lang_mode,
         "order_revenue": q_order_revenue,
@@ -5379,6 +5464,52 @@ def oracle_sql() -> dict[str, str]:
         FROM cells GROUP BY 1"""
 
     return {
+        "pmi_pairs": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+                 p AS (SELECT doc_id, unnest(l) AS tk,
+                              generate_subscripts(l, 1) AS i FROM t),
+                 u AS (SELECT tk, count(*) AS nx FROM p GROUP BY 1),
+                 tot AS (SELECT count(*) AS tt FROM p),
+                 b AS (SELECT a.tk AS tk1, c.tk AS tk2, count(*) AS nxy
+                       FROM p a JOIN p c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+                       GROUP BY 1, 2)
+            SELECT b.tk1, b.tk2, CAST(b.nxy AS BIGINT) AS nxy,
+                   CAST(b.nxy * tot.tt AS DOUBLE)
+                      / CAST(u1.nx * u2.nx AS DOUBLE) AS lift
+            FROM b CROSS JOIN tot
+            JOIN u u1 ON u1.tk = b.tk1
+            JOIN u u2 ON u2.tk = b.tk2
+            WHERE b.nxy >= 5
+            ORDER BY lift DESC, tk1, tk2 LIMIT 50""",
+        "zone_overlap": f"""{prefix},
+            f AS (SELECT doc_id, lon_mi, lat_mi,
+                         200 + doc_id % 100 AS d
+                  FROM geo WHERE doc_id % 5 = 0),
+            x AS (SELECT z.zone_id,
+                         GREATEST(LEAST(z.east_mi, f.lon_mi + f.d)
+                                  - GREATEST(z.west_mi, f.lon_mi - f.d), 0) AS dx,
+                         GREATEST(LEAST(z.north_mi, f.lat_mi + f.d)
+                                  - GREATEST(z.south_mi, f.lat_mi - f.d), 0) AS dy
+                  FROM f CROSS JOIN zones z)
+            SELECT zone_id,
+                   CAST(sum(dx * dy) AS BIGINT) AS overlap_mi2,
+                   CAST(sum(CASE WHEN dx > 0 AND dy > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_overlaps
+            FROM x GROUP BY 1""",
+        "line_length": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            l AS (SELECT doc_id,
+                         (lon_mi - (300 + (doc_id * 11) % 150)) / 1000.0 AS x1,
+                         (lat_mi - (150 + (doc_id * 5) % 120)) / 1000.0 AS y1,
+                         lon_mi / 1000.0 AS x2,
+                         (lat_mi + (150 + (doc_id * 5) % 120)) / 1000.0 AS y2,
+                         (lon_mi + (300 + (doc_id * 11) % 150)) / 1000.0 AS x3,
+                         (lat_mi - (150 + (doc_id * 5) % 120)) / 1000.0 AS y3
+                  FROM geo WHERE doc_id % 7 = 3)
+            SELECT doc_id,
+                   sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+                 + sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2))
+                     AS path_len_deg
+            FROM l""",
         "zorder_cells": zorder_sql,
         "value_zscore": """
             WITH c AS (SELECT event_id, event_type,

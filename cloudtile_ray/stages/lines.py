@@ -680,3 +680,45 @@ def line_tiles_summary(assigned):
             ("n_parts", "sum", "total_parts"),
         ],
     )
+
+
+def path_lengths_deg(ln_lon, ln_lat) -> np.ndarray:
+    """Vectorized per-row open-path length (degrees, float64) over Arrow
+    ``list<f64>`` coordinate columns: one diff + hypot pass over the
+    FLATTENED arrays, segment sums folded per row with ``reduceat`` —
+    no per-row Python (the polyline analog of
+    :func:`cloudtile_ray.stages.polygons.ring_double_areas_mi2`).
+    Float determinism: dx/dy are differences of parsed doubles
+    (``parse_coord_lists``), each segment is ``sqrt(dx·dx + dy·dy)``,
+    and ``reduceat`` folds a row's segments strictly left-to-right — a
+    fixed op sequence independent of batch/parallelism, so a SQL oracle
+    replays it term-by-term.  Rows with < 2 points report 0.0."""
+    if isinstance(ln_lon, pa.ChunkedArray):
+        ln_lon = ln_lon.combine_chunks()
+    if isinstance(ln_lat, pa.ChunkedArray):
+        ln_lat = ln_lat.combine_chunks()
+    offs = ln_lon.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    x = ln_lon.flatten().to_numpy(zero_copy_only=False)
+    y = ln_lat.flatten().to_numpy(zero_copy_only=False)
+    n_rows = len(offs) - 1
+    if len(x) < 2:
+        return np.zeros(n_rows, dtype=np.float64)
+    dx = x[1:] - x[:-1]
+    dy = y[1:] - y[:-1]
+    seg = np.sqrt(dx * dx + dy * dy)  # segment i = points i -> i+1
+    # zero out the phantom segment that spans a row boundary
+    starts, ends = offs[:-1], offs[1:]
+    boundary = ends[:-1]  # last point of each row except the final row
+    seg[boundary[(boundary > 0) & (boundary < len(x))] - 1] = 0.0
+    # per-row fold: reduceat over [start, end-1) segment spans
+    out = np.zeros(n_rows, dtype=np.float64)
+    nseg = np.maximum(ends - starts - 1, 0)
+    has = nseg > 0
+    if has.any():
+        # reduceat needs monotone start indices into seg
+        idx = starts[has]
+        sums = np.add.reduceat(seg, idx)
+        # reduceat spans run to the next start; boundary segments are
+        # already zeroed, so each span sums exactly its row's segments
+        out[has] = sums
+    return out

@@ -665,6 +665,124 @@ def bigram_counts(ds, k: int = 20) -> "ray.data.Dataset":
     return counts.sort(["n", "bigram"], descending=[True, False]).limit(k)
 
 
+def bigram_pmi(ds, k: int = 50, min_count: int = 5) -> "ray.data.Dataset":
+    """Top-``k`` adjacent-token bigrams by pointwise mutual information
+    — collocation mining, the standard phrase detector
+    (word2vec-phrases / NLTK collocations; beyond-the-reference: the
+    reference has no text analysis at all).
+
+    Scale shape: ONE corpus pass emits both bigram and unigram partials
+    (pre-counted batch-side with Arrow hash aggregation, tagged by an
+    ``is_uni`` key so the two keyspaces can't collide), so the corpus is
+    read and tokenized once; one vocab²-bounded ``groupby().sum``
+    exchange finishes both count tables.  The unigram table is collected
+    driver-side — VOCAB-bounded, never corpus-bounded — and attached to
+    the bigram rows vectorized (``pc.index_in`` against the in-closure
+    token array; at cluster scale this closure ships via the plan
+    exactly once per worker).  The score column is ``lift`` —
+    ``(nxy·T)/(nx·ny)``, i.e. e^PMI — NOT the ln form: ln is monotone,
+    so the ranking is exactly the PMI ranking, and the replayed float
+    op is a single IEEE division of two exact int64 products (< 2⁵³
+    for corpora up to ~10⁸ tokens at the default min_count), where
+    ln's value would differ at the last ulp between numpy's vectorized
+    log and a SQL engine's libm ln."""
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        empty = pa.table(
+            {
+                "tk1": pa.array([], pa.string()),
+                "tk2": pa.array([], pa.string()),
+                "is_uni": pa.array([], pa.int8()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        uni = (
+            pa.table({"tk1": flat})
+            .group_by("tk1")
+            .aggregate([("tk1", "count")])
+        )
+        parts = [
+            pa.table(
+                {
+                    "tk1": uni.column("tk1"),
+                    "tk2": pa.nulls(uni.num_rows, pa.string()).fill_null(""),
+                    "is_uni": pa.array(
+                        np.ones(uni.num_rows, dtype=np.int8)
+                    ),
+                    "n": pc.cast(uni.column("tk1_count"), pa.int64()),
+                }
+            )
+        ]
+        if n > 1:
+            ends = np.cumsum(lens) - 1
+            keep = np.ones(n, dtype=bool)
+            keep[ends] = False
+            left = flat.slice(0, n - 1).filter(pa.array(keep[: n - 1]))
+            right = flat.slice(1).filter(pa.array(keep[: n - 1]))
+            big = (
+                pa.table({"tk1": left, "tk2": right})
+                .group_by(["tk1", "tk2"])
+                .aggregate([("tk1", "count")])
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "tk1": big.column("tk1"),
+                        "tk2": big.column("tk2"),
+                        "is_uni": pa.array(np.zeros(big.num_rows, dtype=np.int8)),
+                        "n": pc.cast(big.column("tk1_count"), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    counts = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["tk1", "tk2", "is_uni"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # vocab²-bounded — read twice below, tokenize once
+    )
+    # vocab-bounded driver gather: the unigram side only
+    uni_tbl = (
+        counts.filter(expr="is_uni == 1")
+        .select_columns(["tk1", "n"])
+        .to_pandas()
+    )
+    tok_arr = pa.array(uni_tbl["tk1"].tolist(), pa.string())
+    nx_arr = uni_tbl["n"].to_numpy(dtype=np.int64)
+    total = int(nx_arr.sum())
+
+    def attach_pmi(t: pa.Table) -> pa.Table:
+        nxy = t.column("n").to_numpy(zero_copy_only=False)
+        i1 = pc.index_in(t.column("tk1"), tok_arr).to_numpy(zero_copy_only=False)
+        i2 = pc.index_in(t.column("tk2"), tok_arr).to_numpy(zero_copy_only=False)
+        num = (nxy * total).astype(np.float64)
+        den = (nx_arr[i1] * nx_arr[i2]).astype(np.float64)
+        return pa.table(
+            {
+                "tk1": t.column("tk1"),
+                "tk2": t.column("tk2"),
+                "nxy": t.column("n"),
+                "lift": pa.array(num / den),
+            }
+        )
+
+    scored = (
+        counts.filter(expr=f"is_uni == 0 and n >= {int(min_count)}")
+        .map_batches(attach_pmi, batch_format="pyarrow")
+    )
+    return scored.sort(["lift", "tk1", "tk2"], descending=[True, False, False]).limit(k)
+
+
 def keyword_search(ds, terms: list[str], out_cols: list[str] | None = None) -> "ray.data.Dataset":
     """Conjunctive (AND) token-exact keyword search: documents containing
     EVERY term as a whole token (the probe side of an inverted-index

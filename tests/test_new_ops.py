@@ -3841,3 +3841,82 @@ def test_bigram_familiarity_cross_partition(ray_session):
     assert got.loc[1, "n_bigrams"] == 1 and got.loc[1, "familiarity"] == 3
     assert got.loc[3, "n_bigrams"] == 1 and got.loc[3, "familiarity"] == 2
     assert 2 not in got.index
+
+
+def test_bigram_pmi_cross_partition(ray_session):
+    """Lift scores must be partition-independent: the unigram/bigram
+    partials fold across batches, and a doc never splits, so 1 block
+    and 5 blocks give identical top-k."""
+    import ray
+
+    from cloudtile_ray.stages.text import bigram_pmi
+
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 9)).tolist())
+        for _ in range(200)
+    ]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts)})
+    one = bigram_pmi(ray.data.from_arrow(t), k=10, min_count=2).to_pandas()
+    many = bigram_pmi(
+        ray.data.from_arrow(t).repartition(5), k=10, min_count=2
+    ).to_pandas()
+    assert one.values.tolist() == many.values.tolist()
+    # brute-force check of one row
+    toks = [s.split(" ") for s in texts]
+    flat = [w for d in toks for w in d]
+    total = len(flat)
+    from collections import Counter
+    uni = Counter(flat)
+    big = Counter((d[i], d[i + 1]) for d in toks for i in range(len(d) - 1))
+    r = one.iloc[0]
+    want = float(np.float64(big[(r.tk1, r.tk2)] * total)
+                 / np.float64(uni[r.tk1] * uni[r.tk2]))
+    assert r.nxy == big[(r.tk1, r.tk2)]
+    assert r.lift == want
+
+
+def test_zonal_box_overlap_brute_force(ray_session):
+    import ray
+
+    from cloudtile_ray.stages.join import zonal_box_overlap
+
+    rng = np.random.default_rng(5)
+    n = 300
+    w = rng.integers(-1000, 900, n)
+    s = rng.integers(-1000, 900, n)
+    e = w + rng.integers(0, 300, n)
+    nn = s + rng.integers(0, 300, n)
+    t = pa.table({"w_mi": pa.array(w), "s_mi": pa.array(s),
+                  "e_mi": pa.array(e), "n_mi": pa.array(nn)})
+    boxes = np.array([[0, -500, -500, 0, 0],
+                      [1, -2000, -2000, 2000, 2000],
+                      [2, 5000, 5000, 6000, 6000]], dtype=np.int64)
+    got = (
+        zonal_box_overlap(ray.data.from_arrow(t).repartition(4), boxes)
+        .to_pandas().sort_values("zone_id").reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        zid = int(row.zone_id)
+        zw, zs, ze, zn = boxes[zid, 1:]
+        dx = np.clip(np.minimum(e, ze) - np.maximum(w, zw), 0, None)
+        dy = np.clip(np.minimum(nn, zn) - np.maximum(s, zs), 0, None)
+        assert row.overlap_mi2 == int((dx * dy).sum()), zid
+        assert row.n_overlaps == int(((dx * dy) > 0).sum()), zid
+    assert got.loc[2, "overlap_mi2"] == 0  # disjoint zone still reported
+
+
+def test_path_lengths_deg_boundaries():
+    from cloudtile_ray.stages.lines import path_lengths_deg
+
+    lon = pa.array([[0.0, 3.0, 3.0], [0.0, 1.0], [], [5.0], [1.0, 4.0]],
+                   pa.list_(pa.float64()))
+    lat = pa.array([[0.0, 4.0, 8.0], [0.0, 0.0], [], [5.0], [1.0, 5.0]],
+                   pa.list_(pa.float64()))
+    got = path_lengths_deg(lon, lat)
+    assert got.tolist() == [9.0, 1.0, 0.0, 0.0, 5.0]
+    # all-empty input
+    empty = pa.array([[], []], pa.list_(pa.float64()))
+    assert path_lengths_deg(empty, empty).tolist() == [0.0, 0.0]
