@@ -390,3 +390,79 @@ class TestZOrder:
             np.array([-90000, 89999], dtype=np.int64),
         )
         assert k.tolist() == [0, (1 << 16) - 1]
+
+
+class TestGeohash:
+    def test_canonical_vector(self):
+        # the textbook example: (42.605 N, -5.603 E) encodes to 'ezs42'
+        from cloudtile_ray.geo.geohash import geohash_strings_mi
+
+        got = geohash_strings_mi(
+            np.array([-5603, 0, 179999, -180000], dtype=np.int64),
+            np.array([42605, 0, 89999, -90000], dtype=np.int64),
+        )
+        assert got.tolist() == ["ezs42", "s0000", "zzzzz", "00000"]
+
+    def test_prefix_is_containment(self):
+        # points inside one precision-3 cell share the 3-char prefix
+        from cloudtile_ray.geo.geohash import geohash_strings_mi
+
+        rng = np.random.default_rng(3)
+        lon0, lat0 = -87900, 41600
+        lon = lon0 + rng.integers(0, 40, 64)  # well inside one ~156km cell
+        lat = lat0 + rng.integers(0, 40, 64)
+        g5 = geohash_strings_mi(lon, lat)
+        assert len({s[:3] for s in g5}) == 1
+
+    def test_matches_reference_bisection(self):
+        # cross-check the quantize+interleave against the textbook
+        # successive-bisection algorithm on random points
+        from cloudtile_ray.geo.geohash import ALPHABET, geohash_strings_mi
+
+        def ref_encode(lon, lat, precision=5):
+            lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+            bits = []
+            even = True
+            while len(bits) < 5 * precision:
+                if even:
+                    mid = (lo_lon + hi_lon) / 2
+                    if lon >= mid:
+                        bits.append(1); lo_lon = mid
+                    else:
+                        bits.append(0); hi_lon = mid
+                else:
+                    mid = (lo_lat + hi_lat) / 2
+                    if lat >= mid:
+                        bits.append(1); lo_lat = mid
+                    else:
+                        bits.append(0); hi_lat = mid
+                even = not even
+            out = ""
+            for i in range(precision):
+                v = 0
+                for b in bits[5 * i : 5 * i + 5]:
+                    v = (v << 1) | b
+                out += ALPHABET[v]
+            return out
+
+        rng = np.random.default_rng(17)
+        lon_mi = rng.integers(-180000, 180000, 100)
+        lat_mi = rng.integers(-90000, 90000, 100)
+        got = geohash_strings_mi(lon_mi, lat_mi)
+        for i in range(100):
+            assert got[i] == ref_encode(lon_mi[i] / 1000.0, lat_mi[i] / 1000.0), i
+
+
+def test_ring_centroid_terms():
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.polygons import ring_centroid_terms_mi
+
+    lon = pa.array([[8.0, 10.0, 12.0, 10.0], [0.0, 4.0, 4.0, 0.0], []],
+                   pa.list_(pa.float64()))
+    lat = pa.array([[5.0, 7.0, 5.0, 3.0], [0.0, 0.0, 2.0, 2.0], []],
+                   pa.list_(pa.float64()))
+    cxn, cyn, a2 = ring_centroid_terms_mi(lon, lat, scale=1)
+    assert a2.tolist() == [-16, 16, 0]  # CW diamond, CCW square, empty
+    assert (cxn[:2] / (3 * a2[:2])).tolist() == [10.0, 2.0]
+    assert (cyn[:2] / (3 * a2[:2])).tolist() == [5.0, 1.0]
