@@ -182,6 +182,8 @@ def run_queries(sf_dir: str) -> dict:
         "nation_profit", "late_suppliers", "part_suppliers",
         "bbox_pairs", "radius_pairs", "lm_score", "value_outliers",
         "important_parts", "footprint_area",
+        "pmi_pairs", "zone_overlap", "latest_snapshot", "zorder_cells",
+        "geohash_cells", "value_zscore", "line_length", "footprint_centroid",
     ]
     import gc
 

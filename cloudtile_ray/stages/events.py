@@ -1090,3 +1090,49 @@ def sliding_window_counts(ds, width_us: int, step_us: int) -> "ray.data.Dataset"
         .groupby(["window_start_us", "event_type"])
         .aggregate(Count(alias_name="n"))
     )
+
+
+def event_gaps(ds) -> "ray.data.Dataset":
+    """Per-user inter-arrival gaps — ``gap_us = ts_us - lag(ts_us) OVER
+    (PARTITION BY user_id ORDER BY ts_us, event_id)``; each user's first
+    event is excluded.  Identical scale shape to :func:`value_deltas`
+    (one user-bucket exchange, one lexsort, shifted difference with
+    segment starts masked); the gap stream feeds
+    :func:`cloudtile_ray.stages.quantiles.exact_quantiles` for arrival-
+    process analytics without ever materializing per-user series."""
+    nb = _n_user_buckets(ds)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, eid_s, ts_s = uid[order], eid[order], ts[order]
+        keep = np.empty(len(u_s), dtype=bool)
+        keep[0] = False
+        keep[1:] = u_s[1:] == u_s[:-1]
+        gap = np.empty_like(ts_s)
+        gap[1:] = ts_s[1:] - ts_s[:-1]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[keep]),
+                "event_id": pa.array(eid_s[keep]),
+                "gap_us": pa.array(gap[keep]),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
+        )
+    )

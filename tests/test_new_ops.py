@@ -3920,3 +3920,79 @@ def test_path_lengths_deg_boundaries():
     # all-empty input
     empty = pa.array([[], []], pa.list_(pa.float64()))
     assert path_lengths_deg(empty, empty).tolist() == [0.0, 0.0]
+
+
+def test_event_gaps_cross_partition(ray_session):
+    import ray
+
+    from cloudtile_ray.stages.events import event_gaps
+
+    rng = np.random.default_rng(9)
+    n = 400
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 25, n)),
+            "ts_us": pa.array(rng.integers(0, 10_000, n)),
+        }
+    )
+    got = (
+        event_gaps(ray.data.from_arrow(t).repartition(6))
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    # brute-force with pandas
+    df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"])
+    df["gap_us"] = df.groupby("user_id")["ts_us"].diff()
+    want = (
+        df.dropna(subset=["gap_us"])
+        .astype({"gap_us": "int64"})[["user_id", "event_id", "gap_us"]]
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert got[["user_id", "event_id", "gap_us"]].values.tolist() == want.values.tolist()
+
+
+def test_nearest_box_brute_force(ray_session):
+    import ray
+
+    from cloudtile_ray.stages.join import nearest_box
+
+    rng = np.random.default_rng(21)
+    n = 500
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lon_mi": pa.array(rng.integers(-2000, 2000, n)),
+            "lat_mi": pa.array(rng.integers(-2000, 2000, n)),
+        }
+    )
+    # overlapping boxes + a tie pair (1 and 2 identical) to pin tie-break
+    boxes = np.array(
+        [
+            [2, -500, -500, 500, 500],
+            [1, -500, -500, 500, 500],
+            [0, 1000, 1000, 1500, 1500],
+        ],
+        dtype=np.int64,
+    )
+    got = (
+        nearest_box(ray.data.from_arrow(t).repartition(3), boxes)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    x = t.column("lon_mi").to_numpy()
+    y = t.column("lat_mi").to_numpy()
+    srt = boxes[np.argsort(boxes[:, 0])]
+    for i in range(n):
+        d2s = []
+        for zid, w, s, e, nn in srt:
+            dx = max(w - x[i], x[i] - e, 0)
+            dy = max(s - y[i], y[i] - nn, 0)
+            d2s.append((dx * dx + dy * dy, zid))
+        best = min(d2s)
+        assert got.loc[i, "d2"] == best[0], i
+        assert got.loc[i, "zone_id"] == best[1], i
+    # inside the duplicate boxes (zones 1 and 2) -> lowest id (1) wins
+    dup = got[(np.abs(x) <= 500) & (np.abs(y) <= 500)]
+    assert len(dup) and (dup.zone_id == 1).all() and (dup.d2 == 0).all()
