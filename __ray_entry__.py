@@ -5214,6 +5214,37 @@ def q_nearest_zone(sf_dir: str):
     return nearest_box(pts, boxes)
 
 
+def q_record_events(sf_dir: str):
+    """Record-breaking events: every event whose value sets a new global
+    high-water mark in (ts, event_id) stream order — the streaming
+    watermark scan (:func:`cloudtile_ray.stages.relational.
+    running_max_exclusive`: one range sort, block-max metadata to the
+    driver, exclusive prefix maxima broadcast back; nothing row-sized
+    leaves the workers)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.events import prep_events
+    from cloudtile_ray.stages.relational import running_max_exclusive
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "value"]
+    ).map_batches(prep_events, batch_format="pyarrow")
+    slim = ds.map_batches(
+        lambda t: t.select(["event_id", "ts_us", "value_cents"]),
+        batch_format="pyarrow",
+    )
+    scanned = running_max_exclusive(
+        slim, ["ts_us", "event_id"], "value_cents", out_col="max_prior"
+    )
+    return scanned.map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("value_cents"), t.column("max_prior"))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5258,6 +5289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "record_events": q_record_events,
         "gap_quantiles": q_gap_quantiles,
         "nearest_zone": q_nearest_zone,
         "geohash_cells": q_geohash_cells,
@@ -5294,13 +5326,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_deltas": q_value_deltas,
         "value_decile": q_value_decile,
         "cohort_retention": q_cohort_retention,
-        "rollup_docs": q_rollup_docs,
         # --- driver window boundary (first 50 above: the 13 verdict-named
         # queries + 37 round-4 adds) --- the never-certified section
         # outgrew the 50-slot window; overflow entries below are all green
         # in the builder's full local DuckDB sweep
         # (scripts/check_correctness.py re-runs it in one command; the
         # judge re-ran the r3 sweep independently)
+        "rollup_docs": q_rollup_docs,
         "funnel": q_funnel,
         "cooc_pairs": q_cooc_pairs,
         "dup_density": q_dup_density,
@@ -5596,6 +5628,18 @@ def oracle_sql() -> dict[str, str]:
         FROM keys GROUP BY 1"""
 
     return {
+        "record_events": """
+            WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+                              CAST(round(value * 100) AS BIGINT) AS value_cents
+                       FROM events),
+            w AS (SELECT event_id, ts_us, value_cents,
+                         COALESCE(max(value_cents) OVER (
+                             ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           -9223372036854775807 - 1) AS max_prior
+                  FROM e)
+            SELECT event_id, ts_us, value_cents, max_prior
+            FROM w WHERE value_cents > max_prior""",
         "gap_quantiles": """
             WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us
                        FROM events),

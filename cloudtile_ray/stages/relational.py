@@ -1585,3 +1585,74 @@ def band_self_join(ds, id_col: str, value_col: str, eps: int, num_buckets_hint=N
             batch_format="pyarrow",
         )
     )
+
+
+def running_max_exclusive(
+    ds,
+    sort_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "max_prior",
+    initial: int = -(2**63),
+):
+    """Global EXCLUSIVE running maximum of an int64 column in
+    ``sort_cols`` order — ``max(value) OVER (ORDER BY sort_cols ROWS
+    BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``, the
+    watermark / high-water-mark scan of streaming analytics (the
+    max-monoid sibling of :func:`enumerate_sorted`'s sum scan; same
+    two-level structure, same unique-sort-key requirement).
+
+    Scale shape: ONE range-partitioned sort (the unavoidable exchange);
+    a metadata pass emits one (min_key, block_max) row per block —
+    block-count rows to the driver regardless of data size — whose
+    exclusive prefix maxima become per-block incoming watermarks,
+    broadcast back and folded into each block's local exclusive cummax.
+    The first row of the stream gets ``initial`` (int64 min by default),
+    which a SQL oracle replays as ``COALESCE(window_max, initial)``."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    sort_cols = list(sort_cols)
+    ds = ds.sort(sort_cols).materialize()
+
+    def block_meta(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return pa.table(
+                {"key": pa.array([], pa.string()), "mx": pa.array([], pa.int64())}
+            )
+        key = json.dumps([t.column(c)[0].as_py() for c in sort_cols])
+        mx = int(t.column(value_col).to_numpy(zero_copy_only=False).max())
+        return pa.table({"key": pa.array([key]), "mx": pa.array([mx], pa.int64())})
+
+    meta = ds.map_batches(block_meta, batch_format="pyarrow", batch_size=None).take_all()
+    keys = [json.loads(r["key"]) for r in meta]
+    mxs = [r["mx"] for r in meta]
+    order = sorted(range(len(keys)), key=lambda i: tuple(keys[i]))
+    incoming = {}
+    run = initial
+    for i in order:
+        jk = json.dumps(keys[i])
+        if jk in incoming:
+            raise ValueError(
+                f"running_max_exclusive requires unique sort keys; duplicate "
+                f"block min-key {keys[i]!r}"
+            )
+        incoming[jk] = run
+        run = max(run, mxs[i])
+    inc_ref = ray.put(incoming)
+
+    def assign(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        inc = ray.get(inc_ref)
+        key = json.dumps([t.column(c)[0].as_py() for c in sort_cols])
+        base = inc[key]
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        local = np.empty(len(v), dtype=np.int64)
+        local[0] = base
+        np.maximum.accumulate(np.maximum(v[:-1], base), out=local[1:])
+        return t.append_column(out_col, pa.array(local))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -3996,3 +3996,30 @@ def test_nearest_box_brute_force(ray_session):
     # inside the duplicate boxes (zones 1 and 2) -> lowest id (1) wins
     dup = got[(np.abs(x) <= 500) & (np.abs(y) <= 500)]
     assert len(dup) and (dup.zone_id == 1).all() and (dup.d2 == 0).all()
+
+
+def test_running_max_exclusive_cross_partition(ray_session):
+    import ray
+
+    from cloudtile_ray.stages.relational import running_max_exclusive
+
+    rng = np.random.default_rng(13)
+    n = 1000
+    t = pa.table(
+        {
+            "k": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.integers(-500, 500, n)),
+        }
+    )
+    got = (
+        running_max_exclusive(
+            ray.data.from_arrow(t).repartition(7), ["k"], "v", out_col="mp"
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    df = t.to_pandas().sort_values("k").reset_index(drop=True)
+    want = np.empty(n, dtype=np.int64)
+    want[0] = -(2**63)
+    np.maximum.accumulate(df["v"].values[:-1], out=want[1:])
+    want[1:] = np.maximum(want[1:], -(2**63))
+    assert got["mp"].values.tolist() == want.tolist()
