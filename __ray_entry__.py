@@ -5245,6 +5245,114 @@ def q_record_events(sf_dir: str):
     )
 
 
+def q_hex_smooth(sf_dir: str):
+    """Ring-1 stencil smoothing over the hex grid: each cell's doc count
+    plus its six axial neighbors' — the scatter-gather convolution
+    pattern (hotspot smoothing / kernel density on a discrete grid).
+    Scale shape: the scatter runs over the CELL-BOUNDED density table
+    (never the corpus), 7 rows per occupied cell, one cell-keyed
+    groupby-sum; offsets are pure packed-space adds
+    (:func:`cloudtile_ray.geo.hexgrid.ring1_neighbors_packed`), which
+    the SQL oracle replays as ``cell + dq·2³⁰ + dr``."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from cloudtile_ray.geo.hexgrid import ring1_neighbors_packed
+    from cloudtile_ray.stages.index import AddCellIndexes
+
+    dens = (
+        _geo_only(sf_dir)
+        .map_batches(AddCellIndexes(s2_level=10, hex_res=4), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["hex_cell"]), batch_format="pyarrow")
+        .groupby("hex_cell")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+    def scatter(t: pa.Table) -> pa.Table:
+        cells = t.column("hex_cell").to_numpy(zero_copy_only=False)
+        n = t.column("n_docs").to_numpy(zero_copy_only=False)
+        nb = ring1_neighbors_packed(cells)  # (rows, 7) int64
+        return pa.table(
+            {
+                "hex_cell": pa.array(nb.ravel().astype(np.uint64)),
+                "n": pa.array(np.repeat(n, 7)),
+            }
+        )
+
+    return (
+        dens.map_batches(scatter, batch_format="pyarrow")
+        .groupby("hex_cell")
+        .aggregate(Sum("n", alias_name="n_smooth"))
+    )
+
+
+def q_domain_gini(sf_dir: str):
+    """Per-domain language-diversity: Gini impurity of the lang mix
+    (1 − Σpᵢ²) — the rational diversity metric (entropy's ln would
+    differ at the last ulp between numpy's vectorized log and SQL libm,
+    so impurity is the replayable choice; same reasoning as pmi_pairs'
+    lift).  Exact: Σnᵢ² and N stay int64 through the (domain,
+    lang)-keyed exchange; ONE float division + one subtraction at the
+    end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from cloudtile_ray.pipelines.single_step import pages_dataset
+
+    pages = pages_dataset(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        dom = pc.extract_regex(t.column("url"), r"^https://(?P<d>[^/]+)/")
+        g = (
+            pa.table(
+                {"domain": pc.struct_field(dom, "d"), "lang": t.column("lang")}
+            )
+            .group_by(["domain", "lang"])
+            .aggregate([("lang", "count")])
+        )
+        return pa.table(
+            {
+                "domain": g.column("domain"),
+                "lang": g.column("lang"),
+                "n": pc.cast(g.column("lang_count"), pa.int64()),
+            }
+        )
+
+    per_dl = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby(["domain", "lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def square(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"domain": t.column("domain"), "n": t.column("n"),
+             "nsq": pa.array(n * n)}
+        )
+
+    per_d = (
+        per_dl.map_batches(square, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n", alias_name="n_pages"), Sum("nsq", alias_name="ssq"))
+    )
+
+    def gini(t: pa.Table) -> pa.Table:
+        n = t.column("n_pages").to_numpy(zero_copy_only=False)
+        ssq = t.column("ssq").to_numpy(zero_copy_only=False)
+        g = 1.0 - ssq.astype(np.float64) / (n * n).astype(np.float64)
+        return pa.table(
+            {
+                "domain": t.column("domain"),
+                "n_pages": t.column("n_pages"),
+                "lang_gini": pa.array(g),
+            }
+        )
+
+    return per_d.map_batches(gini, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5289,6 +5397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "hex_smooth": q_hex_smooth,
+        "domain_gini": q_domain_gini,
         "record_events": q_record_events,
         "gap_quantiles": q_gap_quantiles,
         "nearest_zone": q_nearest_zone,
@@ -5324,14 +5434,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": q_span_dedup,
         "keyword_rank": q_keyword_rank,
         "value_deltas": q_value_deltas,
-        "value_decile": q_value_decile,
-        "cohort_retention": q_cohort_retention,
         # --- driver window boundary (first 50 above: the 13 verdict-named
         # queries + 37 round-4 adds) --- the never-certified section
         # outgrew the 50-slot window; overflow entries below are all green
         # in the builder's full local DuckDB sweep
         # (scripts/check_correctness.py re-runs it in one command; the
         # judge re-ran the r3 sweep independently)
+        "value_decile": q_value_decile,
+        "cohort_retention": q_cohort_retention,
         "rollup_docs": q_rollup_docs,
         "funnel": q_funnel,
         "cooc_pairs": q_cooc_pairs,
@@ -5627,7 +5737,34 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_docs
         FROM keys GROUP BY 1"""
 
+    # hex_smooth: reuse the hex_density replay up to its `cells` CTE, then
+    # ring-1 scatter in PACKED space (cell + dq·2³⁰ + dr; offsets match
+    # geo/hexgrid.py RING1_PACKED_OFFSETS)
+    _hex_prefix = hex_density_sql.rsplit("SELECT hex_cell,", 1)[0].rstrip()
+    hex_smooth_sql = f"""{_hex_prefix},
+        counts AS (SELECT hex_cell, count(*) AS n FROM cells GROUP BY 1),
+        offs AS (SELECT CAST(off AS BIGINT) AS off FROM (VALUES
+                   (0), (1073741824), (1073741823), (-1),
+                   (-1073741824), (-1073741823), (1)) o(off)),
+        sc AS (SELECT CAST(CAST(hex_cell AS BIGINT) + off AS UBIGINT)
+                 AS hex_cell, n
+               FROM counts CROSS JOIN offs)
+        SELECT hex_cell, CAST(sum(n) AS BIGINT) AS n_smooth
+        FROM sc GROUP BY 1"""
+
     return {
+        "hex_smooth": hex_smooth_sql,
+        "domain_gini": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            pl AS (SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS domain,
+                          lang, count(*) AS n
+                   FROM pages_url GROUP BY 1, 2),
+            g AS (SELECT domain, CAST(sum(n) AS BIGINT) AS n_pages,
+                         CAST(sum(n * n) AS BIGINT) AS ssq
+                  FROM pl GROUP BY 1)
+            SELECT domain, n_pages,
+                   1.0 - CAST(ssq AS DOUBLE)
+                         / CAST(n_pages * n_pages AS DOUBLE) AS lang_gini
+            FROM g""",
         "record_events": """
             WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
                               CAST(round(value * 100) AS BIGINT) AS value_cents

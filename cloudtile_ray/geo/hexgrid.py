@@ -184,3 +184,29 @@ def cells_contain(parents: np.ndarray, descendants: np.ndarray) -> np.ndarray:
     pres = get_resolution(np.atleast_1d(parents))
     anc = cell_to_parent(np.atleast_1d(descendants), int(pres[0]))
     return anc == np.atleast_1d(np.asarray(parents, dtype=np.uint64))
+
+
+#: axial ring-1 offsets in PACKED cell space: (dq, dr) -> dq·2³⁰ + dr.
+#: Valid because _pack is linear in (q, r) at fixed res and ring-1 steps
+#: never cross the 30-bit field boundary for in-range cells.
+RING1_PACKED_OFFSETS = np.array(
+    [
+        0,  # ( 0,  0) self
+        1 << 30,  # ( 1,  0)
+        (1 << 30) - 1,  # ( 1, -1)
+        -1,  # ( 0, -1)
+        -(1 << 30),  # (-1,  0)
+        -(1 << 30) + 1,  # (-1,  1)
+        1,  # ( 0,  1)
+    ],
+    dtype=np.int64,
+)
+
+
+def ring1_neighbors_packed(cells: np.ndarray) -> np.ndarray:
+    """(n, 7) packed cell ids: each cell and its six axial neighbors —
+    the stencil for ring-1 smoothing / convolution over the hex grid.
+    Pure packed-space adds (offset table above), no unpack round-trip;
+    column j of the result uses RING1_PACKED_OFFSETS[j]."""
+    c = np.asarray(cells).astype(np.int64)
+    return c[:, None] + RING1_PACKED_OFFSETS[None, :]

@@ -466,3 +466,24 @@ def test_ring_centroid_terms():
     assert a2.tolist() == [-16, 16, 0]  # CW diamond, CCW square, empty
     assert (cxn[:2] / (3 * a2[:2])).tolist() == [10.0, 2.0]
     assert (cyn[:2] / (3 * a2[:2])).tolist() == [5.0, 1.0]
+
+
+def test_ring1_neighbors_packed():
+    import numpy as np
+
+    from cloudtile_ray.geo import hexgrid as hx
+
+    rng = np.random.default_rng(23)
+    q = rng.integers(-1000, 1000, 50)
+    r = rng.integers(-1000, 1000, 50)
+    cells = hx._pack(4, q, r)
+    nb = hx.ring1_neighbors_packed(cells)
+    assert nb.shape == (50, 7)
+    res2, q2, r2 = hx._unpack(nb.ravel().astype(np.uint64))
+    assert (res2 == 4).all()
+    dq = q2.reshape(50, 7) - q[:, None]
+    dr = r2.reshape(50, 7) - r[:, None]
+    want = [(0, 0), (1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)]
+    assert [tuple(p) for p in np.stack([dq[0], dr[0]], 1)] == want
+    assert (np.abs(dq) <= 1).all() and (np.abs(dr) <= 1).all()
+    assert (np.abs(dq + dr) <= 1).all()  # ring-1: |ds| <= 1 in cube coords
