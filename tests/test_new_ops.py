@@ -4023,3 +4023,30 @@ def test_running_max_exclusive_cross_partition(ray_session):
     np.maximum.accumulate(df["v"].values[:-1], out=want[1:])
     want[1:] = np.maximum(want[1:], -(2**63))
     assert got["mp"].values.tolist() == want.tolist()
+
+
+def test_burst_scores_brute_force(ray_session):
+    import ray
+
+    from cloudtile_ray.stages.events import burst_scores
+
+    rng = np.random.default_rng(31)
+    n = 600
+    t = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 20, n)),
+            "ts_us": pa.array(rng.integers(0, 5000, n)),  # dense ts with ties
+        }
+    )
+    W = 100
+    got = (
+        burst_scores(ray.data.from_arrow(t).repartition(5), window_us=W)
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    for _, row in got.iterrows():
+        ts = np.sort(df[df.user_id == row.user_id]["ts_us"].values)
+        want = max(
+            int(((ts >= a) & (ts <= a + W - 1)).sum()) for a in ts
+        )
+        assert row.burst == want, row.user_id
