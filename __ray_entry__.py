@@ -5424,6 +5424,79 @@ def q_hour_anomalies(sf_dir: str):
     return hourly.map_batches(attach_z, batch_format="pyarrow")
 
 
+def q_type_prank(sf_dir: str):
+    """Per-type quantile normalization: PERCENT_RANK + CUME_DIST within
+    each event_type (:func:`cloudtile_ray.stages.relational.
+    grouped_rank_dist` — distinct-count collapse, broadcast under a byte
+    gate, exact integer numerators with one IEEE division each)."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import grouped_rank_dist
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "cents": pa.array(np.rint(v * 100).astype(np.int64)),
+            }
+        )
+
+    return grouped_rank_dist(
+        ds.map_batches(cents, batch_format="pyarrow"), "event_type", "cents"
+    )
+
+
+def q_max_drawdown(sf_dir: str):
+    """Peak-to-trough of the running net flow (+cents for
+    purchase/signup, −cents otherwise) in (ts, event_id) order — the
+    sequential scan metric distributed via its associative monoid
+    (:func:`cloudtile_ray.stages.relational.max_drawdown`: per-block
+    (sum, max-prefix, min-prefix, best) partials, block-count driver
+    fold).  Oracle: two stacked window scans."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import max_drawdown
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def flow(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.rint(t.column("value").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        pos = pc.is_in(
+            t.column("event_type"), value_set=pa.array(["purchase", "signup"])
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "ts_us": pa.array(ts),
+                "flow": pa.array(np.where(pos, cents, -cents)),
+            }
+        )
+
+    dd = max_drawdown(
+        ds.map_batches(flow, batch_format="pyarrow"), ["ts_us", "event_id"], "flow"
+    )
+    return pa.table({"max_drawdown": pa.array([dd], pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5468,6 +5541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "type_prank": q_type_prank,
+        "max_drawdown": q_max_drawdown,
         "burst_score": q_burst_score,
         "hour_anomalies": q_hour_anomalies,
         "hex_smooth": q_hex_smooth,
@@ -5503,14 +5578,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix": q_source_mix,
         "boilerplate_strip": q_boilerplate_strip,
         "ngram_novelty": q_ngram_novelty,
-        "unk_replace": q_unk_replace,
-        "span_dedup": q_span_dedup,
         # --- driver window boundary (first 50 above: the 13 verdict-named
         # queries + 37 round-4 adds) --- the never-certified section
         # outgrew the 50-slot window; overflow entries below are all green
         # in the builder's full local DuckDB sweep
         # (scripts/check_correctness.py re-runs it in one command; the
         # judge re-ran the r3 sweep independently)
+        "unk_replace": q_unk_replace,
+        "span_dedup": q_span_dedup,
         "keyword_rank": q_keyword_rank,
         "value_deltas": q_value_deltas,
         "value_decile": q_value_decile,
@@ -5826,6 +5901,31 @@ def oracle_sql() -> dict[str, str]:
         FROM sc GROUP BY 1"""
 
     return {
+        "type_prank": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, event_type, cents,
+                   percent_rank() OVER (PARTITION BY event_type
+                                        ORDER BY cents) AS prank,
+                   cume_dist() OVER (PARTITION BY event_type
+                                     ORDER BY cents) AS cume_dist
+            FROM e""",
+        "max_drawdown": """
+            WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+                              CASE WHEN event_type IN ('purchase', 'signup')
+                                   THEN CAST(round(value * 100) AS BIGINT)
+                                   ELSE -CAST(round(value * 100) AS BIGINT)
+                              END AS flow
+                       FROM events),
+            x AS (SELECT ts_us, event_id,
+                         sum(flow) OVER (ORDER BY ts_us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM e),
+            d AS (SELECT max(cum) OVER (ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING) - cum AS dd
+                  FROM x)
+            SELECT CAST(max(dd) AS BIGINT) AS max_drawdown FROM d""",
         "burst_score": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
             c AS (SELECT user_id,

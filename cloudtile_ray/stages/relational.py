@@ -1656,3 +1656,168 @@ def running_max_exclusive(
         return t.append_column(out_col, pa.array(local))
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def max_drawdown(ds, sort_cols: Sequence[str], value_col: str) -> int:
+    """Maximum drawdown of the running sum of ``value_col`` in
+    ``sort_cols`` order — ``max over j<=i of (X_j - X_i)`` for
+    ``X = cumsum(value)``, the peak-to-trough metric of financial and
+    capacity time series.  A sequential-looking scan made distributed by
+    its ASSOCIATIVE decomposition: each block reduces to the 4-tuple
+    monoid (sum, max-prefix, min-prefix, best-local-drawdown), and the
+    driver folds block partials in key order —
+    ``best' = max(best_in, D_blk, peak_in - (X_in + min_prefix_blk))``;
+    ``peak' = max(peak_in, X_in + max_prefix_blk)``; ``X' = X_in + S_blk``.
+    ONE range sort + a block-count gather; nothing row-sized reaches the
+    driver.  Same unique-sort-key requirement as
+    :func:`enumerate_sorted` (block order is recovered from min keys).
+    Int64 throughout — a SQL oracle replays it with two window scans."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    sort_cols = list(sort_cols)
+    ds = ds.sort(sort_cols).materialize()
+
+    def block_partial(t: "pa.Table") -> "pa.Table":
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "s": pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                    "d": pa.array([], pa.int64()),
+                }
+            )
+        key = json.dumps([t.column(c)[0].as_py() for c in sort_cols])
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        x = np.cumsum(v, dtype=np.int64)
+        peak = np.maximum.accumulate(x)
+        return pa.table(
+            {
+                "key": pa.array([key]),
+                "s": pa.array([int(x[-1])], pa.int64()),
+                "p": pa.array([int(peak[-1])], pa.int64()),
+                "m": pa.array([int(x.min())], pa.int64()),
+                "d": pa.array([int((peak - x).max())], pa.int64()),
+            }
+        )
+
+    meta = ds.map_batches(
+        block_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    if not meta:
+        return 0
+    meta.sort(key=lambda r: tuple(json.loads(r["key"])))
+    x_in = 0
+    peak_in = -(2**63)
+    best = 0
+    for r in meta:
+        best = max(best, int(r["d"]), peak_in - (x_in + int(r["m"])))
+        peak_in = max(peak_in, x_in + int(r["p"]))
+        x_in += int(r["s"])
+    return int(best)
+
+
+def grouped_rank_dist(
+    ds,
+    group_col: str,
+    col: str,
+    broadcast_byte_budget: int = 128 << 20,
+):
+    """PERCENT_RANK() and CUME_DIST() OVER (PARTITION BY group ORDER BY
+    col) — per-group quantile normalization (the feature-scaling step
+    that maps every value to its within-group rank fraction; the
+    partitioned sibling of :func:`global_rank_dist`, same exact-quotient
+    contract: integer numerators, ONE IEEE division each).
+
+    Scale shape: the DISTINCT (group, value) count table collapses first
+    (one bucket exchange — ties and the fact volume never reach the rank
+    logic).  Within the byte budget the sorted distinct arrays broadcast
+    once and each fact batch ranks itself with per-group
+    ``np.searchsorted`` slices (one pass over the groups PRESENT IN THE
+    BATCH — group cardinality is assumed modest on this path; the gate
+    routes big group spaces to the join path).  Beyond the budget:
+    within-group exclusive prefix sums fall out of ONE global
+    :func:`enumerate_sorted` over (group, value) minus a per-group base
+    (a group-keyed min), and the annotated distinct table hash-joins
+    back to the facts — nothing broadcast, nothing driver-side."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    distinct = bucketed_group_aggregate(
+        ds, [group_col, col], [(col, "count", "_n")]
+    ).materialize()
+
+    if distinct.size_bytes() <= int(broadcast_byte_budget):
+        tbl = pa.concat_tables(
+            [pa.table(b) for b in distinct.iter_batches(batch_format="pyarrow")]
+        )
+        g = tbl.column(group_col).to_numpy(zero_copy_only=False)
+        v = tbl.column(col).to_numpy(zero_copy_only=False)
+        cnt = tbl.column("_n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, g))
+        g, v, cnt = g[order], v[order], cnt[order]
+        gstart = np.flatnonzero(np.concatenate(([True], g[1:] != g[:-1])))
+        gend = np.concatenate((gstart[1:], [len(g)]))
+        seg = np.cumsum(np.concatenate(([False], g[1:] != g[:-1])))
+        csum = np.cumsum(cnt, dtype=np.int64)
+        base = np.concatenate(([0], csum[:-1]))  # global exclusive prefix
+        excl = base - base[gstart][seg]          # within-group exclusive
+        cume = excl + cnt
+        ng = (csum[gend - 1] - base[gstart]).astype(np.int64)[seg]
+        groups = {}
+        for i, s in enumerate(gstart):
+            e = gend[i]
+            n_g = int(ng[s])
+            groups[g[s]] = (
+                v[s:e],
+                excl[s:e],
+                cume[s:e],
+                float(n_g - 1) if n_g > 1 else 1.0,
+                float(n_g),
+            )
+        ref = ray.put(groups)
+
+        def rank_batch(t: pa.Table) -> pa.Table:
+            gr = ray.get(ref)
+            gb = t.column(group_col).to_numpy(zero_copy_only=False)
+            vb = t.column(col).to_numpy(zero_copy_only=False)
+            pr = np.empty(len(vb), dtype=np.float64)
+            cd = np.empty(len(vb), dtype=np.float64)
+            for key in np.unique(gb):
+                mask = gb == key
+                vals, e, c, dpr, dcd = gr[key]
+                idx = np.searchsorted(vals, vb[mask])
+                pr[mask] = e[idx] / dpr
+                cd[mask] = c[idx] / dcd
+            t = t.append_column("prank", pa.array(pr))
+            return t.append_column("cume_dist", pa.array(cd))
+
+        return ds.map_batches(rank_batch, batch_format="pyarrow")
+
+    ranked = enumerate_sorted(
+        distinct, [group_col, col], rank_col="_gpfx", weight_col="_n"
+    )
+    bases = bucketed_group_aggregate(
+        ranked, [group_col], [("_gpfx", "min", "_base"), ("_n", "sum", "_ng")]
+    )
+    ann = hash_join(ranked, bases, on=[group_col])
+
+    def finish(t: "pa.Table") -> "pa.Table":
+        e = (
+            t.column("_gpfx").to_numpy(zero_copy_only=False)
+            - t.column("_base").to_numpy(zero_copy_only=False)
+        )
+        n = t.column("_n").to_numpy(zero_copy_only=False)
+        n_g = t.column("_ng").to_numpy(zero_copy_only=False).astype(np.float64)
+        dpr = np.where(n_g > 1, n_g - 1.0, 1.0)
+        out = t.select([group_col, col])
+        out = out.append_column("prank", pa.array(e / dpr))
+        return out.append_column("cume_dist", pa.array((e + n) / n_g))
+
+    rank_fn = ann.map_batches(finish, batch_format="pyarrow")
+    return hash_join(ds, rank_fn, on=[group_col, col])

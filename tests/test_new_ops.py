@@ -4050,3 +4050,59 @@ def test_burst_scores_brute_force(ray_session):
             int(((ts >= a) & (ts <= a + W - 1)).sum()) for a in ts
         )
         assert row.burst == want, row.user_id
+
+
+def test_grouped_rank_dist_both_paths(ray_session):
+    import ray
+
+    from cloudtile_ray.stages.relational import grouped_rank_dist
+
+    rng = np.random.default_rng(41)
+    n = 800
+    t = pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "g": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+            "v": pa.array(rng.integers(0, 50, n)),  # heavy ties
+        }
+    )
+    df = t.to_pandas()
+    want = df.copy()
+    want["prank"] = df.groupby("g")["v"].rank(method="min").sub(1) / (
+        df.groupby("g")["v"].transform("size") - 1
+    )
+    want["cume_dist"] = df.groupby("g")["v"].rank(method="max") / df.groupby("g")[
+        "v"
+    ].transform("size")
+    for budget in (128 << 20, 1):  # broadcast path, then join path
+        got = (
+            grouped_rank_dist(
+                ray.data.from_arrow(t).repartition(4), "g", "v",
+                broadcast_byte_budget=budget,
+            )
+            .to_pandas().sort_values("rid").reset_index(drop=True)
+        )
+        assert got["prank"].values.tolist() == want["prank"].values.tolist(), budget
+        assert (
+            got["cume_dist"].values.tolist() == want["cume_dist"].values.tolist()
+        ), budget
+
+
+def test_max_drawdown_cross_partition(ray_session):
+    import ray
+
+    from cloudtile_ray.stages.relational import max_drawdown
+
+    rng = np.random.default_rng(43)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.integers(-100, 100, n)),
+        }
+    )
+    got = max_drawdown(ray.data.from_arrow(t).repartition(9), ["k"], "v")
+    df = t.to_pandas().sort_values("k")
+    x = np.cumsum(df["v"].values)
+    want = int((np.maximum.accumulate(x) - x).max())
+    assert got == want
