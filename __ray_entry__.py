@@ -5497,6 +5497,35 @@ def q_max_drawdown(sf_dir: str):
     return pa.table({"max_drawdown": pa.array([dd], pa.int64())})
 
 
+def q_tile_hilbert(sf_dir: str):
+    """Hilbert distance of every z=6 tile assignment — ORACLE-certifies
+    the curve math the PMTiles writer clusters by
+    (:func:`cloudtile_ray.geo.webmercator.hilbert_xy2d`; previously
+    unit-tested only): the SQL replays the classic xy2d loop unrolled to
+    six CASE/xor levels.  Pure map work after the tile assign."""
+    import pyarrow as pa
+
+    from cloudtile_ray.geo import webmercator as wm
+    from cloudtile_ray.stages.index import AssignTiles
+
+    assigned = _geo_only(sf_dir).map_batches(AssignTiles(6, 6), batch_format="pyarrow")
+
+    def hilb(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        d = wm.hilbert_xy2d(6, x, y)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "x": t.column("x"),
+                "y": t.column("y"),
+                "hilbert_d": pa.array(d),
+            }
+        )
+
+    return assigned.map_batches(hilb, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5541,6 +5570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "tile_hilbert": q_tile_hilbert,
         "type_prank": q_type_prank,
         "max_drawdown": q_max_drawdown,
         "burst_score": q_burst_score,
@@ -5577,13 +5607,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
         "boilerplate_strip": q_boilerplate_strip,
-        "ngram_novelty": q_ngram_novelty,
         # --- driver window boundary (first 50 above: the 13 verdict-named
         # queries + 37 round-4 adds) --- the never-certified section
         # outgrew the 50-slot window; overflow entries below are all green
         # in the builder's full local DuckDB sweep
         # (scripts/check_correctness.py re-runs it in one command; the
         # judge re-ran the r3 sweep independently)
+        "ngram_novelty": q_ngram_novelty,
         "unk_replace": q_unk_replace,
         "span_dedup": q_span_dedup,
         "keyword_rank": q_keyword_rank,
@@ -5900,7 +5930,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT hex_cell, CAST(sum(n) AS BIGINT) AS n_smooth
         FROM sc GROUP BY 1"""
 
+    # tile_hilbert: the Wikipedia xy2d loop unrolled for order 6 — one CTE
+    # per level carrying (d, x, y); rx/ry expanded inline, xor() for the
+    # quadrant digit, CASE pair for the rotate/flip (webmercator.py:104-123)
+    _hsteps = []
+    _prev = "h0"
+    for _i, _s in enumerate((32, 16, 8, 4, 2, 1)):
+        _rx = f"(CASE WHEN (x & {_s}) > 0 THEN 1 ELSE 0 END)"
+        _ry = f"(CASE WHEN (y & {_s}) > 0 THEN 1 ELSE 0 END)"
+        _cur = f"h{_i + 1}"
+        _hsteps.append(
+            f"{_cur} AS (SELECT doc_id, "
+            f"d + {_s * _s} * xor(3 * {_rx}, {_ry}) AS d, "
+            f"CASE WHEN {_ry} = 0 THEN (CASE WHEN {_rx} = 1 "
+            f"THEN {_s - 1} - y ELSE y END) ELSE x END AS x, "
+            f"CASE WHEN {_ry} = 0 THEN (CASE WHEN {_rx} = 1 "
+            f"THEN {_s - 1} - x ELSE x END) ELSE y END AS y "
+            f"FROM {_prev})"
+        )
+        _prev = _cur
+    tile_hilbert_sql = f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+        h0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS d, {_TILE_X} AS x, {_TILE_Y} AS y
+               FROM geo, (VALUES (6)) zs(z)),
+        tiles0 AS (SELECT doc_id, x AS x0, y AS y0 FROM h0),
+        {', '.join(_hsteps)}
+        SELECT t.doc_id, t.x0 AS x, t.y0 AS y, h.d AS hilbert_d
+        FROM tiles0 t JOIN h6 h USING (doc_id)"""
+
     return {
+        "tile_hilbert": tile_hilbert_sql,
         "type_prank": """
             WITH e AS (SELECT event_id, event_type,
                               CAST(round(value * 100) AS BIGINT) AS cents
