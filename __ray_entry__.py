@@ -5578,13 +5578,19 @@ def q_conversion_latency(sf_dir: str):
         batch_format="pyarrow",
     )
     pmin = bucketed_group_aggregate(joined, ["user_id"], [("ts_us", "min", "pmin")])
-    lat = hash_join(pmin, vmin, on=["user_id"]).map_batches(
-        lambda t: pa.table(
-            {
-                "latency_us": pc.subtract(t.column("pmin"), t.column("vmin")),
-            }
-        ),
-        batch_format="pyarrow",
+    lat = (
+        hash_join(pmin, vmin, on=["user_id"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "latency_us": pc.subtract(t.column("pmin"), t.column("vmin")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # one row per CONVERTING user — pin it so the quantile scans'
+        # log_B(W) passes don't re-run the joins per pass
+        .materialize()
     )
     return exact_quantiles(lat, "latency_us", {"p50": 0.5, "p90": 0.9})
 
