@@ -5566,7 +5566,11 @@ def q_conversion_latency(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    vmin = bucketed_group_aggregate(views, ["user_id"], [("ts_us", "min", "vmin")])
+    # user-bounded; consumed by BOTH joins below — pin it so the views
+    # pass runs once
+    vmin = bucketed_group_aggregate(
+        views, ["user_id"], [("ts_us", "min", "vmin")]
+    ).materialize()
     purch = ev.map_batches(
         lambda t: t.filter(pc.equal(t.column("event_type"), "purchase")).select(
             ["user_id", "ts_us"]
