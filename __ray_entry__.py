@@ -5705,6 +5705,46 @@ def q_lang_top_tokens(sf_dir: str):
     return grouped_topk(counts, "lang", "n", k=3, descending=True, tie_col="tok")
 
 
+def q_markov_accuracy(sf_dir: str):
+    """Behavioral-model self-evaluation: train the argmax first-order
+    Markov predictor on the event-type transition matrix and score it on
+    the same stream — accuracy = Σ_prev max(n) / Σ n, both exact int64
+    from the type²-bounded counts table (the corpus-scale work is the
+    distributed transition count; the train+eval fold is
+    aggregate-sized)."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.events import transition_counts
+
+    def add_ts_us(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return b.append_column("ts_us", pa.array(ts))
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_id", "event_type"],
+    )
+    counts = transition_counts(
+        ds.map_batches(add_ts_us, batch_format="pyarrow")
+    ).to_pandas()  # type²-bounded
+    total = int(counts["n"].sum())
+    hits = int(counts.groupby("prev_type")["n"].max().sum())
+    return pa.table(
+        {
+            "n_transitions": pa.array([total], pa.int64()),
+            "n_hits": pa.array([hits], pa.int64()),
+            "accuracy": pa.array(
+                [np.float64(hits) / np.float64(total)], pa.float64()
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5749,6 +5789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "markov_accuracy": q_markov_accuracy,
         "conversion_latency": q_conversion_latency,
         "winsorized_mean": q_winsorized_mean,
         "lang_top_tokens": q_lang_top_tokens,
@@ -5785,13 +5826,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_outer": q_lang_token_outer,
         "regr_value": q_regr_value,
         "weighted_sample": q_weighted_sample,
-        "ngram_decontam": q_ngram_decontam,
         # --- driver window boundary (first 50 above: the 13 verdict-named
         # queries + 37 round-4 adds) --- the never-certified section
         # outgrew the 50-slot window; overflow entries below are all green
         # in the builder's full local DuckDB sweep
         # (scripts/check_correctness.py re-runs it in one command; the
         # judge re-ran the r3 sweep independently)
+        "ngram_decontam": q_ngram_decontam,
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
         "boilerplate_strip": q_boilerplate_strip,
@@ -6140,6 +6181,24 @@ def oracle_sql() -> dict[str, str]:
         FROM tiles0 t JOIN h6 h USING (doc_id)"""
 
     return {
+        "markov_accuracy": """
+            WITH e AS (SELECT user_id, event_id, event_type,
+                              epoch_us(ts) AS ts_us
+                       FROM events),
+            p AS (SELECT event_type AS prev,
+                         lead(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts_us, event_id)
+                           AS next
+                  FROM e),
+            c AS (SELECT prev, next, count(*) AS n FROM p
+                  WHERE next IS NOT NULL GROUP BY 1, 2),
+            m AS (SELECT prev, max(n) AS mx FROM c GROUP BY 1),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS n_transitions FROM c),
+            h AS (SELECT CAST(sum(mx) AS BIGINT) AS n_hits FROM m)
+            SELECT t.n_transitions, h.n_hits,
+                   CAST(h.n_hits AS DOUBLE)
+                   / CAST(t.n_transitions AS DOUBLE) AS accuracy
+            FROM t CROSS JOIN h""",
         "conversion_latency": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
                        FROM events),
