@@ -4977,7 +4977,6 @@ def q_latest_snapshot(sf_dir: str):
     k=1 combiner + one bucket exchange — rows moved <= groups-per-batch,
     never the corpus."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from cloudtile_ray.pipelines.single_step import pages_dataset
     from cloudtile_ray.stages.dedup import canonicalize_urls
@@ -4988,33 +4987,24 @@ def q_latest_snapshot(sf_dir: str):
     )
 
     def snapshots(t: pa.Table) -> pa.Table:
+        # variant construction shared with the url_dedup fixture
+        # (stages/dedup.py url_variants: [variant-A rows, variant-B rows]
+        # in batch order — the ts/snap arrays below rely on that layout);
+        # code-review r4 #3 deduplicated the previous inline copy
+        from cloudtile_ray.stages.dedup import url_variants
+
         m = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         base = t.column("warc_ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        u = t.column("url")
-        has_q = pc.match_substring(u, "?")
-        va = pc.binary_join_element_wise(
-            u, pc.if_else(has_q, "&utm_source=feed", "?utm_source=feed"), ""
-        )
-        vb = pc.binary_join_element_wise(
-            pc.utf8_upper(u), pc.if_else(has_q, "", "/"), ""
-        )
-        ids = t.column("doc_id").combine_chunks()
+        v = url_variants(t.select(["doc_id", "url"]))
         ts_a = base + ((m * 31) % 1000) * 1_000_000
         ts_b = base + ((m * 57) % 1000) * 1_000_000
-        return pa.table(
-            {
-                "doc_id": pa.concat_arrays([ids] * 2),
-                "url": pa.concat_arrays(
-                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-                     for c in (va, vb)]
-                ),
-                "ts_us": pa.array(np.concatenate([ts_a, ts_b])),
-                "snap": pa.array(
-                    np.concatenate(
-                        [np.zeros(len(m), np.int64), np.ones(len(m), np.int64)]
-                    )
-                ),
-            }
+        return v.append_column(
+            "ts_us", pa.array(np.concatenate([ts_a, ts_b]))
+        ).append_column(
+            "snap",
+            pa.array(
+                np.concatenate([np.zeros(len(m), np.int64), np.ones(len(m), np.int64)])
+            ),
         )
 
     snaps = pages.map_batches(snapshots, batch_format="pyarrow").map_batches(

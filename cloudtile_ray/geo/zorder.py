@@ -22,8 +22,11 @@ from __future__ import annotations
 
 import numpy as np
 
-#: grid resolution: bits per axis (cells = 2^BITS × 2^BITS, key < 2^(2·BITS))
+#: grid resolution: bits per axis (cells = 2^BITS × 2^BITS, key < 2^(2·BITS)).
+#: The spread kernel below is hardwired to 8-bit lanes; CELLS is derived so
+#: the quantizer can't drift from it.
 BITS = 8
+CELLS = 1 << BITS  # cells per axis
 
 
 def spread_bits_8(v: np.ndarray) -> np.ndarray:
@@ -52,6 +55,6 @@ def zorder_cells_mi(lon_mi: np.ndarray, lat_mi: np.ndarray) -> np.ndarray:
     would need a clip the SQL replay does not perform)."""
     x = lon_mi.astype(np.int64) + 180_000
     y = lat_mi.astype(np.int64) + 90_000
-    cx = ((x * 256) // 360_000).astype(np.uint32)
-    cy = ((y * 256) // 180_000).astype(np.uint32)
+    cx = ((x * CELLS) // 360_000).astype(np.uint32)
+    cy = ((y * CELLS) // 180_000).astype(np.uint32)
     return morton_key_8(cx, cy)

@@ -1167,11 +1167,23 @@ def burst_scores(ds, window_us: int) -> "ray.data.Dataset":
         n = len(u_s)
         starts = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
         seg_of = np.cumsum(np.concatenate(([False], u_s[1:] != u_s[:-1])))
-        # relocate each segment to a disjoint range wider than span+window
-        span = int(ts_s.max() - ts_s.min()) if n else 0
-        stride = np.int64(span + w + 2)
+        ends = np.concatenate((starts[1:], [n]))
         base = ts_s[starts]  # per-segment min
-        shifted = (ts_s - base[seg_of]) + seg_of * stride
+        # relocate each segment to its own disjoint range: offsets are the
+        # exclusive cumsum of PER-SEGMENT (span + window + 2) — not
+        # seg_index × global-span, whose product overflows int64 around
+        # ~10⁵ users × year-scale spans (code-review r4 #1); total
+        # magnitude here is Σ spans + users·w, and a loud guard covers
+        # the pathological remainder
+        seg_span = ts_s[ends - 1] - base
+        widths = seg_span + np.int64(w + 2)
+        offsets = np.concatenate(([0], np.cumsum(widths[:-1], dtype=np.int64)))
+        if int(offsets[-1]) + int(seg_span[-1]) + w + 2 >= 2**62:
+            raise OverflowError(
+                "burst_scores: relocated time axis would exceed int64 — "
+                "shrink the bucket (raise num_buckets) or the window"
+            )
+        shifted = (ts_s - base[seg_of]) + offsets[seg_of]
         lo = np.searchsorted(shifted, shifted, side="left")
         hi = np.searchsorted(shifted, shifted + np.int64(w - 1), side="right")
         counts = hi - lo

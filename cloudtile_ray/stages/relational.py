@@ -1711,6 +1711,14 @@ def max_drawdown(ds, sort_cols: Sequence[str], value_col: str) -> int:
     if not meta:
         return 0
     meta.sort(key=lambda r: tuple(json.loads(r["key"])))
+    seen_keys = [r["key"] for r in meta]
+    if len(set(seen_keys)) != len(seen_keys):
+        # same contract as enumerate_sorted: a tie spanning a block
+        # boundary makes the driver-side fold order ambiguous — fail
+        # loudly instead of returning a silently wrong drawdown
+        raise ValueError(
+            "max_drawdown requires unique sort keys; duplicate block min-key"
+        )
     x_in = 0
     peak_in = -(2**63)
     best = 0
