@@ -184,6 +184,9 @@ def run_queries(sf_dir: str) -> dict:
         "important_parts", "footprint_area",
         "pmi_pairs", "zone_overlap", "latest_snapshot", "zorder_cells",
         "geohash_cells", "value_zscore", "line_length", "footprint_centroid",
+        "gap_quantiles", "nearest_zone", "record_events", "hex_smooth",
+        "domain_gini", "burst_score", "type_prank", "tile_hilbert",
+        "conversion_latency", "markov_accuracy",
     ]
     import gc
 
