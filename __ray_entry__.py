@@ -5735,6 +5735,43 @@ def q_markov_accuracy(sf_dir: str):
     )
 
 
+def q_spatial_clusters(sf_dir: str):
+    """Density clustering (DBSCAN-core shape): connected components over
+    the 30-milli-degree radius graph of metro pages — composition of the
+    ghost-cell radius self-join (:func:`cloudtile_ray.stages.join.
+    radius_pairs`) and the distributed large-star/small-star CC
+    (:func:`cloudtile_ray.stages.dedup.resolve_clusters_distributed`,
+    zero driver-side pair collection).  cluster_id = component-min
+    doc_id; singletons (no neighbor in radius) are noise and absent, the
+    DBSCAN convention."""
+    import pyarrow as pa
+
+    from cloudtile_ray.sources.pages import derive_geo_arrays
+    from cloudtile_ray.stages.dedup import resolve_clusters_distributed
+    from cloudtile_ray.stages.join import radius_pairs
+
+    def metro_points(t: pa.Table) -> pa.Table:
+        m = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = derive_geo_arrays(m)
+        keep = g["is_metro"] & g["has_geo"]
+        return pa.table(
+            {
+                "doc_id": pa.array(m[keep]),
+                "lon_mi": pa.array(g["lon_mi"][keep]),
+                "lat_mi": pa.array(g["lat_mi"][keep]),
+            }
+        )
+
+    docs = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    pairs = radius_pairs(
+        docs.map_batches(metro_points, batch_format="pyarrow"), radius=30
+    )
+    labels = resolve_clusters_distributed(pairs, id_cols=("doc_a", "doc_b"))
+    return labels.map_batches(
+        lambda t: t.select(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    ).sort(["doc_id"])
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5779,6 +5816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "spatial_clusters": q_spatial_clusters,
         "markov_accuracy": q_markov_accuracy,
         "conversion_latency": q_conversion_latency,
         "winsorized_mean": q_winsorized_mean,
@@ -5815,13 +5853,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
         "regr_value": q_regr_value,
-        "weighted_sample": q_weighted_sample,
         # --- driver window boundary (first 50 above: the 13 verdict-named
         # queries + 37 round-4 adds) --- the never-certified section
         # outgrew the 50-slot window; overflow entries below are all green
         # in the builder's full local DuckDB sweep
         # (scripts/check_correctness.py re-runs it in one command; the
         # judge re-ran the r3 sweep independently)
+        "weighted_sample": q_weighted_sample,
         "ngram_decontam": q_ngram_decontam,
         "para_dedup": q_para_dedup,
         "source_mix": q_source_mix,
@@ -6171,6 +6209,20 @@ def oracle_sql() -> dict[str, str]:
         FROM tiles0 t JOIN h6 h USING (doc_id)"""
 
     return {
+        "spatial_clusters": f"""{f'WITH RECURSIVE {PAGES_SQL_CTE.strip()}'},
+            m AS (SELECT doc_id, lon_mi, lat_mi FROM geo WHERE is_metro),
+            e AS (SELECT a.doc_id AS a, b.doc_id AS b
+                  FROM m a JOIN m b ON a.doc_id < b.doc_id
+                  WHERE (a.lon_mi - b.lon_mi) * (a.lon_mi - b.lon_mi)
+                        + (a.lat_mi - b.lat_mi) * (a.lat_mi - b.lat_mi) <= 900),
+            sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+            lbl(node, label) AS (
+                SELECT DISTINCT a, a FROM sym
+                UNION
+                SELECT s.b, l.label FROM lbl l JOIN sym s ON s.a = l.node),
+            cc AS (SELECT node, min(label) AS cluster_id FROM lbl GROUP BY node)
+            SELECT node AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+            FROM cc""",
         "markov_accuracy": """
             WITH e AS (SELECT user_id, event_id, event_type,
                               epoch_us(ts) AS ts_us
