@@ -5772,6 +5772,48 @@ def q_spatial_clusters(sf_dir: str):
     ).sort(["doc_id"])
 
 
+def q_partition_roundtrip(sf_dir: str):
+    """Partitioned-write → partition-pruned read, certified against an
+    oracle: documents stream to hive-partitioned Parquet
+    (``lang=<v>/`` directories — the resumable-output layout every
+    pipeline here writes), then ONLY the ``lang=en`` directory is
+    opened (path-level pruning: other partitions' files are never
+    touched) and aggregated.  The scratch directory is private
+    (``mkdtemp``) and removed after the aggregate materializes."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import ray.data
+
+    out = tempfile.mkdtemp(prefix="cloudtile_ray_part_")
+    try:
+        ds = _read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        ds.write_parquet(out, partition_cols=["lang"])
+        back = ray.data.read_parquet(f"{out}/lang=en", columns=["doc_id", "n_chars"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            n = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "n_docs": pa.array([t.num_rows], pa.int64()),
+                    "sum_chars": pa.array([int(n.sum())], pa.int64()),
+                }
+            )
+
+        parts = back.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return pa.table(
+            {
+                "n_docs": pa.array([int(parts["n_docs"].sum())], pa.int64()),
+                "sum_chars": pa.array([int(parts["sum_chars"].sum())], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -5816,6 +5858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "partition_roundtrip": q_partition_roundtrip,
         "spatial_clusters": q_spatial_clusters,
         "markov_accuracy": q_markov_accuracy,
         "conversion_latency": q_conversion_latency,
@@ -5852,13 +5895,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "no_conversion": q_no_conversion,
         "skyline_brand": q_skyline_brand,
         "lang_token_outer": q_lang_token_outer,
-        "regr_value": q_regr_value,
         # --- driver window boundary (first 50 above: the 13 verdict-named
         # queries + 37 round-4 adds) --- the never-certified section
         # outgrew the 50-slot window; overflow entries below are all green
         # in the builder's full local DuckDB sweep
         # (scripts/check_correctness.py re-runs it in one command; the
         # judge re-ran the r3 sweep independently)
+        "regr_value": q_regr_value,
         "weighted_sample": q_weighted_sample,
         "ngram_decontam": q_ngram_decontam,
         "para_dedup": q_para_dedup,
@@ -6209,6 +6252,10 @@ def oracle_sql() -> dict[str, str]:
         FROM tiles0 t JOIN h6 h USING (doc_id)"""
 
     return {
+        "partition_roundtrip": """
+            SELECT count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE lang = 'en'""",
         "spatial_clusters": f"""{f'WITH RECURSIVE {PAGES_SQL_CTE.strip()}'},
             m AS (SELECT doc_id, lon_mi, lat_mi FROM geo WHERE is_metro),
             e AS (SELECT a.doc_id AS a, b.doc_id AS b
