@@ -5979,6 +5979,90 @@ def q_hourly_autocorr(sf_dir: str):
     )
 
 
+def q_length_lorenz(sf_dir: str):
+    """Concentration-of-mass (Lorenz) profile: documents NTILE(10)'d by
+    length, each decile's char sum and share of the corpus total — the
+    inequality statistic behind "top 10% of docs hold X% of tokens".
+    One global sort (:func:`global_ntile`), a 10-group rollup, shares as
+    single IEEE divisions of exact int64 sums."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from cloudtile_ray.stages.relational import global_ntile
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    tiled = global_ntile(ds, ["n_chars", "doc_id"], k=10, out_col="decile")
+    agg = (
+        tiled.groupby("decile")
+        .aggregate(
+            Sum("n_chars", alias_name="sum_chars"), Count(alias_name="n_docs")
+        )
+        .to_pandas()  # 10 rows
+        .sort_values("decile")
+        .reset_index(drop=True)
+    )
+    total = np.float64(int(agg["sum_chars"].sum()))
+    share = agg["sum_chars"].to_numpy(dtype=np.int64).astype(np.float64) / total
+    return pa.table(
+        {
+            "decile": pa.array(agg["decile"].to_numpy(dtype=np.int64)),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(dtype=np.int64)),
+            "sum_chars": pa.array(agg["sum_chars"].to_numpy(dtype=np.int64)),
+            "share": pa.array(share),
+        }
+    )
+
+
+def q_daily_hotspots(sf_dir: str):
+    """Spatiotemporal hotspots: per crawl day, the top-3 z-cells by page
+    count — the (time × space) rollup behind burst-region monitoring.
+    One (day, cell) count exchange over batch partials, then
+    :func:`grouped_topk` k=3 per day."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from cloudtile_ray.geo.zorder import zorder_cells_mi
+    from cloudtile_ray.stages.relational import grouped_topk
+
+    import pyarrow.compute as pc
+
+    geo = _geo_only(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("warc_ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        day = ts // 86_400_000_000
+        z = zorder_cells_mi(
+            t.column("lon_mi").to_numpy(zero_copy_only=False),
+            t.column("lat_mi").to_numpy(zero_copy_only=False),
+        )
+        g = (
+            pa.table({"day": pa.array(day), "zcell": pa.array(z)})
+            .group_by(["day", "zcell"])
+            .aggregate([("zcell", "count")])
+        )
+        return pa.table(
+            {
+                "day": g.column("day"),
+                "zcell": g.column("zcell"),
+                "n": pc.cast(g.column("zcell_count"), pa.int64()),
+            }
+        )
+
+    counts = (
+        geo.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "zcell"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return grouped_topk(counts, "day", "n", k=3, descending=True, tie_col="zcell")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6023,6 +6107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "length_lorenz": q_length_lorenz,
+        "daily_hotspots": q_daily_hotspots,
         "zone_top_docs": q_zone_top_docs,
         "type_mad": q_type_mad,
         "hourly_autocorr": q_hourly_autocorr,
@@ -6059,13 +6145,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_volume": q_ship_volume,
         "market_share": q_market_share,
         "top_supplier": q_top_supplier,
-        "idle_customers": q_idle_customers,
         # --- driver window boundary (first 50 above: the 13 verdict-named
         # queries + 37 round-4 adds) --- the never-certified section
         # outgrew the 50-slot window; overflow entries below are all green
         # in the builder's full local DuckDB sweep
         # (scripts/check_correctness.py re-runs it in one command; the
         # judge re-ran the r3 sweep independently)
+        "idle_customers": q_idle_customers,
         "bpe_pairs": q_bpe_pairs,
         "no_conversion": q_no_conversion,
         "skyline_brand": q_skyline_brand,
@@ -6352,6 +6438,21 @@ def oracle_sql() -> dict[str, str]:
                  AS zcell,
                count(*) AS n_docs
         FROM cells GROUP BY 1"""
+    hotspot_sql = f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+        cells AS (SELECT (1704067200000000 + doc_id * 1000000) // 86400000000
+                    AS day,
+                  {_zcx} AS cx, {_zcy} AS cy FROM geo),
+        zc AS (SELECT day,
+                      CAST({{_ZS_CX}} | ({{_ZS_CY}} << 1) AS BIGINT) AS zcell
+               FROM cells),
+        g AS (SELECT day, zcell, count(*) AS n FROM zc GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY day
+                                           ORDER BY n DESC, zcell) AS rn
+              FROM g)
+        SELECT day, zcell, CAST(n AS BIGINT) AS n FROM r WHERE rn <= 3"""
+    hotspot_sql = hotspot_sql.replace("{_ZS_CX}", _zspread_sql("cx")).replace(
+        "{_ZS_CY}", _zspread_sql("cy")
+    )
     zshard_sql = f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
         cells AS (SELECT doc_id, {_zcx} AS cx, {_zcy} AS cy FROM geo),
         zc AS (SELECT doc_id,
@@ -6433,6 +6534,20 @@ def oracle_sql() -> dict[str, str]:
         FROM tiles0 t JOIN h6 h USING (doc_id)"""
 
     return {
+        "length_lorenz": """
+            WITH t AS (SELECT doc_id, n_chars,
+                              ntile(10) OVER (ORDER BY n_chars, doc_id)
+                                AS decile
+                       FROM documents),
+            g AS (SELECT decile, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                         count(*) AS n_docs
+                  FROM t GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total
+                    FROM documents)
+            SELECT CAST(decile AS BIGINT) AS decile, n_docs, sum_chars,
+                   CAST(sum_chars AS DOUBLE) / CAST(total AS DOUBLE) AS share
+            FROM g CROSS JOIN tot""",
+        "daily_hotspots": hotspot_sql,
         "zone_top_docs": f"""{prefix},
             h AS (SELECT g.doc_id, z.zone_id
                   FROM geo g JOIN zones z
