@@ -186,7 +186,9 @@ def run_queries(sf_dir: str) -> dict:
         "geohash_cells", "value_zscore", "line_length", "footprint_centroid",
         "gap_quantiles", "nearest_zone", "record_events", "hex_smooth",
         "domain_gini", "burst_score", "type_prank", "tile_hilbert",
-        "conversion_latency", "markov_accuracy",
+        "conversion_latency", "markov_accuracy", "spatial_clusters",
+        "zshard_plan", "zone_top_docs", "type_mad", "winsorized_mean",
+        "length_lorenz", "daily_hotspots", "partition_roundtrip",
     ]
     import gc
 
