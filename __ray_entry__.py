@@ -5567,13 +5567,15 @@ def q_conversion_latency(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    joined = hash_join(purch, vmin, on=["user_id"]).map_batches(
+    # both join sides are user-bounded and modest — 8 partitions avoids
+    # paying 2xCPU aggregator-actor startups on a small join
+    joined = hash_join(purch, vmin, on=["user_id"], num_partitions=8).map_batches(
         lambda t: t.filter(pc.greater(t.column("ts_us"), t.column("vmin"))),
         batch_format="pyarrow",
     )
     pmin = bucketed_group_aggregate(joined, ["user_id"], [("ts_us", "min", "pmin")])
     lat = (
-        hash_join(pmin, vmin, on=["user_id"])
+        hash_join(pmin, vmin, on=["user_id"], num_partitions=8)
         .map_batches(
             lambda t: pa.table(
                 {

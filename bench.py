@@ -436,9 +436,11 @@ def main() -> None:
 
     import ray
 
+    # log_to_driver=False: raylet worker-count warnings otherwise leak
+    # into STDOUT and break the one-JSON-line output contract
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
-             object_store_memory=int(60e9))
+             log_to_driver=False, object_store_memory=int(60e9))
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False

@@ -91,6 +91,25 @@ def _patch_ray_hash_shuffle_schema_broadcast() -> None:
     _shuffle_patch_applied = True
 
 
+def _plan_contains_join(ds) -> bool:
+    """True when the Dataset's (unexecuted) logical plan contains a Join
+    operator — see the lineage-break note in :func:`hash_join`.  Walks the
+    private logical DAG; any API drift degrades to False (no pinning),
+    never to a wrong result."""
+    try:
+        from ray.data._internal.logical.operators.join_operator import Join
+
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            if isinstance(op, Join):
+                return True
+            stack.extend(op.input_dependencies)
+    except Exception:
+        return False
+    return False
+
+
 def hash_join(
     left,
     right,
@@ -112,6 +131,17 @@ def hash_join(
     if how not in _HOW:
         raise ValueError(f"how={how!r}; expected one of {sorted(_HOW)}")
     _patch_ray_hash_shuffle_schema_broadcast()
+    # Two UNEXECUTED hash-shuffle joins in one lineage deadlock: each join
+    # wants its own full pool of HashShuffleAggregator actors up before it
+    # makes progress, and at modest CPU counts the two pools + map tasks
+    # can't co-schedule (observed as a silent hang at 32 CPUs on a
+    # join-over-join plan; fine at the same sizes when run sequentially).
+    # Break the lineage: pin any input whose plan already contains a Join
+    # so the inner join completes and releases its actors first.
+    if _plan_contains_join(left):
+        left = left.materialize()
+    if _plan_contains_join(right):
+        right = right.materialize()
     from cloudtile_ray.stages.util import strip_schema_metadata
 
     # Schema metadata (the b'pandas' blob on every pandas-written parquet
@@ -140,7 +170,24 @@ def hash_join(
             )
         except Exception:
             blocks = 2 * cpus
-        num_partitions = max(8, min(2 * cpus, blocks))
+
+        # When a side is already MATERIALIZED its size is free metadata;
+        # a join whose known sides are small needs few partitions — each
+        # partition is one aggregator ACTOR, and 64 actors on a sub-64MB
+        # join is pure process-start overhead (see the measurement above).
+        def _known_size(ds_in):
+            try:
+                if ds_in._plan.has_computed_output():
+                    return ds_in.size_bytes()
+            except Exception:
+                pass
+            return None
+
+        sizes = [_known_size(left), _known_size(right)]
+        if all(s is not None and s < (64 << 20) for s in sizes):
+            num_partitions = 8
+        else:
+            num_partitions = max(8, min(2 * cpus, blocks))
     return left.join(
         right,
         join_type=_HOW[how],
