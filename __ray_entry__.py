@@ -6195,6 +6195,125 @@ def q_wau_stickiness(sf_dir: str):
     return joined.map_batches(stick, batch_format="pyarrow")
 
 
+def q_snap_lines(sf_dir: str):
+    """Map-matching: every 23rd geocoded page snapped to its nearest
+    polyline segment within 200 milli-degrees
+    (:func:`cloudtile_ray.stages.join.snap_to_segments` — the
+    GPS-trace-to-road-network / ST_ClosestPoint join).  Segments come from
+    the PARSED chevron polylines (milli-int recovered exactly via rint);
+    the argmin is decided on the exact int64 rational distance
+    ``num/den`` with the (double-quotient, seg_id) ordering the SQL
+    oracle replays term-for-term, so the result is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.join import snap_to_segments
+    from cloudtile_ray.stages.lines import extract_lines
+
+    geo = _geo_only(sf_dir)
+
+    def probe(t: pa.Table) -> pa.Table:
+        m = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(m % 23 == 5)
+        return t.select(["doc_id", "lon_mi", "lat_mi"]).take(
+            pa.array(keep, pa.int64())
+        )
+
+    pts = geo.map_batches(probe, batch_format="pyarrow")
+
+    def to_segs(t: pa.Table) -> pa.Table:
+        lon = t.column("ln_lon")
+        lat = t.column("ln_lat")
+        if isinstance(lon, pa.ChunkedArray):
+            lon, lat = lon.combine_chunks(), lat.combine_chunks()
+        offs = lon.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.rint(lon.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        y = np.rint(lat.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        npts = np.diff(offs)
+        if (npts != 3).any():
+            raise ValueError("chevron polylines are 3-vertex by construction")
+        v0 = offs[:-1]
+        ax = np.concatenate([x[v0], x[v0 + 1]])
+        ay = np.concatenate([y[v0], y[v0 + 1]])
+        bx = np.concatenate([x[v0 + 1], x[v0 + 2]])
+        by = np.concatenate([y[v0 + 1], y[v0 + 2]])
+        seg_id = np.concatenate([doc * 2, doc * 2 + 1])
+        return pa.table(
+            {
+                "seg_id": pa.array(seg_id),
+                "ax_mi": pa.array(ax),
+                "ay_mi": pa.array(ay),
+                "bx_mi": pa.array(bx),
+                "by_mi": pa.array(by),
+            }
+        )
+
+    segs = _geocoded(sf_dir).map_batches(
+        extract_lines, batch_format="pyarrow"
+    ).map_batches(to_segs, batch_format="pyarrow")
+    return snap_to_segments(pts, segs, radius=200)
+
+
+def q_line_interp(sf_dir: str):
+    """Linear referencing: the point at 25% of each polyline's path length
+    (:func:`cloudtile_ray.stages.lines.interpolate_at_fraction` —
+    ST_LineInterpolatePoint parity).  Float-exact vs the oracle: the
+    cumulative fold, owning-segment CASE, and interpolation expression are
+    the identical correctly-rounded double ops on both sides."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.lines import extract_lines, interpolate_at_fraction
+
+    ln = _geocoded(sf_dir).map_batches(extract_lines, batch_format="pyarrow")
+
+    def interp(t: pa.Table) -> pa.Table:
+        ix, iy = interpolate_at_fraction(t.column("ln_lon"), t.column("ln_lat"), 0.25)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "ix_deg": pa.array(ix),
+                "iy_deg": pa.array(iy),
+            }
+        )
+
+    return ln.map_batches(interp, batch_format="pyarrow")
+
+
+def q_user_changepoint(sf_dir: str):
+    """Per-user mean-shift changepoint over event values
+    (:func:`cloudtile_ray.stages.events.user_changepoints`): the split k
+    maximizing |mean(prefix) - mean(suffix)|, argmax decided on the exact
+    int64 rational |num|/den with the (double DESC, k ASC) ordering the
+    SQL oracle replays."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.events import prep_events, user_changepoints
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(prep_events, batch_format="pyarrow")
+    slim = ds.map_batches(
+        lambda t: t.select(["user_id", "ts_us", "event_id", "value_cents"]),
+        batch_format="pyarrow",
+    )
+    return user_changepoints(slim)
+
+
+def q_containment(sf_dir: str):
+    """Containment / overlap-coefficient near-dup join
+    (:func:`cloudtile_ray.stages.dedup.containment_overlap_pairs`): pairs
+    with |A∩B|/min(|A|,|B|) >= 0.8 among pairs sharing a rare sampled
+    shingle anchor — the subset-document screen Jaccard misses.  The
+    blocking (base-257 shingle hash, h%16==0 sample, df in [2,64]) is
+    replayed term-for-term by the oracle, so candidate semantics are part
+    of the certified contract."""
+    from cloudtile_ray.stages.dedup import containment_overlap_pairs
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return containment_overlap_pairs(ds, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6239,6 +6358,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "snap_lines": q_snap_lines,
+        "line_interp": q_line_interp,
+        "user_changepoint": q_user_changepoint,
+        "containment": q_containment,
         "ab_lift": q_ab_lift,
         "wau_stickiness": q_wau_stickiness,
         "length_lorenz": q_length_lorenz,
@@ -6667,7 +6790,122 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.doc_id, t.x0 AS x, t.y0 AS y, h.d AS hilbert_d
         FROM tiles0 t JOIN h6 h USING (doc_id)"""
 
+    # base-257 mod 2^64 polynomial over 5-char shingles (the engine's
+    # _shingle_hashes_concat hash), HUGEINT arithmetic like _ROLL_TERMS
+    _SH5_POWS = [257**j for j in range(4, -1, -1)]
+    _SH5_HASH = " + ".join(
+        f"CAST(ascii(substr(g, {j + 1}, 1)) AS HUGEINT) * {_SH5_POWS[j]}"
+        for j in range(5)
+    )
     return {
+        "snap_lines": f"""{prefix},
+            ld AS (SELECT doc_id, lon_mi, lat_mi,
+                          300 + (doc_id * 11) % 150 AS ldx,
+                          150 + (doc_id * 5) % 120 AS ldy
+                   FROM geo WHERE doc_id % 7 = 3),
+            segs AS (
+              SELECT doc_id * 2 AS seg_id, lon_mi - ldx AS axm,
+                     lat_mi - ldy AS aym, lon_mi AS bxm, lat_mi + ldy AS bym
+              FROM ld
+              UNION ALL
+              SELECT doc_id * 2 + 1, lon_mi, lat_mi + ldy,
+                     lon_mi + ldx, lat_mi - ldy
+              FROM ld),
+            p AS (SELECT doc_id, lon_mi AS px, lat_mi AS py
+                  FROM geo WHERE doc_id % 23 = 5),
+            c0 AS (SELECT p.doc_id, s.seg_id,
+                          s.axm - p.px AS dax, s.aym - p.py AS day_,
+                          s.bxm - p.px AS dbx, s.bym - p.py AS dby,
+                          s.bxm - s.axm AS dx, s.bym - s.aym AS dy
+                   FROM p CROSS JOIN segs s),
+            c1 AS (SELECT doc_id, seg_id,
+                          dx * dx + dy * dy AS den,
+                          -(dax * dx + day_ * dy) AS tnum,
+                          dax * dax + day_ * day_ AS a2,
+                          dbx * dbx + dby * dby AS b2
+                   FROM c0),
+            sc AS (SELECT doc_id, seg_id, den,
+                          CASE WHEN tnum <= 0 THEN a2 * den
+                               WHEN tnum >= den THEN b2 * den
+                               ELSE a2 * den - tnum * tnum END AS num
+                   FROM c1),
+            ok AS (SELECT doc_id, seg_id, num, den FROM sc
+                   WHERE num <= 40000 * den),
+            r AS (SELECT doc_id, seg_id, num, den,
+                         CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS d2,
+                         row_number() OVER (PARTITION BY doc_id
+                             ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                                      seg_id) AS rn
+                  FROM ok)
+            SELECT doc_id, seg_id, num, den, d2 FROM r WHERE rn = 1""",
+        "line_interp": f"""{prefix},
+            l AS (SELECT doc_id,
+                         (lon_mi - (300 + (doc_id * 11) % 150)) / 1000.0 AS x1,
+                         (lat_mi - (150 + (doc_id * 5) % 120)) / 1000.0 AS y1,
+                         lon_mi / 1000.0 AS x2,
+                         (lat_mi + (150 + (doc_id * 5) % 120)) / 1000.0 AS y2,
+                         (lon_mi + (300 + (doc_id * 11) % 150)) / 1000.0 AS x3,
+                         (lat_mi - (150 + (doc_id * 5) % 120)) / 1000.0 AS y3
+                  FROM geo WHERE doc_id % 7 = 3),
+            s AS (SELECT doc_id, x1, y1, x2, y2, x3, y3,
+                         sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)) AS len1,
+                         sqrt((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2)) AS len2
+                  FROM l),
+            t AS (SELECT *, (len1 + len2) * 0.25 AS target FROM s)
+            SELECT doc_id,
+                   CASE WHEN len1 > target THEN x1 + (target / len1) * (x2 - x1)
+                        ELSE x2 + ((target - len1) / len2) * (x3 - x2)
+                   END AS ix_deg,
+                   CASE WHEN len1 > target THEN y1 + (target / len1) * (y2 - y1)
+                        ELSE y2 + ((target - len1) / len2) * (y3 - y2)
+                   END AS iy_deg
+            FROM t""",
+        "user_changepoint": """
+            WITH c AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            o AS (SELECT user_id, cents,
+                         row_number() OVER w AS k,
+                         count(*) OVER (PARTITION BY user_id) AS n,
+                         sum(cents) OVER (PARTITION BY user_id ORDER BY ts,
+                             event_id ROWS UNBOUNDED PRECEDING) AS sk,
+                         sum(cents) OVER (PARTITION BY user_id) AS s
+                  FROM c WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts, event_id)),
+            d AS (SELECT user_id, k, n,
+                         sk * (n - k) - (s - sk) * k AS num,
+                         k * (n - k) AS den
+                  FROM o WHERE k < n),
+            r AS (SELECT user_id, k, n, num, den,
+                         CAST(abs(num) AS DOUBLE) / CAST(den AS DOUBLE) AS diff,
+                         row_number() OVER (PARTITION BY user_id
+                             ORDER BY CAST(abs(num) AS DOUBLE)
+                                      / CAST(den AS DOUBLE) DESC, k) AS rn
+                  FROM d)
+            SELECT user_id, k AS k_split, n AS n_events, num, den, diff
+            FROM r WHERE rn = 1""",
+        "containment": f"""
+            WITH {_SHINGLE_CTE.strip()},
+            hh AS (SELECT DISTINCT doc_id,
+                          ({_SH5_HASH}) % 18446744073709551616 AS h
+                   FROM sh),
+            anc AS (SELECT doc_id, h FROM hh WHERE h % 16 = 0),
+            rare AS (SELECT h FROM (SELECT h, count(*) AS c FROM anc
+                                    GROUP BY h)
+                     WHERE c BETWEEN 2 AND 64),
+            cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                     FROM anc a JOIN rare USING (h) JOIN anc b USING (h)
+                     WHERE a.doc_id < b.doc_id),
+            inter AS (SELECT c.da, c.db, count(*) AS i
+                      FROM cand c
+                      JOIN sh sa ON sa.doc_id = c.da
+                      JOIN sh sb ON sb.doc_id = c.db AND sb.g = sa.g
+                      GROUP BY 1, 2)
+            SELECT i.da AS doc_a, i.db AS doc_b,
+                   CAST(i.i AS DOUBLE) / least(za.n, zb.n) AS overlap
+            FROM inter i JOIN sz za ON za.doc_id = i.da
+                         JOIN sz zb ON zb.doc_id = i.db
+            WHERE CAST(i.i AS DOUBLE) / least(za.n, zb.n) >= 0.8""",
         "ab_lift": """
             WITH u AS (SELECT user_id,
                               max(CASE WHEN event_type = 'purchase'

@@ -189,6 +189,7 @@ def run_queries(sf_dir: str) -> dict:
         "conversion_latency", "markov_accuracy", "spatial_clusters",
         "zshard_plan", "zone_top_docs", "type_mad", "winsorized_mean",
         "length_lorenz", "daily_hotspots", "partition_roundtrip",
+        "snap_lines", "line_interp", "user_changepoint", "containment",
     ]
     import gc
 

@@ -591,6 +591,7 @@ def _jaccard_intersect_kernel(
     av: np.ndarray,
     bv: np.ndarray,
     threshold: float,
+    metric: str = "jaccard",
 ) -> pa.Table:
     """Exact pair Jaccard over a shared shingle-hash index: ``h`` holds
     every candidate doc's sorted-unique shingle hashes, ``bounds``/``pos``
@@ -621,13 +622,21 @@ def _jaccard_intersect_kernel(
        clearing between runs.  The b-side gather is chunked cache-sized
        (this host is membw-throttled; 4M-element chunks measured 2.5x
        slower than 256k).
+
+    ``metric`` selects the final score: ``"jaccard"`` = inter/union, or
+    ``"overlap"`` = the Szymkiewicz-Simpson overlap coefficient
+    inter/min(|a|, |b|) (the containment screen — a short doc fully
+    quoted inside a long one scores 1.0 where Jaccard decays to ~|a|/|b|).
+    The length-ratio precut only bounds Jaccard, so the overlap metric
+    skips it.  The output score column is named after the metric.
     """
     n = len(av)
+    out_col = "jaccard" if metric == "jaccard" else "overlap"
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
+            out_col: pa.array([], pa.float64()),
         }
     )
     if n == 0:
@@ -639,10 +648,14 @@ def _jaccard_intersect_kernel(
     len_a = bounds[ia + 1] - bounds[ia]
     len_b = bounds[ib + 1] - bounds[ib]
     # exact precut: J <= min/max length ratio (skip intersection work for
-    # pairs that cannot reach the threshold)
+    # pairs that cannot reach the threshold).  No such bound exists for
+    # the overlap coefficient.
     lmin = np.minimum(len_a, len_b)
     lmax = np.maximum(len_a, len_b)
-    maybe = lmin.astype(np.float64) >= threshold * lmax
+    if metric == "jaccard":
+        maybe = lmin.astype(np.float64) >= threshold * lmax
+    else:
+        maybe = np.ones(n, dtype=bool)
     inter = np.zeros(n, dtype=np.int64)
     uniq, hd = np.unique(h, return_inverse=True)
     n_docs = len(bounds) - 1
@@ -710,20 +723,29 @@ def _jaccard_intersect_kernel(
             cs = np.concatenate([[0], np.cumsum(hits)])
             inter[p0:p1] = cs[coff[1:]] - cs[coff[:-1]]
             p0 = p1
-    union = len_a + len_b - inter
-    jac = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
-    jac = np.where(maybe, jac, 0.0)
-    keep = jac >= threshold
+    if metric == "jaccard":
+        union = len_a + len_b - inter
+        score = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
+    else:
+        # recompute from len_a/len_b: the stamp path reordered them (and
+        # the precut lmin/lmax above were not reordered with the pairs)
+        lmin2 = np.minimum(len_a, len_b)
+        score = np.where(lmin2 == 0, 1.0, inter / np.maximum(lmin2, 1))
+    score = np.where(maybe, score, 0.0)
+    keep = score >= threshold
     return pa.table(
         {
             "doc_a": pa.array(av_s[keep], pa.int64()),
             "doc_b": pa.array(bv_s[keep], pa.int64()),
-            "jaccard": pa.array(jac[keep], pa.float64()),
+            out_col: pa.array(score[keep], pa.float64()),
         }
     )
 
 
-def _verify_pairs_broadcast(texts_ds, pairs_tbl: pa.Table, threshold: float, k: int):
+def _verify_pairs_broadcast(
+    texts_ds, pairs_tbl: pa.Table, threshold: float, k: int,
+    metric: str = "jaccard",
+):
     """Small-candidate fast path: the already-filtered candidate texts
     (``texts_ds`` — a materialized Dataset whose in-memory bytes the caller
     has checked against the broadcast byte budget) are collected and
@@ -762,7 +784,7 @@ def _verify_pairs_broadcast(texts_ds, pairs_tbl: pa.Table, threshold: float, k: 
         h, bounds = _shingle_hashes_concat(texts_c.column("text"), k)
         tid = texts_c.column("doc_id").to_numpy(zero_copy_only=False)
         pos = {int(d): i for i, d in enumerate(tid)}
-        out = _jaccard_intersect_kernel(h, bounds, pos, ua, ub, threshold)
+        out = _jaccard_intersect_kernel(h, bounds, pos, ua, ub, threshold, metric)
         return ray.data.from_arrow(out)
 
     tref = ray.put(texts_tbl.combine_chunks() if texts_tbl is not None else None)
@@ -801,7 +823,7 @@ def _verify_pairs_broadcast(texts_ds, pairs_tbl: pa.Table, threshold: float, k: 
         h, bounds, pos = worker_cached(("verify_shingles", tref, k), build)
         av = batch.column("doc_a").to_numpy(zero_copy_only=False)
         bv = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        return _jaccard_intersect_kernel(h, bounds, pos, av, bv, threshold)
+        return _jaccard_intersect_kernel(h, bounds, pos, av, bv, threshold, metric)
 
     return uniq.map_batches(verify, batch_format="pyarrow")
 
@@ -815,6 +837,7 @@ def verify_pairs_distributed(
     broadcast_threshold: int = 2_000_000,
     broadcast_byte_budget: int = 256 << 20,
     pairs_tbl: pa.Table | None = None,
+    metric: str = "jaccard",
 ):
     """Exact-Jaccard verification of candidate pairs, fully distributed.
 
@@ -854,11 +877,12 @@ def verify_pairs_distributed(
     else:
         cands = cands.materialize()
         n_cand = cands.count()  # metadata-only on a materialized dataset
+    out_col = "jaccard" if metric == "jaccard" else "overlap"
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
+            out_col: pa.array([], pa.float64()),
         }
     )
     if n_cand == 0:
@@ -917,7 +941,7 @@ def verify_pairs_distributed(
     texts_ds = ds.map_batches(filter_texts, batch_format="pyarrow").materialize()
 
     if pairs_tbl is not None and texts_ds.size_bytes() <= int(broadcast_byte_budget):
-        return _verify_pairs_broadcast(texts_ds, pairs_tbl, threshold, k)
+        return _verify_pairs_broadcast(texts_ds, pairs_tbl, threshold, k, metric)
     if pairs_tbl is not None:
         logger.info(
             "verify_pairs: %d pairs within gate but candidate texts are "
@@ -1069,8 +1093,11 @@ def verify_pairs_distributed(
         keep_a, keep_b, jac = [], [], []
         for aa, bb, x, y in zip(a, b, ta, tbv):
             sa, sb = sset(aa, x), sset(bb, y)
-            union = len(sa | sb)
-            j = 1.0 if union == 0 else len(sa & sb) / union
+            if metric == "jaccard":
+                denom = len(sa | sb)
+            else:
+                denom = min(len(sa), len(sb))
+            j = 1.0 if denom == 0 else len(sa & sb) / denom
             if j >= threshold:
                 keep_a.append(aa)
                 keep_b.append(bb)
@@ -1079,7 +1106,7 @@ def verify_pairs_distributed(
             {
                 "doc_a": pa.array(keep_a, pa.int64()),
                 "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(jac, pa.float64()),
+                out_col: pa.array(jac, pa.float64()),
             }
         )
 
@@ -1197,6 +1224,101 @@ def ngram_jaccard_pairs(
             ds, out, threshold, k=k, broadcast_threshold=broadcast_threshold
         )
     return out
+
+
+def containment_overlap_pairs(
+    ds,
+    threshold: float = 0.8,
+    k: int = 5,
+    sample_mod: int = 16,
+    max_df: int = 64,
+    num_buckets: int | None = None,
+    broadcast_threshold: int = 2_000_000,
+):
+    """Containment / overlap-coefficient near-dup join with RARE-ANCHOR
+    blocking: pairs (doc_a < doc_b) whose k-shingle sets score
+    ``|A∩B| / min(|A|, |B|)`` >= ``threshold`` (Szymkiewicz-Simpson), among
+    pairs sharing at least one rare sampled shingle.  This is the
+    subset-document screen Jaccard misses: a short doc quoted verbatim
+    inside a long one has overlap 1.0 but Jaccard ~|A|/|B| — below every
+    Jaccard threshold — so none of the minhash/simhash/ngram pipelines
+    surface it.
+
+    Blocking (deterministic, SQL-replayable — the oracle reproduces it
+    term-for-term, so candidate semantics ARE the operator's contract):
+      * anchors = each doc's unique k-byte shingle hashes h (the shared
+        base-257 mod 2^64 polynomial of :func:`_shingle_hashes_concat`)
+        with ``h % sample_mod == 0`` — a uniform 1/sample_mod sample of
+        the shingle space, cutting the inverted exchange to ~|corpus
+        bytes|/sample_mod keys;
+      * a pair is a candidate iff it shares an anchor whose document
+        frequency is in ``[2, max_df]`` — the rare-pivot rule.  Skipping
+        high-df anchors is what bounds every bucket's pair expansion at
+        ``max_df**2/2`` (no cap/chain machinery needed: boilerplate
+        shingles that would bucket half the web are excluded BY DEFINITION,
+        identically on both sides), at the documented recall cost that a
+        pair sharing only ubiquitous shingles is not a candidate — true
+        containment pairs share every shingle of the contained doc, so any
+        rare sampled shingle of A anchors them.
+
+    Verification is the exact shared kernel
+    (:func:`verify_pairs_distributed` with ``metric="overlap"``) — one
+    anchor exchange + the verify join; candidates appear once per shared
+    rare anchor and are deduped inside verify.  Returns a Dataset of
+    (doc_a, doc_b, overlap)."""
+    def anchors(t: pa.Table) -> pa.Table:
+        h, bounds = _shingle_hashes_concat(t.column("text"), k)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(doc, np.diff(bounds))
+        keep = (h % np.uint64(sample_mod)) == 0
+        return pa.table(
+            {
+                "anchor": pa.array(h[keep].view(np.int64)),
+                "doc_id": pa.array(doc_of[keep]),
+            }
+        )
+
+    anc = ds.map_batches(
+        lambda t: anchors(t.select(["doc_id", "text"])), batch_format="pyarrow"
+    )
+
+    def rare_runs(sg: pa.Table, st: np.ndarray, en: np.ndarray) -> pa.Table:
+        # rare-pivot rule: drop over-df runs BEFORE expansion (df ==
+        # run length: a doc's anchors are unique, so (anchor, doc) rows
+        # are distinct).  The part must be COMPACTED to the kept runs —
+        # pairs_runs_vectorized derives its run segmentation from the
+        # start offsets, so passing a filtered subset of starts over the
+        # full table would merge dropped runs into their neighbors.
+        lens = en - st
+        ok = (lens >= 2) & (lens <= max_df)
+        if not ok.any():
+            return pairs_runs_vectorized(
+                sg.slice(0, 0), np.empty(0, np.int64), np.empty(0, np.int64),
+                cap=max_df, what="containment-anchor",
+            )
+        st2, ln2 = st[ok], lens[ok]
+        idx = np.repeat(st2, ln2) + _seg_arange(ln2)
+        nst = np.concatenate(([0], np.cumsum(ln2[:-1])))
+        return pairs_runs_vectorized(
+            sg.take(pa.array(idx, pa.int64())), nst, nst + ln2,
+            cap=max_df, what="containment-anchor",
+        )
+
+    cands = grouped_buckets_apply(
+        anc,
+        ["anchor"],
+        None,  # runs_fn covers every path (incl. empty-part schema pinning)
+        num_parts=num_buckets,
+        runs_fn=rare_runs,
+    )
+    return verify_pairs_distributed(
+        ds,
+        cands,
+        threshold,
+        k=k,
+        broadcast_threshold=broadcast_threshold,
+        metric="overlap",
+    )
 
 
 # ---------------------------------------------------------------------------

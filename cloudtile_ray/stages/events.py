@@ -1199,3 +1199,97 @@ def burst_scores(ds, window_us: int) -> "ray.data.Dataset":
             lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
         )
     )
+
+
+def user_changepoints(ds) -> "ray.data.Dataset":
+    """Per-user mean-shift changepoint: the split index k (1-based, in
+    (ts_us, event_id) stream order) that maximizes |mean(values[:k]) -
+    mean(values[k:])| over the user's event values — the binary-segmentation
+    step of offline changepoint detection (Scott & Knott / CUSUM family),
+    the behavioural-drift screen ("when did this user change spend rate?").
+
+    Exactness: with S_k the prefix sum of integer cents, the objective is
+    |num_k| / den_k with ``num_k = S_k*(n-k) - (S_n-S_k)*k`` and
+    ``den_k = k*(n-k)`` — both int64, so the argmax is decided on
+    ``(CAST(|num|) AS DOUBLE)/den DESC, k ASC`` IDENTICALLY here and in the
+    SQL oracle (a correctly-rounded division of the same integers gives the
+    same double on both sides; a sub-ulp double collision between distinct
+    rationals resolves to the same k via the integer tie-break).
+
+    Scale shape: ONE user-bucket exchange; inside a bucket a single lexsort
+    orders every user's stream, the prefix sums are a segmented cumsum, all
+    n-1 split objectives evaluate vectorized, and the per-user argmax is a
+    lexsort + first-per-segment pick — no per-user Python.  Users with one
+    event have no valid split and are absent from the output.
+
+    Returns (user_id, k_split, n_events, num, den, diff)."""
+    nb = _n_user_buckets(ds)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "k_split": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "num": pa.array([], pa.int64()),
+                "den": pa.array([], pa.int64()),
+                "diff": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, v_s = uid[order], val[order]
+        n_rows = len(u_s)
+        starts, seg_start = _user_segments(u_s)
+        sizes = np.diff(np.append(starts, n_rows))
+        # |S_k*(n-k)| <= n*max|cents|*n — guard the cross-product range
+        # like burst_scores guards its time axis
+        max_abs = int(np.abs(v_s).max()) if n_rows else 0
+        if max_abs and int(sizes.max()) ** 2 * max_abs >= 2**62:
+            raise OverflowError(
+                "user_changepoints: |S_k*(n-k)| would exceed int64 — "
+                "shrink the bucket or rescale values"
+            )
+        csum = np.cumsum(v_s, dtype=np.int64)
+        base = np.where(seg_start > 0, csum[seg_start - 1], 0)
+        s_k = csum - base  # prefix sum within the user's segment
+        n_seg = np.repeat(sizes, sizes)  # per-row: the user's event count
+        total = np.repeat(csum[starts + sizes - 1] - csum[starts] + v_s[starts], sizes)
+        k = np.arange(n_rows, dtype=np.int64) - seg_start + 1
+        valid = k < n_seg  # split k leaves a non-empty suffix
+        if not valid.any():
+            return empty
+        uid_v = u_s[valid]
+        k_v, n_v = k[valid], n_seg[valid]
+        num = s_k[valid] * (n_v - k_v) - (total[valid] - s_k[valid]) * k_v
+        den = k_v * (n_v - k_v)
+        diff = np.abs(num).astype(np.float64) / den.astype(np.float64)
+        # per-user argmax on (diff DESC, k ASC): one lexsort, then the
+        # first row of each user run is the winner
+        win_order = np.lexsort((k_v, -diff, uid_v))
+        uw = uid_v[win_order]
+        first = np.concatenate(([True], uw[1:] != uw[:-1]))
+        w = win_order[first]
+        return pa.table(
+            {
+                "user_id": pa.array(uid_v[w]),
+                "k_split": pa.array(k_v[w]),
+                "n_events": pa.array(n_v[w]),
+                "num": pa.array(num[w]),
+                "den": pa.array(den[w]),
+                "diff": pa.array(diff[w]),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
+        )
+    )

@@ -1094,3 +1094,201 @@ def nearest_box(ds, boxes_mi: np.ndarray) -> "ray.data.Dataset":
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def snap_to_segments(
+    points,
+    segs,
+    radius: int,
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+):
+    """Map-matching primitive: snap every point to its NEAREST polyline
+    segment within planar distance ``radius`` (integer milli-degree
+    coordinates) — the ST_ClosestPoint / GPS-trace-to-road-network join.
+    Points with no segment inside ``radius`` are absent (semi semantics).
+
+    ``points``: Dataset with (id_col, lon_mi, lat_mi) int64 columns.
+    ``segs``: Dataset with (seg_id, ax_mi, ay_mi, bx_mi, by_mi) int64
+    endpoint columns.
+
+    EXACTNESS.  The squared point-segment distance is the rational
+    ``num/den`` with ``den = |b-a|^2`` and ``num`` all-int64 (clamped
+    projection: endpoint form ``|p-e|^2 * den``, interior form
+    ``|p-a|^2 * den - dot(p-a, b-a)^2``), so the radius test is the exact
+    integer comparison ``num <= radius^2 * den`` and the per-point argmin
+    orders by ``(CAST(num AS DOUBLE)/den, seg_id)`` — the same correctly
+    rounded division of the same integers on the engine and the SQL
+    oracle, with the integer seg_id tie-break absorbing any sub-ulp
+    double collision.  Emitted: (id_col, seg_id, num, den, d2).
+
+    SCALE SHAPE.  Grid cells of side ``radius``: each point is RESIDENT
+    in exactly its home cell; each segment is replicated to every cell its
+    radius-expanded bbox overlaps (if dist(p, s) <= radius then s's
+    expanded bbox contains p, hence overlaps p's cell) — so every
+    candidate materializes in the point's home cell and the argmin is
+    CELL-LOCAL: one exchange total, no dedup or second pass.  Replication
+    factor per segment ~ (len/radius + 3)^2; points never replicate.
+    Partitioning assumption: per-cell point x segment density is bounded
+    (the within-cell check is a vectorized slab product).  int64 safety:
+    within a cell all relative coordinates are bounded by
+    ~(cell + radius + max segment length), giving |num| << 2^62 for any
+    radius and segment length below ~10^5 milli-degrees — guarded loudly."""
+    from cloudtile_ray.stages.dedup import grouped_buckets_apply
+
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    r2 = np.int64(radius) * np.int64(radius)
+    OFF = np.int64(1) << np.int64(20)
+    SPAN = OFF * 2
+
+    def pt_cells(t: pa.Table) -> pa.Table:
+        x = t.column("lon_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("lat_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = (x // radius + OFF) * SPAN + (y // radius + OFF)
+        z = np.zeros(len(pid), np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "kind": pa.array(z),
+                "sid": pa.array(pid),
+                "x1": pa.array(x),
+                "y1": pa.array(y),
+                "x2": pa.array(z),
+                "y2": pa.array(z),
+            }
+        )
+
+    def seg_cells(t: pa.Table) -> pa.Table:
+        sid = t.column("seg_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ax = t.column("ax_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        ay = t.column("ay_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = t.column("bx_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        by = t.column("by_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        cx0 = (np.minimum(ax, bx) - radius) // radius
+        cx1 = (np.maximum(ax, bx) + radius) // radius
+        cy0 = (np.minimum(ay, by) - radius) // radius
+        cy1 = (np.maximum(ay, by) + radius) // radius
+        nx = cx1 - cx0 + 1
+        ny = cy1 - cy0 + 1
+        cnt = nx * ny
+        tot = int(cnt.sum())
+        rep = np.repeat(np.arange(len(sid), dtype=np.int64), cnt)
+        local = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cnt[:-1]))), cnt
+        )
+        cx = cx0[rep] + local // ny[rep]
+        cy = cy0[rep] + local % ny[rep]
+        cell = (cx + OFF) * SPAN + (cy + OFF)
+        one = np.ones(tot, np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "kind": pa.array(one),
+                "sid": pa.array(sid[rep]),
+                "x1": pa.array(ax[rep]),
+                "y1": pa.array(ay[rep]),
+                "x2": pa.array(bx[rep]),
+                "y2": pa.array(by[rep]),
+            }
+        )
+
+    both = points.map_batches(pt_cells, batch_format="pyarrow").union(
+        segs.map_batches(seg_cells, batch_format="pyarrow")
+    )
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "seg_id": pa.array([], pa.int64()),
+            "num": pa.array([], pa.int64()),
+            "den": pa.array([], pa.int64()),
+            "d2": pa.array([], pa.float64()),
+        }
+    )
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        pts = np.flatnonzero(kind == 0)
+        sgs = np.flatnonzero(kind == 1)
+        if len(pts) == 0 or len(sgs) == 0:
+            return empty
+        sid = g.column("sid").to_numpy(zero_copy_only=False)
+        x1 = g.column("x1").to_numpy(zero_copy_only=False)
+        y1 = g.column("y1").to_numpy(zero_copy_only=False)
+        x2 = g.column("x2").to_numpy(zero_copy_only=False)
+        y2 = g.column("y2").to_numpy(zero_copy_only=False)
+        px, py, pid = x1[pts], y1[pts], sid[pts]
+        # segments sorted by seg_id so argmin's first-min IS the lowest
+        # seg_id tie-break
+        so = np.argsort(sid[sgs], kind="stable")
+        sg = sgs[so]
+        sax, say, sbx, sby, ssid = x1[sg], y1[sg], x2[sg], y2[sg], sid[sg]
+        dx = sbx - sax
+        dy = sby - say
+        den = dx * dx + dy * dy
+        if den.max(initial=0) >= np.int64(1) << 31:
+            raise OverflowError(
+                "snap_to_segments: segment length^2 >= 2^31 breaks the "
+                "int64 rational bound — pre-split long segments"
+            )
+        den_max = int(den.max(initial=1))
+        # |num| <= 2*relmax^2*den and tnum^2 <= same bound: keep the
+        # product strictly inside int64
+        rel_cap = int(np.sqrt((2**61) / max(den_max, 1)))
+        out_pid, out_sid, out_num, out_den, out_d2 = [], [], [], [], []
+        slab = max(1, (1 << 20) // max(len(sg), 1))
+        for s0 in range(0, len(pts), slab):
+            qx = px[s0 : s0 + slab, None]
+            qy = py[s0 : s0 + slab, None]
+            dax = sax[None, :] - qx
+            day = say[None, :] - qy
+            dbx = sbx[None, :] - qx
+            dby = sby[None, :] - qy
+            if max(
+                np.abs(dax).max(initial=0), np.abs(day).max(initial=0),
+                np.abs(dbx).max(initial=0), np.abs(dby).max(initial=0),
+            ) >= rel_cap:
+                raise OverflowError(
+                    "snap_to_segments: relative coordinate exceeds the "
+                    "int64 rational safety bound for this segment length"
+                )
+            a2 = dax * dax + day * day
+            tnum = -(dax * dx[None, :] + day * dy[None, :])
+            num = np.where(
+                tnum <= 0,
+                a2 * den[None, :],
+                np.where(
+                    tnum >= den[None, :],
+                    (dbx * dbx + dby * dby) * den[None, :],
+                    a2 * den[None, :] - tnum * tnum,
+                ),
+            )
+            ok = num <= r2 * den[None, :]
+            d2 = num.astype(np.float64) / den[None, :].astype(np.float64)
+            d2 = np.where(ok, d2, np.inf)
+            j = np.argmin(d2, axis=1)  # first min -> lowest seg_id on ties
+            rows = np.flatnonzero(np.isfinite(d2[np.arange(len(j)), j]))
+            if len(rows) == 0:
+                continue
+            jj = j[rows]
+            out_pid.append(pid[s0 : s0 + slab][rows])
+            out_sid.append(ssid[jj])
+            out_num.append(num[rows, jj])
+            out_den.append(den[jj])
+            out_d2.append(d2[rows, jj])
+        if not out_pid:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_pid)),
+                "seg_id": pa.array(np.concatenate(out_sid)),
+                "num": pa.array(np.concatenate(out_num)),
+                "den": pa.array(np.concatenate(out_den)),
+                "d2": pa.array(np.concatenate(out_d2)),
+            }
+        )
+
+    return grouped_buckets_apply(both, ["cell"], per_cell, num_parts=num_parts)

@@ -722,3 +722,84 @@ def path_lengths_deg(ln_lon, ln_lat) -> np.ndarray:
         # already zeroed, so each span sums exactly its row's segments
         out[has] = sums
     return out
+
+
+def interpolate_at_fraction(ln_lon, ln_lat, frac: float) -> tuple[np.ndarray, np.ndarray]:
+    """Linear referencing (ST_LineInterpolatePoint parity): the point at
+    ``frac`` of each polyline's total path length, vectorized over Arrow
+    ``list<f64>`` coordinate columns — (ix, iy) float64 arrays, one per row.
+
+    Float determinism (SQL-oracle replayable): per-segment lengths are the
+    same ``sqrt(dx*dx + dy*dy)`` terms as :func:`path_lengths_deg`; the
+    cumulative length folds STRICTLY left-to-right via a bounded
+    vectorized loop over segment POSITION (never a global cumsum across
+    rows, which would mix other rows into the rounding); the target is
+    ``total * frac``; the owning segment is the FIRST j with cum_j >
+    target (so a target landing exactly on a vertex interpolates the NEXT
+    segment at t = 0.0 — an exact vertex copy, branch-identical to the
+    oracle's strict ``>`` CASE); ``t = (target - cum_before) / seg_len``;
+    ``p = v_j + t * (v_{j+1} - v_j)``.  Every op is a correctly rounded
+    IEEE double op on identical inputs in an identical order on both
+    sides.  Rows with < 2 points yield their lone vertex (or NaN when
+    empty); ``frac`` outside [0, 1) clamps to the last vertex exactly."""
+    if isinstance(ln_lon, pa.ChunkedArray):
+        ln_lon = ln_lon.combine_chunks()
+    if isinstance(ln_lat, pa.ChunkedArray):
+        ln_lat = ln_lat.combine_chunks()
+    offs = ln_lon.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    x = ln_lon.flatten().to_numpy(zero_copy_only=False)
+    y = ln_lat.flatten().to_numpy(zero_copy_only=False)
+    n_rows = len(offs) - 1
+    starts, ends = offs[:-1], offs[1:]
+    npts = ends - starts
+    nseg = np.maximum(npts - 1, 0)
+    max_seg = int(nseg.max(initial=0))
+    if max_seg > 4096:
+        raise ValueError(
+            "interpolate_at_fraction: > 4096 vertices per line — chunk "
+            "the polyline (the position loop is O(max vertices))"
+        )
+    ix = np.full(n_rows, np.nan)
+    iy = np.full(n_rows, np.nan)
+    lone = npts == 1
+    ix[lone], iy[lone] = x[starts[lone]], y[starts[lone]]
+    if max_seg == 0:
+        return ix, iy
+    # strict per-row left-fold of segment lengths, vectorized across rows
+    cum = np.zeros((n_rows,), dtype=np.float64)
+    # cum_j per row; -inf past a row's last segment so the owning-segment
+    # argmax can never select a pad column
+    cums = np.full((n_rows, max_seg), -np.inf)
+    for j in range(max_seg):
+        live = nseg > j
+        i0 = starts[live] + j
+        dx = x[i0 + 1] - x[i0]
+        dy = y[i0 + 1] - y[i0]
+        cum[live] = cum[live] + np.sqrt(dx * dx + dy * dy)
+        cums[live, j] = cum[live]
+    has = nseg > 0
+    total = cum[has]
+    target = total * frac
+    # first j with cum_j > target; all-<= (target >= total) -> last vertex
+    over = cums[has] > target[:, None]
+    jsel = np.argmax(over, axis=1)
+    none = ~over[np.arange(len(jsel)), jsel]
+    rid = np.flatnonzero(has)
+    if none.any():
+        last = ends[rid[none]] - 1
+        ix[rid[none]], iy[rid[none]] = x[last], y[last]
+    ok = ~none
+    if ok.any():
+        r = rid[ok]
+        j = jsel[ok]
+        v0 = starts[r] + j
+        cum_before = np.where(j > 0, cums[has][ok, np.maximum(j - 1, 0)], 0.0)
+        # the RAW segment length (same sqrt term the oracle writes), not a
+        # difference of rounded cumulative sums
+        dxs = x[v0 + 1] - x[v0]
+        dys = y[v0 + 1] - y[v0]
+        seg_len = np.sqrt(dxs * dxs + dys * dys)
+        t = (target[ok] - cum_before) / seg_len
+        ix[r] = x[v0] + t * dxs
+        iy[r] = y[v0] + t * dys
+    return ix, iy

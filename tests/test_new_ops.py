@@ -4106,3 +4106,218 @@ def test_max_drawdown_cross_partition(ray_session):
     x = np.cumsum(df["v"].values)
     want = int((np.maximum.accumulate(x) - x).max())
     assert got == want
+
+
+def test_user_changepoints_brute_force(ray_session):
+    import ray.data as rd
+
+    from cloudtile_ray.stages.events import user_changepoints
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    uid = rng.integers(0, 70, n).astype(np.int64)
+    ts = rng.integers(0, 10**9, n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    val = rng.integers(-500, 2000, n).astype(np.int64)
+    # a user with a single event (no valid split), and a constant-value
+    # user (all diffs 0.0 -> k=1 by the tie-break)
+    uid[0], uid[1:5] = 900, 901
+    val[1:5] = 7
+    t = pa.table({"user_id": uid, "ts_us": ts, "event_id": eid, "value_cents": val})
+    res = (
+        user_changepoints(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert 900 not in set(res["user_id"])
+    assert int(res.loc[res.user_id == 901, "k_split"].iloc[0]) == 1
+    import pandas as pd
+
+    df = pd.DataFrame({"u": uid, "ts": ts, "e": eid, "v": val}).sort_values(
+        ["u", "ts", "e"]
+    )
+    for u, g in df.groupby("u"):
+        v = g["v"].to_numpy()
+        nn = len(v)
+        if nn < 2:
+            continue
+        s = np.cumsum(v)
+        best = None
+        for k in range(1, nn):
+            num = int(s[k - 1]) * (nn - k) - int(s[-1] - s[k - 1]) * k
+            den = k * (nn - k)
+            d = abs(num) / den
+            if best is None or d > best[0]:
+                best = (d, k, num, den)
+        row = res[res.user_id == u].iloc[0]
+        assert (int(row.k_split), int(row.n_events)) == (best[1], nn)
+        assert (int(row.num), int(row.den)) == (best[2], best[3])
+        assert float(row["diff"]) == best[0]
+
+
+def test_snap_to_segments_brute_force(ray_session):
+    import ray.data as rd
+
+    from cloudtile_ray.stages.join import snap_to_segments
+
+    rng = np.random.default_rng(31)
+    NP_, NS, R = 1500, 300, 250
+    px = rng.integers(-4000, 4000, NP_).astype(np.int64)
+    py = rng.integers(-4000, 4000, NP_).astype(np.int64)
+    ax = rng.integers(-4000, 4000, NS).astype(np.int64)
+    ay = rng.integers(-4000, 4000, NS).astype(np.int64)
+    bx = ax + rng.integers(-450, 450, NS)
+    by = ay + rng.integers(-450, 450, NS)
+    z = (ax == bx) & (ay == by)
+    bx[z] += 1
+    pts = rd.from_arrow(
+        pa.table(
+            {"doc_id": np.arange(NP_, dtype=np.int64), "lon_mi": px, "lat_mi": py}
+        )
+    )
+    sgs = rd.from_arrow(
+        pa.table(
+            {
+                "seg_id": np.arange(NS, dtype=np.int64),
+                "ax_mi": ax, "ay_mi": ay, "bx_mi": bx, "by_mi": by,
+            }
+        )
+    )
+    res = (
+        snap_to_segments(pts, sgs, R)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dx, dy = (bx - ax).astype(np.int64), (by - ay).astype(np.int64)
+    den = dx * dx + dy * dy
+    exp = []
+    for i in range(NP_):
+        dax, day = ax - px[i], ay - py[i]
+        dbx, dby = bx - px[i], by - py[i]
+        a2 = dax * dax + day * day
+        tnum = -(dax * dx + day * dy)
+        num = np.where(
+            tnum <= 0, a2 * den,
+            np.where(tnum >= den, (dbx * dbx + dby * dby) * den,
+                     a2 * den - tnum * tnum),
+        )
+        ok = num <= R * R * den
+        if not ok.any():
+            continue
+        d2 = np.where(ok, num.astype(float) / den.astype(float), np.inf)
+        j = int(np.argmin(d2))  # first min == lowest seg_id tie-break
+        exp.append((i, j, int(num[j]), int(den[j]), float(d2[j])))
+    assert len(res) == len(exp)
+    got = list(
+        zip(res.doc_id.astype(int), res.seg_id.astype(int),
+            res.num.astype(int), res.den.astype(int), res.d2.astype(float))
+    )
+    assert got == exp
+
+
+def test_interpolate_at_fraction_scalar_parity():
+    import math
+
+    from cloudtile_ray.stages.lines import interpolate_at_fraction
+
+    rng = np.random.default_rng(41)
+    lines = [
+        (rng.uniform(-10, 10, int(n)).round(3), rng.uniform(-10, 10, int(n)).round(3))
+        for n in rng.integers(1, 9, 80)
+    ]
+    lines.append((np.array([1.0]), np.array([2.0])))  # lone vertex
+    lines.append((np.array([0.0, 0.0, 1.0]), np.array([0.0, 0.0, 0.0])))  # 0-len seg
+    lon = pa.array([l[0].tolist() for l in lines], type=pa.list_(pa.float64()))
+    lat = pa.array([l[1].tolist() for l in lines], type=pa.list_(pa.float64()))
+    for frac in (0.0, 0.25, 0.5, 0.9, 1.0):
+        ix, iy = interpolate_at_fraction(lon, lat, frac)
+        for r, (xs, ys) in enumerate(lines):
+            if len(xs) == 1:
+                assert ix[r] == xs[0] and iy[r] == ys[0]
+                continue
+            cum, c = [], 0.0
+            for i in range(len(xs) - 1):
+                dx, dy = xs[i + 1] - xs[i], ys[i + 1] - ys[i]
+                c = c + math.sqrt(dx * dx + dy * dy)
+                cum.append(c)
+            target = c * frac
+            j = next((i for i, cv in enumerate(cum) if cv > target), None)
+            if j is None:
+                ex, ey = xs[-1], ys[-1]
+            else:
+                cb = cum[j - 1] if j > 0 else 0.0
+                dx, dy = xs[j + 1] - xs[j], ys[j + 1] - ys[j]
+                sl = math.sqrt(dx * dx + dy * dy)
+                t = (target - cb) / sl
+                ex, ey = xs[j] + t * dx, ys[j] + t * dy
+            # bit-exact: identical op sequence on both sides
+            assert ix[r] == ex and iy[r] == ey
+
+
+def test_containment_overlap_pairs_brute_force(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from cloudtile_ray.stages.dedup import containment_overlap_pairs
+
+    rng = np.random.default_rng(3)
+    alphabet = list("abcdefghij xyz")
+
+    def rand_text(n):
+        return "".join(rng.choice(alphabet, n))
+
+    texts = [rand_text(400) for _ in range(60)]
+    texts.append(texts[0][50:250])  # contained substring of doc 0
+    texts.append(texts[1])  # exact duplicate of doc 1
+    # a hot shingle everywhere would be blocked by the rare-pivot rule:
+    # stamp a shared boilerplate suffix on every doc (df >> max_df)
+    texts = [t + " lorem ipsum dolor sit amet" for t in texts]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    res = (
+        containment_overlap_pairs(rd.from_arrow(t), threshold=0.9, max_df=16)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+
+    def shingles(s, k=5):
+        return {s[i : i + k] for i in range(max(1, len(s) - k + 1))}
+
+    def h5(g):
+        h = 0
+        for ch in g.encode():
+            h = (h * 257 + ch) % (1 << 64)
+        return h
+
+    sh = [shingles(x) for x in texts]
+    from collections import defaultdict
+
+    anchors = defaultdict(set)
+    for d, ss in enumerate(sh):
+        for g in ss:
+            if len(g) == 5:
+                hv = h5(g)
+                if hv % 16 == 0:
+                    anchors[hv].add(d)
+    cand = set()
+    for hv, docs in anchors.items():
+        if 2 <= len(docs) <= 16:
+            cand.update(itertools.combinations(sorted(docs), 2))
+    exp = []
+    for a, b in sorted(cand):
+        inter = len(sh[a] & sh[b])
+        ov = inter / min(len(sh[a]), len(sh[b]))
+        if ov >= 0.9:
+            exp.append((a, b, ov))
+    got = [
+        (int(r.doc_a), int(r.doc_b), float(r.overlap)) for r in res.itertuples()
+    ]
+    assert got == exp
+    # the contained-substring pair survives (junction shingles at the
+    # boilerplate suffix cost a little overlap; Jaccard would be ~0.5)
+    assert any(a == 0 and b == len(texts) - 2 and ov >= 0.9 for a, b, ov in got)
+    assert (1, len(texts) - 1, 1.0) in got  # the exact duplicate
