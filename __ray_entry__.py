@@ -6314,6 +6314,39 @@ def q_containment(sf_dir: str):
     return containment_overlap_pairs(ds, threshold=0.8)
 
 
+def q_name_clustering(sf_dir: str):
+    """Local clustering coefficient per node on the edit-distance-1
+    customer-name graph
+    (:func:`cloudtile_ray.stages.graph.clustering_coefficients`):
+    2*n_tri/(deg*(deg-1)), composing the certified triangle and degree
+    exchanges with one node-keyed merge aggregate — the neighborhood-
+    density completion of the triangle/k-core family."""
+    from cloudtile_ray.stages.graph import clustering_coefficients
+
+    edges, _ = _name_graph_edges(sf_dir)
+    return clustering_coefficients(edges, id_cols=("id_a", "id_b")).sort(["node"])
+
+
+def q_ewma_value(sf_dir: str):
+    """Per-user EWMA (alpha = 1/2) of event values
+    (:func:`cloudtile_ray.stages.events.user_ewma`): the streaming
+    smoother y_i = (y_{i-1} + x_i)/2 evaluated as a bounded vectorized
+    position loop; halving is exact so the only rounding is the addition
+    sequence, which the oracle's recursive CTE replays step-for-step."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.events import prep_events, user_ewma
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(prep_events, batch_format="pyarrow")
+    slim = ds.map_batches(
+        lambda t: t.select(["user_id", "ts_us", "event_id", "value_cents"]),
+        batch_format="pyarrow",
+    )
+    return user_ewma(slim)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6362,6 +6395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
         "containment": q_containment,
+        "name_clustering": q_name_clustering,
+        "ewma_value": q_ewma_value,
         "ab_lift": q_ab_lift,
         "wau_stickiness": q_wau_stickiness,
         "length_lorenz": q_length_lorenz,
@@ -6906,6 +6941,52 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sz za ON za.doc_id = i.da
                          JOIN sz zb ON zb.doc_id = i.db
             WHERE CAST(i.i AS DOUBLE) / least(za.n, zb.n) >= 0.8""",
+        "name_clustering": """
+            WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
+                         FROM customer GROUP BY c_name),
+            ed AS (SELECT ia.node_id AS a, ib.node_id AS b
+                   FROM ids ia JOIN ids ib ON ia.c_name < ib.c_name
+                   WHERE levenshtein(ia.c_name, ib.c_name) = 1),
+            ce AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                   FROM ed),
+            dg AS (SELECT node, count(*) AS deg FROM (
+                     SELECT u AS node FROM ce
+                     UNION ALL SELECT v FROM ce) GROUP BY node),
+            tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                    FROM ce e1
+                    JOIN ce e2 ON e2.u = e1.v
+                    JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v),
+            corners AS (SELECT x AS node FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri),
+            tc AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY node)
+            SELECT CAST(dg.node AS BIGINT) AS node, dg.deg,
+                   COALESCE(tc.n_tri, 0) AS n_tri,
+                   CASE WHEN dg.deg > 1
+                        THEN CAST(2 * COALESCE(tc.n_tri, 0) AS DOUBLE)
+                             / CAST(dg.deg * (dg.deg - 1) AS DOUBLE)
+                        ELSE 0.0 END AS cc
+            FROM dg LEFT JOIN tc ON tc.node = dg.node
+            ORDER BY node""",
+        "ewma_value": """
+            WITH RECURSIVE c AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            o AS (SELECT user_id, cents,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS k,
+                         count(*) OVER (PARTITION BY user_id) AS n
+                  FROM c),
+            rec AS (
+              SELECT user_id, k, n, CAST(cents AS DOUBLE) AS y
+              FROM o WHERE k = 1
+              UNION ALL
+              SELECT o.user_id, o.k, o.n,
+                     (rec.y + CAST(o.cents AS DOUBLE)) / 2.0
+              FROM rec JOIN o ON o.user_id = rec.user_id
+                             AND o.k = rec.k + 1)
+            SELECT user_id, n AS n_events, y AS ewma
+            FROM rec WHERE k = n""",
         "ab_lift": """
             WITH u AS (SELECT user_id,
                               max(CASE WHEN event_type = 'purchase'

@@ -1293,3 +1293,63 @@ def user_changepoints(ds) -> "ray.data.Dataset":
             lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
         )
     )
+
+
+def user_ewma(ds, max_events: int = 8192) -> "ray.data.Dataset":
+    """Per-user exponentially weighted moving average (alpha = 1/2) of
+    ``value_cents`` in (ts_us, event_id) stream order — the streaming
+    smoother: ``y_1 = x_1``, ``y_i = (y_{i-1} + x_i) / 2``.  Returns the
+    final smoothed level per user (user_id, n_events, ewma).
+
+    Float determinism: with alpha = 1/2 the update is one addition and an
+    EXACT halving per step, so the only rounding is the addition sequence
+    — which a SQL oracle replays via a recursive CTE running the identical
+    recurrence.  The engine evaluates it as a bounded vectorized loop over
+    stream POSITION (all users in a bucket advance one step per
+    iteration; per-user sequential order preserved exactly, no per-user
+    Python).  ``max_events`` bounds the loop (loud error beyond — bucket
+    count does not change it, the longest single user does)."""
+    nb = _n_user_buckets(ds)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "ewma": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        val = g.column("value_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, v_s = uid[order], val[order].astype(np.float64)
+        starts, _ = _user_segments(u_s)
+        sizes = np.diff(np.append(starts, len(u_s)))
+        if int(sizes.max(initial=0)) > max_events:
+            raise ValueError(
+                "user_ewma: a user exceeds max_events — raise the bound "
+                "or pre-window the stream"
+            )
+        y = v_s[starts].copy()  # y_1 = x_1
+        for j in range(1, int(sizes.max(initial=0))):
+            live = sizes > j
+            y[live] = (y[live] + v_s[starts[live] + j]) / 2.0
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts]),
+                "n_events": pa.array(sizes.astype(np.int64)),
+                "ewma": pa.array(y),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(
+            lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
+        )
+    )

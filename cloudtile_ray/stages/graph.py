@@ -42,6 +42,7 @@ def triangle_counts(
     id_cols: tuple[str, str] = ("a", "b"),
     num_buckets: int | None = None,
     broadcast_byte_budget: int = 64 << 20,
+    return_degrees: bool = False,
 ):
     """Per-node triangle participation counts of an undirected edge-list
     Dataset -> Dataset (node, n_tri).  Nodes in no triangle are absent.
@@ -228,11 +229,12 @@ def triangle_counts(
             return t.filter(pa.array(hit))
 
         tri = wedge_ds.map_batches(close_broadcast, batch_format="pyarrow")
-        return bucketed_group_aggregate(
+        out = bucketed_group_aggregate(
             tri.map_batches(_corners, batch_format="pyarrow"),
             ["node"],
             [("node", "count", "n_tri")],
         )
+        return (out, deg) if return_degrees else out
 
     # Ray 2.49's join cannot take a side whose blocks are ALL empty (the
     # schema broadcast rides real blocks — see relational.py's shuffle
@@ -264,11 +266,73 @@ def triangle_counts(
     )
     tri = hash_join(wedge_ds, closing, on=["w_u", "w_v"], right_on=["u", "v"])
 
-    return bucketed_group_aggregate(
+    out = bucketed_group_aggregate(
         tri.map_batches(_corners, batch_format="pyarrow"),
         ["node"],
         [("node", "count", "n_tri")],
     )
+    return (out, deg) if return_degrees else out
+
+
+def clustering_coefficients(
+    edges,
+    id_cols: tuple[str, str] = ("a", "b"),
+    num_buckets: int | None = None,
+    broadcast_byte_budget: int = 64 << 20,
+):
+    """Local clustering coefficient per node over an undirected edge-list
+    Dataset: ``cc = 2 * n_tri / (deg * (deg - 1))`` — how close each
+    node's neighborhood is to a clique (Watts & Strogatz 1998).  Nodes of
+    degree 1 have no possible wedge and report 0.0.
+
+    Composition of existing exchanges: :func:`triangle_counts` (which
+    already materializes the degree table for its orientation step —
+    exposed via ``return_degrees``, so nothing is recomputed) plus ONE
+    node-keyed bucket aggregate merging the two node-sized tables (a
+    union + sum instead of a hash join: no aggregator actor pools for a
+    dimension-shaped merge).  The division is one float op over exact
+    int64 counts, so a SQL oracle replays it bit-for-bit.
+
+    Returns (node, deg, n_tri, cc)."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    tri, deg = triangle_counts(
+        edges, id_cols, num_buckets, broadcast_byte_budget,
+        return_degrees=True,
+    )
+
+    def deg_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {"node": t.column("node"), "deg": t.column("deg"),
+             "n_tri": pa.array(z)}
+        )
+
+    def tri_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {"node": t.column("node"), "deg": pa.array(z),
+             "n_tri": t.column("n_tri")}
+        )
+
+    merged = bucketed_group_aggregate(
+        deg.map_batches(deg_rows, batch_format="pyarrow").union(
+            tri.map_batches(tri_rows, batch_format="pyarrow")
+        ),
+        ["node"],
+        [("deg", "sum", "deg"), ("n_tri", "sum", "n_tri")],
+    )
+
+    def coeff(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        n = t.column("n_tri").to_numpy(zero_copy_only=False)
+        den = d * (d - 1)
+        cc = np.where(
+            den > 0, (2 * n).astype(np.float64) / den.astype(np.float64), 0.0
+        )
+        return t.append_column("cc", pa.array(cc))
+
+    return merged.map_batches(coeff, batch_format="pyarrow")
 
 
 def _corners(t: pa.Table) -> pa.Table:

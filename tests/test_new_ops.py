@@ -4321,3 +4321,75 @@ def test_containment_overlap_pairs_brute_force(ray_session):
     # boilerplate suffix cost a little overlap; Jaccard would be ~0.5)
     assert any(a == 0 and b == len(texts) - 2 and ov >= 0.9 for a, b, ov in got)
     assert (1, len(texts) - 1, 1.0) in got  # the exact duplicate
+
+
+def test_clustering_coefficients_brute_force(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from cloudtile_ray.stages.graph import clustering_coefficients
+
+    rng = np.random.default_rng(53)
+    n_nodes, n_edges = 60, 220
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"a": a, "b": b}))
+    res = (
+        clustering_coefficients(ds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    edges = {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    exp = []
+    for node in sorted(adj):
+        nb = adj[node]
+        deg = len(nb)
+        tri = sum(
+            1 for x, y in itertools.combinations(sorted(nb), 2)
+            if (min(x, y), max(x, y)) in edges
+        )
+        cc = (2 * tri) / (deg * (deg - 1)) if deg > 1 else 0.0
+        exp.append((node, deg, tri, cc))
+    got = [
+        (int(r.node), int(r.deg), int(r.n_tri), float(r.cc))
+        for r in res.itertuples()
+    ]
+    assert got == exp
+
+
+def test_user_ewma_recurrence_parity(ray_session):
+    import ray.data as rd
+
+    from cloudtile_ray.stages.events import user_ewma
+
+    rng = np.random.default_rng(61)
+    n = 3000
+    uid = rng.integers(0, 50, n).astype(np.int64)
+    ts = rng.integers(0, 10**9, n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    val = rng.integers(-500, 2000, n).astype(np.int64)
+    t = pa.table({"user_id": uid, "ts_us": ts, "event_id": eid, "value_cents": val})
+    res = (
+        user_ewma(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = pd.DataFrame({"u": uid, "ts": ts, "e": eid, "v": val}).sort_values(
+        ["u", "ts", "e"]
+    )
+    for u, g in df.groupby("u"):
+        y = None
+        for x in g["v"]:
+            y = float(x) if y is None else (y + float(x)) / 2.0
+        row = res[res.user_id == u].iloc[0]
+        # bit-exact: identical addition sequence
+        assert float(row.ewma) == y and int(row.n_events) == len(g)
