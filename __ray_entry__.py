@@ -6196,7 +6196,7 @@ def q_wau_stickiness(sf_dir: str):
 
 
 def q_snap_lines(sf_dir: str):
-    """Map-matching: every 23rd geocoded page snapped to its nearest
+    """Map-matching: every geocoded page snapped to its nearest
     polyline segment within 200 milli-degrees
     (:func:`cloudtile_ray.stages.join.snap_to_segments` — the
     GPS-trace-to-road-network / ST_ClosestPoint join).  Segments come from
@@ -6210,16 +6210,10 @@ def q_snap_lines(sf_dir: str):
     from cloudtile_ray.stages.join import snap_to_segments
     from cloudtile_ray.stages.lines import extract_lines
 
-    geo = _geo_only(sf_dir)
-
-    def probe(t: pa.Table) -> pa.Table:
-        m = t.column("doc_id").to_numpy(zero_copy_only=False)
-        keep = np.flatnonzero(m % 23 == 5)
-        return t.select(["doc_id", "lon_mi", "lat_mi"]).take(
-            pa.array(keep, pa.int64())
-        )
-
-    pts = geo.map_batches(probe, batch_format="pyarrow")
+    pts = _geo_only(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "lon_mi", "lat_mi"]),
+        batch_format="pyarrow",
+    )
 
     def to_segs(t: pa.Table) -> pa.Table:
         lon = t.column("ln_lon")
@@ -6347,6 +6341,49 @@ def q_ewma_value(sf_dir: str):
     return user_ewma(slim)
 
 
+def q_seg_crossings(sf_dir: str):
+    """Segment-intersection join over all chevron polyline arms
+    (:func:`cloudtile_ray.stages.join.segment_intersection_pairs`): exact
+    integer orientation predicates (proper crossings + touches +
+    collinear overlaps) behind a corner-cell-owned bbox exchange — the
+    map-overlay / conflation primitive.  Same-doc arm pairs (always
+    touching at the apex) stay in: they exercise the touch branch on
+    every line doc."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.join import segment_intersection_pairs
+    from cloudtile_ray.stages.lines import extract_lines
+
+    def to_segs(t: pa.Table) -> pa.Table:
+        lon = t.column("ln_lon")
+        lat = t.column("ln_lat")
+        if isinstance(lon, pa.ChunkedArray):
+            lon, lat = lon.combine_chunks(), lat.combine_chunks()
+        offs = lon.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.rint(lon.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        y = np.rint(lat.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v0 = offs[:-1]
+        ax = np.concatenate([x[v0], x[v0 + 1]])
+        ay = np.concatenate([y[v0], y[v0 + 1]])
+        bx = np.concatenate([x[v0 + 1], x[v0 + 2]])
+        by = np.concatenate([y[v0 + 1], y[v0 + 2]])
+        return pa.table(
+            {
+                "seg_id": pa.array(np.concatenate([doc * 2, doc * 2 + 1])),
+                "ax_mi": pa.array(ax),
+                "ay_mi": pa.array(ay),
+                "bx_mi": pa.array(bx),
+                "by_mi": pa.array(by),
+            }
+        )
+
+    segs = _geocoded(sf_dir).map_batches(
+        extract_lines, batch_format="pyarrow"
+    ).map_batches(to_segs, batch_format="pyarrow")
+    return segment_intersection_pairs(segs)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6397,6 +6434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment": q_containment,
         "name_clustering": q_name_clustering,
         "ewma_value": q_ewma_value,
+        "seg_crossings": q_seg_crossings,
         "ab_lift": q_ab_lift,
         "wau_stickiness": q_wau_stickiness,
         "length_lorenz": q_length_lorenz,
@@ -6846,8 +6884,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id * 2 + 1, lon_mi, lat_mi + ldy,
                      lon_mi + ldx, lat_mi - ldy
               FROM ld),
-            p AS (SELECT doc_id, lon_mi AS px, lat_mi AS py
-                  FROM geo WHERE doc_id % 23 = 5),
+            p AS (SELECT doc_id, lon_mi AS px, lat_mi AS py FROM geo),
             c0 AS (SELECT p.doc_id, s.seg_id,
                           s.axm - p.px AS dax, s.aym - p.py AS day_,
                           s.bxm - p.px AS dbx, s.bym - p.py AS dby,
@@ -6941,6 +6978,50 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sz za ON za.doc_id = i.da
                          JOIN sz zb ON zb.doc_id = i.db
             WHERE CAST(i.i AS DOUBLE) / least(za.n, zb.n) >= 0.8""",
+        "seg_crossings": f"""{prefix},
+            ld AS (SELECT doc_id, lon_mi, lat_mi,
+                          300 + (doc_id * 11) % 150 AS ldx,
+                          150 + (doc_id * 5) % 120 AS ldy
+                   FROM geo WHERE doc_id % 7 = 3),
+            segs AS (
+              SELECT doc_id * 2 AS seg_id, lon_mi - ldx AS axm,
+                     lat_mi - ldy AS aym, lon_mi AS bxm, lat_mi + ldy AS bym
+              FROM ld
+              UNION ALL
+              SELECT doc_id * 2 + 1, lon_mi, lat_mi + ldy,
+                     lon_mi + ldx, lat_mi - ldy
+              FROM ld),
+            pr AS (SELECT s1.seg_id AS sa, s2.seg_id AS sb,
+                          s1.axm AS x1, s1.aym AS y1, s1.bxm AS x2, s1.bym AS y2,
+                          s2.axm AS x3, s2.aym AS y3, s2.bxm AS x4, s2.bym AS y4
+                   FROM segs s1 JOIN segs s2 ON s1.seg_id < s2.seg_id
+                   WHERE GREATEST(LEAST(s1.axm, s1.bxm), LEAST(s2.axm, s2.bxm))
+                           <= LEAST(GREATEST(s1.axm, s1.bxm), GREATEST(s2.axm, s2.bxm))
+                     AND GREATEST(LEAST(s1.aym, s1.bym), LEAST(s2.aym, s2.bym))
+                           <= LEAST(GREATEST(s1.aym, s1.bym), GREATEST(s2.aym, s2.bym))),
+            dd AS (SELECT sa, sb, x1, y1, x2, y2, x3, y3, x4, y4,
+                          (x2-x1)*(y3-y1) - (y2-y1)*(x3-x1) AS d1,
+                          (x2-x1)*(y4-y1) - (y2-y1)*(x4-x1) AS d2,
+                          (x4-x3)*(y1-y3) - (y4-y3)*(x1-x3) AS d3,
+                          (x4-x3)*(y2-y3) - (y4-y3)*(x2-x3) AS d4
+                   FROM pr),
+            r AS (SELECT sa, sb,
+                         CASE WHEN d1 <> 0 AND d2 <> 0 AND d3 <> 0 AND d4 <> 0
+                                   AND ((d1 > 0) <> (d2 > 0))
+                                   AND ((d3 > 0) <> (d4 > 0))
+                              THEN 1 ELSE 0 END AS proper,
+                         CASE WHEN (d1 = 0 AND x3 BETWEEN LEAST(x1, x2) AND GREATEST(x1, x2)
+                                            AND y3 BETWEEN LEAST(y1, y2) AND GREATEST(y1, y2))
+                                OR (d2 = 0 AND x4 BETWEEN LEAST(x1, x2) AND GREATEST(x1, x2)
+                                            AND y4 BETWEEN LEAST(y1, y2) AND GREATEST(y1, y2))
+                                OR (d3 = 0 AND x1 BETWEEN LEAST(x3, x4) AND GREATEST(x3, x4)
+                                            AND y1 BETWEEN LEAST(y3, y4) AND GREATEST(y3, y4))
+                                OR (d4 = 0 AND x2 BETWEEN LEAST(x3, x4) AND GREATEST(x3, x4)
+                                            AND y2 BETWEEN LEAST(y3, y4) AND GREATEST(y3, y4))
+                              THEN 1 ELSE 0 END AS touch
+                  FROM dd)
+            SELECT sa AS seg_a, sb AS seg_b, CAST(proper AS BIGINT) AS proper
+            FROM r WHERE proper = 1 OR touch = 1""",
         "name_clustering": """
             WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
                          FROM customer GROUP BY c_name),

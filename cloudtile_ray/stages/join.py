@@ -1292,3 +1292,156 @@ def snap_to_segments(
         )
 
     return grouped_buckets_apply(both, ["cell"], per_cell, num_parts=num_parts)
+
+
+def segment_intersection_pairs(
+    segs,
+    id_col: str = "seg_id",
+    cell_mi: int = 1024,
+    num_parts: int | None = None,
+):
+    """All unordered pairs of line segments that INTERSECT — proper
+    crossings, endpoint touches, and collinear overlaps — decided by the
+    exact integer orientation predicate (CLRS §33.1: four cross-product
+    signs + collinear bbox containment).  The map-overlay / conflation
+    primitive (street-grid crossing detection); complements
+    :func:`box_overlap_pairs` (bbox-only) with the exact geometry test.
+
+    ``segs``: Dataset with (id_col, ax_mi, ay_mi, bx_mi, by_mi) int64
+    endpoints.  Returns (seg_a, seg_b, proper) with ``seg_a < seg_b`` and
+    ``proper`` 1 for a strict interior crossing, 0 for touch/overlap.
+
+    Scale shape: each segment replicates to every ``cell_mi``-sized grid
+    cell its bbox touches (extents must be < cell_mi — asserted, so at
+    most 2x2 cells); ONE cell-keyed exchange, vectorized triangular
+    candidate expansion + bbox prefilter per cell, and a pair co-located
+    in several cells is tested ONLY by the cell owning the bbox-overlap
+    region's (west, south) corner — exact output with no dedup pass
+    (the box_overlap_pairs ownership rule).  All arithmetic int64: cross
+    products are (segment extent) x (candidate gap), both < cell_mi, so
+    |d| < 2*cell_mi^2 and the d*d straddle products stay << 2^62."""
+    from cloudtile_ray.stages.dedup import grouped_buckets_apply
+
+    OFF = np.int64(1) << np.int64(20)
+    SPAN = OFF * 2
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        sid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ax = t.column("ax_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        ay = t.column("ay_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        bx = t.column("bx_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        by = t.column("by_mi").to_numpy(zero_copy_only=False).astype(np.int64)
+        w, e = np.minimum(ax, bx), np.maximum(ax, bx)
+        s, n = np.minimum(ay, by), np.maximum(ay, by)
+        if t.num_rows and (
+            int((e - w).max()) >= cell_mi or int((n - s).max()) >= cell_mi
+        ):
+            raise ValueError(
+                f"segment extent exceeds cell_mi={cell_mi}; coarsen the grid"
+            )
+        cx0, cx1 = w // cell_mi, e // cell_mi
+        cy0, cy1 = s // cell_mi, n // cell_mi
+        outs = []
+        for gx, gy in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            cx = cx0 if gx == 0 else cx1
+            cy = cy0 if gy == 0 else cy1
+            outs.append(
+                pa.table(
+                    {
+                        "cell": pa.array((cx + OFF) * SPAN + (cy + OFF)),
+                        id_col: pa.array(sid),
+                        "ax": pa.array(ax),
+                        "ay": pa.array(ay),
+                        "bx": pa.array(bx),
+                        "by_": pa.array(by),
+                    }
+                )
+            )
+        merged = pa.concat_tables(outs)
+        # drop duplicate (cell, id) copies created when a bbox spans < 2x2
+        c = merged.column("cell").to_numpy(zero_copy_only=False)
+        i = merged.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((i, c))
+        cs, is_ = c[order], i[order]
+        keep = np.empty(len(cs), dtype=bool)
+        if len(cs):
+            keep[0] = True
+            keep[1:] = (cs[1:] != cs[:-1]) | (is_[1:] != is_[:-1])
+        return merged.take(pa.array(order[keep], pa.int64()))
+
+    cells = segs.map_batches(to_cells, batch_format="pyarrow")
+    empty = pa.table(
+        {
+            "seg_a": pa.array([], pa.int64()),
+            "seg_b": pa.array([], pa.int64()),
+            "proper": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        m = g.num_rows
+        if m < 2:
+            return empty
+        cell0 = int(g.column("cell").to_numpy(zero_copy_only=False)[0])
+        cell_x = cell0 // SPAN - OFF
+        cell_y = cell0 % SPAN - OFF
+        sid = g.column(id_col).to_numpy(zero_copy_only=False)
+        ax = g.column("ax").to_numpy(zero_copy_only=False)
+        ay = g.column("ay").to_numpy(zero_copy_only=False)
+        bx = g.column("bx").to_numpy(zero_copy_only=False)
+        by = g.column("by_").to_numpy(zero_copy_only=False)
+        w, e = np.minimum(ax, bx), np.maximum(ax, bx)
+        s, n = np.minimum(ay, by), np.maximum(ay, by)
+        i, j = np.triu_indices(m, 1)
+        # bbox prefilter + ownership: only the cell holding the overlap
+        # region's (west, south) corner tests this pair
+        ow = np.maximum(w[i], w[j])
+        os_ = np.maximum(s[i], s[j])
+        cand = (
+            (ow <= np.minimum(e[i], e[j]))
+            & (os_ <= np.minimum(n[i], n[j]))
+            & (ow // cell_mi == cell_x)
+            & (os_ // cell_mi == cell_y)
+            & (sid[i] != sid[j])
+        )
+        i, j = i[cand], j[cand]
+        if len(i) == 0:
+            return empty
+        d1x, d1y = bx[i] - ax[i], by[i] - ay[i]
+        d2x, d2y = bx[j] - ax[j], by[j] - ay[j]
+
+        def cross(ux, uy, vx, vy):
+            return ux * vy - uy * vx
+
+        d1 = cross(d1x, d1y, ax[j] - ax[i], ay[j] - ay[i])
+        d2 = cross(d1x, d1y, bx[j] - ax[i], by[j] - ay[i])
+        d3 = cross(d2x, d2y, ax[i] - ax[j], ay[i] - ay[j])
+        d4 = cross(d2x, d2y, bx[i] - ax[j], by[i] - ay[j])
+        proper = ((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0) & (
+            (d3 > 0) != (d4 > 0)
+        ) & (d3 != 0) & (d4 != 0)
+
+        def onseg(px, py, k):
+            return (w[k] <= px) & (px <= e[k]) & (s[k] <= py) & (py <= n[k])
+
+        touch = (
+            ((d1 == 0) & onseg(ax[j], ay[j], i))
+            | ((d2 == 0) & onseg(bx[j], by[j], i))
+            | ((d3 == 0) & onseg(ax[i], ay[i], j))
+            | ((d4 == 0) & onseg(bx[i], by[i], j))
+        )
+        hit = proper | touch
+        if not hit.any():
+            return empty
+        ii, jj, pp = i[hit], j[hit], proper[hit]
+        sa = np.minimum(sid[ii], sid[jj])
+        sb = np.maximum(sid[ii], sid[jj])
+        return pa.table(
+            {
+                "seg_a": pa.array(sa),
+                "seg_b": pa.array(sb),
+                "proper": pa.array(pp.astype(np.int64)),
+            }
+        )
+
+    return grouped_buckets_apply(cells, ["cell"], per_cell, num_parts=num_parts)

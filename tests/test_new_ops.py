@@ -4393,3 +4393,75 @@ def test_user_ewma_recurrence_parity(ray_session):
         row = res[res.user_id == u].iloc[0]
         # bit-exact: identical addition sequence
         assert float(row.ewma) == y and int(row.n_events) == len(g)
+
+
+def test_segment_intersection_pairs_brute_force(ray_session):
+    import ray.data as rd
+
+    from cloudtile_ray.stages.join import segment_intersection_pairs
+
+    rng = np.random.default_rng(17)
+    NS = 500
+    ax = rng.integers(-3000, 3000, NS).astype(np.int64)
+    ay = rng.integers(-3000, 3000, NS).astype(np.int64)
+    bx = ax + rng.integers(-500, 500, NS)
+    by = ay + rng.integers(-500, 500, NS)
+    # planted degeneracies: interior touch, collinear overlap, shared endpoint
+    ax[0], ay[0], bx[0], by[0] = 0, 0, 100, 0
+    ax[1], ay[1], bx[1], by[1] = 50, 0, 50, 100
+    ax[2], ay[2], bx[2], by[2] = 60, 0, 200, 0
+    ax[3], ay[3], bx[3], by[3] = 100, 0, 150, 80
+    sgs = rd.from_arrow(
+        pa.table(
+            {
+                "seg_id": np.arange(NS, dtype=np.int64),
+                "ax_mi": ax, "ay_mi": ay, "bx_mi": bx, "by_mi": by,
+            }
+        )
+    )
+    res = (
+        segment_intersection_pairs(sgs)
+        .to_pandas()
+        .sort_values(["seg_a", "seg_b"])
+        .reset_index(drop=True)
+    )
+
+    def inter(i, j):
+        d1x, d1y = bx[i] - ax[i], by[i] - ay[i]
+        d2x, d2y = bx[j] - ax[j], by[j] - ay[j]
+
+        def cr(ux, uy, vx, vy):
+            return int(ux) * int(vy) - int(uy) * int(vx)
+
+        d1 = cr(d1x, d1y, ax[j] - ax[i], ay[j] - ay[i])
+        d2 = cr(d1x, d1y, bx[j] - ax[i], by[j] - ay[i])
+        d3 = cr(d2x, d2y, ax[i] - ax[j], ay[i] - ay[j])
+        d4 = cr(d2x, d2y, bx[i] - ax[j], by[i] - ay[j])
+        proper = (
+            (d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0
+            and (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0
+        )
+
+        def on(px, py, k):
+            return (
+                min(ax[k], bx[k]) <= px <= max(ax[k], bx[k])
+                and min(ay[k], by[k]) <= py <= max(ay[k], by[k])
+            )
+
+        touch = (
+            (d1 == 0 and on(ax[j], ay[j], i))
+            or (d2 == 0 and on(bx[j], by[j], i))
+            or (d3 == 0 and on(ax[i], ay[i], j))
+            or (d4 == 0 and on(bx[i], by[i], j))
+        )
+        return proper, (proper or touch)
+
+    exp = []
+    for i in range(NS):
+        for j in range(i + 1, NS):
+            p, h = inter(i, j)
+            if h:
+                exp.append((i, j, int(p)))
+    got = [(int(r.seg_a), int(r.seg_b), int(r.proper)) for r in res.itertuples()]
+    assert got == exp
+    assert (0, 1, 0) in got and (0, 2, 0) in got and (0, 3, 0) in got
