@@ -6210,8 +6210,16 @@ def q_snap_lines(sf_dir: str):
     from cloudtile_ray.stages.join import snap_to_segments
     from cloudtile_ray.stages.lines import extract_lines
 
-    pts = _geo_only(sf_dir).map_batches(
-        lambda t: t.select(["doc_id", "lon_mi", "lat_mi"]),
+    # ONE geocode pass feeds both sides (points + segments): the slim
+    # projection is materialized once instead of re-parsing pages per side
+    base = _geocoded(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "lon_mi", "lat_mi", "has_geo", "line_mi"]),
+        batch_format="pyarrow",
+    ).materialize()
+    pts = base.map_batches(
+        lambda t: t.filter(pc.equal(t.column("has_geo"), True)).select(
+            ["doc_id", "lon_mi", "lat_mi"]
+        ),
         batch_format="pyarrow",
     )
 
@@ -6243,7 +6251,7 @@ def q_snap_lines(sf_dir: str):
             }
         )
 
-    segs = _geocoded(sf_dir).map_batches(
+    segs = base.map_batches(
         extract_lines, batch_format="pyarrow"
     ).map_batches(to_segs, batch_format="pyarrow")
     return snap_to_segments(pts, segs, radius=200)
@@ -6384,6 +6392,40 @@ def q_seg_crossings(sf_dir: str):
     return segment_intersection_pairs(segs)
 
 
+def q_route_pairs(sf_dir: str):
+    """Trajectory-similarity join: polyline pairs with symmetric discrete
+    Hausdorff distance <= 300 milli-degrees
+    (:func:`cloudtile_ray.stages.join.hausdorff_pairs` — similar-route /
+    GPS-trace clustering).  The predicate is pure boolean algebra over
+    the exact int64 vertex-to-segment rational tests, replayed
+    term-for-term by the oracle."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.join import hausdorff_pairs
+    from cloudtile_ray.stages.lines import extract_lines
+
+    def to_milli(t: pa.Table) -> pa.Table:
+        lon = t.column("ln_lon")
+        lat = t.column("ln_lat")
+        if isinstance(lon, pa.ChunkedArray):
+            lon, lat = lon.combine_chunks(), lat.combine_chunks()
+        offs = lon.offsets
+        x = np.rint(lon.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        y = np.rint(lat.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "vx_mi": pa.ListArray.from_arrays(offs, pa.array(x)),
+                "vy_mi": pa.ListArray.from_arrays(offs, pa.array(y)),
+            }
+        )
+
+    ln = _geocoded(sf_dir).map_batches(
+        extract_lines, batch_format="pyarrow"
+    ).map_batches(to_milli, batch_format="pyarrow")
+    return hausdorff_pairs(ln, h=300)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6435,6 +6477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_clustering": q_name_clustering,
         "ewma_value": q_ewma_value,
         "seg_crossings": q_seg_crossings,
+        "route_pairs": q_route_pairs,
         "ab_lift": q_ab_lift,
         "wau_stickiness": q_wau_stickiness,
         "length_lorenz": q_length_lorenz,
@@ -6978,6 +7021,44 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sz za ON za.doc_id = i.da
                          JOIN sz zb ON zb.doc_id = i.db
             WHERE CAST(i.i AS DOUBLE) / least(za.n, zb.n) >= 0.8""",
+        "route_pairs": f"""{prefix},
+            ld AS (SELECT doc_id, lon_mi, lat_mi,
+                          300 + (doc_id * 11) % 150 AS ldx,
+                          150 + (doc_id * 5) % 120 AS ldy
+                   FROM geo WHERE doc_id % 7 = 3),
+            verts AS (
+              SELECT doc_id, 1 AS k, lon_mi - ldx AS vx, lat_mi - ldy AS vy FROM ld
+              UNION ALL SELECT doc_id, 2, lon_mi, lat_mi + ldy FROM ld
+              UNION ALL SELECT doc_id, 3, lon_mi + ldx, lat_mi - ldy FROM ld),
+            segs AS (
+              SELECT doc_id, lon_mi - ldx AS axm, lat_mi - ldy AS aym,
+                     lon_mi AS bxm, lat_mi + ldy AS bym FROM ld
+              UNION ALL
+              SELECT doc_id, lon_mi, lat_mi + ldy,
+                     lon_mi + ldx, lat_mi - ldy FROM ld),
+            c0 AS (SELECT v.doc_id AS da, v.k, s.doc_id AS db,
+                          s.axm - v.vx AS dax, s.aym - v.vy AS day_,
+                          s.bxm - v.vx AS dbx, s.bym - v.vy AS dby,
+                          s.bxm - s.axm AS dx, s.bym - s.aym AS dy
+                   FROM verts v JOIN segs s ON s.doc_id <> v.doc_id),
+            sc AS (SELECT da, k, db,
+                          dx * dx + dy * dy AS den,
+                          -(dax * dx + day_ * dy) AS tnum,
+                          dax * dax + day_ * day_ AS a2,
+                          dbx * dbx + dby * dby AS b2
+                   FROM c0),
+            vn AS (SELECT da, db, k,
+                          max(CASE WHEN (CASE WHEN tnum <= 0 THEN a2 * den
+                                              WHEN tnum >= den THEN b2 * den
+                                              ELSE a2 * den - tnum * tnum END)
+                                       <= 90000 * den
+                              THEN 1 ELSE 0 END) AS near
+                   FROM sc GROUP BY 1, 2, 3),
+            dir_ AS (SELECT da, db, min(near) AS allnear
+                     FROM vn GROUP BY 1, 2)
+            SELECT d1.da AS doc_a, d1.db AS doc_b
+            FROM dir_ d1 JOIN dir_ d2 ON d2.da = d1.db AND d2.db = d1.da
+            WHERE d1.da < d1.db AND d1.allnear = 1 AND d2.allnear = 1""",
         "seg_crossings": f"""{prefix},
             ld AS (SELECT doc_id, lon_mi, lat_mi,
                           300 + (doc_id * 11) % 150 AS ldx,

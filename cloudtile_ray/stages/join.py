@@ -1445,3 +1445,180 @@ def segment_intersection_pairs(
         )
 
     return grouped_buckets_apply(cells, ["cell"], per_cell, num_parts=num_parts)
+
+
+def hausdorff_pairs(
+    lines,
+    h: int,
+    cell_mi: int = 2048,
+    id_col: str = "doc_id",
+    max_vertices: int = 16,
+    num_parts: int | None = None,
+):
+    """Trajectory-similarity join: all unordered pairs of polylines whose
+    symmetric DISCRETE Hausdorff distance is <= ``h`` — every vertex of
+    each line within ``h`` of SOME segment of the other (the PostGIS
+    ST_HausdorffDistance discretization; similar-route / GPS-trace
+    clustering primitive).
+
+    ``lines``: Dataset with (id_col, vx_mi: list<int64>, vy_mi:
+    list<int64>) integer milli-degree vertex lists (>= 2 vertices,
+    <= ``max_vertices`` — pre-densify longer traces; the bound keeps the
+    padded per-cell tensor small).
+
+    EXACTNESS.  Vertex-to-segment distance is the same int64 rational
+    num/den as :func:`snap_to_segments`; the threshold test
+    ``num <= h^2 * den`` is exact, and the Hausdorff predicate is pure
+    boolean algebra over those tests (AND over vertices of OR over
+    segments, both directions) — no fraction ever compares against
+    another, so a SQL oracle replays it with integer CASE terms.
+
+    SCALE SHAPE.  Each line replicates to every cell its h-inflated bbox
+    touches (cell side = 2 * (h + max extent), so <= 2x2 cells); one
+    cell exchange; candidate pairs are inflated-bbox overlaps owned by
+    the cell containing the overlap's (west, south) corner (the
+    box_overlap_pairs rule) — output exact with no dedup pass.  The
+    per-cell predicate evaluates as one (pairs x V x S) broadcast over
+    the padded vertex tensor."""
+    from cloudtile_ray.stages.dedup import grouped_buckets_apply
+
+    if h < 0:
+        raise ValueError("h must be >= 0")
+    h2 = np.int64(h) * np.int64(h)
+    OFF = np.int64(1) << np.int64(20)
+    SPAN = OFF * 2
+
+    def unpack(t: pa.Table):
+        vx = t.column("vx_mi")
+        vy = t.column("vy_mi")
+        if isinstance(vx, pa.ChunkedArray):
+            vx, vy = vx.combine_chunks(), vy.combine_chunks()
+        offs = vx.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = vx.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        y = vy.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        npts = np.diff(offs)
+        if t.num_rows and (int(npts.min()) < 2 or int(npts.max()) > max_vertices):
+            raise ValueError(
+                f"hausdorff_pairs: vertex counts must be in [2, {max_vertices}]"
+            )
+        return offs, x, y, npts
+
+    def to_cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "vx_mi": pa.array([], pa.list_(pa.int64())),
+                    "vy_mi": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        offs, x, y, npts = unpack(t)
+        sid = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.minimum.reduceat(x, offs[:-1]) - h
+        e = np.maximum.reduceat(x, offs[:-1]) + h
+        s = np.minimum.reduceat(y, offs[:-1]) - h
+        n = np.maximum.reduceat(y, offs[:-1]) + h
+        # cell_mi is a GLOBAL operator parameter (a per-batch choice would
+        # misalign grids across batches and silently drop pairs)
+        if int(max((e - w).max(), (n - s).max())) >= cell_mi:
+            raise ValueError(
+                f"hausdorff_pairs: inflated line extent exceeds "
+                f"cell_mi={cell_mi}; pass a coarser grid"
+            )
+        outs = []
+        for gx, gy in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            cx = (w if gx == 0 else e) // cell_mi
+            cy = (s if gy == 0 else n) // cell_mi
+            outs.append((cx + OFF) * SPAN + (cy + OFF))
+        cells4 = np.stack(outs, axis=1)  # (rows, 4)
+        rows = np.repeat(np.arange(t.num_rows, dtype=np.int64), 4)
+        flat = cells4.ravel()
+        order = np.lexsort((flat, rows))
+        rs, cs = rows[order], flat[order]
+        keep = np.empty(len(rs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+        rs, cs = rs[keep], cs[keep]
+        out = t.take(pa.array(rs, pa.int64()))
+        out = out.append_column("cell", pa.array(cs))
+        return out.select(["cell", id_col, "vx_mi", "vy_mi"])
+
+    cells = lines.map_batches(to_cells, batch_format="pyarrow")
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        m = g.num_rows
+        if m < 2:
+            return empty
+        cell0 = int(g.column("cell").to_numpy(zero_copy_only=False)[0])
+        cell_x = cell0 // SPAN - OFF
+        cell_y = cell0 % SPAN - OFF
+        offs, x, y, npts = unpack(g)
+        sid = g.column(id_col).to_numpy(zero_copy_only=False)
+        V = int(npts.max())
+        # padded vertex tensor: pads repeat the LAST vertex (a repeated
+        # vertex adds a zero-length segment and a duplicate vertex —
+        # both predicate-neutral)
+        idx = np.minimum(
+            np.arange(V)[None, :], (npts - 1)[:, None]
+        ) + offs[:-1][:, None]
+        PX, PY = x[idx], y[idx]  # (m, V)
+        w = PX.min(axis=1) - h
+        e = PX.max(axis=1) + h
+        s = PY.min(axis=1) - h
+        n = PY.max(axis=1) + h
+        i, j = np.triu_indices(m, 1)
+        ow = np.maximum(w[i], w[j])
+        os_ = np.maximum(s[i], s[j])
+        cand = (
+            (ow <= np.minimum(e[i], e[j]))
+            & (os_ <= np.minimum(n[i], n[j]))
+            & (ow // cell_mi == cell_x)
+            & (os_ // cell_mi == cell_y)
+            & (sid[i] != sid[j])
+        )
+        i, j = i[cand], j[cand]
+        if len(i) == 0:
+            return empty
+
+        def directed(src, dst):
+            # every vertex of src within h of some segment of dst:
+            # (pairs, V_src, S_dst) broadcast of the exact rational test
+            px = PX[src][:, :, None].astype(np.int64)
+            py = PY[src][:, :, None].astype(np.int64)
+            ax = PX[dst][:, None, :-1].astype(np.int64)
+            ay = PY[dst][:, None, :-1].astype(np.int64)
+            bx = PX[dst][:, None, 1:].astype(np.int64)
+            by = PY[dst][:, None, 1:].astype(np.int64)
+            dx, dy = bx - ax, by - ay
+            den = dx * dx + dy * dy  # 0 for pad segments
+            dax, day = ax - px, ay - py
+            dbx, dby = bx - px, by - py
+            a2 = dax * dax + day * day
+            b2 = dbx * dbx + dby * dby
+            tnum = -(dax * dx + day * dy)
+            num = np.where(
+                tnum <= 0, a2 * den,
+                np.where(tnum >= den, b2 * den, a2 * den - tnum * tnum),
+            )
+            # degenerate (pad / zero-length) segment: den == 0 -> point
+            # distance, exact test a2 <= h^2
+            near = np.where(den > 0, num <= h2 * den, a2 <= h2)
+            # pad VERTICES duplicate the last real vertex: harmless in AND
+            return near.any(axis=2).all(axis=1)
+
+        ok = directed(i, j) & directed(j, i)
+        if not ok.any():
+            return empty
+        ii, jj = i[ok], j[ok]
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(sid[ii], sid[jj])),
+                "doc_b": pa.array(np.maximum(sid[ii], sid[jj])),
+            }
+        )
+
+    return grouped_buckets_apply(cells, ["cell"], per_cell, num_parts=num_parts)

@@ -4465,3 +4465,71 @@ def test_segment_intersection_pairs_brute_force(ray_session):
     got = [(int(r.seg_a), int(r.seg_b), int(r.proper)) for r in res.itertuples()]
     assert got == exp
     assert (0, 1, 0) in got and (0, 2, 0) in got and (0, 3, 0) in got
+
+
+def test_hausdorff_pairs_brute_force(ray_session):
+    import ray.data as rd
+
+    from cloudtile_ray.stages.join import hausdorff_pairs
+
+    rng = np.random.default_rng(19)
+    NL, H = 300, 120
+    lines = []
+    for _ in range(NL):
+        n = int(rng.integers(2, 6))
+        x0, y0 = rng.integers(-4000, 4000, 2)
+        xs = (x0 + np.cumsum(rng.integers(-300, 300, n))).astype(np.int64)
+        ys = (y0 + np.cumsum(rng.integers(-300, 300, n))).astype(np.int64)
+        lines.append((xs, ys))
+    lines[1] = (lines[0][0] + 5, lines[0][1] - 5)  # planted near-identical pair
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(NL, dtype=np.int64)),
+            "vx_mi": pa.array([l[0].tolist() for l in lines], type=pa.list_(pa.int64())),
+            "vy_mi": pa.array([l[1].tolist() for l in lines], type=pa.list_(pa.int64())),
+        }
+    )
+    res = (
+        hausdorff_pairs(rd.from_arrow(t), h=H)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+    def p2seg(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        den = dx * dx + dy * dy
+        if den == 0:
+            return (px - ax) ** 2 + (py - ay) ** 2, 1
+        tn = -((ax - px) * dx + (ay - py) * dy)
+        if tn <= 0:
+            num = ((ax - px) ** 2 + (ay - py) ** 2) * den
+        elif tn >= den:
+            num = ((bx - px) ** 2 + (by - py) ** 2) * den
+        else:
+            num = ((ax - px) ** 2 + (ay - py) ** 2) * den - tn * tn
+        return num, den
+
+    def directed(a, b):
+        xs, ys = lines[a]
+        bx, by = lines[b]
+        for px, py in zip(xs, ys):
+            if not any(
+                p2seg(int(px), int(py), int(bx[k]), int(by[k]),
+                      int(bx[k + 1]), int(by[k + 1]))[0]
+                <= H * H * p2seg(int(px), int(py), int(bx[k]), int(by[k]),
+                                 int(bx[k + 1]), int(by[k + 1]))[1]
+                for k in range(len(bx) - 1)
+            ):
+                return False
+        return True
+
+    exp = [
+        (a, b)
+        for a in range(NL)
+        for b in range(a + 1, NL)
+        if directed(a, b) and directed(b, a)
+    ]
+    got = [(int(r.doc_a), int(r.doc_b)) for r in res.itertuples()]
+    assert got == exp
+    assert (0, 1) in got
