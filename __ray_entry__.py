@@ -6426,6 +6426,18 @@ def q_route_pairs(sf_dir: str):
     return hausdorff_pairs(ln, h=300)
 
 
+def q_embed_quantize(sf_dir: str):
+    """Int8 vector quantization audit
+    (:func:`cloudtile_ray.stages.similarity.quantize_embeddings_batch`):
+    per-vector scale, code range, and max reconstruction error — all
+    order-free folds, bit-exact vs the oracle's list-lambda replay."""
+    from cloudtile_ray.stages.similarity import quantize_embeddings_batch
+
+    return _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quantize_embeddings_batch, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6478,6 +6490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_value": q_ewma_value,
         "seg_crossings": q_seg_crossings,
         "route_pairs": q_route_pairs,
+        "embed_quantize": q_embed_quantize,
         "ab_lift": q_ab_lift,
         "wau_stickiness": q_wau_stickiness,
         "length_lorenz": q_length_lorenz,
@@ -7021,6 +7034,29 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sz za ON za.doc_id = i.da
                          JOIN sz zb ON zb.doc_id = i.db
             WHERE CAST(i.i AS DOUBLE) / least(za.n, zb.n) >= 0.8""",
+        "embed_quantize": """
+            WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            s AS (SELECT vec_id, e,
+                         list_max(list_transform(e, x -> abs(x))) / 127.0
+                           AS scale,
+                         len(e) AS n_dims
+                  FROM b),
+            c AS (SELECT vec_id, scale, n_dims,
+                         CASE WHEN scale = 0
+                              THEN list_transform(e, x -> 0.0)
+                              ELSE list_transform(e, x -> floor(x / scale + 0.5))
+                         END AS codes,
+                         e
+                  FROM s)
+            SELECT vec_id, scale, CAST(n_dims AS BIGINT) AS n_dims,
+                   CAST(list_min(codes) AS BIGINT) AS code_min,
+                   CAST(list_max(codes) AS BIGINT) AS code_max,
+                   CASE WHEN scale = 0 THEN 0.0
+                        ELSE list_max(list_transform(e,
+                               x -> abs(floor(x / scale + 0.5) * scale - x)))
+                   END AS max_abs_err
+            FROM c""",
         "route_pairs": f"""{prefix},
             ld AS (SELECT doc_id, lon_mi, lat_mi,
                           300 + (doc_id * 11) % 150 AS ldx,

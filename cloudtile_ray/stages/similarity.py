@@ -603,3 +603,39 @@ def ivf_recall_sweep(
             "n_queries": pa.array([len(truth_sets)] * len(out_nprobe), pa.int64()),
         }
     )
+
+
+def quantize_embeddings_batch(batch: pa.Table) -> pa.Table:
+    """Symmetric int8 vector quantization (the serving/index-compression
+    prep step): per-vector scale = max|x| / 127, codes = floor(x/scale +
+    0.5) — written as an explicit floor instead of round() so the engine
+    (numpy, banker's rint) and the SQL oracle (round half-away) share ONE
+    deterministic rounding rule.  Emits per-vector audit stats only
+    (scale, code range, max absolute reconstruction error, dims) — every
+    one an order-free fold (min/max), so distributed batch boundaries
+    cannot perturb a bit.  All-zero vectors quantize to all-zero codes
+    with scale 0.  Pure map stage: zero exchanges."""
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    v = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    starts = offs[:-1]
+    n_dims = np.diff(offs)
+    scale = np.maximum.reduceat(np.abs(v), starts) / 127.0
+    scale = np.where(n_dims > 0, scale, 0.0)
+    s_rep = np.repeat(scale, n_dims)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.floor(v / s_rep + 0.5)
+    q = np.where(s_rep == 0.0, 0.0, q)
+    err = np.abs(q * s_rep - v)
+    return pa.table(
+        {
+            "vec_id": batch.column("vec_id"),
+            "scale": pa.array(scale),
+            "n_dims": pa.array(n_dims),
+            "code_min": pa.array(np.minimum.reduceat(q, starts).astype(np.int64)),
+            "code_max": pa.array(np.maximum.reduceat(q, starts).astype(np.int64)),
+            "max_abs_err": pa.array(np.maximum.reduceat(err, starts)),
+        }
+    )

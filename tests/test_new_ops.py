@@ -4533,3 +4533,37 @@ def test_hausdorff_pairs_brute_force(ray_session):
     got = [(int(r.doc_a), int(r.doc_b)) for r in res.itertuples()]
     assert got == exp
     assert (0, 1) in got
+
+
+def test_quantize_embeddings_batch_edge_cases():
+    from cloudtile_ray.stages.similarity import quantize_embeddings_batch
+
+    rng = np.random.default_rng(71)
+    vecs = [rng.normal(size=8).astype(np.float32) for _ in range(20)]
+    vecs.append(np.zeros(4, dtype=np.float32))  # all-zero vector
+    vecs.append(np.array([127.0, -127.0], dtype=np.float32))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    out = quantize_embeddings_batch(t)
+    scale = out.column("scale").to_numpy()
+    cmin = out.column("code_min").to_numpy()
+    cmax = out.column("code_max").to_numpy()
+    err = out.column("max_abs_err").to_numpy()
+    for i, v in enumerate(vecs):
+        v64 = v.astype(np.float64)
+        s = np.abs(v64).max() / 127.0 if len(v) else 0.0
+        if s == 0.0:
+            assert scale[i] == 0.0 and cmin[i] == 0 and cmax[i] == 0 and err[i] == 0.0
+            continue
+        q = np.floor(v64 / s + 0.5)
+        assert scale[i] == s
+        assert cmin[i] == int(q.min()) and cmax[i] == int(q.max())
+        assert err[i] == np.abs(q * s - v64).max()
+        # int8 range honored: |codes| <= 127
+        assert -127 <= cmin[i] and cmax[i] <= 127
+        # reconstruction error bounded by half a step
+        assert err[i] <= s / 2 + 1e-12
