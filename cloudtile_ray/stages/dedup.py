@@ -1538,9 +1538,11 @@ def resolve_clusters_distributed(
     id_cols: tuple[str, str] = ("doc_a", "doc_b"),
     n_parts: int = _CC_PARTS,
     max_rounds: int = 50,
+    small_gate_pairs: int = 500_000,
 ):
-    """Near-dup pairs Dataset -> labels Dataset (doc_id, cluster_id, keep),
-    fully distributed — zero driver-side pair collection (VERDICT.md r2 #1).
+    """Near-dup pairs Dataset -> labels Dataset (doc_id, cluster_id, keep)
+    — distributed with zero driver-side pair collection beyond the small
+    gate (VERDICT.md r2 #1).
 
     Connected components by alternating large-star / small-star rounds
     (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond"):
@@ -1550,7 +1552,16 @@ def resolve_clusters_distributed(
     order-independent checksum over the (globally deduped) edge set — a
     metadata-sized collection per round.  cluster_id = min doc_id of the
     component; keep = (doc_id == cluster_id), matching
-    :func:`resolve_clusters` exactly (property-tested against it)."""
+    :func:`resolve_clusters` exactly (property-tested against it).
+
+    SMALL GATE: a canon edge set within ``small_gate_pairs`` (16 B/row, so
+    <= 8 MB at the default) resolves via driver union-find — the same
+    bounded-collection idiom as the verify micro path.  Each CC round
+    costs two full exchanges of FIXED multi-hundred-ms overhead, and a
+    dense little graph needs ~2 log^2(diameter) of them (spatial_clusters
+    measured 13 s distributed vs <1 s gated at sf0.1); past the gate the
+    rounds are the only option and run distributed as before.  Pass
+    ``small_gate_pairs=0`` to force the distributed path (tests do)."""
     import ray.data
 
     label_empty = pa.table(
@@ -1565,8 +1576,15 @@ def resolve_clusters_distributed(
     edges = pairs.map_batches(
         lambda t: _cc_canon(t, *id_cols), batch_format="pyarrow"
     ).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return ray.data.from_arrow(label_empty)
+    if small_gate_pairs and n_edges <= int(small_gate_pairs):
+        tbl = _collect_small(edges)
+        if tbl is not None:
+            return ray.data.from_arrow(
+                resolve_clusters(tbl, id_cols=("lo", "hi"))
+            )
     prev = None
     for _ in range(max_rounds):
         edges = _cc_large_star(edges, n_parts).materialize()

@@ -188,7 +188,9 @@ class TestClusters:
         tbl = self._pairs(edges)
         ds = ray.data.from_arrow([tbl.slice(i, 131) for i in range(0, tbl.num_rows, 131)])
         ref = resolve_clusters(tbl).sort_by("doc_id")
-        dist = _collect_small(resolve_clusters_distributed(ds)).sort_by("doc_id")
+        dist = _collect_small(
+            resolve_clusters_distributed(ds, small_gate_pairs=0)
+        ).sort_by("doc_id")
         assert dist.column("doc_id").to_pylist() == ref.column("doc_id").to_pylist()
         assert dist.column("cluster_id").to_pylist() == ref.column("cluster_id").to_pylist()
         assert dist.column("keep").to_pylist() == ref.column("keep").to_pylist()
@@ -221,7 +223,9 @@ class TestClusters:
         ds = ray.data.from_arrow(
             [tbl.slice(i, 100_000) for i in range(0, tbl.num_rows, 100_000)]
         )
-        dist = _collect_small(resolve_clusters_distributed(ds)).sort_by("doc_id")
+        dist = _collect_small(
+            resolve_clusters_distributed(ds, small_gate_pairs=0)
+        ).sort_by("doc_id")
         ref = resolve_clusters(tbl).sort_by("doc_id")
         assert dist.num_rows == ref.num_rows
         assert (
