@@ -190,7 +190,7 @@ def run_queries(sf_dir: str) -> dict:
         "zshard_plan", "zone_top_docs", "type_mad", "winsorized_mean",
         "length_lorenz", "daily_hotspots", "partition_roundtrip",
         "snap_lines", "line_interp", "user_changepoint", "containment",
-        "ewma_value", "snap_lines", "seg_crossings", "line_interp", "route_pairs", "embed_quantize",
+        "ewma_value", "seg_crossings", "route_pairs", "embed_quantize",
     ]
     import gc
 

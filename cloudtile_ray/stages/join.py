@@ -1235,6 +1235,13 @@ def snap_to_segments(
                 "int64 rational bound — pre-split long segments"
             )
         den_max = int(den.max(initial=1))
+        # The radius test below computes r2 * den in int64; a silent wrap
+        # would DROP valid snaps, so bound it loudly like the other guards.
+        if int(r2) > (2**63 - 1) // den_max:
+            raise OverflowError(
+                "snap_to_segments: radius^2 * segment_length^2 exceeds "
+                "int64 — shrink the radius or pre-split long segments"
+            )
         # |num| <= 2*relmax^2*den and tnum^2 <= same bound: keep the
         # product strictly inside int64
         rel_cap = int(np.sqrt((2**61) / max(den_max, 1)))

@@ -779,7 +779,10 @@ def interpolate_at_fraction(ln_lon, ln_lat, frac: float) -> tuple[np.ndarray, np
         cums[live, j] = cum[live]
     has = nseg > 0
     total = cum[has]
-    target = total * frac
+    # clamp below: frac < 0 must land on the first vertex, not extrapolate
+    # backwards along the first segment (t < 0); frac >= 1 already clamps
+    # to the last vertex via the all-<= branch below
+    target = total * max(float(frac), 0.0)
     # first j with cum_j > target; all-<= (target >= total) -> last vertex
     over = cums[has] > target[:, None]
     jsel = np.argmax(over, axis=1)

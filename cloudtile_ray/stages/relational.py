@@ -142,6 +142,24 @@ def hash_join(
         left = left.materialize()
     if _plan_contains_join(right):
         right = right.materialize()
+
+    # When a side is already MATERIALIZED its size is free metadata; a
+    # join whose known sides are small needs few partitions — each
+    # partition is one aggregator ACTOR, and 64 actors on a sub-64MB
+    # join is pure process-start overhead (measured 7.7 s @64 partitions
+    # vs 2.7 s @8 on a 116k-row join).  Probe sizes HERE, before the
+    # metadata-strip map below — a lazy map plan on top of materialized
+    # data reports has_computed_output() == False, so probing after the
+    # strip would never fire.
+    def _known_size(ds_in):
+        try:
+            if ds_in._plan.has_computed_output():
+                return ds_in.size_bytes()
+        except Exception:
+            pass
+        return None
+
+    known_sizes = [_known_size(left), _known_size(right)]
     from cloudtile_ray.stages.util import strip_schema_metadata
 
     # Schema metadata (the b'pandas' blob on every pandas-written parquet
@@ -171,20 +189,7 @@ def hash_join(
         except Exception:
             blocks = 2 * cpus
 
-        # When a side is already MATERIALIZED its size is free metadata;
-        # a join whose known sides are small needs few partitions — each
-        # partition is one aggregator ACTOR, and 64 actors on a sub-64MB
-        # join is pure process-start overhead (see the measurement above).
-        def _known_size(ds_in):
-            try:
-                if ds_in._plan.has_computed_output():
-                    return ds_in.size_bytes()
-            except Exception:
-                pass
-            return None
-
-        sizes = [_known_size(left), _known_size(right)]
-        if all(s is not None and s < (64 << 20) for s in sizes):
+        if all(s is not None and s < (64 << 20) for s in known_sizes):
             num_partitions = 8
         else:
             num_partitions = max(8, min(2 * cpus, blocks))

@@ -540,6 +540,34 @@ class TestHashJoin:
                          num_partitions=4).to_pandas()
         assert sorted(anti["k"]) == [1, 4]
 
+    def test_small_materialized_sides_clamp_partitions(self, ray_session, monkeypatch):
+        # The size probe must run BEFORE the metadata-strip map_batches:
+        # a lazy map plan on materialized data reports
+        # has_computed_output() == False, which silently disabled the
+        # 8-partition clamp for sub-64MB joins (code-review r4 finding).
+        import ray.data
+
+        from cloudtile_ray.stages import relational
+
+        L = ray.data.from_arrow(
+            pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        ).materialize()
+        R = ray.data.from_arrow(
+            pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                      "b": pa.array([20, 30, 40], pa.int64())})
+        ).materialize()
+        seen = {}
+        orig = ray.data.Dataset.join
+
+        def spy(self, other, **kw):
+            seen["num_partitions"] = kw.get("num_partitions")
+            return orig(self, other, **kw)
+
+        monkeypatch.setattr(ray.data.Dataset, "join", spy)
+        out = relational.hash_join(L, R, on=("k",)).to_pandas()
+        assert sorted(out["k"]) == [2, 3]
+        assert seen["num_partitions"] == 8
+
     def test_bad_how_rejected(self, ray_session):
         import ray.data
 
