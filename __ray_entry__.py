@@ -6421,6 +6421,43 @@ def q_embed_quantize(sf_dir: str):
     ).map_batches(quantize_embeddings_batch, batch_format="pyarrow")
 
 
+def q_readability(sf_dir: str):
+    """Flesch reading-ease per document via the vowel-group syllable
+    heuristic (:func:`cloudtile_ray.stages.text.readability_batch`) —
+    three RE2 count passes per batch, zero exchanges.  The score is the
+    same fixed-order IEEE double expression the oracle evaluates, so the
+    double column compares bit-exact."""
+    from cloudtile_ray.stages.text import readability_batch
+
+    return _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(readability_batch, batch_format="pyarrow")
+
+
+def q_sentence_stats(sf_dir: str):
+    """Per-document sentence segmentation statistics
+    (:func:`cloudtile_ray.stages.text.sentence_stats_batch`): split on
+    ``[.!?]+`` runs, all-int64 count/total/longest outputs — one RE2
+    split kernel + bincount folds per batch, zero exchanges."""
+    from cloudtile_ray.stages.text import sentence_stats_batch
+
+    return _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(sentence_stats_batch, batch_format="pyarrow")
+
+
+def q_postings(sf_dir: str):
+    """Inverted-index build (:func:`cloudtile_ray.stages.text.build_postings`):
+    per term with df in [2, 400], the comma-joined sorted doc-id posting
+    list.  The df-band filter runs BEFORE any posting string is built, so
+    stopword-grade lists never materialize; postings ride ONE
+    grouped_string_agg exchange."""
+    from cloudtile_ray.stages.text import build_postings
+
+    ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return build_postings(ds, min_df=2, max_df=400)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6465,6 +6502,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embedding": q_knn_embedding,
         # exact oracles never driver- or judge-certified (round-4 adds,
         # newest first)
+        "readability": q_readability,
+        "sentence_stats": q_sentence_stats,
+        "postings": q_postings,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -6910,6 +6950,54 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        # Flesch score: every arithmetic op is the same correctly-rounded
+        # IEEE double op in the same left-to-right order as the engine's
+        # numpy expression, on identical int64 counts
+        "readability": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+                     AS n_words,
+                   CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                        AS BIGINT) AS n_sentences,
+                   CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                        AS BIGINT) AS n_vowel_groups,
+                   206.835
+                   - 1.015 * (CAST(GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1) AS DOUBLE)
+                              / GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1))
+                   - 84.6 * (CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS DOUBLE)
+                             / GREATEST(len(regexp_extract_all(text, '[^ ]+')), 1))
+                     AS flesch
+            FROM documents""",
+        "sentence_stats": """
+            WITH p AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(text, '[.!?]+'))
+                                AS piece
+                       FROM documents),
+            f AS (SELECT doc_id, length(piece) AS len
+                  FROM p WHERE length(piece) > 0),
+            agg AS (SELECT doc_id, count(*) AS n_sentences,
+                           CAST(sum(len) AS BIGINT) AS sum_sentence_chars,
+                           CAST(max(len) AS BIGINT) AS max_sentence_chars
+                    FROM f GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(a.n_sentences, 0) AS n_sentences,
+                   coalesce(a.sum_sentence_chars, 0) AS sum_sentence_chars,
+                   coalesce(a.max_sentence_chars, 0) AS max_sentence_chars
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "postings": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(regexp_split_to_array(lower(text),
+                                                              '[^a-z0-9]+'))
+                                   AS tok
+                          FROM documents),
+            pairs AS (SELECT DISTINCT tok, doc_id FROM toks WHERE tok <> ''),
+            df AS (SELECT tok, count(*) AS df FROM pairs GROUP BY tok),
+            sel AS (SELECT tok, df FROM df WHERE df BETWEEN 2 AND 400)
+            SELECT s.tok, s.df,
+                   string_agg(CAST(p.doc_id AS VARCHAR), ','
+                              ORDER BY p.doc_id) AS postings
+            FROM sel s JOIN pairs p USING (tok)
+            GROUP BY s.tok, s.df""",
         "snap_lines": f"""{prefix},
             ld AS (SELECT doc_id, lon_mi, lat_mi,
                           300 + (doc_id * 11) % 150 AS ldx,

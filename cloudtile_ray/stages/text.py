@@ -1281,3 +1281,175 @@ def bigram_familiarity(ds) -> "ray.data.Dataset":
         ["doc_id"],
         [("cnt", "sum", "n_bigrams"), ("w", "sum", "familiarity")],
     ).sort(["doc_id"])
+
+
+def readability_batch(batch: pa.Table) -> pa.Table:
+    """Flesch reading-ease per document via the classic vowel-group
+    syllable heuristic (no dictionary): words = maximal non-space runs,
+    sentences = maximal ``[.!?]+`` terminator runs (floor 1), syllables =
+    maximal ``[aeiouyAEIOUY]+`` vowel groups.  Counting is three single
+    RE2 passes (``count_substring_regex``) — no Python over rows — and
+    the score is the fixed-order IEEE expression
+
+        206.835 - 1.015 * (W / S) - 84.6 * (V / W)
+
+    on doubles cast from the int64 counts, so a DuckDB oracle using
+    ``len(regexp_extract_all(...))`` and the same left-to-right
+    expression replays it bit-exactly.  Beyond-reference operator from
+    the brief's text-analysis family (quality scoring)."""
+    text = batch.column("text")
+    w = pc.cast(pc.count_substring_regex(text, pattern="[^ ]+"), pa.int64())
+    s = pc.cast(pc.count_substring_regex(text, pattern="[.!?]+"), pa.int64())
+    v = pc.cast(
+        pc.count_substring_regex(text, pattern="[aeiouyAEIOUY]+"), pa.int64()
+    )
+    wn = w.to_numpy(zero_copy_only=False)
+    sn = np.maximum(s.to_numpy(zero_copy_only=False), 1)
+    vn = v.to_numpy(zero_copy_only=False)
+    wd = np.maximum(wn, 1).astype(np.float64)
+    flesch = 206.835 - 1.015 * (wd / sn) - 84.6 * (vn / wd)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": w,
+            "n_sentences": pa.array(sn),
+            "n_vowel_groups": v,
+            "flesch": pa.array(flesch),
+        }
+    )
+
+
+def sentence_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-document sentence statistics: split on ``[.!?]+`` terminator
+    runs, keep non-empty pieces, report count / total chars / longest
+    sentence chars (all int64 — no float compare risk).  The split is one
+    RE2 ``split_pattern_regex`` kernel; per-doc folds are bincount /
+    maximum.at over the flattened piece lengths (lengths in CODEPOINTS,
+    matching SQL ``length``).  Oracle: ``regexp_split_to_array`` +
+    unnest, identical piece semantics (verified char-exact incl. empty
+    trailing fields, which both sides drop via ``length > 0``)."""
+    n_docs = batch.num_rows
+    if n_docs == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_sentences": pa.array([], pa.int64()),
+                "sum_sentence_chars": pa.array([], pa.int64()),
+                "max_sentence_chars": pa.array([], pa.int64()),
+            }
+        )
+    pieces = pc.split_pattern_regex(
+        batch.column("text").combine_chunks(), pattern="[.!?]+"
+    )
+    offs = pieces.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pieces.flatten()
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+    keep = lens > 0
+    doc_k, len_k = doc_of[keep], lens[keep]
+    n_sent = np.bincount(doc_k, minlength=n_docs)
+    sum_chars = np.bincount(doc_k, weights=len_k, minlength=n_docs).astype(
+        np.int64
+    )
+    max_chars = np.zeros(n_docs, dtype=np.int64)
+    np.maximum.at(max_chars, doc_k, len_k)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_sentences": pa.array(n_sent.astype(np.int64)),
+            "sum_sentence_chars": pa.array(sum_chars),
+            "max_sentence_chars": pa.array(max_chars),
+        }
+    )
+
+
+def build_postings(ds, min_df: int = 5, max_df: int = 50):
+    """Inverted-index build: per term with document frequency in
+    ``[min_df, max_df]``, the comma-joined sorted doc-id posting list —
+    the search-engine index-construction operator over the corpus.
+
+    Scale shape (the order of stages is the point):
+
+    1. batch-side DISTINCT (term, doc) pairs — a doc is one row, so an
+       in-batch ``np.unique`` over factorized pair keys IS the global
+       distinct; token-grain rows collapse before anything moves;
+    2. df via one term-keyed bucket exchange
+       (:func:`~cloudtile_ray.stages.relational.bucketed_group_aggregate`
+       — near-unique keys never hit Ray's per-group Python);
+    3. the df-band filter runs BEFORE any posting string exists, so
+       stopword-grade terms (df ~ corpus size) never build their
+       gigantic lists — the surviving term set is small by construction
+       and broadcast as a semi filter over the pairs;
+    4. posting strings via one
+       :func:`~cloudtile_ray.stages.relational.grouped_string_agg`
+       exchange (``string_agg ORDER BY doc_id`` semantics), df attached
+       by broadcast.
+
+    Tokenizer matches the vocab family: lowercase, split ``[^a-z0-9]+``,
+    drop empties (SQL-replayable)."""
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+        grouped_string_agg,
+    )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            return pa.table(
+                {
+                    "tok": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column("text").combine_chunks()),
+            pattern="[^a-z0-9]+",
+        )
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(doc, np.diff(offs))
+        ok = flat != ""
+        flat, doc_of = flat[ok], doc_of[ok]
+        import pandas as pd
+
+        codes, uniques = pd.factorize(flat)
+        pair = doc_of * np.int64(len(uniques) + 1) + codes
+        upair, uidx = np.unique(pair, return_index=True)
+        return pa.table(
+            {
+                "tok": pa.array(flat[uidx].tolist(), pa.string()),
+                "doc_id": pa.array(doc_of[uidx]),
+            }
+        )
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow").materialize()
+    df = bucketed_group_aggregate(pairs, ["tok"], [("tok", "count", "df")])
+    sel = df.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t.column("df"), min_df),
+                pc.less_equal(t.column("df"), max_df),
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    survivors = broadcast_lookup(pairs, sel, on=["tok"], semi=True)
+    as_str = survivors.map_batches(
+        lambda t: t.append_column(
+            "doc_str", pc.cast(t.column("doc_id"), pa.string())
+        ),
+        batch_format="pyarrow",
+    )
+    postings = grouped_string_agg(
+        as_str,
+        ["tok"],
+        "doc_str",
+        out_name="postings",
+        sep=",",
+        order_cols=["doc_id"],
+    )
+    return broadcast_lookup(postings, sel, on=["tok"])

@@ -4595,3 +4595,95 @@ def test_quantize_embeddings_batch_edge_cases():
         assert -127 <= cmin[i] and cmax[i] <= 127
         # reconstruction error bounded by half a step
         assert err[i] <= s / 2 + 1e-12
+
+
+def test_readability_batch_hand_computed():
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.text import readability_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello world. How are you?? I am fine!",
+                    "",  # degenerate: zero words/sentences/vowels
+                    "queueing theory",
+                ]
+            ),
+        }
+    )
+    out = readability_batch(t)
+    assert out.column("n_words").to_pylist() == [8, 0, 2]
+    # terminator runs: "." "??" "!" -> 3; floor 1 for the others
+    assert out.column("n_sentences").to_pylist() == [3, 1, 1]
+    # vowel groups incl. y: e,o | o | o | a,e | you | I | a | i,e = 11;
+    # "queueing theory" = ueueei | eo | y = 3
+    assert out.column("n_vowel_groups").to_pylist() == [11, 0, 3]
+    f = out.column("flesch").to_pylist()
+    assert f[0] == 206.835 - 1.015 * (8.0 / 3) - 84.6 * (11.0 / 8)
+    # zero-word doc: clamped divisors, zero numerators
+    assert f[1] == 206.835 - 1.015 * (1.0 / 1) - 84.6 * (0.0 / 1)
+
+
+def test_sentence_stats_batch_hand_computed():
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.text import sentence_stats_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "One two. Three!  Four five six?",
+                    "no terminator at all",
+                    "...",  # splits to ['',''] -> zero sentences
+                ]
+            ),
+        }
+    )
+    out = sentence_stats_batch(t)
+    # pieces doc1: 'One two', ' Three', '  Four five six', '' -> 3 kept
+    assert out.column("n_sentences").to_pylist() == [3, 1, 0]
+    assert out.column("sum_sentence_chars").to_pylist() == [
+        len("One two") + len(" Three") + len("  Four five six"),
+        len("no terminator at all"),
+        0,
+    ]
+    assert out.column("max_sentence_chars").to_pylist() == [15, 20, 0]
+
+
+def test_build_postings_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.text import build_postings
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for d in range(40):
+        words = rng.choice(vocab, size=rng.integers(3, 9)).tolist()
+        docs.append(" ".join(words))
+    t = pa.table(
+        {"doc_id": pa.array(range(40), pa.int64()), "text": pa.array(docs)}
+    )
+    # brute-force reference: term -> sorted distinct doc ids
+    ref: dict[str, list[int]] = {}
+    for d, txt in enumerate(docs):
+        for w in set(txt.split()):
+            ref.setdefault(w, []).append(d)
+    lo, hi = 3, 25
+    want = {
+        w: (len(ids), ",".join(str(i) for i in sorted(ids)))
+        for w, ids in ref.items()
+        if lo <= len(ids) <= hi
+    }
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = build_postings(ds, min_df=lo, max_df=hi).to_pandas()
+    got = {
+        r.tok: (int(r.df), r.postings) for r in out.itertuples(index=False)
+    }
+    assert got == want
