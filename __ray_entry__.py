@@ -6446,6 +6446,23 @@ def q_sentence_stats(sf_dir: str):
     ).map_batches(sentence_stats_batch, batch_format="pyarrow")
 
 
+def q_line_densify(sf_dir: str):
+    """Polyline resampling at the 1/8..7/8 fraction ladder
+    (:func:`cloudtile_ray.stages.lines.densify_at_fractions`) — 7 points
+    per line via the same bit-replayable linear-referencing fold as
+    line_interp; exact binary fractions keep ``total * frac`` identical
+    on both sides.  Zero exchanges."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.lines import densify_at_fractions, extract_lines
+
+    ln = _geocoded(sf_dir).map_batches(extract_lines, batch_format="pyarrow")
+    fracs = [k / 8.0 for k in range(1, 8)]
+    return ln.map_batches(
+        lambda t: densify_at_fractions(t, fracs), batch_format="pyarrow"
+    )
+
+
 def q_postings(sf_dir: str):
     """Inverted-index build (:func:`cloudtile_ray.stages.text.build_postings`):
     per term with df in [2, 400], the comma-joined sorted doc-id posting
@@ -6505,6 +6522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": q_readability,
         "sentence_stats": q_sentence_stats,
         "postings": q_postings,
+        "line_densify": q_line_densify,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -6950,6 +6968,35 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        # same linear-referencing replay as line_interp, per ladder
+        # fraction (exact binary doubles k/8)
+        "line_densify": f"""{prefix},
+            l AS (SELECT doc_id,
+                         (lon_mi - (300 + (doc_id * 11) % 150)) / 1000.0 AS x1,
+                         (lat_mi - (150 + (doc_id * 5) % 120)) / 1000.0 AS y1,
+                         lon_mi / 1000.0 AS x2,
+                         (lat_mi + (150 + (doc_id * 5) % 120)) / 1000.0 AS y2,
+                         (lon_mi + (300 + (doc_id * 11) % 150)) / 1000.0 AS x3,
+                         (lat_mi - (150 + (doc_id * 5) % 120)) / 1000.0 AS y3
+                  FROM geo WHERE doc_id % 7 = 3),
+            s AS (SELECT doc_id, x1, y1, x2, y2, x3, y3,
+                         sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)) AS len1,
+                         sqrt((x3-x2)*(x3-x2) + (y3-y2)*(y3-y2)) AS len2
+                  FROM l),
+            t AS (SELECT s.*, fr.k AS frac_num,
+                         (len1 + len2) * fr.f AS target
+                  FROM s CROSS JOIN (VALUES (1, 0.125), (2, 0.25),
+                                            (3, 0.375), (4, 0.5),
+                                            (5, 0.625), (6, 0.75),
+                                            (7, 0.875)) fr(k, f))
+            SELECT doc_id, CAST(frac_num AS BIGINT) AS frac_num,
+                   CASE WHEN len1 > target THEN x1 + (target / len1) * (x2 - x1)
+                        ELSE x2 + ((target - len1) / len2) * (x3 - x2)
+                   END AS ix_deg,
+                   CASE WHEN len1 > target THEN y1 + (target / len1) * (y2 - y1)
+                        ELSE y2 + ((target - len1) / len2) * (y3 - y2)
+                   END AS iy_deg
+            FROM t""",
         # Flesch score: every arithmetic op is the same correctly-rounded
         # IEEE double op in the same left-to-right order as the engine's
         # numpy expression, on identical int64 counts

@@ -806,3 +806,43 @@ def interpolate_at_fraction(ln_lon, ln_lat, frac: float) -> tuple[np.ndarray, np
         ix[r] = x[v0] + t * dxs
         iy[r] = y[v0] + t * dys
     return ix, iy
+
+
+def densify_at_fractions(batch: pa.Table, fracs) -> pa.Table:
+    """Polyline resampling (trajectory densify / map-matching prep): one
+    output row per (line, fraction) with the point at that fraction of
+    the line's path length — ST_LineInterpolatePoint over a fraction
+    ladder.  Each fraction reuses :func:`interpolate_at_fraction`'s
+    bit-replayable fold (same cumulative lengths, owning-segment CASE,
+    and interpolation expression as the SQL oracle), vectorized across
+    the batch's rows; the fraction loop is O(len(fracs)) kernel calls,
+    never per-row Python.  ``fracs`` must be exact binary doubles (k/2^m)
+    when SQL parity is required, so ``total * frac`` rounds identically
+    on both sides."""
+    n = batch.num_rows
+    doc = batch.column("doc_id")
+    tabs = []
+    for k, frac in enumerate(fracs):
+        ix, iy = interpolate_at_fraction(
+            batch.column("ln_lon"), batch.column("ln_lat"), float(frac)
+        )
+        tabs.append(
+            pa.table(
+                {
+                    "doc_id": doc,
+                    "frac_num": pa.array(np.full(n, k + 1, dtype=np.int64)),
+                    "ix_deg": pa.array(ix),
+                    "iy_deg": pa.array(iy),
+                }
+            )
+        )
+    if not tabs:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "frac_num": pa.array([], pa.int64()),
+                "ix_deg": pa.array([], pa.float64()),
+                "iy_deg": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(tabs)

@@ -4687,3 +4687,39 @@ def test_build_postings_brute_force(ray_session):
         r.tok: (int(r.df), r.postings) for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_densify_at_fractions_matches_single_interp():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.lines import (
+        densify_at_fractions,
+        interpolate_at_fraction,
+    )
+
+    lon = pa.array(
+        [[0.0, 1.0, 1.0], [2.0, 2.0], [5.0]], pa.list_(pa.float64())
+    )
+    lat = pa.array(
+        [[0.0, 0.0, 3.0], [1.0, 4.0], [5.0]], pa.list_(pa.float64())
+    )
+    t = pa.table({"doc_id": pa.array([10, 11, 12], pa.int64()),
+                  "ln_lon": lon, "ln_lat": lat})
+    fracs = [0.125, 0.5, 0.875]
+    out = densify_at_fractions(t, fracs)
+    assert out.num_rows == 9
+    for k, f in enumerate(fracs):
+        ix, iy = interpolate_at_fraction(lon, lat, f)
+        sub = out.filter(
+            pc.equal(out.column("frac_num"), k + 1)
+        )
+        got_x = sub.column("ix_deg").to_numpy(zero_copy_only=False)
+        got_y = sub.column("iy_deg").to_numpy(zero_copy_only=False)
+        assert np.array_equal(got_x, ix, equal_nan=True)
+        assert np.array_equal(got_y, iy, equal_nan=True)
+    # empty fraction list yields the typed empty table
+    empty = densify_at_fractions(t, [])
+    assert empty.num_rows == 0 and empty.column_names == [
+        "doc_id", "frac_num", "ix_deg", "iy_deg",
+    ]
