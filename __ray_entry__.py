@@ -6446,6 +6446,41 @@ def q_sentence_stats(sf_dir: str):
     ).map_batches(sentence_stats_batch, batch_format="pyarrow")
 
 
+def q_link_predict(sf_dir: str):
+    """Common-neighbor link prediction over the edit-distance-1
+    customer-name graph
+    (:func:`cloudtile_ray.stages.graph.common_neighbor_pairs`):
+    non-adjacent node pairs sharing >= 2 neighbors, rolled up per node to
+    (candidate count, best shared-neighbor score) — wedge expansion at
+    each center, one pair-count exchange, adjacency excluded by broadcast
+    membership, one final node-keyed rollup (the pair set stays
+    distributed; only node-grain rows return)."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.graph import common_neighbor_pairs
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    edges, _ = _name_graph_edges(sf_dir)
+    pairs = common_neighbor_pairs(edges, id_cols=("id_a", "id_b"), min_common=2)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        nc = t.column("n_common").combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "n_common": pa.concat_arrays([nc, nc]),
+            }
+        )
+
+    return bucketed_group_aggregate(
+        pairs.map_batches(scatter, batch_format="pyarrow"),
+        ["node"],
+        [("node", "count", "n_candidates"), ("n_common", "max", "best_common")],
+    ).sort(["node"])
+
+
 def q_line_densify(sf_dir: str):
     """Polyline resampling at the 1/8..7/8 fraction ladder
     (:func:`cloudtile_ray.stages.lines.densify_at_fractions`) — 7 points
@@ -6523,6 +6558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": q_sentence_stats,
         "postings": q_postings,
         "line_densify": q_line_densify,
+        "link_predict": q_link_predict,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -6968,6 +7004,29 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        "link_predict": """
+            WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
+                         FROM customer GROUP BY c_name),
+            ed AS (SELECT ia.node_id AS a, ib.node_id AS b
+                   FROM ids ia JOIN ids ib ON ia.c_name < ib.c_name
+                   WHERE levenshtein(ia.c_name, ib.c_name) = 1),
+            ce AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                   FROM ed),
+            adj AS (SELECT u AS c, v AS n FROM ce
+                    UNION ALL SELECT v, u FROM ce),
+            w AS (SELECT a1.n AS a, a2.n AS b, count(*) AS n_common
+                  FROM adj a1 JOIN adj a2
+                    ON a1.c = a2.c AND a1.n < a2.n
+                  GROUP BY 1, 2),
+            cand AS (SELECT w.a, w.b, w.n_common
+                     FROM w LEFT JOIN ce ON ce.u = w.a AND ce.v = w.b
+                     WHERE ce.u IS NULL AND w.n_common >= 2),
+            sc AS (SELECT a AS node, n_common FROM cand
+                   UNION ALL SELECT b, n_common FROM cand)
+            SELECT CAST(node AS BIGINT) AS node,
+                   count(*) AS n_candidates,
+                   max(n_common) AS best_common
+            FROM sc GROUP BY node ORDER BY node""",
         # same linear-referencing replay as line_interp, per ladder
         # fraction (exact binary doubles k/8)
         "line_densify": f"""{prefix},

@@ -674,3 +674,145 @@ def kcore_peel(
             es = broadcast_lookup(es, surv, on=[a_col], right_on=["n"])
             es = broadcast_lookup(es, surv, on=[b_col], right_on=["n"]).materialize()
     return degrees(es)
+
+
+def common_neighbor_pairs(
+    edges,
+    id_cols: tuple[str, str] = ("a", "b"),
+    min_common: int = 2,
+    num_buckets: int | None = None,
+    broadcast_byte_budget: int = 64 << 20,
+    max_degree: int | None = None,
+):
+    """Common-neighbor link prediction: every NON-adjacent node pair
+    sharing >= ``min_common`` neighbors, with the shared-neighbor count —
+    the classic candidate-edge scorer (Liben-Nowell & Kleinberg 2003)
+    over an undirected edge list.
+
+    Stages: canon edge dedup (one (u,v) bucket exchange); full adjacency
+    both directions; per-CENTER neighbor-pair expansion (one center-keyed
+    bucket exchange, pairs via the same repeat/cumsum index arithmetic as
+    :func:`triangle_counts`'s wedges — no Python over rows); count per
+    unordered pair (one (a,b) bucket exchange); adjacency EXCLUDED via a
+    broadcast sorted-pair-membership filter under
+    ``broadcast_byte_budget`` (a hash anti join beyond it).
+
+    Partitioning assumption: the expansion at a center is O(deg^2) —
+    bounded max degree, the same contract as wedge counting everywhere.
+    ``max_degree`` optionally DROPS centers above a cap (documented
+    lossy: pairs witnessed only through a dropped hub are not emitted);
+    leave None for exact semantics."""
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import (
+        bucketed_group_aggregate,
+        hash_join,
+    )
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    a_col, b_col = id_cols
+    if num_buckets is None:
+        num_buckets = default_num_buckets(edges)
+
+    canon = bucketed_group_aggregate(
+        edges.map_batches(
+            lambda t: _canon_edges(t, a_col, b_col), batch_format="pyarrow"
+        ),
+        ["u", "v"],
+        [("u", "min", "_one")],
+    ).map_batches(
+        lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+    ).materialize()
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.table(
+            {
+                "center": pa.concat_arrays([u, v]),
+                "nbr": pa.concat_arrays([v, u]),
+            }
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        c = t.column("center").to_numpy(zero_copy_only=False)
+        h = c.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return t.append_column(
+            "_bkt", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def nbr_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if g.num_rows == 0:
+            return empty
+        c = g.column("center").to_numpy(zero_copy_only=False)
+        n = g.column("nbr").to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, c))
+        c_s, n_s = c[order], n[order]
+        _, m = np.unique(c_s, return_counts=True)
+        if max_degree is not None:
+            keep = np.repeat(m <= max_degree, m)
+            c_s, n_s = c_s[keep], n_s[keep]
+            m = m[m <= max_degree]
+        tot = int(m.sum())
+        if tot == 0:
+            return empty
+        seg_start = np.cumsum(m) - m
+        gi = np.arange(tot) - np.repeat(seg_start, m)
+        reps = np.repeat(m, m) - 1 - gi
+        n_pairs = int(reps.sum())
+        if n_pairs == 0:
+            return empty
+        left_idx = np.repeat(np.arange(tot, dtype=np.int64), reps)
+        block_start = np.cumsum(reps) - reps
+        right_idx = (
+            np.arange(n_pairs, dtype=np.int64)
+            - np.repeat(block_start, reps)
+            + left_idx
+            + 1
+        )
+        # nbr sorted ascending within each center segment => a < b
+        return pa.table(
+            {"a": pa.array(n_s[left_idx]), "b": pa.array(n_s[right_idx])}
+        )
+
+    scored = bucketed_group_aggregate(
+        canon.map_batches(adjacency, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(nbr_pairs, batch_format="pyarrow"),
+        ["a", "b"],
+        [("a", "count", "n_common")],
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_common"), min_common)),
+        batch_format="pyarrow",
+    )
+
+    if canon.size_bytes() <= int(broadcast_byte_budget):
+        et = pa.concat_tables(
+            [pa.table(b) for b in canon.iter_batches(batch_format="pyarrow")]
+        )
+        pair_dtype = np.dtype([("u", np.int64), ("v", np.int64)])
+        epairs = np.empty(et.num_rows, dtype=pair_dtype)
+        epairs["u"] = et.column("u").to_numpy(zero_copy_only=False)
+        epairs["v"] = et.column("v").to_numpy(zero_copy_only=False)
+        epairs.sort(kind="stable")
+        eref = ray.put(epairs)
+
+        def drop_adjacent(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            ep = ray.get(eref)
+            wp = np.empty(t.num_rows, dtype=ep.dtype)
+            wp["u"] = t.column("a").to_numpy(zero_copy_only=False)
+            wp["v"] = t.column("b").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(ep, wp, side="left")
+            idx_c = np.minimum(idx, max(len(ep) - 1, 0))
+            hit = (len(ep) > 0) & (ep[idx_c] == wp) & (idx < len(ep))
+            return t.filter(pa.array(~hit))
+
+        return scored.map_batches(drop_adjacent, batch_format="pyarrow")
+    return hash_join(scored, canon, on=["a", "b"], right_on=["u", "v"], how="anti")

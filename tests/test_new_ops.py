@@ -4723,3 +4723,66 @@ def test_densify_at_fractions_matches_single_interp():
     assert empty.num_rows == 0 and empty.column_names == [
         "doc_id", "frac_num", "ix_deg", "iy_deg",
     ]
+
+
+def test_common_neighbor_pairs_brute_force(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.graph import common_neighbor_pairs
+
+    rng = np.random.default_rng(11)
+    n_nodes = 30
+    edges = set()
+    for _ in range(80):
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    adj: dict[int, set[int]] = {i: set() for i in range(n_nodes)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    want = {}
+    for a, b in itertools.combinations(range(n_nodes), 2):
+        if (a, b) in edges:
+            continue
+        k = len(adj[a] & adj[b])
+        if k >= 2:
+            want[(a, b)] = k
+    el = list(edges) + list(edges)[:10]  # duplicates must not matter
+    t = pa.table(
+        {
+            "a": pa.array([u for u, _ in el], pa.int64()),
+            "b": pa.array([v for _, v in el], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    for budget in (64 << 20, 0):  # broadcast path, then anti-join path
+        out = common_neighbor_pairs(
+            ds, id_cols=("a", "b"), min_common=2,
+            broadcast_byte_budget=budget,
+        ).to_pandas()
+        got = {
+            (int(r.a), int(r.b)): int(r.n_common)
+            for r in out.itertuples(index=False)
+        }
+        assert got == want, f"budget={budget}"
+    # max_degree drops hub-witnessed pairs only
+    cap = 4
+    want_cap = {}
+    for a, b in itertools.combinations(range(n_nodes), 2):
+        if (a, b) in edges:
+            continue
+        k = len({c for c in adj[a] & adj[b] if len(adj[c]) <= cap})
+        if k >= 2:
+            want_cap[(a, b)] = k
+    out = common_neighbor_pairs(
+        ds, id_cols=("a", "b"), min_common=2, max_degree=cap
+    ).to_pandas()
+    got = {
+        (int(r.a), int(r.b)): int(r.n_common)
+        for r in out.itertuples(index=False)
+    }
+    assert got == want_cap
