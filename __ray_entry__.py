@@ -6481,6 +6481,78 @@ def q_link_predict(sf_dir: str):
     ).sort(["node"])
 
 
+def q_entry_exit(sf_dir: str):
+    """Session entry/exit matrix with bounce counts
+    (:func:`cloudtile_ray.stages.events.session_entry_exit`): sessionize
+    per user (1h gap), count sessions + single-event bounces per (entry
+    event type, exit event type).  Bucket tasks pre-aggregate to the
+    type-pair matrix, so the final exchange moves partials only."""
+    from cloudtile_ray.stages.events import prep_events, session_entry_exit
+
+    ds = (
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        .map_batches(prep_events, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["user_id", "ts_us", "event_id", "event_type"]),
+            batch_format="pyarrow",
+        )
+    )
+    return session_entry_exit(ds).sort(["entry_type", "exit_type"])
+
+
+def q_coverage_gaps(sf_dir: str):
+    """Spatial coverage QA: z6 grid cells inside the corpus's occupied
+    bounding box containing ZERO documents (the hole-detection anti-join).
+    Occupied cells collapse to the tile grid via one bucket exchange
+    (tile-grid-sized, so the distinct set is broadcastable by
+    construction); the candidate grid is enumerated DATASET-side with
+    ``ray.data.range`` and anti-filtered per batch against the broadcast
+    occupied set — no row of the corpus is ever collected."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.index import AssignTiles
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    occ = bucketed_group_aggregate(
+        _geo_only(sf_dir)
+        .map_batches(AssignTiles(6, 6), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["x", "y"]), batch_format="pyarrow"),
+        ["x", "y"],
+        [("x", "min", "_one")],
+    ).materialize()
+    ot = pa.concat_tables(
+        [pa.table(b) for b in occ.iter_batches(batch_format="pyarrow")]
+    )
+    ox = ot.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+    oy = ot.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+    x0, x1 = int(ox.min()), int(ox.max())
+    y0, y1 = int(oy.min()), int(oy.max())
+    nx = x1 - x0 + 1
+    keys = np.sort((oy - y0) * np.int64(nx) + (ox - x0))
+    kref = ray.put(keys)
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy(zero_copy_only=False)
+        x = x0 + (i % nx)
+        y = y0 + (i // nx)
+        key = (y - y0) * np.int64(nx) + (x - x0)
+        ks = ray.get(kref)
+        pos = np.searchsorted(ks, key)
+        pos_c = np.minimum(pos, len(ks) - 1)
+        occupied = (ks[pos_c] == key) & (pos < len(ks))
+        return pa.table(
+            {"x": pa.array(x[~occupied]), "y": pa.array(y[~occupied])}
+        )
+
+    n_cells = nx * (y1 - y0 + 1)
+    return ray.data.range(n_cells).map_batches(gaps, batch_format="pyarrow")
+
+
 def q_line_densify(sf_dir: str):
     """Polyline resampling at the 1/8..7/8 fraction ladder
     (:func:`cloudtile_ray.stages.lines.densify_at_fractions`) — 7 points
@@ -6559,6 +6631,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": q_postings,
         "line_densify": q_line_densify,
         "link_predict": q_link_predict,
+        "coverage_gaps": q_coverage_gaps,
+        "entry_exit": q_entry_exit,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -7004,6 +7078,45 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        "entry_exit": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                              event_type
+                       FROM events),
+            o AS (SELECT *, lag(ts_us) OVER w AS prev
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id)),
+            m AS (SELECT *, CASE WHEN prev IS NULL
+                                   OR ts_us - prev > 3600000000
+                                 THEN 1 ELSE 0 END AS brk
+                  FROM o),
+            s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m),
+            per AS (SELECT user_id, sid, count(*) AS n,
+                           first(event_type ORDER BY ts_us, event_id)
+                             AS entry_type,
+                           last(event_type ORDER BY ts_us, event_id)
+                             AS exit_type
+                    FROM s GROUP BY user_id, sid)
+            SELECT entry_type, exit_type,
+                   count(*) AS n_sessions,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_bounce
+            FROM per GROUP BY 1, 2
+            ORDER BY 1, 2""",
+        "coverage_gaps": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            occ AS (SELECT DISTINCT {_TILE_X} AS x, {_TILE_Y} AS y
+                    FROM geo, (VALUES (6)) zs(z)),
+            bb AS (SELECT min(x) AS x0, max(x) AS x1,
+                          min(y) AS y0, max(y) AS y1
+                   FROM occ),
+            gxs AS (SELECT unnest(generate_series(x0, x1)) AS x FROM bb),
+            gys AS (SELECT unnest(generate_series(y0, y1)) AS y FROM bb),
+            grid AS (SELECT x, y FROM gxs CROSS JOIN gys)
+            SELECT g.x, g.y
+            FROM grid g LEFT JOIN occ o ON o.x = g.x AND o.y = g.y
+            WHERE o.x IS NULL""",
         "link_predict": """
             WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
                          FROM customer GROUP BY c_name),

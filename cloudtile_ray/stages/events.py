@@ -1353,3 +1353,73 @@ def user_ewma(ds, max_events: int = 8192) -> "ray.data.Dataset":
             lambda g: per_bucket(g.drop_columns(["_ubkt"])), batch_format="pyarrow"
         )
     )
+
+
+def session_entry_exit(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
+    """Web-analytics entry/exit matrix: sessionize per user (same
+    over-gap rule as :func:`session_windows`), then count sessions and
+    bounces (single-event sessions) per (entry event type, exit event
+    type) — the landing-page x exit-page report.
+
+    Scale shape: the per-user bucket task PRE-AGGREGATES its sessions to
+    the (entry, exit) matrix (type-pair cardinality, tiny by
+    construction), so the final exchange moves partial matrices, never
+    session rows.  Input needs (user_id, ts_us, event_id, event_type);
+    session order is (ts_us, event_id) — replayed by the oracle's window
+    ORDER BY."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    nb = _n_user_buckets(ds)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "entry_type": pa.array([], pa.string()),
+                "exit_type": pa.array([], pa.string()),
+                "n_sessions": pa.array([], pa.int64()),
+                "n_bounce": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        u_s, ts_s, et_s = uid[order], ts[order], et[order]
+        n = len(ts_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (u_s[1:] != u_s[:-1]) | (np.diff(ts_s) > gap_us)
+        starts = np.nonzero(new)[0]
+        ends = np.r_[starts[1:], n] - 1
+        entry, exit_ = et_s[starts], et_s[ends]
+        bounce = (ends - starts) == 0
+        import pandas as pd
+
+        pair = pd.DataFrame(
+            {"entry_type": entry, "exit_type": exit_, "b": bounce.astype(np.int64)}
+        )
+        agg = pair.groupby(["entry_type", "exit_type"], sort=False).agg(
+            n_sessions=("b", "size"), n_bounce=("b", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "entry_type": pa.array(agg["entry_type"], pa.string()),
+                "exit_type": pa.array(agg["exit_type"], pa.string()),
+                "n_sessions": pa.array(agg["n_sessions"].to_numpy(np.int64)),
+                "n_bounce": pa.array(agg["n_bounce"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = (
+        ds.map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return bucketed_group_aggregate(
+        partials,
+        ["entry_type", "exit_type"],
+        [("n_sessions", "sum", "n_sessions"), ("n_bounce", "sum", "n_bounce")],
+    )

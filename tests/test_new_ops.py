@@ -4786,3 +4786,49 @@ def test_common_neighbor_pairs_brute_force(ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == want_cap
+
+
+def test_session_entry_exit_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import session_entry_exit
+
+    rng = np.random.default_rng(3)
+    gap = 100
+    n = 400
+    uid = rng.integers(0, 12, n)
+    ts = rng.integers(0, 2000, n)
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    eid = np.arange(n)
+    t = pa.table(
+        {
+            "user_id": pa.array(uid.astype(np.int64)),
+            "ts_us": pa.array(ts.astype(np.int64)),
+            "event_id": pa.array(eid.astype(np.int64)),
+            "event_type": pa.array(types.tolist(), pa.string()),
+        }
+    )
+    # brute force
+    want: dict[tuple[str, str], list[int]] = {}
+    for u in np.unique(uid):
+        m = uid == u
+        order = np.lexsort((eid[m], ts[m]))
+        tss, tys = ts[m][order], types[m][order]
+        sess = [[0]]
+        for i in range(1, len(tss)):
+            if tss[i] - tss[i - 1] > gap:
+                sess.append([])
+            sess[-1].append(i)
+        for s in sess:
+            key = (tys[s[0]], tys[s[-1]])
+            rec = want.setdefault(key, [0, 0])
+            rec[0] += 1
+            rec[1] += int(len(s) == 1)
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = session_entry_exit(ds, gap_us=gap).to_pandas()
+    got = {
+        (r.entry_type, r.exit_type): [int(r.n_sessions), int(r.n_bounce)]
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
