@@ -6572,14 +6572,15 @@ def q_line_densify(sf_dir: str):
 
 def q_postings(sf_dir: str):
     """Inverted-index build (:func:`cloudtile_ray.stages.text.build_postings`):
-    per term with df in [2, 400], the comma-joined sorted doc-id posting
+    per term with df >= 2 and df <= floor(0.8 * n_docs) — a corpus-
+    RELATIVE stopword cutoff — the comma-joined sorted doc-id posting
     list.  The df-band filter runs BEFORE any posting string is built, so
     stopword-grade lists never materialize; postings ride ONE
     grouped_string_agg exchange."""
     from cloudtile_ray.stages.text import build_postings
 
     ds = _read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return build_postings(ds, min_df=2, max_df=400)
+    return build_postings(ds, min_df=2, max_df_ratio=0.8)
 
 
 # ---------------------------------------------------------------------------
@@ -7211,7 +7212,11 @@ def oracle_sql() -> dict[str, str]:
                           FROM documents),
             pairs AS (SELECT DISTINCT tok, doc_id FROM toks WHERE tok <> ''),
             df AS (SELECT tok, count(*) AS df FROM pairs GROUP BY tok),
-            sel AS (SELECT tok, df FROM df WHERE df BETWEEN 2 AND 400)
+            sel AS (SELECT tok, df FROM df
+                   WHERE df >= 2
+                     AND df <= CAST(floor(0.8 * (SELECT count(*)
+                                                 FROM documents))
+                               AS BIGINT))
             SELECT s.tok, s.df,
                    string_agg(CAST(p.doc_id AS VARCHAR), ','
                               ORDER BY p.doc_id) AS postings

@@ -191,6 +191,8 @@ def run_queries(sf_dir: str) -> dict:
         "length_lorenz", "daily_hotspots", "partition_roundtrip",
         "snap_lines", "line_interp", "user_changepoint", "containment",
         "ewma_value", "seg_crossings", "route_pairs", "embed_quantize",
+        "readability", "sentence_stats", "postings", "line_densify",
+        "link_predict", "coverage_gaps", "entry_exit",
     ]
     import gc
 

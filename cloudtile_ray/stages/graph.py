@@ -744,7 +744,11 @@ def common_neighbor_pairs(
 
     def nbr_pairs(g: pa.Table) -> pa.Table:
         empty = pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "partial": pa.array([], pa.int64()),
+            }
         )
         if g.num_rows == 0:
             return empty
@@ -774,9 +778,21 @@ def common_neighbor_pairs(
             + left_idx
             + 1
         )
-        # nbr sorted ascending within each center segment => a < b
+        # nbr sorted ascending within each center segment => a < b; the
+        # SAME pair recurs once per shared neighbor in this bucket, so
+        # pre-count here (np.unique on the packed pair) and ship partial
+        # counts — the (a,b) exchange moves distinct pairs, not wedges
+        a_w, b_w = n_s[left_idx], n_s[right_idx]
+        pair_dtype = np.dtype([("a", np.int64), ("b", np.int64)])
+        wp = np.empty(len(a_w), dtype=pair_dtype)
+        wp["a"], wp["b"] = a_w, b_w
+        up, cnt = np.unique(wp, return_counts=True)
         return pa.table(
-            {"a": pa.array(n_s[left_idx]), "b": pa.array(n_s[right_idx])}
+            {
+                "a": pa.array(up["a"]),
+                "b": pa.array(up["b"]),
+                "partial": pa.array(cnt.astype(np.int64)),
+            }
         )
 
     scored = bucketed_group_aggregate(
@@ -785,7 +801,7 @@ def common_neighbor_pairs(
         .groupby("_bkt")
         .map_groups(nbr_pairs, batch_format="pyarrow"),
         ["a", "b"],
-        [("a", "count", "n_common")],
+        [("partial", "sum", "n_common")],
     ).map_batches(
         lambda t: t.filter(pc.greater_equal(t.column("n_common"), min_common)),
         batch_format="pyarrow",

@@ -1363,10 +1363,19 @@ def sentence_stats_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def build_postings(ds, min_df: int = 5, max_df: int = 50):
+def build_postings(
+    ds,
+    min_df: int = 5,
+    max_df: int | None = 50,
+    max_df_ratio: float | None = None,
+):
     """Inverted-index build: per term with document frequency in
     ``[min_df, max_df]``, the comma-joined sorted doc-id posting list —
     the search-engine index-construction operator over the corpus.
+    ``max_df_ratio`` (overrides ``max_df``) sets the cap RELATIVE to the
+    corpus size — ``floor(ratio * n_docs)`` via a metadata-only count —
+    so the stopword cutoff scales with the input instead of being an
+    absolute constant.
 
     Scale shape (the order of stages is the point):
 
@@ -1426,6 +1435,10 @@ def build_postings(ds, min_df: int = 5, max_df: int = 50):
             }
         )
 
+    if max_df_ratio is not None:
+        import math
+
+        max_df = int(math.floor(max_df_ratio * ds.count()))
     pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow").materialize()
     df = bucketed_group_aggregate(pairs, ["tok"], [("tok", "count", "df")])
     sel = df.map_batches(
