@@ -6481,6 +6481,62 @@ def q_link_predict(sf_dir: str):
     ).sort(["node"])
 
 
+def q_kmv_distinct(sf_dir: str):
+    """K-minimum-values distinct-user sketch
+    (:func:`cloudtile_ray.stages.sketches.kmv_sketch`, k=64) over
+    events.user_id — the certifiable distinct-count sketch: the modular
+    hash and the (k-1)*mod/h_k estimator replay exactly in SQL, unlike
+    HLL's bit-twiddling.  Per-batch k-smallest partials, one tiny
+    exchange."""
+    from cloudtile_ray.stages.sketches import kmv_sketch
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return kmv_sketch(ds, "user_id", k=64)
+
+
+def q_tile_diff(sf_dir: str):
+    """Incremental re-tiling delta: z6 tiles whose document count changes
+    when the corpus drops every doc_id % 13 == 0 (a simulated deletion
+    batch) — the change-detection primitive behind resumable /
+    incremental tile builds.  ONE pass assigns tiles and flags survival;
+    one bucket exchange carries both counts; only changed tiles return."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.index import AssignTiles
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    assigned = (
+        _geo_only(sf_dir)
+        .map_batches(AssignTiles(6, 6), batch_format="pyarrow")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "x": t.column("x"),
+                    "y": t.column("y"),
+                    "keep": pa.array(
+                        (
+                            t.column("doc_id").to_numpy(zero_copy_only=False)
+                            % 13
+                            != 0
+                        ).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    counts = bucketed_group_aggregate(
+        assigned,
+        ["x", "y"],
+        [("keep", "count", "n_v1"), ("keep", "sum", "n_v2")],
+    )
+    return counts.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("n_v1"), t.column("n_v2"))),
+        batch_format="pyarrow",
+    ).sort(["x", "y"])
+
+
 def q_entry_exit(sf_dir: str):
     """Session entry/exit matrix with bounce counts
     (:func:`cloudtile_ray.stages.events.session_entry_exit`): sessionize
@@ -6634,6 +6690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_predict": q_link_predict,
         "coverage_gaps": q_coverage_gaps,
         "entry_exit": q_entry_exit,
+        "kmv_distinct": q_kmv_distinct,
+        "tile_diff": q_tile_diff,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -7079,6 +7137,27 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        # estimator replay: h = (uid * 2654435761) % 2^32 (pure int64
+        # arithmetic, no overflow: uid < 2^22), est = (63 * 2^32) / h_64
+        # with the same double op order; corpus guarantees >= 64 distinct
+        "kmv_distinct": """
+            WITH h AS (SELECT DISTINCT (user_id * 2654435761) % 4294967296
+                                AS hv
+                       FROM events),
+            r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h)
+            SELECT CAST(64 AS BIGINT) AS k,
+                   CAST(max(hv) AS BIGINT) AS kth_hash,
+                   (63 * 4294967296.0) / max(hv) AS est_distinct
+            FROM r WHERE rn <= 64""",
+        "tile_diff": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            a AS (SELECT doc_id, {_TILE_X} AS x, {_TILE_Y} AS y
+                  FROM geo, (VALUES (6)) zs(z)),
+            c AS (SELECT x, y, count(*) AS n_v1,
+                         CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS n_v2
+                  FROM a GROUP BY 1, 2)
+            SELECT x, y, n_v1, n_v2 FROM c WHERE n_v1 <> n_v2
+            ORDER BY x, y""",
         "entry_exit": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
                               event_type

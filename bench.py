@@ -192,7 +192,8 @@ def run_queries(sf_dir: str) -> dict:
         "snap_lines", "line_interp", "user_changepoint", "containment",
         "ewma_value", "seg_crossings", "route_pairs", "embed_quantize",
         "readability", "sentence_stats", "postings", "line_densify",
-        "link_predict", "coverage_gaps", "entry_exit",
+        "link_predict", "coverage_gaps", "entry_exit", "kmv_distinct",
+        "tile_diff",
     ]
     import gc
 

@@ -342,3 +342,49 @@ def cms_query(sketch: np.ndarray, keys: "pa.Array | pa.ChunkedArray") -> np.ndar
     h = _hash64(keys)
     cells = _cms_cells(h, depth, width)
     return sketch.ravel()[cells].min(axis=1)
+
+
+def kmv_sketch(ds, col: str, k: int = 64, mult: int = 2654435761, mod: int = 1 << 32):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    with an EXACTLY replayable hash: ``h = (x * mult) % mod`` on the
+    non-negative int64 key — plain modular arithmetic, so a SQL oracle
+    reproduces the estimate to the bit (unlike the HLL family's
+    bit-twiddled hashes, this sketch is certifiable end-to-end).
+
+    Scale shape: each batch keeps its k smallest DISTINCT hashes (an
+    ``np.unique`` + ``partition`` over batch rows — the only full-data
+    pass); partials are <= k rows per block, deduped through one tiny
+    bucket exchange, and the global k-th minimum is a sort+limit over
+    <= k * n_blocks rows.  Estimate = (k-1) * mod / h_k (one double
+    multiply then one divide — fixed order, oracle-identical).  Returns
+    a 1-row Dataset (k, kth_hash, est_distinct)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (x < 0).any():
+            raise ValueError("kmv_sketch requires non-negative keys")
+        hv = (x * np.int64(mult)) % np.int64(mod)
+        u = np.unique(hv)
+        return pa.table({"hv": pa.array(u[:k])})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    distinct = bucketed_group_aggregate(
+        partials, ["hv"], [("hv", "min", "_one")]
+    ).map_batches(lambda t: t.select(["hv"]), batch_format="pyarrow")
+    smallest = distinct.sort("hv").limit(k).take_all()
+    hs = sorted(r["hv"] for r in smallest)
+    kth = hs[-1]
+    est = (k - 1) * float(mod) / kth if len(hs) == k else float(len(hs))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "kth_hash": pa.array([kth], pa.int64()),
+                "est_distinct": pa.array([est], pa.float64()),
+            }
+        )
+    )

@@ -4832,3 +4832,25 @@ def test_session_entry_exit_brute_force(ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_kmv_sketch_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.sketches import kmv_sketch
+
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 5000, 20000).astype(np.int64)
+    t = pa.table({"k": pa.array(keys)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    k = 64
+    out = kmv_sketch(ds, "k", k=k).to_pandas()
+    mult, mod = 2654435761, 1 << 32
+    hv = np.unique((keys * mult) % mod)
+    kth = int(np.sort(hv)[k - 1])
+    assert int(out.kth_hash[0]) == kth
+    assert float(out.est_distinct[0]) == (k - 1) * float(mod) / kth
+    n_true = len(np.unique(keys))
+    # KMV standard error ~ 1/sqrt(k-1): accept 4 sigma
+    assert abs(float(out.est_distinct[0]) - n_true) < 4 * n_true / np.sqrt(k - 1)
