@@ -6481,6 +6481,66 @@ def q_link_predict(sf_dir: str):
     ).sort(["node"])
 
 
+def q_zone_lines(sf_dir: str):
+    """Line-density zonal statistics
+    (:func:`cloudtile_ray.stages.join.zone_clip_lengths`): the clipped
+    length of every polyline segment inside every zone box it crosses
+    (Liang-Barsky, pair-grain output so no float sum order exists).
+    Segment endpoints are recovered as exact milli-degree ints
+    (rint(deg*1000), parse error << 0.5 — the zone_overlap trick);
+    zones broadcast as a closure constant; zero exchanges."""
+    import pyarrow as pa
+
+    from cloudtile_ray.sources.pages import zone_boxes_mi
+    from cloudtile_ray.stages.join import zone_clip_lengths
+    from cloudtile_ray.stages.lines import extract_lines
+
+    def to_segments(t: pa.Table) -> pa.Table:
+        lon = t.column("ln_lon").combine_chunks()
+        lat = t.column("ln_lat").combine_chunks()
+        offs = lon.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.rint(lon.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        y = np.rint(lat.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        npts = np.diff(offs)
+        nseg = np.maximum(npts - 1, 0)
+        doc_r = np.repeat(doc, nseg)
+        # per-row local segment index
+        seg_no = np.arange(int(nseg.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(nseg) - nseg, nseg
+        )
+        starts = np.repeat(offs[:-1], nseg) + seg_no
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_r),
+                "seg_no": pa.array(seg_no + 1),
+                "x1": pa.array(x[starts]),
+                "y1": pa.array(y[starts]),
+                "x2": pa.array(x[starts + 1]),
+                "y2": pa.array(y[starts + 1]),
+            }
+        )
+
+    segs = (
+        _geocoded(sf_dir)
+        .map_batches(extract_lines, batch_format="pyarrow")
+        .map_batches(to_segments, batch_format="pyarrow")
+    )
+    return zone_clip_lengths(segs, zone_boxes_mi_with_ids()).sort(
+        ["zone_id", "doc_id", "seg_no"]
+    )
+
+
+def zone_boxes_mi_with_ids() -> np.ndarray:
+    """(id, west, south, east, north) int64 rows for the fixed zone grid
+    (the ZONES_SQL_CTE side of the contract)."""
+    from cloudtile_ray.sources.pages import zone_boxes_mi
+
+    boxes = zone_boxes_mi()
+    ids = np.arange(len(boxes), dtype=np.int64)[:, None]
+    return np.concatenate([ids, boxes], axis=1)
+
+
 def q_kmv_distinct(sf_dir: str):
     """K-minimum-values distinct-user sketch
     (:func:`cloudtile_ray.stages.sketches.kmv_sketch`, k=64) over
@@ -6692,6 +6752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entry_exit": q_entry_exit,
         "kmv_distinct": q_kmv_distinct,
         "tile_diff": q_tile_diff,
+        "zone_lines": q_zone_lines,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -7137,6 +7198,43 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        # Liang-Barsky per (segment, zone): int64 diffs, one division per
+        # t-parameter, exact min/max composition, strict t1 > t0 — the
+        # engine's numpy kernel is the same expression tree
+        "zone_lines": f"""{prefix},
+            ld AS (SELECT doc_id, lon_mi, lat_mi,
+                          300 + (doc_id * 11) % 150 AS ldx,
+                          150 + (doc_id * 5) % 120 AS ldy
+                   FROM geo WHERE doc_id % 7 = 3),
+            segs AS (
+              SELECT doc_id, CAST(1 AS BIGINT) AS seg_no,
+                     lon_mi - ldx AS x1, lat_mi - ldy AS y1,
+                     lon_mi AS x2, lat_mi + ldy AS y2
+              FROM ld
+              UNION ALL
+              SELECT doc_id, CAST(2 AS BIGINT),
+                     lon_mi, lat_mi + ldy, lon_mi + ldx, lat_mi - ldy
+              FROM ld),
+            c AS (SELECT z.zone_id, s.doc_id, s.seg_no,
+                         s.x2 - s.x1 AS dx, s.y2 - s.y1 AS dy,
+                         GREATEST(GREATEST(
+                           LEAST((z.west_mi - s.x1) / (s.x2 - s.x1),
+                                 (z.east_mi - s.x1) / (s.x2 - s.x1)),
+                           LEAST((z.south_mi - s.y1) / (s.y2 - s.y1),
+                                 (z.north_mi - s.y1) / (s.y2 - s.y1))),
+                           0.0) AS t0,
+                         LEAST(LEAST(
+                           GREATEST((z.west_mi - s.x1) / (s.x2 - s.x1),
+                                    (z.east_mi - s.x1) / (s.x2 - s.x1)),
+                           GREATEST((z.south_mi - s.y1) / (s.y2 - s.y1),
+                                    (z.north_mi - s.y1) / (s.y2 - s.y1))),
+                           1.0) AS t1
+                  FROM segs s CROSS JOIN zones z)
+            SELECT zone_id, doc_id, seg_no,
+                   (t1 - t0) * sqrt(CAST(dx * dx + dy * dy AS DOUBLE))
+                     AS len_mi
+            FROM c WHERE t1 > t0
+            ORDER BY zone_id, doc_id, seg_no""",
         # estimator replay: h = (uid * 2654435761) % 2^32 (pure int64
         # arithmetic, no overflow: uid < 2^22), est = (63 * 2^32) / h_64
         # with the same double op order; corpus guarantees >= 64 distinct

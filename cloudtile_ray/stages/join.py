@@ -1629,3 +1629,87 @@ def hausdorff_pairs(
         )
 
     return grouped_buckets_apply(cells, ["cell"], per_cell, num_parts=num_parts)
+
+
+def zone_clip_lengths(ds, boxes_mi: np.ndarray) -> "ray.data.Dataset":
+    """Polyline-in-zone intersection lengths (ST_Length(ST_Intersection)
+    for axis-aligned zones): for every (zone, line segment) pair whose
+    Liang-Barsky clip is non-degenerate, one row with the clipped length
+    — the line-density zonal statistic (road-miles-per-district shape).
+
+    ``ds`` carries integer milli-degree segment endpoints (doc_id,
+    seg_no, x1, y1, x2, y2 — axis-parallel segments are allowed only when
+    the zero-delta axis is handled by the caller; this kernel requires
+    dx != 0 and dy != 0, which the corpus's diagonal chevron segments
+    guarantee).  ``boxes_mi`` is the small (id, west, south, east, north)
+    zone table, a closure constant like :func:`zonal_box_overlap`.
+
+    Float contract (SQL-replayable): t-parameters are single IEEE double
+    divisions of int64 differences; min/max composition is EXACT (no
+    rounding), the inside test is strict ``t1 > t0``, and the length is
+    ``(t1 - t0) * sqrt(dx*dx + dy*dy)`` — two more correctly-rounded ops
+    in a fixed order.  Emitting PAIR-grain rows (never a float sum)
+    keeps the whole operator bit-deterministic under any parallelism.
+
+    Scale shape: zero exchanges — every batch computes its rows x zones
+    clip product vectorized and emits only hits; rollups belong to the
+    caller (int counts are safe anywhere; float length sums need a
+    deterministic fold)."""
+    boxes = np.asarray(boxes_mi, dtype=np.int64)
+    zid = boxes[:, 0].copy()
+    zw, zs, ze, zn = (boxes[:, i].copy() for i in range(1, 5))
+
+    def clip(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "zone_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "seg_no": pa.array([], pa.int64()),
+                "len_mi": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        seg = t.column("seg_no").to_numpy(zero_copy_only=False)
+        x1 = t.column("x1").to_numpy(zero_copy_only=False).astype(np.int64)
+        y1 = t.column("y1").to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = t.column("x2").to_numpy(zero_copy_only=False).astype(np.int64)
+        y2 = t.column("y2").to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = x2 - x1
+        dy = y2 - y1
+        if (dx == 0).any() or (dy == 0).any():
+            raise ValueError(
+                "zone_clip_lengths: axis-parallel segment (dx or dy == 0); "
+                "pre-split such segments with an interval clip"
+            )
+        # (rows, zones) t-parameters; int64 diffs divided as doubles —
+        # identical to the oracle's (z.west_mi - x1) / dx
+        ta = (zw[None, :] - x1[:, None]) / dx[:, None]
+        tb = (ze[None, :] - x1[:, None]) / dx[:, None]
+        txmin = np.minimum(ta, tb)
+        txmax = np.maximum(ta, tb)
+        tc = (zs[None, :] - y1[:, None]) / dy[:, None]
+        td = (zn[None, :] - y1[:, None]) / dy[:, None]
+        tymin = np.minimum(tc, td)
+        tymax = np.maximum(tc, td)
+        t0 = np.maximum(np.maximum(txmin, tymin), 0.0)
+        t1 = np.minimum(np.minimum(txmax, tymax), 1.0)
+        hit = t1 > t0
+        if not hit.any():
+            return empty
+        ri, zi = np.nonzero(hit)
+        seg_len = np.sqrt(
+            (dx[ri] * dx[ri] + dy[ri] * dy[ri]).astype(np.float64)
+        )
+        lens = (t1[ri, zi] - t0[ri, zi]) * seg_len
+        return pa.table(
+            {
+                "zone_id": pa.array(zid[zi]),
+                "doc_id": pa.array(doc[ri]),
+                "seg_no": pa.array(seg[ri]),
+                "len_mi": pa.array(lens),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -4854,3 +4854,67 @@ def test_kmv_sketch_brute_force(ray_session):
     n_true = len(np.unique(keys))
     # KMV standard error ~ 1/sqrt(k-1): accept 4 sigma
     assert abs(float(out.est_distinct[0]) - n_true) < 4 * n_true / np.sqrt(k - 1)
+
+
+def test_zone_clip_lengths_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.join import zone_clip_lengths
+
+    rng = np.random.default_rng(13)
+    n = 300
+    x1 = rng.integers(-100, 100, n)
+    y1 = rng.integers(-100, 100, n)
+    dx = rng.integers(1, 60, n) * rng.choice([-1, 1], n)
+    dy = rng.integers(1, 60, n) * rng.choice([-1, 1], n)
+    x2, y2 = x1 + dx, y1 + dy
+    boxes = np.array(
+        [[0, -50, -50, 50, 50], [1, 20, -120, 90, -10], [2, -200, -200, 200, 200]],
+        dtype=np.int64,
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "seg_no": pa.array(np.ones(n, dtype=np.int64)),
+            "x1": pa.array(x1.astype(np.int64)),
+            "y1": pa.array(y1.astype(np.int64)),
+            "x2": pa.array(x2.astype(np.int64)),
+            "y2": pa.array(y2.astype(np.int64)),
+        }
+    )
+    want = {}
+    for i in range(n):
+        for zid, w, s, e, nn in boxes:
+            ta, tb = (w - x1[i]) / dx[i], (e - x1[i]) / dx[i]
+            tc, td = (s - y1[i]) / dy[i], (nn - y1[i]) / dy[i]
+            t0 = max(min(ta, tb), min(tc, td), 0.0)
+            t1 = min(max(ta, tb), max(tc, td), 1.0)
+            if t1 > t0:
+                L = (t1 - t0) * np.sqrt(float(dx[i] * dx[i] + dy[i] * dy[i]))
+                want[(int(zid), i)] = L
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = zone_clip_lengths(ds, boxes).to_pandas()
+    got = {(int(r.zone_id), int(r.doc_id)): float(r.len_mi)
+           for r in out.itertuples(index=False)}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k  # bit-exact contract
+    # fully-contained segment: clip == full length
+    full = [k for k in want if k[0] == 2]
+    assert len(full) == n
+    # axis-parallel input is rejected loudly
+    bad = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "seg_no": pa.array([1], pa.int64()),
+            "x1": pa.array([0], pa.int64()),
+            "y1": pa.array([0], pa.int64()),
+            "x2": pa.array([0], pa.int64()),
+            "y2": pa.array([5], pa.int64()),
+        }
+    )
+    import pytest
+
+    with pytest.raises(Exception):
+        zone_clip_lengths(ray.data.from_arrow(bad), boxes).materialize()
