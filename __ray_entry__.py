@@ -6481,6 +6481,30 @@ def q_link_predict(sf_dir: str):
     ).sort(["node"])
 
 
+def q_embed_range(sf_dir: str):
+    """Cosine range search (radius query,
+    :func:`cloudtile_ray.stages.similarity.range_search`): all candidate
+    vectors within cosine >= 0.2 of the 3 probe vectors (vec_id < 3) —
+    ids-only output, probes broadcast once, zero exchanges."""
+    import pyarrow.parquet as pq
+
+    from cloudtile_ray.stages.similarity import range_search
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = np.asarray(qt.column("vec_id").to_numpy(zero_copy_only=False) < 3)
+    qids = qt.column("vec_id").to_numpy(zero_copy_only=False)[mask]
+    Q = np.stack(qt.column("embedding").to_numpy(zero_copy_only=False)[mask])
+    import pyarrow.compute as pc
+
+    cands = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("vec_id"), 3)),
+        batch_format="pyarrow",
+    )
+    return range_search(cands, Q, qids, theta=0.2).sort(["q_id", "vec_id"])
+
+
 def q_zone_lines(sf_dir: str):
     """Line-density zonal statistics
     (:func:`cloudtile_ray.stages.join.zone_clip_lengths`): the clipped
@@ -6753,6 +6777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": q_kmv_distinct,
         "tile_diff": q_tile_diff,
         "zone_lines": q_zone_lines,
+        "embed_range": q_embed_range,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -7198,6 +7223,17 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        # ids-only contract (like knn_embedding): the 0.2 threshold sits
+        # far from any sim under float noise, so both sides agree
+        "embed_range": """
+            WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) qe
+                       FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) ce
+                  FROM embeddings WHERE vec_id >= 3)
+            SELECT q.q_id, c.vec_id
+            FROM q CROSS JOIN c
+            WHERE list_cosine_similarity(qe, ce) >= 0.2
+            ORDER BY q_id, vec_id""",
         # Liang-Barsky per (segment, zone): int64 diffs, one division per
         # t-parameter, exact min/max composition, strict t1 > t0 — the
         # engine's numpy kernel is the same expression tree

@@ -639,3 +639,45 @@ def quantize_embeddings_batch(batch: pa.Table) -> pa.Table:
             "max_abs_err": pa.array(np.maximum.reduceat(err, starts)),
         }
     )
+
+
+def range_search(ds, queries: np.ndarray, query_ids: np.ndarray, theta: float):
+    """Cosine RANGE search (radius query): every (query, vector) pair
+    with cosine similarity >= ``theta`` — the fixed-radius companion to
+    :func:`brute_force_topk` (ANN benchmarks call this range search; it
+    is the primitive behind near-duplicate sweeps with a hard floor).
+
+    The query matrix is ``ray.put`` once and probed per batch with one
+    normalized matmul; only qualifying (q_id, vec_id) id pairs leave the
+    task — the certifiable output contract shared with the knn family
+    (ids only, so a fixed threshold compares bit-independently as long as
+    no similarity sits within float-noise of ``theta``; random-real
+    corpora satisfy that with probability 1).  Zero exchanges, output
+    bounded by the hit count."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    idref = ray.put(np.asarray(query_ids, dtype=np.int64))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "q_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return empty
+        Q = _normalize(np.asarray(ray.get(qref), dtype=np.float64))
+        qids = ray.get(idref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        sims = _normalize(V) @ Q.T  # (n, Q)
+        ri, qi = np.nonzero(sims >= theta)
+        if len(ri) == 0:
+            return empty
+        return pa.table(
+            {"q_id": pa.array(qids[qi]), "vec_id": pa.array(ids[ri])}
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -4918,3 +4918,48 @@ def test_zone_clip_lengths_brute_force(ray_session):
 
     with pytest.raises(Exception):
         zone_clip_lengths(ray.data.from_arrow(bad), boxes).materialize()
+
+
+def test_range_search_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.similarity import range_search
+
+    rng = np.random.default_rng(17)
+    V = rng.normal(size=(200, 16))
+    Q = rng.normal(size=(4, 16))
+    qids = np.array([100, 200, 300, 400], dtype=np.int64)
+    theta = 0.3
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Vn @ Qn.T
+    want = {
+        (int(qids[q]), int(i))
+        for i, q in zip(*np.nonzero(sims >= theta))
+    }
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in V],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = range_search(ds, Q.astype(np.float32), qids, theta=theta)
+    got = {
+        (int(r.q_id), int(r.vec_id))
+        for r in out.to_pandas().itertuples(index=False)
+    }
+    # float32 storage: recompute the reference from the f32-rounded vectors
+    Vf = np.stack([row.astype(np.float32) for row in V]).astype(np.float64)
+    Qf = Q.astype(np.float32).astype(np.float64)
+    Vfn = Vf / np.linalg.norm(Vf, axis=1, keepdims=True)
+    Qfn = Qf / np.linalg.norm(Qf, axis=1, keepdims=True)
+    want_f = {
+        (int(qids[q]), int(i))
+        for i, q in zip(*np.nonzero(Vfn @ Qfn.T >= theta))
+    }
+    assert got == want_f
