@@ -6481,6 +6481,17 @@ def q_link_predict(sf_dir: str):
     ).sort(["node"])
 
 
+def q_degree_assort(sf_dir: str):
+    """Degree assortativity of the edit-distance-1 customer-name graph
+    (:func:`cloudtile_ray.stages.graph.degree_assortativity`): all four
+    moments are exact int64 sums, the coefficient one final division —
+    graph-level statistics with a bit-exact SQL replay."""
+    from cloudtile_ray.stages.graph import degree_assortativity
+
+    edges, _ = _name_graph_edges(sf_dir)
+    return degree_assortativity(edges, id_cols=("id_a", "id_b"))
+
+
 def q_embed_range(sf_dir: str):
     """Cosine range search (radius query,
     :func:`cloudtile_ray.stages.similarity.range_search`): all candidate
@@ -6778,6 +6789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_diff": q_tile_diff,
         "zone_lines": q_zone_lines,
         "embed_range": q_embed_range,
+        "degree_assort": q_degree_assort,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -7223,6 +7235,31 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        "degree_assort": """
+            WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
+                         FROM customer GROUP BY c_name),
+            ed AS (SELECT ia.node_id AS a, ib.node_id AS b
+                   FROM ids ia JOIN ids ib ON ia.c_name < ib.c_name
+                   WHERE levenshtein(ia.c_name, ib.c_name) = 1),
+            ce AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                   FROM ed),
+            adj AS (SELECT u AS a, v AS b FROM ce
+                    UNION ALL SELECT v, u FROM ce),
+            deg AS (SELECT a AS n, count(*) AS d FROM adj GROUP BY a),
+            j AS (SELECT da.d AS x, db.d AS y
+                  FROM adj JOIN deg da ON da.n = adj.a
+                           JOIN deg db ON db.n = adj.b),
+            s AS (SELECT count(*) AS n,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM j)
+            SELECT n AS n_directed, sxy, sx, sxx,
+                   n * sxy - sx * sx AS num,
+                   n * sxx - sx * sx AS den,
+                   CAST(n * sxy - sx * sx AS DOUBLE)
+                     / (n * sxx - sx * sx) AS assortativity
+            FROM s""",
         # ids-only contract (like knn_embedding): the 0.2 threshold sits
         # far from any sim under float noise, so both sides agree
         "embed_range": """

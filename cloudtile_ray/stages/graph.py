@@ -832,3 +832,121 @@ def common_neighbor_pairs(
 
         return scored.map_batches(drop_adjacent, batch_format="pyarrow")
     return hash_join(scored, canon, on=["a", "b"], right_on=["u", "v"], how="anti")
+
+
+def degree_assortativity(
+    edges,
+    id_cols: tuple[str, str] = ("a", "b"),
+    num_buckets: int | None = None,
+    broadcast_byte_budget: int = 64 << 20,
+):
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    edge list — the Pearson correlation of endpoint degrees over the
+    DIRECTED edge set (each undirected edge contributes both
+    orientations, which absorbs the usual half-terms):
+
+        r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2),  n = 2|E|
+
+    Every moment is an int64 sum of int64 degree products, so the
+    statistic is EXACT under any parallelism and the single final
+    division is the only float op — a fully SQL-certifiable graph-level
+    metric.  Stages: canon dedup exchange, degree exchange, broadcast
+    degree attach (hash-join fallback past the byte budget), one
+    map-side partial-moment fold, one scalar reduce.  Returns a 1-row
+    Dataset (n_directed, sxy, sx, sxx, num, den, assortativity)."""
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    a_col, b_col = id_cols
+    if num_buckets is None:
+        num_buckets = default_num_buckets(edges)
+
+    canon = bucketed_group_aggregate(
+        edges.map_batches(
+            lambda t: _canon_edges(t, a_col, b_col), batch_format="pyarrow"
+        ),
+        ["u", "v"],
+        [("u", "min", "_one")],
+    ).map_batches(
+        lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+    ).materialize()
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.table({"n": pa.concat_arrays([u, v])})
+
+    deg = bucketed_group_aggregate(
+        canon.map_batches(endpoints, batch_format="pyarrow"),
+        ["n"],
+        [("n", "count", "deg")],
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def directed(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.table(
+            {
+                "a": pa.concat_arrays([u, v]),
+                "b": pa.concat_arrays([v, u]),
+            }
+        )
+
+    adj = canon.map_batches(directed, batch_format="pyarrow")
+    e1 = broadcast_lookup(
+        adj, deg, on=["a"], right_on=["n"], byte_budget=broadcast_byte_budget
+    ).map_batches(
+        lambda t: pa.table(
+            {"b": t.column("b"), "x": pc.cast(t.column("deg"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    e2 = broadcast_lookup(
+        e1, deg, on=["b"], right_on=["n"], byte_budget=broadcast_byte_budget
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = e2.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sx", alias_name="sx"),
+        Sum("sxx", alias_name="sxx"),
+    )
+    n, sxy, sx, sxx = (int(agg[k]) for k in ("n", "sxy", "sx", "sxx"))
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_directed": pa.array([n], pa.int64()),
+                "sxy": pa.array([sxy], pa.int64()),
+                "sx": pa.array([sx], pa.int64()),
+                "sxx": pa.array([sxx], pa.int64()),
+                "num": pa.array([num], pa.int64()),
+                "den": pa.array([den], pa.int64()),
+                "assortativity": pa.array(
+                    [float(num) / den if den else 0.0], pa.float64()
+                ),
+            }
+        )
+    )

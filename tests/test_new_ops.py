@@ -4963,3 +4963,44 @@ def test_range_search_brute_force(ray_session):
         for i, q in zip(*np.nonzero(Vfn @ Qfn.T >= theta))
     }
     assert got == want_f
+
+
+def test_degree_assortativity_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.graph import degree_assortativity
+
+    rng = np.random.default_rng(23)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.integers(0, 25, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    x, y = np.array(xs, dtype=np.int64), np.array(ys, dtype=np.int64)
+    n = len(x)
+    num = n * int((x * y).sum()) - int(x.sum()) ** 2
+    den = n * int((x * x).sum()) - int(x.sum()) ** 2
+    want_r = num / den
+    # sanity vs the float Pearson formula
+    assert abs(want_r - np.corrcoef(x, y)[0, 1]) < 1e-12
+    t = pa.table(
+        {
+            "a": pa.array([u for u, _ in edges], pa.int64()),
+            "b": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    out = degree_assortativity(
+        ray.data.from_arrow(t).repartition(4)
+    ).to_pandas()
+    assert int(out.n_directed[0]) == n
+    assert int(out.num[0]) == num and int(out.den[0]) == den
+    assert float(out.assortativity[0]) == num / den
