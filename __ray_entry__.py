@@ -6481,6 +6481,23 @@ def q_link_predict(sf_dir: str):
     ).sort(["node"])
 
 
+def q_seasonal_mase(sf_dir: str):
+    """Seasonal-naive vs lag-1-naive forecast error per event type
+    (:func:`cloudtile_ray.stages.events.seasonal_naive_error`, season=24h)
+    — int64 error sums, one final ratio; the hourly rollup is the only
+    corpus-scale exchange."""
+    from cloudtile_ray.stages.events import prep_events, seasonal_naive_error
+
+    ds = (
+        _read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        .map_batches(prep_events, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["event_type", "ts_us"]), batch_format="pyarrow"
+        )
+    )
+    return seasonal_naive_error(ds).sort(["event_type"])
+
+
 def q_degree_assort(sf_dir: str):
     """Degree assortativity of the edit-distance-1 customer-name graph
     (:func:`cloudtile_ray.stages.graph.degree_assortativity`): all four
@@ -6790,6 +6807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_lines": q_zone_lines,
         "embed_range": q_embed_range,
         "degree_assort": q_degree_assort,
+        "seasonal_mase": q_seasonal_mase,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -7235,6 +7253,26 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        "seasonal_mase": """
+            WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS h,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            j AS (SELECT c.event_type, c.n, s.n AS n24, p.n AS n1
+                  FROM c
+                  JOIN c s ON s.event_type = c.event_type
+                          AND s.h = c.h - 24
+                  JOIN c p ON p.event_type = c.event_type
+                          AND p.h = c.h - 1)
+            SELECT event_type,
+                   count(*) AS n_eval,
+                   CAST(sum(abs(n - n24)) AS BIGINT) AS sae_seasonal,
+                   CAST(sum(abs(n - n1)) AS BIGINT) AS sae_naive,
+                   CASE WHEN sum(abs(n - n1)) = 0 THEN NULL
+                        ELSE CAST(sum(abs(n - n24)) AS DOUBLE)
+                             / sum(abs(n - n1))
+                   END AS mase
+            FROM j GROUP BY 1 ORDER BY 1""",
         "degree_assort": """
             WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
                          FROM customer GROUP BY c_name),

@@ -1423,3 +1423,98 @@ def session_entry_exit(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
         ["entry_type", "exit_type"],
         [("n_sessions", "sum", "n_sessions"), ("n_bounce", "sum", "n_bounce")],
     )
+
+
+def seasonal_naive_error(ds, season: int = 24) -> "ray.data.Dataset":
+    """Forecast-quality audit per event type: on the hourly count series,
+    compare the SEASONAL naive forecast (count ``season`` hours ago)
+    against the lag-1 naive forecast — the MASE-style ratio that decides
+    whether a series is worth a seasonal model at all.  Only hours where
+    BOTH references exist score, so the two error sums cover the same
+    rows.
+
+    All error sums are int64 (|count diffs|) — exact under any
+    parallelism; the ratio is the single float op (NULL when the naive
+    error sum is zero).  Scale shape: the hourly rollup rides one
+    (hour, type) bucket exchange down to series grain (bounded by
+    hours x types, NOT corpus size); the per-type scoring is a
+    map_groups over the handful of types on that tiny table.  Input
+    needs (event_type, ts_us)."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def to_hours(t: pa.Table) -> pa.Table:
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "h": pa.array(ts // 3_600_000_000),
+            }
+        )
+
+    hourly = bucketed_group_aggregate(
+        ds.map_batches(to_hours, batch_format="pyarrow"),
+        ["event_type", "h"],
+        [("h", "count", "n")],
+    )
+
+    def score(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_eval": pa.array([], pa.int64()),
+                "sae_seasonal": pa.array([], pa.int64()),
+                "sae_naive": pa.array([], pa.int64()),
+                "mase": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        rows = []
+        for typ in np.unique(et):
+            m = et == typ
+            hh, nn = h[m], n[m]
+            order = np.argsort(hh)
+            hh, nn = hh[order], nn[order]
+            i24 = np.searchsorted(hh, hh - season)
+            i1 = np.searchsorted(hh, hh - 1)
+            ok24 = (i24 < len(hh)) & (hh[np.minimum(i24, len(hh) - 1)] == hh - season)
+            ok1 = (i1 < len(hh)) & (hh[np.minimum(i1, len(hh) - 1)] == hh - 1)
+            ok = ok24 & ok1
+            sae_s = int(np.abs(nn[ok] - nn[i24[ok]]).sum())
+            sae_n = int(np.abs(nn[ok] - nn[i1[ok]]).sum())
+            rows.append(
+                (
+                    str(typ),
+                    int(ok.sum()),
+                    sae_s,
+                    sae_n,
+                    float(sae_s) / sae_n if sae_n else None,
+                )
+            )
+        rows.sort()
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "n_eval": pa.array([r[1] for r in rows], pa.int64()),
+                "sae_seasonal": pa.array([r[2] for r in rows], pa.int64()),
+                "sae_naive": pa.array([r[3] for r in rows], pa.int64()),
+                "mase": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+
+    # the hourly table is series-grain (hours x types); group all of it
+    # into one scoring task per type bucket via a constant key — the
+    # table is tiny, but keep it off the driver
+    return (
+        hourly.map_batches(
+            lambda t: t.append_column(
+                "_g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_g")
+        .map_groups(score, batch_format="pyarrow")
+    )

@@ -5004,3 +5004,44 @@ def test_degree_assortativity_brute_force(ray_session):
     assert int(out.n_directed[0]) == n
     assert int(out.num[0]) == num and int(out.den[0]) == den
     assert float(out.assortativity[0]) == num / den
+
+
+def test_seasonal_naive_error_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import seasonal_naive_error
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    et = np.array(["x", "y"])[rng.integers(0, 2, n)]
+    # sparse hours with gaps so the both-references-exist filter matters
+    hours = rng.integers(0, 90, n)
+    ts_us = hours * 3_600_000_000 + rng.integers(0, 3_600_000_000, n)
+    t = pa.table(
+        {
+            "event_type": pa.array(et.tolist(), pa.string()),
+            "ts_us": pa.array(ts_us.astype(np.int64)),
+        }
+    )
+    season = 24
+    want = {}
+    for typ in ("x", "y"):
+        m = et == typ
+        hh, cnt = np.unique(hours[m], return_counts=True)
+        lookup = dict(zip(hh.tolist(), cnt.tolist()))
+        sae_s = sae_n = n_eval = 0
+        for h, c in lookup.items():
+            if (h - season) in lookup and (h - 1) in lookup:
+                n_eval += 1
+                sae_s += abs(c - lookup[h - season])
+                sae_n += abs(c - lookup[h - 1])
+        want[typ] = (n_eval, sae_s, sae_n, sae_s / sae_n if sae_n else None)
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = seasonal_naive_error(ds, season=season).to_pandas()
+    got = {
+        r.event_type: (int(r.n_eval), int(r.sae_seasonal), int(r.sae_naive),
+                       float(r.mase) if r.mase == r.mase else None)
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
