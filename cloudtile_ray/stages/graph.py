@@ -735,6 +735,19 @@ def common_neighbor_pairs(
             }
         )
 
+    # pair keys: when every node id fits unsigned 32 bits (decided ONCE
+    # from the canon edge set — wedge endpoints are drawn from the same
+    # universe), pack (a, b) into one uint64; flat-key sort/unique/
+    # searchsorted is several times faster than the structured-dtype
+    # field-wise compares that otherwise dominate the wedge pre-count
+    from ray.data.aggregate import Max, Min
+
+    bounds = canon.aggregate(Min("u"), Max("v"))
+    ids_fit_u32 = (
+        canon.count() == 0
+        or (int(bounds["min(u)"]) >= 0 and int(bounds["max(v)"]) < (1 << 32))
+    )
+
     def add_bucket(t: pa.Table) -> pa.Table:
         c = t.column("center").to_numpy(zero_copy_only=False)
         h = c.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -783,14 +796,23 @@ def common_neighbor_pairs(
         # pre-count here (np.unique on the packed pair) and ship partial
         # counts — the (a,b) exchange moves distinct pairs, not wedges
         a_w, b_w = n_s[left_idx], n_s[right_idx]
-        pair_dtype = np.dtype([("a", np.int64), ("b", np.int64)])
-        wp = np.empty(len(a_w), dtype=pair_dtype)
-        wp["a"], wp["b"] = a_w, b_w
-        up, cnt = np.unique(wp, return_counts=True)
+        if ids_fit_u32:
+            key = (a_w.astype(np.uint64) << np.uint64(32)) | b_w.astype(
+                np.uint64
+            )
+            uk, cnt = np.unique(key, return_counts=True)
+            ua = (uk >> np.uint64(32)).astype(np.int64)
+            ub = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:
+            pair_dtype = np.dtype([("a", np.int64), ("b", np.int64)])
+            wp = np.empty(len(a_w), dtype=pair_dtype)
+            wp["a"], wp["b"] = a_w, b_w
+            up, cnt = np.unique(wp, return_counts=True)
+            ua, ub = up["a"], up["b"]
         return pa.table(
             {
-                "a": pa.array(up["a"]),
-                "b": pa.array(up["b"]),
+                "a": pa.array(ua),
+                "b": pa.array(ub),
                 "partial": pa.array(cnt.astype(np.int64)),
             }
         )
@@ -811,20 +833,32 @@ def common_neighbor_pairs(
         et = pa.concat_tables(
             [pa.table(b) for b in canon.iter_batches(batch_format="pyarrow")]
         )
-        pair_dtype = np.dtype([("u", np.int64), ("v", np.int64)])
-        epairs = np.empty(et.num_rows, dtype=pair_dtype)
-        epairs["u"] = et.column("u").to_numpy(zero_copy_only=False)
-        epairs["v"] = et.column("v").to_numpy(zero_copy_only=False)
-        epairs.sort(kind="stable")
+        eu = et.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = et.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids_fit_u32:
+            epairs = np.sort(
+                (eu.astype(np.uint64) << np.uint64(32)) | ev.astype(np.uint64)
+            )
+        else:
+            pair_dtype = np.dtype([("u", np.int64), ("v", np.int64)])
+            epairs = np.empty(len(eu), dtype=pair_dtype)
+            epairs["u"], epairs["v"] = eu, ev
+            epairs.sort(kind="stable")
         eref = ray.put(epairs)
 
         def drop_adjacent(t: pa.Table) -> pa.Table:
             if t.num_rows == 0:
                 return t
             ep = ray.get(eref)
-            wp = np.empty(t.num_rows, dtype=ep.dtype)
-            wp["u"] = t.column("a").to_numpy(zero_copy_only=False)
-            wp["v"] = t.column("b").to_numpy(zero_copy_only=False)
+            a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            if ids_fit_u32:
+                wp = (a.astype(np.uint64) << np.uint64(32)) | b.astype(
+                    np.uint64
+                )
+            else:
+                wp = np.empty(t.num_rows, dtype=ep.dtype)
+                wp["u"], wp["v"] = a, b
             idx = np.searchsorted(ep, wp, side="left")
             idx_c = np.minimum(idx, max(len(ep) - 1, 0))
             hit = (len(ep) > 0) & (ep[idx_c] == wp) & (idx < len(ep))
