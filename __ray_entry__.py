@@ -6494,6 +6494,93 @@ def q_link_predict(sf_dir: str):
     ).sort(["node"])
 
 
+def q_q6_revenue(sf_dir: str):
+    """TPC-H Q6 analog (forecast-revenue-change): revenue lift from 1996
+    lineitems with discount in [5%, 7%] and quantity < 24 — the pure
+    filter-and-sum scan every engine benchmarks.  Predicates push to the
+    read where possible; revenue = price_cents * disc_pct summed as int64
+    (exact under any parallelism); output is one row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    lo = np.datetime64("1996-01-01T00:00:00", "us").astype(np.int64)
+    hi = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ship = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        qty = np.rint(
+            t.column("l_quantity").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc = np.rint(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        price = np.rint(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        keep = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc >= 5)
+            & (disc <= 7)
+            & (qty < 2400)
+        )
+        return pa.table(
+            {
+                "rev": pa.array(price[keep] * disc[keep]),
+                "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    ds = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    agg = ds.aggregate(Sum("rev", alias_name="rev"), Sum("one", alias_name="n"))
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "revenue_cents_pct": [int(agg["rev"] or 0)],
+            "n_lines": [int(agg["n"] or 0)],
+        }
+    )
+
+
+def q_activity_heatmap(sf_dir: str):
+    """Weekday x hour activity heatmap: event counts per (day-of-week,
+    hour-of-day) cell — the 7x24 traffic matrix.  Day-of-week derives
+    from epoch arithmetic ((days + 4) % 7, Sunday=0 — DuckDB's
+    ``dayofweek`` convention); one bucket exchange over 168 keys."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def cells(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        days = ts // 86_400_000_000
+        dow = (days + 4) % 7
+        hour = (ts // 3_600_000_000) % 24
+        return pa.table({"dow": pa.array(dow), "hour": pa.array(hour)})
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]).map_batches(
+        cells, batch_format="pyarrow"
+    )
+    return bucketed_group_aggregate(
+        ds, ["dow", "hour"], [("dow", "count", "n")]
+    ).sort(["dow", "hour"])
+
+
 def q_seasonal_mase(sf_dir: str):
     """Seasonal-naive vs lag-1-naive forecast error per event type
     (:func:`cloudtile_ray.stages.events.seasonal_naive_error`, season=24h)
@@ -6821,6 +6908,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_range": q_embed_range,
         "degree_assort": q_degree_assort,
         "seasonal_mase": q_seasonal_mase,
+        "q6_revenue": q_q6_revenue,
+        "activity_heatmap": q_activity_heatmap,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -7266,6 +7355,21 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        "q6_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents_pct,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(round(l_quantity * 100) AS BIGINT) < 2400""",
+        "activity_heatmap": """
+            SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
         "seasonal_mase": """
             WITH c AS (SELECT event_type,
                               epoch_us(ts) // 3600000000 AS h,

@@ -193,7 +193,8 @@ def run_queries(sf_dir: str) -> dict:
         "ewma_value", "seg_crossings", "route_pairs", "embed_quantize",
         "readability", "sentence_stats", "postings", "line_densify",
         "link_predict", "coverage_gaps", "entry_exit", "kmv_distinct",
-        "tile_diff", "zone_lines", "embed_range", "degree_assort", "seasonal_mase",
+        "tile_diff", "zone_lines", "embed_range", "degree_assort", "seasonal_mase", "q6_revenue",
+        "activity_heatmap",
     ]
     import gc
 
