@@ -6494,6 +6494,130 @@ def q_link_predict(sf_dir: str):
     ).sort(["node"])
 
 
+def q_ship_priority(sf_dir: str):
+    """TPC-H Q3 analog (shipping-priority): top-10 unshipped BUILDING-
+    segment orders by outstanding revenue at 1996-03-15.  Scale shape:
+    the segment filter broadcasts as a semi set over orders; lineitem
+    pre-aggregates revenue to order grain through ONE bucket exchange
+    before any join; the qualifying order set attaches via
+    broadcast_lookup (byte-gated, hash-join fallback); top-10 is a
+    sort+limit on order-grain rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+
+    cutoff = int(np.datetime64("1996-03-15T00:00:00", "us").astype(np.int64))
+
+    cust = _read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("c_mktsegment"), "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+
+    def order_prep(t: pa.Table) -> pa.Table:
+        od = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keep = od < cutoff
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey").filter(pa.array(keep)),
+                "o_custkey": t.column("o_custkey").filter(pa.array(keep)),
+                "odate_us": pa.array(od[keep]),
+            }
+        )
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(order_prep, batch_format="pyarrow")
+    orders = broadcast_lookup(
+        orders, cust, on=["o_custkey"], right_on=["c_custkey"], semi=True
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "odate_us"]), batch_format="pyarrow"
+    ).materialize()
+
+    def line_prep(t: pa.Table) -> pa.Table:
+        ship = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        keep = ship > cutoff
+        price = np.rint(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)[keep]
+        disc = np.rint(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)[keep]
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey").filter(pa.array(keep)),
+                "rev": pa.array(price * (100 - disc)),
+            }
+        )
+
+    lines = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_prep, batch_format="pyarrow")
+    rev = bucketed_group_aggregate(
+        lines, ["l_orderkey"], [("rev", "sum", "revenue_cents_pct")]
+    )
+    out = broadcast_lookup(
+        rev, orders, on=["l_orderkey"], right_on=["o_orderkey"]
+    )
+    return (
+        out.sort(["revenue_cents_pct", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t.column("l_orderkey"),
+                    "revenue_cents_pct": t.column("revenue_cents_pct"),
+                    "odate_us": t.column("odate_us"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_bot_flags(sf_dir: str):
+    """Bot-detection features per user
+    (:func:`cloudtile_ray.stages.events.user_bot_features`): volume,
+    type diversity, peak hourly burst, and the single-type/burst flag —
+    the abuse-filter step of a curation pipeline.  One user-bucket
+    exchange; all features exact ints."""
+    from cloudtile_ray.stages.events import prep_events, user_bot_features
+
+    ds = (
+        _read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        .map_batches(prep_events, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.select(["user_id", "ts_us", "event_type"]),
+            batch_format="pyarrow",
+        )
+    )
+    return user_bot_features(ds, burst_threshold=3, mono_threshold=4).sort(
+        ["user_id"]
+    )
+
+
 def q_q6_revenue(sf_dir: str):
     """TPC-H Q6 analog (forecast-revenue-change): revenue lift from 1996
     lineitems with discount in [5%, 7%] and quantity < 24 — the pure
@@ -6910,6 +7034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_mase": q_seasonal_mase,
         "q6_revenue": q_q6_revenue,
         "activity_heatmap": q_activity_heatmap,
+        "ship_priority": q_ship_priority,
+        "bot_flags": q_bot_flags,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -7355,6 +7481,44 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        "ship_priority": """
+            WITH o AS (SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS odate_us
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey
+                       WHERE c.c_mktsegment = 'BUILDING'
+                         AND o.o_orderdate < DATE '1996-03-15'),
+            r AS (SELECT l_orderkey,
+                         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                              AS BIGINT) AS revenue_cents_pct
+                  FROM lineitem
+                  WHERE l_shipdate > DATE '1996-03-15'
+                  GROUP BY l_orderkey),
+            j AS (SELECT o.o_orderkey, r.revenue_cents_pct, o.odate_us,
+                         row_number() OVER (ORDER BY r.revenue_cents_pct DESC,
+                                                     o.o_orderkey) AS rn
+                  FROM o JOIN r ON r.l_orderkey = o.o_orderkey)
+            SELECT o_orderkey, revenue_cents_pct, odate_us
+            FROM j WHERE rn <= 10""",
+        "bot_flags": """
+            WITH e AS (SELECT user_id, event_type,
+                              epoch_us(ts) // 3600000000 AS h
+                       FROM events),
+            vol AS (SELECT user_id, count(*) AS n_events,
+                           count(DISTINCT event_type) AS n_types
+                    FROM e GROUP BY user_id),
+            hb AS (SELECT user_id, max(c) AS max_hourly
+                   FROM (SELECT user_id, h, count(*) AS c
+                         FROM e GROUP BY user_id, h)
+                   GROUP BY user_id)
+            SELECT v.user_id, v.n_events,
+                   CAST(v.n_types AS BIGINT) AS n_types,
+                   CAST(h.max_hourly AS BIGINT) AS max_hourly,
+                   CAST(CASE WHEN h.max_hourly >= 3
+                               OR (v.n_types = 1 AND v.n_events >= 4)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+            FROM vol v JOIN hb h USING (user_id)
+            ORDER BY user_id""",
         "q6_revenue": """
             SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                             * CAST(round(l_discount * 100) AS BIGINT))

@@ -1518,3 +1518,70 @@ def seasonal_naive_error(ds, season: int = 24) -> "ray.data.Dataset":
         .groupby("_g")
         .map_groups(score, batch_format="pyarrow")
     )
+
+
+def user_bot_features(ds, burst_threshold: int = 20, mono_threshold: int = 50):
+    """Bot-detection features per user — the abuse-filtering step of a
+    web-corpus curation pipeline: event volume, event-type diversity,
+    peak hourly burst, and the classic flag (single-type high-volume OR
+    burst over threshold).  All features are exact int64 counts.
+
+    Scale shape: ONE user-bucket exchange; inside a bucket task the
+    per-user rollups are lexsort + run-length folds (np.unique over the
+    packed (user, hour) / (user, type-code) keys) — no Python over rows.
+    Input needs (user_id, ts_us, event_type)."""
+    nb = _n_user_buckets(ds)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "n_types": pa.array([], pa.int64()),
+                "max_hourly": pa.array([], pa.int64()),
+                "is_bot": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        users, inv, n_events = np.unique(
+            uid, return_inverse=True, return_counts=True
+        )
+        import pandas as pd
+
+        tcodes, uniq_types = pd.factorize(et)
+        ntc = np.int64(max(len(uniq_types), 1))
+        n_types = np.zeros(len(users), dtype=np.int64)
+        # distinct (user, type) pairs via one packed-key unique
+        tkey = np.unique(inv.astype(np.int64) * ntc + tcodes)
+        np.add.at(n_types, tkey // ntc, 1)
+        hour = ts // 3_600_000_000
+        hkey, hcnt = np.unique(
+            inv.astype(np.int64) * np.int64(1 << 32)
+            + (hour - hour.min()).astype(np.int64),
+            return_counts=True,
+        )
+        max_hourly = np.zeros(len(users), dtype=np.int64)
+        np.maximum.at(max_hourly, (hkey >> 32).astype(np.int64), hcnt.astype(np.int64))
+        is_bot = (
+            (max_hourly >= burst_threshold)
+            | ((n_types == 1) & (n_events >= mono_threshold))
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users.astype(np.int64)),
+                "n_events": pa.array(n_events.astype(np.int64)),
+                "n_types": pa.array(n_types),
+                "max_hourly": pa.array(max_hourly),
+                "is_bot": pa.array(is_bot),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -5045,3 +5045,49 @@ def test_seasonal_naive_error_brute_force(ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_user_bot_features_brute_force(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import user_bot_features
+
+    rng = np.random.default_rng(31)
+    n = 600
+    uid = rng.integers(0, 25, n)
+    ts = rng.integers(0, 50 * 3_600_000_000, n)
+    et = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    # one forced bot: user 99, single type, packed into one hour
+    uid = np.r_[uid, np.full(30, 99)]
+    ts = np.r_[ts, np.arange(30) * 1000 + 7 * 3_600_000_000]
+    et = np.r_[et, np.full(30, "a")]
+    t = pa.table(
+        {
+            "user_id": pa.array(uid.astype(np.int64)),
+            "ts_us": pa.array(ts.astype(np.int64)),
+            "event_type": pa.array(et.tolist(), pa.string()),
+        }
+    )
+    bt, mt = 8, 20
+    want = {}
+    for u in np.unique(uid):
+        m = uid == u
+        n_ev = int(m.sum())
+        n_ty = len(np.unique(et[m]))
+        hours = ts[m] // 3_600_000_000
+        _, hc = np.unique(hours, return_counts=True)
+        mh = int(hc.max())
+        bot = int(mh >= bt or (n_ty == 1 and n_ev >= mt))
+        want[int(u)] = (n_ev, n_ty, mh, bot)
+    out = user_bot_features(
+        ray.data.from_arrow(t).repartition(6), burst_threshold=bt,
+        mono_threshold=mt,
+    ).to_pandas()
+    got = {
+        int(r.user_id): (int(r.n_events), int(r.n_types), int(r.max_hourly),
+                         int(r.is_bot))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+    assert got[99][3] == 1
