@@ -6494,6 +6494,88 @@ def q_link_predict(sf_dir: str):
     ).sort(["node"])
 
 
+def q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary with
+    median splits) — the classic marketing-analytics operator.  Scale
+    shape: orders collapse to customer grain through ONE bucket exchange;
+    the anchor date is a scalar aggregate; the three median thresholds
+    ride the shared exact-quantile bracket scans over the customer-grain
+    rollup (rank convention = DuckDB ``quantile_disc``, the certified
+    value_quantiles contract); the segment code is a vectorized batch
+    map.  All columns int64."""
+    import pyarrow as pa
+    from ray.data.aggregate import Max
+
+    from cloudtile_ray.stages.quantiles import exact_quantiles
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        od = (
+            t.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.rint(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "od": pa.array(od),
+                "cents": pa.array(cents),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    per = bucketed_group_aggregate(
+        orders,
+        ["o_custkey"],
+        [
+            ("od", "max", "last_od"),
+            ("one", "sum", "freq"),
+            ("cents", "sum", "monetary_cents"),
+        ],
+    ).materialize()
+    anchor = int(per.aggregate(Max("last_od"))["max(last_od)"])
+
+    def add_recency(t: pa.Table) -> pa.Table:
+        last = t.column("last_od").to_numpy(zero_copy_only=False)
+        rec = (anchor - last) // 86_400_000_000
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "recency_days": pa.array(rec),
+                "freq": t.column("freq"),
+                "monetary_cents": t.column("monetary_cents"),
+            }
+        )
+
+    per2 = per.map_batches(add_recency, batch_format="pyarrow").materialize()
+    med_r = int(exact_quantiles(per2, "recency_days", {"m": 0.5}).column("m")[0].as_py())
+    med_f = int(exact_quantiles(per2, "freq", {"m": 0.5}).column("m")[0].as_py())
+    med_m = int(
+        exact_quantiles(per2, "monetary_cents", {"m": 0.5}).column("m")[0].as_py()
+    )
+
+    def segment(t: pa.Table) -> pa.Table:
+        r = t.column("recency_days").to_numpy(zero_copy_only=False)
+        f = t.column("freq").to_numpy(zero_copy_only=False)
+        m = t.column("monetary_cents").to_numpy(zero_copy_only=False)
+        seg = (
+            (r <= med_r).astype(np.int64)
+            + 2 * (f >= med_f).astype(np.int64)
+            + 4 * (m >= med_m).astype(np.int64)
+        )
+        return t.append_column("segment", pa.array(seg))
+
+    return per2.map_batches(segment, batch_format="pyarrow").sort(["o_custkey"])
+
+
 def q_ship_priority(sf_dir: str):
     """TPC-H Q3 analog (shipping-priority): top-10 unshipped BUILDING-
     segment orders by outstanding revenue at 1996-03-15.  Scale shape:
@@ -7036,6 +7118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_heatmap": q_activity_heatmap,
         "ship_priority": q_ship_priority,
         "bot_flags": q_bot_flags,
+        "rfm_segments": q_rfm_segments,
         "snap_lines": q_snap_lines,
         "line_interp": q_line_interp,
         "user_changepoint": q_user_changepoint,
@@ -7481,6 +7564,31 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        "rfm_segments": """
+            WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS od,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                AS cents
+                       FROM orders),
+            per AS (SELECT o_custkey, max(od) AS last_od,
+                           count(*) AS freq,
+                           CAST(sum(cents) AS BIGINT) AS monetary_cents
+                    FROM o GROUP BY 1),
+            a AS (SELECT max(last_od) AS anchor FROM per),
+            per2 AS (SELECT o_custkey,
+                            ((SELECT anchor FROM a) - last_od)
+                              // 86400000000 AS recency_days,
+                            CAST(freq AS BIGINT) AS freq, monetary_cents
+                     FROM per),
+            m AS (SELECT quantile_disc(recency_days, 0.5) AS mr,
+                         quantile_disc(freq, 0.5) AS mf,
+                         quantile_disc(monetary_cents, 0.5) AS mm
+                  FROM per2)
+            SELECT o_custkey, recency_days, freq, monetary_cents,
+                   CAST((CASE WHEN recency_days <= m.mr THEN 1 ELSE 0 END)
+                      + 2 * (CASE WHEN freq >= m.mf THEN 1 ELSE 0 END)
+                      + 4 * (CASE WHEN monetary_cents >= m.mm
+                             THEN 1 ELSE 0 END) AS BIGINT) AS segment
+            FROM per2, m ORDER BY o_custkey""",
         "ship_priority": """
             WITH o AS (SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS odate_us
                        FROM orders o

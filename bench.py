@@ -194,7 +194,7 @@ def run_queries(sf_dir: str) -> dict:
         "readability", "sentence_stats", "postings", "line_densify",
         "link_predict", "coverage_gaps", "entry_exit", "kmv_distinct",
         "tile_diff", "zone_lines", "embed_range", "degree_assort", "seasonal_mase", "q6_revenue",
-        "activity_heatmap", "ship_priority", "bot_flags",
+        "activity_heatmap", "ship_priority", "bot_flags", "rfm_segments",
     ]
     import gc
 
