@@ -6854,28 +6854,19 @@ def q_zone_lines(sf_dir: str):
     from cloudtile_ray.stages.lines import extract_lines
 
     def to_segments(t: pa.Table) -> pa.Table:
-        lon = t.column("ln_lon").combine_chunks()
-        lat = t.column("ln_lat").combine_chunks()
-        offs = lon.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        x = np.rint(lon.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
-        y = np.rint(lat.flatten().to_numpy(zero_copy_only=False) * 1000.0).astype(np.int64)
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        npts = np.diff(offs)
-        nseg = np.maximum(npts - 1, 0)
-        doc_r = np.repeat(doc, nseg)
-        # per-row local segment index
-        seg_no = np.arange(int(nseg.sum()), dtype=np.int64) - np.repeat(
-            np.cumsum(nseg) - nseg, nseg
-        )
-        starts = np.repeat(offs[:-1], nseg) + seg_no
+        # reuse the shared chevron parser (validates the 3-vertex
+        # invariant; seg_id = doc*2 + arm), re-keyed to the oracle's
+        # (doc_id, seg_no in {1, 2}) numbering
+        s = _chevron_arm_segments(t)
+        seg_id = s.column("seg_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(doc_r),
-                "seg_no": pa.array(seg_no + 1),
-                "x1": pa.array(x[starts]),
-                "y1": pa.array(y[starts]),
-                "x2": pa.array(x[starts + 1]),
-                "y2": pa.array(y[starts + 1]),
+                "doc_id": pa.array(seg_id // 2),
+                "seg_no": pa.array(seg_id % 2 + 1),
+                "x1": s.column("ax_mi"),
+                "y1": s.column("ay_mi"),
+                "x2": s.column("bx_mi"),
+                "y2": s.column("by_mi"),
             }
         )
 

@@ -1401,7 +1401,11 @@ def session_entry_exit(ds, gap_us: int = 3_600_000_000) -> "ray.data.Dataset":
         pair = pd.DataFrame(
             {"entry_type": entry, "exit_type": exit_, "b": bounce.astype(np.int64)}
         )
-        agg = pair.groupby(["entry_type", "exit_type"], sort=False).agg(
+        # dropna=False: a null entry/exit type is a real group (SQL GROUP
+        # BY keeps NULL keys; pandas' default silently drops them)
+        agg = pair.groupby(
+            ["entry_type", "exit_type"], sort=False, dropna=False
+        ).agg(
             n_sessions=("b", "size"), n_bounce=("b", "sum")
         ).reset_index()
         return pa.table(
@@ -1483,6 +1487,10 @@ def seasonal_naive_error(ds, season: int = 24) -> "ray.data.Dataset":
             ok24 = (i24 < len(hh)) & (hh[np.minimum(i24, len(hh) - 1)] == hh - season)
             ok1 = (i1 < len(hh)) & (hh[np.minimum(i1, len(hh) - 1)] == hh - 1)
             ok = ok24 & ok1
+            if not ok.any():
+                # no evaluable hour for this type: the oracle's inner
+                # joins emit no row, so neither do we
+                continue
             sae_s = int(np.abs(nn[ok] - nn[i24[ok]]).sum())
             sae_n = int(np.abs(nn[ok] - nn[i1[ok]]).sum())
             rows.append(
@@ -1555,8 +1563,14 @@ def user_bot_features(ds, burst_threshold: int = 20, mono_threshold: int = 50):
         tcodes, uniq_types = pd.factorize(et)
         ntc = np.int64(max(len(uniq_types), 1))
         n_types = np.zeros(len(users), dtype=np.int64)
-        # distinct (user, type) pairs via one packed-key unique
-        tkey = np.unique(inv.astype(np.int64) * ntc + tcodes)
+        # distinct (user, type) pairs via one packed-key unique; null
+        # types factorize to -1 and must not count (SQL's
+        # count(DISTINCT ...) ignores NULLs — and an unmasked -1 would
+        # credit the wrong user via negative indexing)
+        valid = tcodes >= 0
+        tkey = np.unique(
+            inv.astype(np.int64)[valid] * ntc + tcodes[valid]
+        )
         np.add.at(n_types, tkey // ntc, 1)
         hour = ts // 3_600_000_000
         hkey, hcnt = np.unique(

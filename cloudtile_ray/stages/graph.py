@@ -830,9 +830,12 @@ def common_neighbor_pairs(
     )
 
     if canon.size_bytes() <= int(broadcast_byte_budget):
-        et = pa.concat_tables(
-            [pa.table(b) for b in canon.iter_batches(batch_format="pyarrow")]
-        )
+        batches = [
+            pa.table(b) for b in canon.iter_batches(batch_format="pyarrow")
+        ]
+        if not batches:  # empty edge list: nothing can be adjacent
+            return scored
+        et = pa.concat_tables(batches)
         eu = et.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
         ev = et.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
         if ids_fit_u32:
@@ -966,7 +969,10 @@ def degree_assortativity(
         Sum("sx", alias_name="sx"),
         Sum("sxx", alias_name="sxx"),
     )
-    n, sxy, sx, sxx = (int(agg[k]) for k in ("n", "sxy", "sx", "sxx"))
+    n, sxy, sx, sxx = (
+        int(agg[k]) if agg.get(k) is not None else 0
+        for k in ("n", "sxy", "sx", "sxx")
+    )
     num = n * sxy - sx * sx
     den = n * sxx - sx * sx
     return ray.data.from_arrow(
@@ -978,8 +984,10 @@ def degree_assortativity(
                 "sxx": pa.array([sxx], pa.int64()),
                 "num": pa.array([num], pa.int64()),
                 "den": pa.array([den], pa.int64()),
+                # den == 0 (degree-regular graph): SQL's x/0 is NULL —
+                # mirror it, never a fabricated 0.0
                 "assortativity": pa.array(
-                    [float(num) / den if den else 0.0], pa.float64()
+                    [float(num) / den if den else None], pa.float64()
                 ),
             }
         )

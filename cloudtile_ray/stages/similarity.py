@@ -654,7 +654,9 @@ def range_search(ds, queries: np.ndarray, query_ids: np.ndarray, theta: float):
     no similarity sits within float-noise of ``theta``; random-real
     corpora satisfy that with probability 1).  Zero exchanges, output
     bounded by the hit count."""
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    # normalize ONCE before the broadcast — every batch probe reuses the
+    # unit rows zero-copy from the object store
+    qref = ray.put(_normalize(np.asarray(queries, dtype=np.float64)))
     idref = ray.put(np.asarray(query_ids, dtype=np.int64))
 
     def probe(batch: pa.Table) -> pa.Table:
@@ -666,7 +668,7 @@ def range_search(ds, queries: np.ndarray, query_ids: np.ndarray, theta: float):
         )
         if batch.num_rows == 0 or "vec_id" not in batch.column_names:
             return empty
-        Q = _normalize(np.asarray(ray.get(qref), dtype=np.float64))
+        Q = ray.get(qref)
         qids = ray.get(idref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         V = np.stack(

@@ -377,8 +377,11 @@ def kmv_sketch(ds, col: str, k: int = 64, mult: int = 2654435761, mod: int = 1 <
     ).map_batches(lambda t: t.select(["hv"]), batch_format="pyarrow")
     smallest = distinct.sort("hv").limit(k).take_all()
     hs = sorted(r["hv"] for r in smallest)
-    kth = hs[-1]
-    est = (k - 1) * float(mod) / kth if len(hs) == k else float(len(hs))
+    if not hs:
+        kth, est = 0, 0.0
+    else:
+        kth = hs[-1]
+        est = (k - 1) * float(mod) / kth if len(hs) == k else float(len(hs))
     return ray.data.from_arrow(
         pa.table(
             {

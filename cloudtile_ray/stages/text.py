@@ -1441,15 +1441,14 @@ def build_postings(
         max_df = int(math.floor(max_df_ratio * ds.count()))
     pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow").materialize()
     df = bucketed_group_aggregate(pairs, ["tok"], [("tok", "count", "df")])
-    sel = df.map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.greater_equal(t.column("df"), min_df),
-                pc.less_equal(t.column("df"), max_df),
-            )
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+
+    def band(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("df"), min_df)
+        if max_df is not None:  # None = no upper cap
+            keep = pc.and_(keep, pc.less_equal(t.column("df"), max_df))
+        return t.filter(keep)
+
+    sel = df.map_batches(band, batch_format="pyarrow").materialize()
     survivors = broadcast_lookup(pairs, sel, on=["tok"], semi=True)
     as_str = survivors.map_batches(
         lambda t: t.append_column(
