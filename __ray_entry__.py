@@ -7387,7 +7387,8 @@ def oracle_sql() -> dict[str, str]:
                       * CAST(1073741824 AS UBIGINT)
                     + CAST(CAST(r1 AS BIGINT) + 536870912 AS UBIGINT) AS hex_cell
                   FROM fx)
-        SELECT hex_cell, count(*) AS n_docs FROM cells GROUP BY 1"""
+        SELECT CAST(hex_cell AS BIGINT) AS hex_cell, count(*) AS n_docs
+        FROM cells GROUP BY 1"""
     # raster_roundtrip oracle: the zone rings are rectangles (zone_rings,
     # sources/pages.py:192-204), where even-odd center sampling
     # (geo/raster.py:17-47) reduces to the half-open box predicate — see
@@ -7508,14 +7509,13 @@ def oracle_sql() -> dict[str, str]:
     # hex_smooth: reuse the hex_density replay up to its `cells` CTE, then
     # ring-1 scatter in PACKED space (cell + dq·2³⁰ + dr; offsets match
     # geo/hexgrid.py RING1_PACKED_OFFSETS)
-    _hex_prefix = hex_density_sql.rsplit("SELECT hex_cell,", 1)[0].rstrip()
+    _hex_prefix = hex_density_sql.rsplit("SELECT CAST(hex_cell", 1)[0].rstrip()
     hex_smooth_sql = f"""{_hex_prefix},
         counts AS (SELECT hex_cell, count(*) AS n FROM cells GROUP BY 1),
         offs AS (SELECT CAST(off AS BIGINT) AS off FROM (VALUES
                    (0), (1073741824), (1073741823), (-1),
                    (-1073741824), (-1073741823), (1)) o(off)),
-        sc AS (SELECT CAST(CAST(hex_cell AS BIGINT) + off AS UBIGINT)
-                 AS hex_cell, n
+        sc AS (SELECT CAST(hex_cell AS BIGINT) + off AS hex_cell, n
                FROM counts CROSS JOIN offs)
         SELECT hex_cell, CAST(sum(n) AS BIGINT) AS n_smooth
         FROM sc GROUP BY 1"""
@@ -7973,7 +7973,8 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY CAST(abs(num) AS DOUBLE)
                                       / CAST(den AS DOUBLE) DESC, k) AS rn
                   FROM d)
-            SELECT user_id, k AS k_split, n AS n_events, num, den, diff
+            SELECT user_id, k AS k_split, n AS n_events,
+                   CAST(num AS BIGINT) AS num, den, diff
             FROM r WHERE rn = 1""",
         "containment": f"""
             WITH {_SHINGLE_CTE.strip()},

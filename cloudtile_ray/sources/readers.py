@@ -7,10 +7,10 @@ The reference's ``VectorFile`` accepts {geojson, gpkg, parquet}
 construction (geofile.py:138-145); we mirror that registry and extend it
 with the formats this engine natively parses (json, csv).  ``.geojson`` is
 parsed into the engine's feature columns (doc_id, lon, lat, footprint_mi,
-line_mi, + scalar properties) inside a Ray task; ``.gpkg`` is a SQLite
-container that needs GDAL/OGR — absent in this environment — so it gets a
-specific actionable error instead of the generic unsupported-suffix one
-(VERDICT r3 missing #1).
+line_mi, + scalar properties) inside a Ray task; ``.gpkg`` parses natively
+via stdlib sqlite3 + a small WKB codec (sources/gpkg.py) — no GDAL — into
+the exact same feature columns, so both suffixes of the reference's
+registry load without shelling out.
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from cloudtile_ray.stages.util import strip_schema_metadata
 
-ALLOWED_SUFFIXES = {"geojson", "parquet", "json", "csv"}
+ALLOWED_SUFFIXES = {"geojson", "gpkg", "parquet", "json", "csv"}
 
 
 def _read_parquet(path: str):
@@ -103,6 +103,19 @@ def parse_geojson_features(payload: bytes | str) -> pa.Table:
         for k, v in (f.get("properties") or {}).items():
             if isinstance(v, (str, int, float, bool)) or v is None:
                 prop_cols.setdefault(k, [None] * n)[i] = v
+    return assemble_feature_table(n, lon, lat, footprint, line, prop_cols)
+
+
+def assemble_feature_table(
+    n: int,
+    lon: np.ndarray,
+    lat: np.ndarray,
+    footprint: list,
+    line: list,
+    prop_cols: dict[str, list],
+) -> pa.Table:
+    """Shared tail of the geojson/gpkg parsers: doc_id resolution +
+    property-column typing over pre-extracted geometry arrays."""
     cols: dict[str, pa.Array] = {}
     # doc_id from properties only when every present value is an integer
     # (bool excluded); string/float ids stay a plain property column and
@@ -162,9 +175,31 @@ def _read_geojson(path: str):
     return raw.map_batches(parse, batch_format="pyarrow")
 
 
+def _read_gpkg(path: str):
+    """GeoPackage reader: one Ray task deserializes one file's bytes into
+    an in-memory SQLite connection and parses the feature tables
+    (sources/gpkg.py) — the same per-file unit of work the reference
+    hands ogr2ogr (geofile.py:151-163).  A directory of .gpkg files
+    parses file-parallel; corpus-scale inputs arrive as parquet."""
+    import ray.data
+
+    from cloudtile_ray.sources.gpkg import read_gpkg_bytes
+
+    raw = ray.data.read_binary_files(path)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = [read_gpkg_bytes(b.as_py()) for b in batch.column("bytes")]
+        if not tables:
+            return assemble_feature_table(0, np.empty(0), np.empty(0), [], [], {})
+        return pa.concat_tables(tables, promote_options="default")
+
+    return raw.map_batches(parse, batch_format="pyarrow")
+
+
 READERS: dict[str, Callable[[str], "ray.data.Dataset"]] = {
     "parquet": _read_parquet,
     "geojson": _read_geojson,
+    "gpkg": _read_gpkg,
     "json": _read_json,
     "csv": _read_csv,
 }
@@ -173,23 +208,13 @@ READERS: dict[str, Callable[[str], "ray.data.Dataset"]] = {
 def load_source(origin: str) -> "ray.data.Dataset":
     """Suffix-dispatch a source path to its reader. Missing file ->
     FileNotFoundError (FilePath existence check parity, geofile.py:268-271);
-    unsupported suffix -> ValueError (geofile.py:138-145 parity); .gpkg ->
-    a specific requires-GDAL ValueError (the format is in the reference's
-    ALLOWED_SUFFIXES but needs an OGR driver this environment lacks)."""
+    unsupported suffix -> ValueError (geofile.py:138-145 parity)."""
     p = Path(origin)
     if not p.exists():
         raise FileNotFoundError(f"{origin} not found")
     if p.is_dir():  # a directory of parquet part files (our own sink layout)
         return _read_parquet(str(p))
     suffix = p.suffix.lstrip(".").lower()
-    if suffix == "gpkg":
-        raise ValueError(
-            f"{origin}: .gpkg (GeoPackage) is a SQLite/OGR container and "
-            "requires GDAL, which is not available in this environment; "
-            "convert to .geojson or .parquet first "
-            "(reference parity: geofile.py:136 lists gpkg, but its parse "
-            "is delegated to ogr2ogr)"
-        )
     if suffix not in READERS:
         raise ValueError(
             f"{suffix!r} is not a supported format; expected one of "

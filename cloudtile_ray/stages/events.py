@@ -1476,6 +1476,11 @@ def seasonal_naive_error(ds, season: int = 24) -> "ray.data.Dataset":
         et = g.column("event_type").to_numpy(zero_copy_only=False)
         h = g.column("h").to_numpy(zero_copy_only=False)
         n = g.column("n").to_numpy(zero_copy_only=False)
+        # null event_type: the oracle's inner self-joins drop NULL-type
+        # groups, and np.unique on a None-bearing object array raises —
+        # mask them out (mirrors user_bot_features)
+        keep = np.array([t is not None for t in et], dtype=bool)
+        et, h, n = et[keep], h[keep], n[keep]
         rows = []
         for typ in np.unique(et):
             m = et == typ

@@ -914,6 +914,26 @@ def degree_assortativity(
         lambda t: t.select(["u", "v"]), batch_format="pyarrow"
     ).materialize()
 
+    def _null_moments():
+        # empty edge list: SQL's count(*) is 0 but sum() over zero rows
+        # is NULL — emit NULL moment columns to match the oracle
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_directed": pa.array([0], pa.int64()),
+                    "sxy": pa.array([None], pa.int64()),
+                    "sx": pa.array([None], pa.int64()),
+                    "sxx": pa.array([None], pa.int64()),
+                    "num": pa.array([None], pa.int64()),
+                    "den": pa.array([None], pa.int64()),
+                    "assortativity": pa.array([None], pa.float64()),
+                }
+            )
+        )
+
+    if canon.count() == 0:
+        return _null_moments()
+
     def endpoints(t: pa.Table) -> pa.Table:
         u = t.column("u").combine_chunks()
         v = t.column("v").combine_chunks()
@@ -969,10 +989,9 @@ def degree_assortativity(
         Sum("sx", alias_name="sx"),
         Sum("sxx", alias_name="sxx"),
     )
-    n, sxy, sx, sxx = (
-        int(agg[k]) if agg.get(k) is not None else 0
-        for k in ("n", "sxy", "sx", "sxx")
-    )
+    if agg is None or agg.get("n") is None:
+        return _null_moments()
+    n, sxy, sx, sxx = (int(agg[k]) for k in ("n", "sxy", "sx", "sxx"))
     num = n * sxy - sx * sx
     den = n * sxx - sx * sx
     return ray.data.from_arrow(

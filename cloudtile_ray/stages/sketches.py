@@ -367,6 +367,13 @@ def kmv_sketch(ds, col: str, k: int = 64, mult: int = 2654435761, mod: int = 1 <
         x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
         if (x < 0).any():
             raise ValueError("kmv_sketch requires non-negative keys")
+        # keys above 2^63 // mult would wrap int64 in x * mult while a
+        # SQL oracle promotes to HUGEINT — reject them so the
+        # bit-exact-replay contract holds on the full accepted domain
+        if (x >= (1 << 63) // mult).any():
+            raise ValueError(
+                f"kmv_sketch keys must be < 2**63 // mult ({(1 << 63) // mult})"
+            )
         hv = (x * np.int64(mult)) % np.int64(mod)
         u = np.unique(hv)
         return pa.table({"hv": pa.array(u[:k])})

@@ -84,9 +84,13 @@ def main() -> int:
         ok_vals = False
         if ok_rows and ok_cols:
             try:
+                # dtype-strict: the driver's value hash is dtype-sensitive
+                # (an int64 engine column vs a DuckDB HUGEINT→float64
+                # fetchdf column hash-mismatches even when numerically
+                # equal), so the local gate must be too
                 pd.testing.assert_frame_equal(
                     got.reset_index(drop=True), want.reset_index(drop=True),
-                    check_dtype=False, check_exact=True,
+                    check_dtype=True, check_exact=True,
                 )
                 ok_vals = True
             except AssertionError as e:

@@ -5091,3 +5091,59 @@ def test_user_bot_features_brute_force(ray_session):
     }
     assert got == want
     assert got[99][3] == 1
+
+
+def test_degree_assortativity_empty_graph(ray_session):
+    """ADVICE r4: empty edge list — SQL's sum() over zero rows is NULL,
+    so the moment columns must be NULL (n_directed stays count=0)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.graph import degree_assortativity
+
+    t = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = degree_assortativity(ray.data.from_arrow(t)).to_pandas()
+    assert int(out.n_directed[0]) == 0
+    for c in ("sxy", "sx", "sxx", "num", "den", "assortativity"):
+        assert out[c].isna().all(), c
+
+
+def test_seasonal_naive_error_null_event_type(ray_session):
+    """ADVICE r4: null event_type rows are skipped (the oracle's inner
+    self-joins drop NULL-type groups), not a TypeError in np.unique."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import seasonal_naive_error
+
+    hours = [0, 1, 24, 25, 0, 1, 24, 25]
+    et = ["x", "x", "x", "x", None, None, None, None]
+    t = pa.table(
+        {
+            "event_type": pa.array(et, pa.string()),
+            "ts_us": pa.array(
+                [h * 3_600_000_000 for h in hours], pa.int64()
+            ),
+        }
+    )
+    out = seasonal_naive_error(
+        ray.data.from_arrow(t), season=24
+    ).to_pandas()
+    assert out.event_type.tolist() == ["x"]
+    assert int(out.n_eval[0]) == 1  # hour 25 has both h-24 and h-1
+
+
+def test_kmv_sketch_rejects_overflowing_keys(ray_session):
+    """ADVICE r4: keys >= 2**63 // mult would wrap int64 where a SQL
+    oracle promotes to HUGEINT — the stage must reject them to keep its
+    bit-exact-replay contract."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from cloudtile_ray.stages.sketches import kmv_sketch
+
+    big = (1 << 63) // 2654435761 + 1
+    t = pa.table({"k": pa.array([1, 2, big], pa.int64())})
+    with pytest.raises(Exception, match="kmv_sketch keys"):
+        kmv_sketch(ray.data.from_arrow(t), "k", k=4).to_pandas()
