@@ -2470,6 +2470,92 @@ def q_rolling_fp(sf_dir: str):
     )
 
 
+def q_gpkg_roundtrip(sf_dir: str):
+    """Certified native-.gpkg format dispatch (r4 verdict item 3): a
+    bounded 1/37 sample of geocoded pages is written to a real
+    GeoPackage file (sources/gpkg.py writer — stdlib sqlite3 + WKB) and
+    read back through ``load_source``'s suffix dispatch, recovering the
+    exact integer milli-degree coordinates (float64 WKB round-trips
+    ``mi/1000.0`` exactly; ``rint(deg*1000)`` inverts it).  The gather
+    is the fixture write, not a pipeline stage — corpus-scale inputs
+    arrive as parquet; .gpkg is the reference's interchange format
+    (geofile.py:136)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.sources.gpkg import write_gpkg
+    from cloudtile_ray.sources.readers import load_source
+
+    pts = (
+        _geo_only(sf_dir)
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(
+                    pa.array(
+                        t.column("doc_id").to_numpy(zero_copy_only=False) % 37
+                    ),
+                    0,
+                )
+            ).select(["doc_id", "lon_mi", "lat_mi"]),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    path = f"/tmp/gpkg_roundtrip_{sf_dir.strip('/').replace('/', '_')}.gpkg"
+    if os.path.exists(path):
+        os.remove(path)
+    write_gpkg(
+        path,
+        [
+            {
+                "doc_id": int(r["doc_id"]),
+                "lon": r["lon_mi"] / 1000.0,
+                "lat": r["lat_mi"] / 1000.0,
+            }
+            for r in pts
+        ],
+        geometry_type="POINT",
+    )
+
+    def back_to_mi(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lon_mi": pa.array(np.rint(lon * 1000.0).astype(np.int64)),
+                "lat_mi": pa.array(np.rint(lat * 1000.0).astype(np.int64)),
+            }
+        )
+
+    return load_source(path).map_batches(back_to_mi, batch_format="pyarrow")
+
+
+def q_media_histogram(sf_dir: str):
+    """Certified multimodal plumbing (r4 verdict item 7): the actor-pool
+    byte-histogram feature stage
+    (:class:`~cloudtile_ray.stages.multimodal.HistogramStub` — per-actor
+    state in ``__init__``, one Arrow batch per ``__call__``, small
+    batches) over SQL-replayable synthesized payloads
+    (``byte[j] = (media_id*31 + j*7 + 13) % 256``, lengths 64 + i%128).
+    Output is exploded pure-int64 rows (media_id, bin, n), so the
+    DuckDB generate_series oracle hash-matches exactly — the codec
+    stubs' fake float features are these counts / payload length."""
+    import ray.data
+
+    from cloudtile_ray.stages.multimodal import (
+        media_byte_histogram,
+        synthesize_media_table,
+    )
+
+    ds = ray.data.from_arrow(
+        synthesize_media_table(200, sql_replayable=True)
+    ).repartition(4)
+    return media_byte_histogram(ds)
+
+
 def q_media_decode(sf_dir: str):
     import ray.data
 
@@ -3709,13 +3795,29 @@ def q_float_quantiles(sf_dir: str):
 
 
 def q_name_pagerank(sf_dir: str):
-    """PageRank (10 damped power iterations) over the edit-distance-1
-    customer-name graph — certifies the iterative rank-propagation
-    operator (:func:`~cloudtile_ray.stages.graph.pagerank`).  Rows-only:
+    """Fixed-point PageRank (4 damped integer-mass power iterations, 17/20
+    damping with floor division) over the edit-distance-1 customer-name
+    graph (:func:`~cloudtile_ray.stages.graph.pagerank_fixed_point`).
+    Every per-round value is int64 and the only reduction is an integer
+    sum, so the result is EXACT under any parallelism and the SQL oracle
+    replays it bit-for-bit with unrolled CTE rounds (the kmv_distinct
+    pattern applied to the iterative-propagation family — r4 verdict
+    item 4)."""
+    from cloudtile_ray.stages.graph import pagerank_fixed_point
+
+    edges, _ = _name_graph_edges(sf_dir)
+    return pagerank_fixed_point(
+        edges, n_iters=4, id_cols=("id_a", "id_b")
+    ).sort(["node"])
+
+
+def q_name_pagerank_float(sf_dir: str):
+    """Classic float PageRank (10 damped power iterations) over the same
+    name graph — certifies the float rank-propagation operator
+    (:func:`~cloudtile_ray.stages.graph.pagerank`).  Rows-only:
     distributed float summation order is not fixed, so ranks reproduce
-    only to ~1e-12 — not hash-comparable SQL output (the integer-exact
-    graph queries name_clusters / name_triangles / name_hops carry the
-    oracle burden for this family)."""
+    only to ~1e-12 — not hash-comparable SQL output (name_pagerank's
+    integer-mass variant carries the exact-oracle burden)."""
     from cloudtile_ray.stages.graph import pagerank
 
     edges, _ = _name_graph_edges(sf_dir)
@@ -7305,6 +7407,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_recall": q_ivf_recall,
         "embed_clusters": q_embed_clusters,
         "name_pagerank": q_name_pagerank,
+        "media_histogram": q_media_histogram,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
+        "name_pagerank_float": q_name_pagerank_float,
         "media_decode": q_media_decode,
         "media_resize": q_media_resize,
         "media_frames": q_media_frames,
@@ -9882,6 +9987,67 @@ def oracle_sql() -> dict[str, str]:
                        SELECT sym.n, d3.dist + 1 FROM d3
                        JOIN sym ON sym.s = d3.node) GROUP BY node)
             SELECT node, dist FROM d4 ORDER BY node""",
+        # fixed-point PageRank: 4 unrolled integer-mass rounds.  share =
+        # (m * 17) // (20 * deg) — BIGINT floor division on both sides
+        # (numpy int64 // == DuckDB // for positive operands); the SUM
+        # promotes to HUGEINT so each round casts back to BIGINT.
+        "name_pagerank": """
+            WITH ids AS (SELECT c_name, min(c_custkey) AS node_id
+                         FROM customer GROUP BY c_name),
+            ed AS (SELECT ia.node_id AS a, ib.node_id AS b
+                   FROM ids ia JOIN ids ib ON ia.c_name < ib.c_name
+                   WHERE levenshtein(ia.c_name, ib.c_name) = 1),
+            sym AS (SELECT a AS s, b AS n FROM ed
+                    UNION ALL SELECT b, a FROM ed),
+            deg AS (SELECT s, CAST(count(*) AS BIGINT) AS d
+                    FROM sym GROUP BY s),
+            m0 AS (SELECT s AS node, d, CAST(1000000 AS BIGINT) AS m
+                   FROM deg),
+            m1 AS (SELECT g.node, deg.d, g.m FROM (
+                     SELECT sym.n AS node,
+                            CAST(150000 + sum((m0.m * 17) // (20 * m0.d))
+                                 AS BIGINT) AS m
+                     FROM sym JOIN m0 ON m0.node = sym.s GROUP BY sym.n) g
+                   JOIN deg ON deg.s = g.node),
+            m2 AS (SELECT g.node, deg.d, g.m FROM (
+                     SELECT sym.n AS node,
+                            CAST(150000 + sum((m1.m * 17) // (20 * m1.d))
+                                 AS BIGINT) AS m
+                     FROM sym JOIN m1 ON m1.node = sym.s GROUP BY sym.n) g
+                   JOIN deg ON deg.s = g.node),
+            m3 AS (SELECT g.node, deg.d, g.m FROM (
+                     SELECT sym.n AS node,
+                            CAST(150000 + sum((m2.m * 17) // (20 * m2.d))
+                                 AS BIGINT) AS m
+                     FROM sym JOIN m2 ON m2.node = sym.s GROUP BY sym.n) g
+                   JOIN deg ON deg.s = g.node),
+            m4 AS (SELECT g.node, g.m FROM (
+                     SELECT sym.n AS node,
+                            CAST(150000 + sum((m3.m * 17) // (20 * m3.d))
+                                 AS BIGINT) AS m
+                     FROM sym JOIN m3 ON m3.node = sym.s GROUP BY sym.n) g)
+            SELECT node, m AS mass FROM m4 ORDER BY node""",
+        # media_histogram: replay the arithmetic payload synthesis
+        # (multimodal.synthesize_media_table sql_replayable mode) and the
+        # 16-wide byte binning in pure integer SQL — certifies the
+        # actor-pool multimodal plumbing despite the codec stubs
+        "media_histogram": """
+            WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
+                              64 + CAST(i AS BIGINT) % 128 AS plen
+                       FROM generate_series(0, 199) t(i)),
+            b AS (SELECT m.media_id,
+                         (m.media_id * 31 + CAST(gs.j AS BIGINT) * 7 + 13)
+                           % 256 AS byte
+                  FROM m, generate_series(0, 191) gs(j)
+                  WHERE CAST(gs.j AS BIGINT) < m.plen)
+            SELECT media_id, byte // 16 AS bin, count(*) AS n
+            FROM b GROUP BY 1, 2""",
+        # gpkg_roundtrip: the engine writes/reads an actual GeoPackage;
+        # the oracle just names the integer coordinates the round-trip
+        # must recover exactly
+        "gpkg_roundtrip": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT doc_id, lon_mi, lat_mi FROM geo
+            WHERE doc_id % 37 = 0""",
         "skyline_parts": """
             WITH pts AS (SELECT p_partkey,
                                 CAST(p_size AS BIGINT) AS p_size,

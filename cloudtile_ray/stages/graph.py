@@ -583,6 +583,144 @@ def pagerank(
     )
 
 
+def pagerank_fixed_point(
+    edges,
+    n_iters: int = 4,
+    id_cols: tuple[str, str] = ("a", "b"),
+    mass0: int = 1_000_000,
+    base: int = 150_000,
+    damp_num: int = 17,
+    damp_den: int = 20,
+    num_buckets: int | None = None,
+    mass_byte_budget: int = 256 << 20,
+):
+    """Integer-mass damped power iteration (fixed-point PageRank) over an
+    undirected edge list -> Dataset (node, mass), EXACT under any
+    parallelism: every node starts with ``mass0`` integer units, each
+    round a node keeps the teleport ``base`` and receives
+    ``(m * damp_num) // (damp_den * deg)`` from each neighbor (floor
+    division — 17/20 = the usual 0.85 damping).  Because every per-round
+    value is an int64 and the only reduction is an integer sum,
+    distributed summation order cannot perturb the result — unlike the
+    float :func:`pagerank`, this variant replays bit-exactly in SQL
+    (unrolled-CTE oracle, same idiom as the name_hops BFS oracle) and is
+    CORRECTNESS-certifiable.
+
+    Scale shape per round (same as :func:`pagerank`): the node-sized
+    mass/deg table broadcasts onto the edge list under
+    ``mass_byte_budget`` (hash-join fallback beyond), contributions fold
+    through ONE dst-keyed bucket exchange, and the base add is a
+    vectorized map.  int64 bounds: total mass stays <= n_nodes * mass0 +
+    n_iters * n_nodes * base (the floor division only sheds mass), so
+    ~10^12 nodes at the default constants stays under 2^63."""
+    import ray.data
+
+    from cloudtile_ray.stages.relational import (
+        broadcast_lookup,
+        bucketed_group_aggregate,
+    )
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    a_col, b_col = id_cols
+    if num_buckets is None:
+        num_buckets = default_num_buckets(edges)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).combine_chunks().cast(pa.int64())
+        b = t.column(b_col).combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"src": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    deg = bucketed_group_aggregate(
+        sym.map_batches(
+            lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"
+        ),
+        ["node"],
+        [("node", "count", "deg")],
+        num_buckets=num_buckets,
+    ).materialize()
+    if deg.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "mass": pa.array([], pa.int64())}
+            )
+        )
+
+    mass = deg.map_batches(
+        lambda t, _m=mass0: pa.table(
+            {
+                "node": t.column("node"),
+                "deg": pc.cast(t.column("deg"), pa.int64()),
+                "mass": pa.array(np.full(t.num_rows, _m, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(n_iters):
+        contrib = broadcast_lookup(
+            sym,
+            mass.map_batches(
+                lambda t, _dn=damp_num, _dd=damp_den: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "share": pa.array(
+                            (
+                                t.column("mass").to_numpy(zero_copy_only=False)
+                                * np.int64(_dn)
+                            )
+                            // (
+                                np.int64(_dd)
+                                * t.column("deg").to_numpy(zero_copy_only=False)
+                            )
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            on=["src"],
+            right_on=["node"],
+            byte_budget=mass_byte_budget,
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t.column("dst"), "inflow": t.column("share")}
+            ),
+            batch_format="pyarrow",
+        )
+        inflow = bucketed_group_aggregate(
+            contrib, ["node"], [("inflow", "sum", "inflow")], num_buckets=num_buckets
+        )
+        # undirected graph: every node has deg >= 1 so every node receives
+        # inflow; keep deg riding along for the next round's share map
+        mass = broadcast_lookup(
+            deg,
+            inflow,
+            on=["node"],
+            right_on=["node"],
+            byte_budget=mass_byte_budget,
+        ).map_batches(
+            lambda t, _b=base: pa.table(
+                {
+                    "node": t.column("node"),
+                    "deg": pc.cast(t.column("deg"), pa.int64()),
+                    "mass": pa.array(
+                        np.int64(_b)
+                        + t.column("inflow")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return mass.map_batches(
+        lambda t: t.select(["node", "mass"]), batch_format="pyarrow"
+    )
+
+
 def kcore_peel(
     edges,
     k: int,

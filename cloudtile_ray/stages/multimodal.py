@@ -29,14 +29,36 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media rows (payload = seeded bytes)."""
+def synthesize_media_table(
+    n: int, seed: int = 42, sql_replayable: bool = False
+) -> pa.Table:
+    """Deterministic fake media rows.  Default payloads are seeded RNG
+    bytes; ``sql_replayable=True`` switches to the arithmetic rule
+    ``byte[j] = (media_id * 31 + j * 7 + 13) % 256`` over the same
+    lengths (64 + i % 128), which a DuckDB generate_series CTE can
+    replay exactly — the certified media_histogram oracle depends on
+    this mode."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
+    if sql_replayable:
+        payloads = [
+            (
+                (np.int64(i) * 31 + np.arange(64 + i % 128, dtype=np.int64) * 7 + 13)
+                % 256
+            )
+            .astype(np.uint8)
+            .tobytes()
+            for i in range(n)
+        ]
+    else:
+        payloads = [
+            rng.integers(0, 256, 64 + i % 128, dtype=np.uint8).tobytes()
+            for i in range(n)
+        ]
     rows = {
         "media_id": np.arange(n, dtype=np.int64),
         "kind": [kinds[i % 3] for i in range(n)],
-        "payload": [rng.integers(0, 256, 64 + i % 128, dtype=np.uint8).tobytes() for i in range(n)],
+        "payload": payloads,
         "mime": ["image/jpeg" if i % 3 == 0 else "audio/wav" if i % 3 == 1 else "video/mp4" for i in range(n)],
         "width": np.full(n, 640, dtype=np.int32),
         "height": np.full(n, 480, dtype=np.int32),
@@ -83,6 +105,60 @@ def decode_media(ds, fake: bool = True, concurrency: int = 2, batch_size: int = 
     return ds.map_batches(
         DecodeStub,
         fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class HistogramStub:
+    """Actor-pool byte-histogram feature extractor, the integer-count
+    core of ``DecodeStub._decode_fake`` (its float features are these
+    counts / payload length).  Emits EXPLODED rows (media_id, bin, n) —
+    pure int64 columns, so the stage is hash-certifiable against a
+    DuckDB generate_series oracle when payloads come from
+    ``synthesize_media_table(sql_replayable=True)``.  Same plumbing
+    contract as the codec stubs: per-actor state in ``__init__``, one
+    Arrow batch per ``__call__``, small batches for binary payloads."""
+
+    def __init__(self, bin_width: int = 16):
+        self.bin_width = bin_width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        bins_out: list[np.ndarray] = []
+        ns_out: list[np.ndarray] = []
+        mids = batch.column("media_id").to_numpy(zero_copy_only=False)
+        for mid, p in zip(mids, batch.column("payload")):
+            b = np.frombuffer(p.as_py(), dtype=np.uint8)
+            bins, counts = np.unique(b // self.bin_width, return_counts=True)
+            ids_out.append(np.full(len(bins), mid, dtype=np.int64))
+            bins_out.append(bins.astype(np.int64))
+            ns_out.append(counts.astype(np.int64))
+        if not ids_out:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "bin": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(ids_out)),
+                "bin": pa.array(np.concatenate(bins_out)),
+                "n": pa.array(np.concatenate(ns_out)),
+            }
+        )
+
+
+def media_byte_histogram(
+    ds, bin_width: int = 16, concurrency: int = 2, batch_size: int = 64
+):
+    """Actor-pool byte-histogram over media payloads -> (media_id, bin, n)."""
+    return ds.map_batches(
+        HistogramStub,
+        fn_constructor_kwargs={"bin_width": bin_width},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -5147,3 +5147,44 @@ def test_kmv_sketch_rejects_overflowing_keys(ray_session):
     t = pa.table({"k": pa.array([1, 2, big], pa.int64())})
     with pytest.raises(Exception, match="kmv_sketch keys"):
         kmv_sketch(ray.data.from_arrow(t), "k", k=4).to_pandas()
+
+
+def test_pagerank_fixed_point_brute_force(ray_session):
+    """Integer-mass damped power iteration: exact vs a dict-based replay
+    (share = m*17 // (20*deg), base 150000), independent of partitioning."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.graph import pagerank_fixed_point
+
+    rng = np.random.default_rng(41)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.integers(0, 18, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    sym: dict[int, list[int]] = {}
+    for u, v in edges:
+        sym.setdefault(u, []).append(v)
+        sym.setdefault(v, []).append(u)
+    mass = {v: 1_000_000 for v in sym}
+    for _ in range(4):
+        share = {u: (mass[u] * 17) // (20 * len(sym[u])) for u in sym}
+        mass = {
+            v: 150_000 + sum(share[u] for u in sym[v]) for v in sym
+        }
+    t = pa.table(
+        {
+            "a": pa.array([u for u, _ in edges], pa.int64()),
+            "b": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    out = pagerank_fixed_point(
+        ray.data.from_arrow(t).repartition(5), n_iters=4
+    ).to_pandas()
+    got = dict(zip(out.node, out.mass))
+    assert got == mass
+
+    # empty edge list -> empty (node, mass) table
+    e = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    assert pagerank_fixed_point(ray.data.from_arrow(e)).count() == 0
