@@ -83,6 +83,76 @@ def prep_events(batch: pa.Table) -> pa.Table:
     return out.append_column("value_cents", pa.array(np.rint(v * 100).astype(np.int64)))
 
 
+def first_conversion_latency(ds) -> "ray.data.Dataset":
+    """One ``latency_us`` row per CONVERTING user: (first purchase
+    strictly after the user's first view) − (first view).
+
+    ONE user-bucket exchange replaces the two-aggregate + two-hash-join
+    composition (r4 verdict item 5): view rows shrink map-side to
+    per-batch per-user minima before they ship; purchase rows ship raw
+    (a purchase earlier than the user's GLOBAL first view cannot be
+    pruned batch-side — the batch only knows its local view minimum);
+    the per-bucket kernel then resolves both dependent aggregates
+    vectorized (np.unique codes + minimum.at), no per-user Python.
+    Input needs (user_id, event_type, ts_us)."""
+    import pyarrow.compute as pc
+
+    nb = _n_user_buckets(ds)
+
+    def part(t: pa.Table) -> pa.Table:
+        isv = pc.equal(t.column("event_type"), "view")
+        isp = pc.equal(t.column("event_type"), "purchase")
+        vt = (
+            t.filter(isv)
+            .select(["user_id", "ts_us"])
+            .group_by(["user_id"])
+            .aggregate([("ts_us", "min")])
+        )
+        pt = t.filter(isp)
+        vu = vt.column("user_id").to_numpy(zero_copy_only=False)
+        vts = vt.column("ts_us_min").to_numpy(zero_copy_only=False)
+        pu = pt.column("user_id").to_numpy(zero_copy_only=False)
+        pts = pt.column("ts_us").to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "user_id": pa.array(
+                    np.concatenate([vu, pu]).astype(np.int64)
+                ),
+                "ts_us": pa.array(
+                    np.concatenate([vts, pts]).astype(np.int64)
+                ),
+                "is_p": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(vu), bool), np.ones(len(pu), bool)]
+                    )
+                ),
+            }
+        )
+        return _add_user_bucket(out, nb)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"latency_us": pa.array([], pa.int64())})
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        isp = g.column("is_p").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(u, return_inverse=True)
+        big = np.iinfo(np.int64).max
+        vmin = np.full(len(uniq), big, dtype=np.int64)
+        np.minimum.at(vmin, codes[~isp], ts[~isp])
+        cand = isp & (ts > vmin[codes])  # vmin == big -> never a candidate
+        pmin = np.full(len(uniq), big, dtype=np.int64)
+        np.minimum.at(pmin, codes[cand], ts[cand])
+        ok = pmin < big  # a finite pmin implies a finite vmin
+        return pa.table({"latency_us": pa.array(pmin[ok] - vmin[ok])})
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def running_totals(ds) -> "ray.data.Dataset":
     """Per-user running sum of value_cents in (ts, event_id) order —
     the cumulative-window operator.  Segmented cumsum over a user bucket
