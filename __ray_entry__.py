@@ -1401,6 +1401,22 @@ def q_value_sketch(sf_dir: str):
     return dd_quantiles(ds, "event_type", "value").sort(["event_type", "q"])
 
 
+def q_hll_registers(sf_dir: str):
+    """EXACT HyperLogLog register state per event_type
+    (:func:`cloudtile_ray.stages.sketches.hll_registers_exact`): one
+    (event_type, hllb, rho) row per non-empty register under the
+    SQL-replayable Knuth multiplicative hash — the kmv_distinct
+    certifiability pattern applied to the HLL family (r4 verdict item
+    4), so the sketch STATE is hash-certified and only the final scalar
+    estimate (hll_users, rows-only) remains a documented float map."""
+    from cloudtile_ray.stages.sketches import hll_registers_exact
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_registers_exact(ds, "event_type", "user_id")
+
+
 def q_hll_users(sf_dir: str):
     """Approximate distinct users per event_type via HyperLogLog (p=12,
     ~1.6% RSE) — the sketch scale path next to grouped_distinct_count's
@@ -7208,8 +7224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontam": q_ngram_decontam,
         "lm_score": q_lm_score,
         "value_outliers": q_value_outliers,
-        "fuzzy_names": q_fuzzy_names,
+        "hll_registers": q_hll_registers,
         # --- window boundary ----------------------------------------
+        "fuzzy_names": q_fuzzy_names,
         # never-driver-certified exact oracles beyond the 50 slots —
         # all green in the builder's full dtype-strict local DuckDB
         # sweep (scripts/check_correctness.py, one command)
@@ -10004,6 +10021,23 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT) AS m
                      FROM sym JOIN m3 ON m3.node = sym.s GROUP BY sym.n) g)
             SELECT node, m AS mass FROM m4 ORDER BY node""",
+        # hll_registers: replay the Knuth multiplicative hash in HUGEINT
+        # (wrap == % 2**64), bucket = low 12 bits, rank word = high 52;
+        # bit_length replayed exactly via length(bin(w)) (string-exact,
+        # no float log2); rho = (64-12) - bit_length + 1 = 53 - len
+        "hll_registers": """
+            WITH h AS (SELECT event_type,
+                         CAST((CAST(user_id AS HUGEINT)
+                               * 11400714819323198485)
+                              % 18446744073709551616 AS UBIGINT) AS h
+                       FROM events),
+            r AS (SELECT event_type, CAST(h % 4096 AS BIGINT) AS hllb,
+                         CAST(53 - (CASE WHEN h // 4096 = 0 THEN 0
+                                         ELSE length(bin(h // 4096)) END)
+                              AS BIGINT) AS rho
+                  FROM h)
+            SELECT event_type, hllb, max(rho) AS rho
+            FROM r GROUP BY 1, 2""",
         # media_histogram: replay the arithmetic payload synthesis
         # (multimodal.synthesize_media_table sql_replayable mode) and the
         # 16-wide byte binning in pure integer SQL — certifies the

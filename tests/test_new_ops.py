@@ -5188,3 +5188,32 @@ def test_pagerank_fixed_point_brute_force(ray_session):
     # empty edge list -> empty (node, mass) table
     e = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     assert pagerank_fixed_point(ray.data.from_arrow(e)).count() == 0
+
+
+def test_hll_registers_exact_brute_force(ray_session):
+    """Register state equals a dict replay of the Knuth multiplicative
+    hash (bucket = low p bits, rho = (64-p) - bitlen + 1), exact under
+    partitioning — the SQL-certifiable HLL variant."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.sketches import hll_registers_exact
+
+    rng = np.random.default_rng(53)
+    keys = rng.integers(0, 100_000, 5000).astype(np.int64)
+    grp = np.array(["a", "b"])[rng.integers(0, 2, 5000)]
+    p, mult = 12, 0x9E3779B97F4A7C15
+    want: dict = {}
+    for g, x in zip(grp, keys):
+        h = (int(x) * mult) % (1 << 64)
+        b = h & ((1 << p) - 1)
+        w = h >> p
+        rho = (64 - p) - w.bit_length() + 1
+        k = (str(g), int(b))
+        want[k] = max(want.get(k, 0), rho)
+    t = pa.table({"g": pa.array(grp.tolist()), "k": pa.array(keys)})
+    out = hll_registers_exact(
+        ray.data.from_arrow(t).repartition(7), "g", "k", p=p, mult=mult
+    ).to_pandas()
+    got = {(r.g, int(r.hllb)): int(r.rho) for r in out.itertuples(index=False)}
+    assert got == want
