@@ -593,6 +593,7 @@ def pagerank_fixed_point(
     damp_den: int = 20,
     num_buckets: int | None = None,
     mass_byte_budget: int = 256 << 20,
+    driver_gate_bytes: int = 64 << 20,
 ):
     """Integer-mass damped power iteration (fixed-point PageRank) over an
     undirected edge list -> Dataset (node, mass), EXACT under any
@@ -606,8 +607,15 @@ def pagerank_fixed_point(
     (unrolled-CTE oracle, same idiom as the name_hops BFS oracle) and is
     CORRECTNESS-certifiable.
 
-    Scale shape per round (same as :func:`pagerank`): the node-sized
-    mass/deg table broadcasts onto the edge list under
+    Small-graph fast path (``driver_gate_bytes``, the CC driver
+    union-find idiom): a symmetrized edge list under the gate gathers
+    once and iterates in numpy — the IDENTICAL integer ops, so the
+    result is bit-equal to the distributed path (forced-distributed
+    parity pinned in tests); a dimension-sized graph otherwise pays ~3
+    fixed-cost Ray executions per round.
+
+    Distributed scale shape per round (same as :func:`pagerank`): the
+    node-sized mass/deg table broadcasts onto the edge list under
     ``mass_byte_budget`` (hash-join fallback beyond), contributions fold
     through ONE dst-keyed bucket exchange, and the base add is a
     vectorized map.  int64 bounds: total mass stays <= n_nodes * mass0 +
@@ -633,6 +641,36 @@ def pagerank_fixed_point(
         )
 
     sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    if (sym.size_bytes() or 0) <= int(driver_gate_bytes):
+        st_batches = [
+            pa.table(b) for b in sym.iter_batches(batch_format="pyarrow")
+        ]
+        st = pa.concat_tables(st_batches) if st_batches else None
+        if st is None or st.num_rows == 0:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "mass": pa.array([], pa.int64()),
+                    }
+                )
+            )
+        src = st.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = st.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        # sym holds both directions, so src alone covers every endpoint
+        nodes, codes_src = np.unique(src, return_inverse=True)
+        codes_dst = np.searchsorted(nodes, dst)
+        degv = np.bincount(codes_src, minlength=len(nodes)).astype(np.int64)
+        m = np.full(len(nodes), mass0, dtype=np.int64)
+        for _ in range(n_iters):
+            share = (m * np.int64(damp_num)) // (np.int64(damp_den) * degv)
+            inflow = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(inflow, codes_dst, share[codes_src])
+            m = np.int64(base) + inflow
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "mass": pa.array(m)})
+        )
     deg = bucketed_group_aggregate(
         sym.map_batches(
             lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"

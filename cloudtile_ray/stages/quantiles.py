@@ -87,19 +87,46 @@ def _collect_bracket(slim, column: str, lo: int, hi: int) -> np.ndarray:
     return np.sort(np.concatenate(parts or [np.array([], dtype=np.int64)]))
 
 
-def _prep_column(ds, column: str, materialize: bool):
+def _prep_column(
+    ds, column: str, materialize: bool, driver_gate_bytes: int = 8 << 20
+):
     """Project to the one column (+ global count/min/max) shared by every
-    selection entry point."""
+    selection entry point.  Returns ``(slim, n, glo, ghi, vals)`` where
+    ``vals`` is the SORTED gathered column when the materialized
+    projection fits ``driver_gate_bytes`` (byte-gated driver path — rank
+    selection over a dimension-grain table then costs zero further Ray
+    executions; ranks picked from a sorted array are the identical
+    values the distributed refinement resolves) and None beyond the gate
+    (stats come from one dataset aggregate; refinement stays
+    distributed)."""
     from ray.data.aggregate import Count, Max, Min
 
     slim = ds.map_batches(lambda t: t.select([column]), batch_format="pyarrow")
     if materialize:
         slim = slim.materialize()
+        if (slim.size_bytes() or driver_gate_bytes + 1) <= driver_gate_bytes:
+            parts = [
+                t.column(column).to_numpy(zero_copy_only=False)
+                for t in slim.iter_batches(batch_format="pyarrow")
+            ]
+            vals = np.sort(
+                np.concatenate(parts or [np.array([], dtype=np.int64)])
+            )
+            n = len(vals)
+            if n == 0:
+                raise ValueError("exact selection on an empty dataset")
+            return slim, n, int(vals[0]), int(vals[-1]), vals
     stats = slim.aggregate(Count(), Min(column), Max(column))
     n = int(stats["count()"])
     if n == 0:
         raise ValueError("exact selection on an empty dataset")
-    return slim, n, int(stats[f"min({column})"]), int(stats[f"max({column})"])
+    return (
+        slim,
+        n,
+        int(stats[f"min({column})"]),
+        int(stats[f"max({column})"]),
+        None,
+    )
 
 
 def exact_quantiles(
@@ -109,13 +136,21 @@ def exact_quantiles(
     bucket_count: int = 128,
     collect_threshold: int = 65536,
     materialize: bool = True,
+    driver_gate_bytes: int = 8 << 20,
 ) -> pa.Table:
     """Exact quantiles of integer ``column`` at the given {name: q}
     fractions; returns a one-row Arrow table with one int64 column per
     name.  See module docstring for the algorithm and rank convention."""
-    slim, n, glo, ghi = _prep_column(ds, column, materialize)
+    slim, n, glo, ghi, vals = _prep_column(
+        ds, column, materialize, driver_gate_bytes
+    )
     ranks = {name: max(0, math.ceil(q * n) - 1) for name, q in qs.items()}
-    done = _exact_ranks(slim, column, ranks, glo, ghi, bucket_count, collect_threshold)
+    if vals is not None:
+        done = {name: int(vals[r]) for name, r in ranks.items()}
+    else:
+        done = _exact_ranks(
+            slim, column, ranks, glo, ghi, bucket_count, collect_threshold
+        )
     return pa.table({name: pa.array([done[name]], type=pa.int64()) for name in qs})
 
 
@@ -126,6 +161,7 @@ def exact_quantiles_cont(
     bucket_count: int = 128,
     collect_threshold: int = 65536,
     materialize: bool = True,
+    driver_gate_bytes: int = 8 << 20,
 ) -> pa.Table:
     """Interpolated (``quantile_cont`` / PERCENTILE_CONT) quantiles of
     integer ``column``: h = q*(n-1); result = v[floor(h)]*(ceil(h)-h) +
@@ -136,7 +172,9 @@ def exact_quantiles_cont(
     for every q resolve through the SAME shared bracket-refinement
     passes as :func:`exact_quantiles` (the cut sets union), so p25/p50/
     p90 together still cost ~2 streaming scans and no global sort."""
-    slim, n, glo, ghi = _prep_column(ds, column, materialize)
+    slim, n, glo, ghi, vals = _prep_column(
+        ds, column, materialize, driver_gate_bytes
+    )
     plan: dict[str, tuple[int, float]] = {}
     ranks: dict[str, int] = {}
     for name, q in qs.items():
@@ -147,7 +185,12 @@ def exact_quantiles_cont(
         ranks[f"{name}__lo"] = lo_rank
         if frac > 0.0:
             ranks[f"{name}__hi"] = min(lo_rank + 1, n - 1)
-    done = _exact_ranks(slim, column, ranks, glo, ghi, bucket_count, collect_threshold)
+    if vals is not None:
+        done = {name: int(vals[r]) for name, r in ranks.items()}
+    else:
+        done = _exact_ranks(
+            slim, column, ranks, glo, ghi, bucket_count, collect_threshold
+        )
     out: dict[str, float] = {}
     for name, (lo_rank, frac) in plan.items():
         vlo = float(done[f"{name}__lo"])
@@ -223,6 +266,7 @@ def grouped_quantiles(
     bucket_count: int = 128,
     collect_threshold: int = 65536,
     materialize: bool = True,
+    driver_gate_bytes: int = 8 << 20,
 ) -> pa.Table:
     """Exact per-group quantiles: one row per group, one int64 column per
     quantile name.  The bracket-refinement loop of :func:`exact_quantiles`
@@ -240,17 +284,20 @@ def grouped_quantiles(
     there each group fits a task trivially and driver-side G x bins state
     would not.
     """
-    slim, groups, n_of, lo_of, hi_of = _grouped_prep(
-        ds, group_col, column, materialize
+    slim, groups, n_of, lo_of, hi_of, vals_of = _grouped_prep(
+        ds, group_col, column, materialize, driver_gate_bytes
     )
     state = {
         (g, name): [lo_of[g], hi_of[g], max(0, math.ceil(q * n_of[g]) - 1)]
         for g in groups
         for name, q in qs.items()
     }
-    done = _grouped_exact_ranks(
-        slim, group_col, column, state, bucket_count, collect_threshold
-    )
+    if vals_of is not None:
+        done = {k: int(vals_of[k[0]][st[2]]) for k, st in state.items()}
+    else:
+        done = _grouped_exact_ranks(
+            slim, group_col, column, state, bucket_count, collect_threshold
+        )
     order = sorted(groups)
     cols = {group_col: pa.array(order)}
     for name in qs:
@@ -266,6 +313,7 @@ def grouped_quantiles_cont(
     bucket_count: int = 128,
     collect_threshold: int = 65536,
     materialize: bool = True,
+    driver_gate_bytes: int = 8 << 20,
 ) -> pa.Table:
     """Per-group interpolated (``quantile_cont`` / PERCENTILE_CONT)
     quantiles — the grouped form of :func:`exact_quantiles_cont`: for each
@@ -276,8 +324,8 @@ def grouped_quantiles_cont(
     bit-identical to the SQL oracle.  One row per group, one float64
     column per quantile name; same small-G/huge-group scale envelope as
     the disc variant."""
-    slim, groups, n_of, lo_of, hi_of = _grouped_prep(
-        ds, group_col, column, materialize
+    slim, groups, n_of, lo_of, hi_of, vals_of = _grouped_prep(
+        ds, group_col, column, materialize, driver_gate_bytes
     )
     state: dict[tuple, list] = {}
     plan: dict[tuple, tuple[int, float]] = {}
@@ -295,9 +343,12 @@ def grouped_quantiles_cont(
                     hi_of[g],
                     min(lo_rank + 1, n - 1),
                 ]
-    done = _grouped_exact_ranks(
-        slim, group_col, column, state, bucket_count, collect_threshold
-    )
+    if vals_of is not None:
+        done = {k: int(vals_of[k[0]][st[2]]) for k, st in state.items()}
+    else:
+        done = _grouped_exact_ranks(
+            slim, group_col, column, state, bucket_count, collect_threshold
+        )
     order = sorted(groups)
     cols: dict = {group_col: pa.array(order)}
     for name in qs:
@@ -314,10 +365,21 @@ def grouped_quantiles_cont(
     return pa.table(cols)
 
 
-def _grouped_prep(ds, group_col: str, column: str, materialize: bool):
-    """(slim, groups, n_of, lo_of, hi_of) shared by the grouped selection
-    entry points: project to the two columns and take per-group
-    count/min/max in one aggregate."""
+def _grouped_prep(
+    ds,
+    group_col: str,
+    column: str,
+    materialize: bool,
+    driver_gate_bytes: int = 8 << 20,
+):
+    """(slim, groups, n_of, lo_of, hi_of, vals_of) shared by the grouped
+    selection entry points: project to the two columns and take per-group
+    count/min/max in one aggregate.  When the materialized projection
+    fits ``driver_gate_bytes`` (the same byte-gated driver path as
+    :func:`_prep_column`), ``vals_of`` maps each group to its SORTED
+    value array — rank selection then costs zero further Ray executions
+    and yields the identical values the distributed refinement resolves;
+    beyond the gate ``vals_of`` is None."""
     from ray.data.aggregate import Count, Max, Min
 
     slim = ds.map_batches(
@@ -325,6 +387,33 @@ def _grouped_prep(ds, group_col: str, column: str, materialize: bool):
     )
     if materialize:
         slim = slim.materialize()
+        if (slim.size_bytes() or driver_gate_bytes + 1) <= driver_gate_bytes:
+            tabs = [
+                pa.table(b) for b in slim.iter_batches(batch_format="pyarrow")
+            ]
+            if not tabs:
+                raise ValueError("grouped selection on an empty dataset")
+            t = pa.concat_tables(tabs)
+            if t.num_rows == 0:
+                raise ValueError("grouped selection on an empty dataset")
+            gv = t.column(group_col).to_numpy(zero_copy_only=False)
+            vv = t.column(column).to_numpy(zero_copy_only=False).astype(np.int64)
+            # factorize the (possibly string) group key so lexsort runs
+            # on ints; np.unique returns groups sorted
+            uniq, codes = np.unique(gv, return_inverse=True)
+            order = np.lexsort((vv, codes))
+            codes_s, vv_s = codes[order], vv[order]
+            starts = np.searchsorted(codes_s, np.arange(len(uniq)))
+            bounds = np.append(starts, len(codes_s))
+            vals_of = {
+                uniq[i]: vv_s[bounds[i] : bounds[i + 1]]
+                for i in range(len(uniq))
+            }
+            groups = list(uniq)
+            n_of = {g: len(vals_of[g]) for g in groups}
+            lo_of = {g: int(vals_of[g][0]) for g in groups}
+            hi_of = {g: int(vals_of[g][-1]) for g in groups}
+            return slim, groups, n_of, lo_of, hi_of, vals_of
     stats = (
         slim.groupby(group_col)
         .aggregate(Count(), Min(column), Max(column))
@@ -336,7 +425,7 @@ def _grouped_prep(ds, group_col: str, column: str, materialize: bool):
     n_of = dict(zip(groups, stats["count()"].astype(int)))
     lo_of = dict(zip(groups, stats[f"min({column})"].astype(int)))
     hi_of = dict(zip(groups, stats[f"max({column})"].astype(int)))
-    return slim, groups, n_of, lo_of, hi_of
+    return slim, groups, n_of, lo_of, hi_of, None
 
 
 def _grouped_exact_ranks(
@@ -548,11 +637,14 @@ def exact_quantiles_float(
         return pa.table({"__fkey": pa.array(_float_to_ordered_int(v))})
 
     keyed = ds.map_batches(to_key, batch_format="pyarrow")
-    slim, n, glo, ghi = _prep_column(keyed, "__fkey", materialize)
+    slim, n, glo, ghi, vals = _prep_column(keyed, "__fkey", materialize)
     ranks = {name: max(0, math.ceil(q * n) - 1) for name, q in qs.items()}
-    done = _exact_ranks(
-        slim, "__fkey", ranks, glo, ghi, bucket_count, collect_threshold
-    )
+    if vals is not None:
+        done = {name: int(vals[r]) for name, r in ranks.items()}
+    else:
+        done = _exact_ranks(
+            slim, "__fkey", ranks, glo, ghi, bucket_count, collect_threshold
+        )
     return pa.table(
         {
             name: pa.array([_ordered_int_to_float(done[name])], pa.float64())

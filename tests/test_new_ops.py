@@ -5217,3 +5217,68 @@ def test_hll_registers_exact_brute_force(ray_session):
     ).to_pandas()
     got = {(r.g, int(r.hllb)): int(r.rho) for r in out.itertuples(index=False)}
     assert got == want
+
+
+def test_pagerank_fixed_point_driver_vs_distributed_parity(ray_session):
+    """The byte-gated small-graph fast path must be bit-equal to the
+    forced-distributed path (driver_gate_bytes=0)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.graph import pagerank_fixed_point
+
+    rng = np.random.default_rng(61)
+    edges = set()
+    while len(edges) < 80:
+        a, b = rng.integers(0, 30, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    t = pa.table(
+        {
+            "a": pa.array([u for u, _ in edges], pa.int64()),
+            "b": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(6)
+    fast = pagerank_fixed_point(ds, n_iters=4).to_pandas()
+    dist = pagerank_fixed_point(ds, n_iters=4, driver_gate_bytes=0).to_pandas()
+    f = dict(zip(fast.node, fast.mass))
+    d = dict(zip(dist.node, dist.mass))
+    assert f == d and len(f) == 30
+
+
+def test_quantile_driver_gate_parity(ray_session):
+    """The byte-gated driver rank-selection path must return exactly what
+    the distributed bracket refinement returns (driver_gate_bytes=0
+    forces the old path) for disc, cont, and both grouped variants."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.quantiles import (
+        exact_quantiles,
+        exact_quantiles_cont,
+        grouped_quantiles,
+        grouped_quantiles_cont,
+    )
+
+    rng = np.random.default_rng(71)
+    v = rng.integers(-10_000, 10_000, 20_000).astype(np.int64)
+    g = np.array(["a", "b", "c"])[rng.integers(0, 3, 20_000)]
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(g.tolist()), "v": pa.array(v)})
+    ).repartition(6)
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    for fn in (exact_quantiles, exact_quantiles_cont):
+        fast = fn(ds, "v", qs).to_pydict()
+        slow = fn(ds, "v", qs, driver_gate_bytes=0).to_pydict()
+        assert fast == slow, fn.__name__
+    for fn in (grouped_quantiles, grouped_quantiles_cont):
+        fast = fn(ds, "g", "v", qs).to_pandas().sort_values("g", ignore_index=True)
+        slow = (
+            fn(ds, "g", "v", qs, driver_gate_bytes=0)
+            .to_pandas()
+            .sort_values("g", ignore_index=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(fast, slow)
