@@ -1401,6 +1401,60 @@ def q_value_sketch(sf_dir: str):
     return dd_quantiles(ds, "event_type", "value").sort(["event_type", "q"])
 
 
+def q_interval_union(sf_dir: str):
+    """Per-user union of overlapping time intervals — gaps-and-islands
+    (:func:`cloudtile_ray.stages.events.interval_union`): each event
+    spans [ts, ts + max(cents,0) ms]; overlapping/touching spans merge,
+    output (n_islands, covered_us, max_island_us) per user.  Pure
+    integer arithmetic end-to-end, one user-bucket exchange, replayed
+    exactly by the classic SQL max-OVER-preceding formulation."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.events import interval_union, prep_events
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    ).map_batches(prep_events_no_id, batch_format="pyarrow")
+    return interval_union(ds)
+
+
+def prep_events_no_id(batch):
+    """(user_id, s_us, e_us) spans for interval_union: duration =
+    max(value_cents, 0) ms, exact int arithmetic mirrored in SQL."""
+    import pyarrow as pa
+
+    ts = (
+        batch.column("ts")
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    cents = np.rint(
+        batch.column("value").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    dur = np.maximum(cents, 0) * 1000
+    return pa.table(
+        {
+            "user_id": batch.column("user_id"),
+            "s_us": pa.array(ts),
+            "e_us": pa.array(ts + dur),
+        }
+    )
+
+
+def q_cms_registers(sf_dir: str):
+    """EXACT Count-Min sketch counter state over event user_ids
+    (:func:`cloudtile_ray.stages.sketches.cms_registers_exact`, depth 4
+    x width 1024): every counter is an integer sum under per-row
+    Fibonacci-hash cells (high bits of a HUGEINT-replayable Knuth
+    multiply), so the whole sketch hash-certifies; the cms_terms point
+    estimate (min over rows) stays the one documented approximate map."""
+    from cloudtile_ray.stages.sketches import cms_registers_exact
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_registers_exact(ds, "user_id", depth=4, width=1024)
+
+
 def q_hll_registers(sf_dir: str):
     """EXACT HyperLogLog register state per event_type
     (:func:`cloudtile_ray.stages.sketches.hll_registers_exact`): one
@@ -7226,6 +7280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "hll_registers": q_hll_registers,
         # --- window boundary ----------------------------------------
+        "cms_registers": q_cms_registers,
+        "interval_union": q_interval_union,
         "fuzzy_names": q_fuzzy_names,
         # never-driver-certified exact oracles beyond the 50 slots —
         # all green in the builder's full dtype-strict local DuckDB
@@ -10038,6 +10094,52 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT event_type, hllb, max(rho) AS rho
             FROM r GROUP BY 1, 2""",
+        # cms_registers: per-row Knuth multiply in HUGEINT (wrap ==
+        # % 2**64), cell = high 10 bits (h // 2**54); counters are
+        # integer sums — the whole depth x width table replays exactly
+        "cms_registers": """
+            WITH ms AS (SELECT * FROM (VALUES
+                   (0, 11400714819323198485),
+                   (1, 14029467366897019727),
+                   (2, 1609587929392839161),
+                   (3, 2870177450012600261)) m(j, mult)),
+            h AS (SELECT m.j,
+                    CAST((CAST(e.user_id AS HUGEINT) * m.mult)
+                         % 18446744073709551616 AS UBIGINT) AS h
+                  FROM events e CROSS JOIN ms m)
+            SELECT CAST(j AS BIGINT) AS "row",
+                   CAST(h // 18014398509481984 AS BIGINT) AS cell,
+                   count(*) AS n
+            FROM h GROUP BY 1, 2""",
+        # interval_union: classic gaps-and-islands — an island breaks
+        # where s exceeds the running max of all previous ends; island
+        # PARTITIONS are tie-order-free so both sides agree exactly
+        "interval_union": """
+            WITH iv AS (SELECT user_id,
+                          CAST(epoch_us(ts) AS BIGINT) AS s,
+                          CAST(epoch_us(ts) AS BIGINT)
+                            + greatest(CAST(round(value * 100) AS BIGINT), 0)
+                              * 1000 AS e
+                        FROM events),
+            o AS (SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS pmax
+                  FROM iv),
+            isl AS (SELECT user_id, s, e,
+                       CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                         AS brk
+                    FROM o),
+            ids AS (SELECT user_id, s, e,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+                    FROM isl),
+            agg AS (SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+                    FROM ids GROUP BY 1, 2)
+            SELECT user_id, count(*) AS n_islands,
+                   CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
+                   CAST(max(i_e - i_s) AS BIGINT) AS max_island_us
+            FROM agg GROUP BY 1""",
         # media_histogram: replay the arithmetic payload synthesis
         # (multimodal.synthesize_media_table sql_replayable mode) and the
         # 16-wide byte binning in pure integer SQL — certifies the

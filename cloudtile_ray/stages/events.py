@@ -83,6 +83,93 @@ def prep_events(batch: pa.Table) -> pa.Table:
     return out.append_column("value_cents", pa.array(np.rint(v * 100).astype(np.int64)))
 
 
+def interval_union(ds) -> "ray.data.Dataset":
+    """Per-user union of (possibly overlapping) time intervals — the
+    gaps-and-islands operator: merge every [s_us, e_us) that overlaps or
+    touches a neighbor, then emit per user (n_islands, covered_us,
+    max_island_us).  All-integer semantics, exact under any parallelism.
+
+    ONE user-bucket exchange; the bucket kernel is a single lexsort +
+    one segmented exclusive cumulative-max sweep (segments offset into
+    disjoint value ranges so one global ``np.maximum.accumulate``
+    serves every user — overflow-guarded with a per-segment fallback),
+    then reduceat/add.at island aggregates — no per-row Python, no
+    per-user window assembly.  Island PARTITIONS (not ids) are
+    tie-order-free, so the result is independent of sort-tie order and
+    replays exactly against the classic SQL max-OVER-preceding
+    formulation.  Input needs (user_id, s_us, e_us) with e_us >= s_us."""
+    nb = _n_user_buckets(ds)
+
+    def part(t: pa.Table) -> pa.Table:
+        return _add_user_bucket(t.select(["user_id", "s_us", "e_us"]), nb)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_islands": pa.array([], pa.int64()),
+                "covered_us": pa.array([], pa.int64()),
+                "max_island_us": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        s = g.column("s_us").to_numpy(zero_copy_only=False)
+        e = g.column("e_us").to_numpy(zero_copy_only=False)
+        uniq, codes = np.unique(u, return_inverse=True)
+        order = np.lexsort((e, s, codes))
+        c_s, s_s, e_s = codes[order], s[order], e[order]
+        n = len(c_s)
+        seg_new = np.empty(n, dtype=bool)
+        seg_new[0] = True
+        seg_new[1:] = c_s[1:] != c_s[:-1]
+        base = int(min(s_s.min(), e_s.min()))
+        rng = int(e_s.max()) - base + 1
+        if (len(uniq) + 1) * (rng + 1) < (1 << 62):
+            # segments offset into disjoint ranges -> ONE global cummax
+            shifted = (e_s - base) + c_s * np.int64(rng + 1)
+            cm = np.maximum.accumulate(shifted)
+            pmax = np.empty(n, dtype=np.int64)
+            pmax[0] = 0  # unused (seg_new forces a break)
+            pmax[1:] = cm[:-1] - c_s[1:] * np.int64(rng + 1) + base
+            brk = seg_new | (s_s > pmax)
+        else:
+            # astronomically wide value domain: per-segment sweep
+            brk = np.zeros(n, dtype=bool)
+            starts = np.nonzero(seg_new)[0]
+            bounds = np.append(starts, n)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                brk[a] = True
+                if b - a > 1:
+                    cm = np.maximum.accumulate(e_s[a:b])
+                    brk[a + 1 : b] = s_s[a + 1 : b] > cm[:-1]
+        isl_starts = np.nonzero(brk)[0]
+        isl_s = s_s[brk]  # sorted by s -> island min(s) is its first row
+        isl_e = np.maximum.reduceat(e_s, isl_starts)
+        isl_user = c_s[brk]
+        length = isl_e - isl_s
+        n_isl = np.bincount(isl_user, minlength=len(uniq)).astype(np.int64)
+        covered = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(covered, isl_user, length)
+        longest = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(longest, isl_user, length)
+        return pa.table(
+            {
+                "user_id": pa.array(uniq.astype(np.int64)),
+                "n_islands": pa.array(n_isl),
+                "covered_us": pa.array(covered),
+                "max_island_us": pa.array(longest),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def first_conversion_latency(ds) -> "ray.data.Dataset":
     """One ``latency_us`` row per CONVERTING user: (first purchase
     strictly after the user's first view) − (first view).

@@ -399,6 +399,81 @@ def cms_build(ds, key_col: str, weight_col: str | None, depth: int, width: int):
     return total.reshape(depth, width)
 
 
+_CMS_EXACT_MULTS = (
+    0x9E3779B97F4A7C15,  # golden-ratio Knuth constants, all odd
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def cms_registers_exact(
+    ds,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    mults: tuple = _CMS_EXACT_MULTS,
+):
+    """EXACT Count-Min counter state -> Dataset (row, cell, n): one row
+    per non-zero counter of the depth x width sketch — the kmv/HLL
+    certifiability pattern applied to CMS.  Row ``j`` hashes the
+    non-negative int64 key as ``cell = ((x * mults[j]) mod 2**64) >>
+    (64 - log2(width))`` — the HIGH bits of a Knuth multiply (the low
+    bits of ``x * odd_mult`` depend only on ``x mod width``, which
+    would make all depth rows collide identically; the Fibonacci-
+    hashing high bits mix the whole key and differ per row).  numpy
+    uint64 multiply wraps exactly like DuckDB ``(HUGEINT *) % 2**64``
+    and the shift is ``h // 2**(64-lg)``, so the full counter table
+    replays bit-for-bit in SQL; every counter is a pure integer SUM —
+    order-free — and the point estimate (min over rows,
+    :func:`cms_query` semantics) is one documented map over these
+    certified rows.
+
+    Scale shape: batch-side (row, cell) count partials (one
+    ``group_by`` per batch over <= depth x width cells), ONE bucket
+    exchange, <= depth x width rows ever ship — same envelope as
+    :func:`cms_build` with rows instead of a packed binary blob."""
+    if depth > len(mults):
+        raise ValueError(f"depth must be <= {len(mults)}")
+    lg = int(width).bit_length() - 1
+    if width < 2 or (1 << lg) != width:
+        raise ValueError("width must be a power of two >= 2")
+    shift = np.uint64(64 - lg)
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (
+            batch.column(value_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if (x < 0).any():
+            raise ValueError("cms_registers_exact requires non-negative keys")
+        xs = x.astype(np.uint64)
+        rows_out = []
+        for j in range(depth):
+            cells = ((xs * np.uint64(mults[j])) >> shift).astype(np.int64)
+            cu, cn = np.unique(cells, return_counts=True)
+            rows_out.append(
+                pa.table(
+                    {
+                        "row": pa.array(
+                            np.full(len(cu), j, dtype=np.int64)
+                        ),
+                        "cell": pa.array(cu),
+                        "n": pa.array(cn.astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(rows_out)
+
+    return bucketed_group_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["row", "cell"],
+        [("n", "sum", "n")],
+    )
+
+
 def cms_query(sketch: np.ndarray, keys: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     """Point-estimate counts for ``keys``: min over the depth rows of each
     key's cells (the CMS estimate — always >= the true count)."""

@@ -5282,3 +5282,74 @@ def test_quantile_driver_gate_parity(ray_session):
         import pandas as pd
 
         pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_cms_registers_exact_brute_force(ray_session):
+    """Counter state equals a dict replay of the per-row Fibonacci hash
+    (cell = high lg(width) bits of x * mult mod 2**64), exact under
+    partitioning; row estimates (min over rows) upper-bound true counts."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.sketches import _CMS_EXACT_MULTS, cms_registers_exact
+
+    rng = np.random.default_rng(67)
+    keys = rng.integers(0, 3000, 8000).astype(np.int64)
+    depth, width = 4, 256
+    shift = 64 - 8
+    want: dict = {}
+    for x in keys:
+        for j in range(depth):
+            cell = ((int(x) * _CMS_EXACT_MULTS[j]) % (1 << 64)) >> shift
+            want[(j, cell)] = want.get((j, cell), 0) + 1
+    t = pa.table({"k": pa.array(keys)})
+    out = cms_registers_exact(
+        ray.data.from_arrow(t).repartition(7), "k", depth=depth, width=width
+    ).to_pandas()
+    got = {(int(r.row), int(r.cell)): int(r.n) for r in out.itertuples(index=False)}
+    assert got == want
+    # point-estimate sanity: min over rows >= true count for a hot key
+    true = int((keys == keys[0]).sum())
+    est = min(
+        want[(j, ((int(keys[0]) * _CMS_EXACT_MULTS[j]) % (1 << 64)) >> shift)]
+        for j in range(depth)
+    )
+    assert est >= true
+
+    with pytest.raises(ValueError):
+        cms_registers_exact(ray.data.from_arrow(t), "k", width=300)
+
+
+def test_interval_union_brute_force(ray_session):
+    """Gaps-and-islands vs a pure-python interval merge: overlapping AND
+    touching (s == prev end) spans merge; per-user island count /
+    coverage / longest island all exact."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import interval_union
+
+    rng = np.random.default_rng(83)
+    n = 4000
+    u = rng.integers(0, 40, n).astype(np.int64)
+    s = rng.integers(0, 100_000, n).astype(np.int64)
+    e = s + rng.integers(0, 5_000, n).astype(np.int64)
+    want = {}
+    for uu in np.unique(u):
+        m = u == uu
+        iv = sorted(zip(s[m].tolist(), e[m].tolist()))
+        merged = []
+        for a, b in iv:
+            if merged and a <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], b)
+            else:
+                merged.append([a, b])
+        lens = [b - a for a, b in merged]
+        want[int(uu)] = (len(merged), sum(lens), max(lens))
+    t = pa.table({"user_id": pa.array(u), "s_us": pa.array(s), "e_us": pa.array(e)})
+    out = interval_union(ray.data.from_arrow(t).repartition(6)).to_pandas()
+    got = {
+        int(r.user_id): (int(r.n_islands), int(r.covered_us), int(r.max_island_us))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
