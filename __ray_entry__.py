@@ -4185,6 +4185,67 @@ def q_returned_revenue(sf_dir: str):
     )
 
 
+def q_priority_division(sf_dir: str):
+    """Relational DIVISION — the "for all" quantifier: customers that
+    placed at least one order in EVERY distinct order priority, with
+    their total order count.  The division-by-counting plan: orders
+    collapse to (custkey, priority) grain + per-pair counts through ONE
+    bucket exchange, a second customer-grain exchange counts distinct
+    priorities and sums orders, and the divisor cardinality (a bounded
+    5-value set) comes from the same pair table's tiny distinct
+    priority list — COUNT(DISTINCT priority) = |divisor| keeps exactly
+    the qualifying customers, no per-group Python anywhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c": t.column("o_custkey"),
+                "p": t.column("o_orderpriority"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = bucketed_group_aggregate(
+        orders, ["c", "p"], [("one", "sum", "n_orders")]
+    ).materialize()
+    # divisor cardinality: distinct priorities in the (already distinct)
+    # pair table — priority-bounded (5 values), one tiny scan
+    prios = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        prios.update(pa.table(b).column("p").to_pylist())
+    n_div = len(prios)
+
+    per_cust = bucketed_group_aggregate(
+        pairs.map_batches(
+            lambda t: pa.table(
+                {
+                    "c": t.column("c"),
+                    "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "n_orders": t.column("n_orders"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c"],
+        [("one", "sum", "n_prio"), ("n_orders", "sum", "n_orders")],
+    )
+
+    def keep_full(t: pa.Table, _n: int = n_div) -> pa.Table:
+        f = t.filter(pc.equal(t.column("n_prio"), _n))
+        return pa.table(
+            {"o_custkey": f.column("c"), "n_orders": f.column("n_orders")}
+        )
+
+    return per_cust.map_batches(keep_full, batch_format="pyarrow")
+
+
 def q_part_suppliers(sf_dir: str):
     """TPC-H Q16 analog: per (brand, type, size) count of DISTINCT
     suppliers that shipped the part, excluding negative-balance suppliers
@@ -7282,6 +7343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- window boundary ----------------------------------------
         "cms_registers": q_cms_registers,
         "interval_union": q_interval_union,
+        "priority_division": q_priority_division,
         "fuzzy_names": q_fuzzy_names,
         # never-driver-certified exact oracles beyond the 50 slots —
         # all green in the builder's full dtype-strict local DuckDB
@@ -10140,6 +10202,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(i_e - i_s) AS BIGINT) AS covered_us,
                    CAST(max(i_e - i_s) AS BIGINT) AS max_island_us
             FROM agg GROUP BY 1""",
+        # priority_division: relational division by counting — a customer
+        # qualifies iff it ordered in EVERY distinct order priority
+        "priority_division": """
+            WITH per AS (SELECT o_custkey,
+                           count(DISTINCT o_orderpriority) AS n_prio,
+                           count(*) AS n_orders
+                         FROM orders GROUP BY 1)
+            SELECT o_custkey, n_orders FROM per
+            WHERE n_prio = (SELECT count(DISTINCT o_orderpriority)
+                            FROM orders)""",
         # media_histogram: replay the arithmetic payload synthesis
         # (multimodal.synthesize_media_table sql_replayable mode) and the
         # 16-wide byte binning in pure integer SQL — certifies the

@@ -196,7 +196,7 @@ def run_queries(sf_dir: str) -> dict:
         "tile_diff", "zone_lines", "embed_range", "degree_assort", "seasonal_mase", "q6_revenue",
         "activity_heatmap", "ship_priority", "bot_flags", "rfm_segments",
         "name_pagerank", "media_histogram", "gpkg_roundtrip", "hll_registers",
-        "cms_registers", "interval_union",
+        "cms_registers", "interval_union", "priority_division",
     ]
     import gc
 

@@ -5353,3 +5353,24 @@ def test_interval_union_brute_force(ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_priority_division_brute_force(ray_session):
+    """Relational division by counting vs a pandas replay: keep keys
+    covering ALL distinct divisor values."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entrymod
+
+    out = entrymod.q_priority_division("/root/testdata/sf0.001").to_pandas()
+    o = pd.read_parquet("/root/testdata/sf0.001/orders.parquet",
+                        columns=["o_custkey", "o_orderpriority"])
+    per = o.groupby("o_custkey").agg(
+        n_prio=("o_orderpriority", "nunique"), n_orders=("o_orderpriority", "size")
+    )
+    want = per[per.n_prio == o.o_orderpriority.nunique()].n_orders
+    got = out.set_index("o_custkey").n_orders
+    assert got.sort_index().astype(int).to_dict() == want.sort_index().astype(int).to_dict()
