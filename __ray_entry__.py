@@ -3142,6 +3142,22 @@ def q_ship_volume(sf_dir: str):
         columns=["s_suppkey", "s_nationkey"],
         filter=pc.field("s_nationkey").isin(nation_keys),
     )
+    # degenerate dimension (no supplier in either nation — possible at
+    # tiny scale): the oracle emits ZERO rows with this schema; exit
+    # before an all-empty lineage reaches the fact-fact join (empty
+    # datasets lose their schema through groupby/map_groups, and a
+    # 0-row ray.data.from_arrow loses columns in to_pandas — return the
+    # typed Arrow table directly, which the driver contract allows).
+    # The count is a dimension-sized scan, free at any scale.
+    if supp.count() == 0:
+        return pa.table(
+            {
+                "supp_nation": pa.array([], pa.string()),
+                "cust_nation": pa.array([], pa.string()),
+                "l_year": pa.array([], pa.int64()),
+                "revenue_units": pa.array([], pa.int64()),
+            }
+        )
     lines = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
@@ -7953,7 +7969,10 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM h)
             SELECT CAST(64 AS BIGINT) AS k,
                    CAST(max(hv) AS BIGINT) AS kth_hash,
-                   (63 * 4294967296.0) / max(hv) AS est_distinct
+                   CASE WHEN count(*) = 64
+                        THEN (63 * 4294967296.0) / max(hv)
+                        ELSE CAST(count(*) AS DOUBLE)
+                   END AS est_distinct
             FROM r WHERE rn <= 64""",
         "tile_diff": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
             a AS (SELECT doc_id, {_TILE_X} AS x, {_TILE_Y} AS y

@@ -237,7 +237,13 @@ def broadcast_lookup(
     import pyarrow.compute as pc
 
     r_on = list(right_on) if right_on is not None else list(on)
-    if len(on) != 1 or (lookup_ds.size_bytes() or byte_budget + 1) > byte_budget:
+    # size 0 (a fully-EMPTY lookup — e.g. a dimension filter matching
+    # nothing at tiny scale) is falsy: `or` would misread it as
+    # unknown-size and take the hash-join fallback, where Arrow rejects
+    # a schema-less empty right side.  An empty lookup is the SMALLEST
+    # possible broadcast — keep it on the broadcast path.
+    _sz = lookup_ds.size_bytes()
+    if len(on) != 1 or (byte_budget + 1 if _sz is None else _sz) > byte_budget:
         how = "semi" if semi else ("inner" if drop_missing else "left")
         joined = hash_join(ds, lookup_ds, on=on, right_on=right_on, how=how)
         drop = [c for c in r_on if c not in list(on)]
@@ -253,10 +259,18 @@ def broadcast_lookup(
     import ray
 
     key, rkey = on[0], r_on[0]
-    lut = pa.concat_tables(
-        [t for t in ray.get(list(lookup_ds.to_arrow_refs())) if t.num_columns],
-        promote_options="default",
-    ).combine_chunks()
+    tabs = [t for t in ray.get(list(lookup_ds.to_arrow_refs())) if t.num_columns]
+    if tabs:
+        lut = pa.concat_tables(tabs, promote_options="default").combine_chunks()
+    else:
+        # fully-empty lookup with no typed blocks: rebuild an empty table
+        # from the dataset's declared schema so index_in still types
+        # correctly (inner/semi then filters everything; left appends
+        # all-null attribute columns)
+        sch = lookup_ds.schema()
+        lut = pa.table(
+            {n: pa.array([], type=ty) for n, ty in zip(sch.names, sch.types)}
+        )
     val_cols = [] if semi else [c for c in lut.column_names if c != rkey]
     if semi:
         lut = lut.select([rkey])

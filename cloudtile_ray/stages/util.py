@@ -87,20 +87,38 @@ def read_parquet_clean(path, **kw):
     derived blocks but left one ``Failed to hash the schemas`` warning
     per read-split worker; see :func:`strip_schema_metadata`).  Falls
     back to read + strip map when the footer can't be read driver-side
-    (multi-file globs / directories) or the caller passes ``filter=`` /
-    ``schema=`` (a reduced scanner schema must not hide filter
-    columns)."""
+    (multi-file globs / directories) or the caller passes ``schema=``.
+
+    ``filter=`` rides the same schema path when every field the filter
+    references is projected in ``columns`` (checked conservatively by
+    tokenizing the expression string against the file's field names) —
+    the pruned schema then ALSO survives a zero-match filtered read
+    (without it Ray yields schema-less empty blocks and
+    ``Dataset.schema()`` is None, which poisons downstream joins /
+    broadcast lookups at tiny scale).  A filter on an unprojected
+    column falls back to read + strip map (a reduced scanner schema
+    must not hide filter columns)."""
     import pyarrow.parquet as pq
     import ray.data
 
-    if "schema" not in kw and "filter" not in kw:
+    if "schema" not in kw:
         try:
             full = pq.read_schema(path).remove_metadata()
             cols = kw.get("columns")
-            kw["schema"] = (
-                pa.schema([full.field(c) for c in cols]) if cols else full
-            )
-            return ray.data.read_parquet(path, **kw)
+            filter_ok = True
+            if "filter" in kw:
+                import re
+
+                toks = set(
+                    re.findall(r"[A-Za-z_][A-Za-z0-9_]*", str(kw["filter"]))
+                )
+                refs = {n for n in full.names if n in toks}
+                filter_ok = refs <= set(cols or full.names)
+            if filter_ok:
+                kw["schema"] = (
+                    pa.schema([full.field(c) for c in cols]) if cols else full
+                )
+                return ray.data.read_parquet(path, **kw)
         except (OSError, KeyError, TypeError):
             pass
     return ray.data.read_parquet(path, **kw).map_batches(
