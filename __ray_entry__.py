@@ -3428,13 +3428,19 @@ def q_idle_customers(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    # o_orderdate is projected ALONGSIDE the filter so the read keeps the
+    # clean-schema scanner path (a filter on an unprojected column falls
+    # back to the strip-map read and re-warns per worker); the column is
+    # dropped before the join so it never rides the exchange
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_custkey"],
+        columns=["o_custkey", "o_orderdate"],
         filter=(
             pc.field("o_orderdate")
             >= pa.scalar(np.datetime64("1999-01-01", "us"))
         ),
+    ).map_batches(
+        lambda t: t.select(["o_custkey"]), batch_format="pyarrow"
     )
     idle = hash_join(rich, orders, on=["c_custkey"], right_on=["o_custkey"], how="anti")
     out = bucketed_group_aggregate(
