@@ -954,6 +954,94 @@ def common_neighbor_pairs(
             or (int(bounds["min(u)"]) >= 0 and int(bounds["max(v)"]) < (1 << 32))
         )
 
+    if small and eu is not None:
+        # DRIVER FAST PATH (byte-gated — the pagerank_fixed_point /
+        # quantile-gate idiom): the gathered dimension-sized edge list
+        # resolves wedge expansion, pair counting, and adjacency
+        # exclusion in one numpy pass with the IDENTICAL index
+        # arithmetic as the distributed bucket kernel below (forced-
+        # distributed parity pinned in tests) — zero exchanges instead
+        # of three.  Past the gate nothing changes.
+        c_all = np.concatenate([eu, ev])
+        n_all = np.concatenate([ev, eu])
+        order = np.lexsort((n_all, c_all))
+        c_s, n_s = c_all[order], n_all[order]
+        _, m = np.unique(c_s, return_counts=True)
+        if max_degree is not None:
+            keep = np.repeat(m <= max_degree, m)
+            c_s, n_s = c_s[keep], n_s[keep]
+            m = m[m <= max_degree]
+
+        def _empty():
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "n_common": pa.array([], pa.int64()),
+                    }
+                )
+            )
+
+        tot = int(m.sum())
+        if tot == 0:
+            return _empty()
+        seg_start = np.cumsum(m) - m
+        gi = np.arange(tot) - np.repeat(seg_start, m)
+        reps = np.repeat(m, m) - 1 - gi
+        n_pairs = int(reps.sum())
+        if n_pairs == 0:
+            return _empty()
+        left_idx = np.repeat(np.arange(tot, dtype=np.int64), reps)
+        block_start = np.cumsum(reps) - reps
+        right_idx = (
+            np.arange(n_pairs, dtype=np.int64)
+            - np.repeat(block_start, reps)
+            + left_idx
+            + 1
+        )
+        a_w, b_w = n_s[left_idx], n_s[right_idx]
+        if ids_fit_u32:
+            key = (a_w.astype(np.uint64) << np.uint64(32)) | b_w.astype(
+                np.uint64
+            )
+            uk, cnt = np.unique(key, return_counts=True)
+            ok = cnt >= min_common
+            uk, cnt = uk[ok], cnt[ok]
+            epairs = np.sort(
+                (eu.astype(np.uint64) << np.uint64(32)) | ev.astype(np.uint64)
+            )
+            idx = np.searchsorted(epairs, uk, side="left")
+            idx_c = np.minimum(idx, len(epairs) - 1)
+            adj = (epairs[idx_c] == uk) & (idx < len(epairs))
+            uk, cnt = uk[~adj], cnt[~adj]
+            ua = (uk >> np.uint64(32)).astype(np.int64)
+            ub = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:
+            pair_dtype = np.dtype([("a", np.int64), ("b", np.int64)])
+            wp = np.empty(len(a_w), dtype=pair_dtype)
+            wp["a"], wp["b"] = a_w, b_w
+            up, cnt = np.unique(wp, return_counts=True)
+            ok = cnt >= min_common
+            up, cnt = up[ok], cnt[ok]
+            epairs = np.empty(len(eu), dtype=pair_dtype)
+            epairs["a"], epairs["b"] = eu, ev
+            epairs.sort(kind="stable")
+            idx = np.searchsorted(epairs, up, side="left")
+            idx_c = np.minimum(idx, len(epairs) - 1)
+            adj = (epairs[idx_c] == up) & (idx < len(epairs))
+            up, cnt = up[~adj], cnt[~adj]
+            ua, ub = up["a"], up["b"]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(ua),
+                    "b": pa.array(ub),
+                    "n_common": pa.array(cnt.astype(np.int64)),
+                }
+            )
+        )
+
     def add_bucket(t: pa.Table) -> pa.Table:
         c = t.column("center").to_numpy(zero_copy_only=False)
         h = c.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
@@ -1035,39 +1123,8 @@ def common_neighbor_pairs(
         batch_format="pyarrow",
     )
 
-    if small:
-        if eu is None:  # empty edge list: nothing can be adjacent
-            return scored
-        if ids_fit_u32:
-            epairs = np.sort(
-                (eu.astype(np.uint64) << np.uint64(32)) | ev.astype(np.uint64)
-            )
-        else:
-            pair_dtype = np.dtype([("u", np.int64), ("v", np.int64)])
-            epairs = np.empty(len(eu), dtype=pair_dtype)
-            epairs["u"], epairs["v"] = eu, ev
-            epairs.sort(kind="stable")
-        eref = ray.put(epairs)
-
-        def drop_adjacent(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t
-            ep = ray.get(eref)
-            a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-            if ids_fit_u32:
-                wp = (a.astype(np.uint64) << np.uint64(32)) | b.astype(
-                    np.uint64
-                )
-            else:
-                wp = np.empty(t.num_rows, dtype=ep.dtype)
-                wp["u"], wp["v"] = a, b
-            idx = np.searchsorted(ep, wp, side="left")
-            idx_c = np.minimum(idx, max(len(ep) - 1, 0))
-            hit = (len(ep) > 0) & (ep[idx_c] == wp) & (idx < len(ep))
-            return t.filter(pa.array(~hit))
-
-        return scored.map_batches(drop_adjacent, batch_format="pyarrow")
+    if small:  # under the gate the fast path already returned; an empty
+        return scored  # edge list reaches here and nothing can be adjacent
     return hash_join(scored, canon, on=["a", "b"], right_on=["u", "v"], how="anti")
 
 

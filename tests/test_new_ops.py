@@ -5374,3 +5374,35 @@ def test_priority_division_brute_force(ray_session):
     want = per[per.n_prio == o.o_orderpriority.nunique()].n_orders
     got = out.set_index("o_custkey").n_orders
     assert got.sort_index().astype(int).to_dict() == want.sort_index().astype(int).to_dict()
+
+
+def test_common_neighbor_driver_vs_distributed_parity(ray_session):
+    """The byte-gated driver wedge path must match the distributed
+    three-exchange path (broadcast_byte_budget=0 forces it) exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.graph import common_neighbor_pairs
+
+    rng = np.random.default_rng(91)
+    edges = set()
+    while len(edges) < 120:
+        a, b = rng.integers(0, 35, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    t = pa.table(
+        {
+            "a": pa.array([u for u, _ in edges], pa.int64()),
+            "b": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    fast = common_neighbor_pairs(ds, min_common=2).to_pandas()
+    slow = common_neighbor_pairs(
+        ds, min_common=2, broadcast_byte_budget=0
+    ).to_pandas()
+    key = lambda df: {  # noqa: E731
+        (int(r.a), int(r.b)): int(r.n_common)
+        for r in df.itertuples(index=False)
+    }
+    assert key(fast) == key(slow) and len(fast) > 0
