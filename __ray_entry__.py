@@ -4213,6 +4213,42 @@ def q_returned_revenue(sf_dir: str):
     )
 
 
+def q_weighted_median(sf_dir: str):
+    """Exact WEIGHTED median — the weighted order statistic
+    (:func:`cloudtile_ray.stages.quantiles.exact_weighted_median`):
+    smallest lineitem price (cents) whose quantity-weighted cumulative
+    mass reaches half the total quantity.  All-integer selection, exact
+    at any parallelism; under the byte gate one driver sort, beyond it
+    the streaming bracket refinement with per-bin weight sums."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.quantiles import exact_weighted_median
+
+    ds = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice", "l_quantity"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "v": pa.array(
+                    np.rint(
+                        t.column("l_extendedprice").to_numpy(
+                            zero_copy_only=False
+                        )
+                        * 100
+                    ).astype(np.int64)
+                ),
+                "w": pa.array(
+                    np.rint(
+                        t.column("l_quantity").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return exact_weighted_median(ds, "v", "w")
+
+
 def q_priority_division(sf_dir: str):
     """Relational DIVISION — the "for all" quantifier: customers that
     placed at least one order in EVERY distinct order priority, with
@@ -7374,6 +7410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_registers": q_cms_registers,
         "interval_union": q_interval_union,
         "priority_division": q_priority_division,
+        "weighted_median": q_weighted_median,
         "fuzzy_names": q_fuzzy_names,
         # never-driver-certified exact oracles beyond the 50 slots —
         # all green in the builder's full dtype-strict local DuckDB
@@ -10245,6 +10282,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, n_orders FROM per
             WHERE n_prio = (SELECT count(DISTINCT o_orderpriority)
                             FROM orders)""",
+        # weighted_median: smallest v with 2*cumweight >= total weight
+        # (equivalent to cumw >= ceil(W/2) for integer weights)
+        "weighted_median": """
+            WITH b AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS v,
+                         CAST(round(l_quantity) AS BIGINT) AS w
+                       FROM lineitem),
+            tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM b),
+            c AS (SELECT v, CAST(sum(w) AS BIGINT) AS wv FROM b GROUP BY v),
+            o AS (SELECT v, CAST(sum(wv) OVER (ORDER BY v) AS BIGINT) AS cw
+                  FROM c)
+            SELECT CAST(min(v) AS BIGINT) AS wmedian
+            FROM o, tot WHERE 2 * cw >= tw""",
         # media_histogram: replay the arithmetic payload synthesis
         # (multimodal.synthesize_media_table sql_replayable mode) and the
         # 16-wide byte binning in pure integer SQL — certifies the

@@ -651,3 +651,136 @@ def exact_quantiles_float(
             for name in qs
         }
     )
+
+
+def _weighted_histogram_pass(ds, column: str, weight_col: str, cuts: np.ndarray):
+    """One streaming pass -> (per-bin int64 weight sums, per-bin int64 row
+    counts); bin semantics identical to :func:`_histogram_pass`."""
+    m = len(cuts) + 1
+    cuts_local = cuts.copy()
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(cuts_local, v, side="left")
+        ws = np.zeros(m, dtype=np.int64)
+        np.add.at(ws, idx, w)
+        cnt = np.bincount(idx, minlength=m)
+        nz = np.nonzero(ws | cnt)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "w": pa.array(ws[nz]),
+                "c": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("w", alias_name="w"), Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    ws = np.zeros(m, dtype=np.int64)
+    cs = np.zeros(m, dtype=np.int64)
+    ws[rows["bin"].to_numpy()] = rows["w"].to_numpy()
+    cs[rows["bin"].to_numpy()] = rows["c"].to_numpy()
+    return ws, cs
+
+
+def exact_weighted_median(
+    ds,
+    column: str,
+    weight_col: str,
+    bucket_count: int = 128,
+    collect_threshold: int = 65536,
+    driver_gate_bytes: int = 8 << 20,
+) -> pa.Table:
+    """Exact WEIGHTED (lower) median of integer ``column`` under
+    non-negative integer ``weight_col``: the smallest value v with
+    ``2 * cumweight(v) >= total_weight`` — the weighted order statistic
+    (cost/price medians weighted by quantity, duration-weighted medians).
+    All-integer arithmetic, exact under any parallelism; returns a
+    one-row table (wmedian int64).
+
+    Scale shape mirrors :func:`exact_quantiles`: under the driver gate
+    the materialized two-column projection gathers once (sort + integer
+    cumsum); beyond it the same iterative bracket refinement runs with
+    PER-BIN WEIGHT SUMS instead of row counts (one streaming pass per
+    round, driver state is one bin array), and the final bracket —
+    proven small by the row-count histogram that rides the same pass —
+    is collected and resolved locally."""
+    slim = ds.map_batches(
+        lambda t: t.select([column, weight_col]), batch_format="pyarrow"
+    ).materialize()
+
+    if (slim.size_bytes() or driver_gate_bytes + 1) <= driver_gate_bytes:
+        tabs = [pa.table(b) for b in slim.iter_batches(batch_format="pyarrow")]
+        if not tabs:
+            raise ValueError("weighted median of an empty dataset")
+        t = pa.concat_tables(tabs)
+        if t.num_rows == 0:
+            raise ValueError("weighted median of an empty dataset")
+        v = t.column(column).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w < 0).any():
+            raise ValueError("weights must be non-negative")
+        order = np.argsort(v, kind="stable")
+        v_s, w_s = v[order], w[order]
+        cw = np.cumsum(w_s)
+        total = int(cw[-1])
+        pos = int(np.searchsorted(cw, (total + 1) // 2, side="left"))
+        return pa.table({"wmedian": pa.array([int(v_s[pos])], pa.int64())})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats = slim.aggregate(Sum(weight_col), Min(column), Max(column))
+    total = int(stats[f"sum({weight_col})"])
+    lo = int(stats[f"min({column})"])
+    hi = int(stats[f"max({column})"])
+    target = (total + 1) // 2  # smallest v with cumw >= ceil(W/2)
+
+    for _ in range(64):
+        if lo == hi:
+            return pa.table({"wmedian": pa.array([lo], pa.int64())})
+        c = np.unique(np.linspace(lo, hi, bucket_count + 1).astype(np.int64))
+        cuts = np.concatenate(([lo - 1], c[:-1]))
+        ws, cs = _weighted_histogram_pass(slim, column, weight_col, cuts)
+        cumw = np.concatenate(([0], np.cumsum(ws)))
+        base_bin = int(np.searchsorted(cuts, lo, side="left"))
+        t_abs = int(cumw[base_bin]) + target
+        b = int(np.searchsorted(cumw[1:], t_abs, side="left"))
+        new_lo = int(cuts[b - 1]) + 1 if b >= 1 else lo
+        new_hi = int(cuts[b]) if b < len(cuts) else hi
+        new_lo, new_hi = max(new_lo, lo), min(new_hi, hi)
+        target = int(t_abs - cumw[b])
+        lo, hi = new_lo, new_hi
+        if lo == hi:
+            return pa.table({"wmedian": pa.array([lo], pa.int64())})
+        if int(cs[b]) <= collect_threshold:
+            vals = []
+            wts = []
+            import pyarrow.compute as _pc
+
+            def keep(t: pa.Table, a: int = lo, z: int = hi) -> pa.Table:
+                col = t.column(column)
+                return t.filter(
+                    _pc.and_(_pc.greater_equal(col, a), _pc.less_equal(col, z))
+                )
+
+            for bt in slim.map_batches(keep, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ):
+                bt = pa.table(bt)
+                vals.append(bt.column(column).to_numpy(zero_copy_only=False))
+                wts.append(bt.column(weight_col).to_numpy(zero_copy_only=False))
+            v = np.concatenate(vals).astype(np.int64)
+            w = np.concatenate(wts).astype(np.int64)
+            order = np.argsort(v, kind="stable")
+            v_s, w_s = v[order], w[order]
+            cw = np.cumsum(w_s)
+            pos = int(np.searchsorted(cw, target, side="left"))
+            return pa.table({"wmedian": pa.array([int(v_s[pos])], pa.int64())})
+    raise RuntimeError("weighted median selection failed to converge")

@@ -5440,3 +5440,31 @@ def test_triangle_counts_driver_vs_distributed_parity(ray_session):
     fd = {int(r.node): int(r.deg) for r in fdeg.to_pandas().itertuples(index=False)}
     sd = {int(r.node): int(r.deg) for r in sdeg.to_pandas().itertuples(index=False)}
     assert fd == sd
+
+
+def test_exact_weighted_median_brute_force(ray_session):
+    """Weighted median vs a sort+cumsum replay, including the
+    forced-distributed refinement path (driver_gate_bytes=0) and edge
+    weights (zeros, heavy single value)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.quantiles import exact_weighted_median
+
+    rng = np.random.default_rng(101)
+    v = rng.integers(-500, 500, 6000).astype(np.int64)
+    w = rng.integers(0, 9, 6000).astype(np.int64)
+    w[17] = 50_000  # one dominating weight
+    order = np.argsort(v, kind="stable")
+    cw = np.cumsum(w[order])
+    want = int(v[order][np.searchsorted(cw, (int(cw[-1]) + 1) // 2)])
+    t = pa.table({"v": pa.array(v), "w": pa.array(w)})
+    ds = ray.data.from_arrow(t).repartition(6)
+    fast = exact_weighted_median(ds, "v", "w")
+    assert int(fast.column("wmedian")[0].as_py()) == want
+    slow = exact_weighted_median(
+        ds, "v", "w", driver_gate_bytes=0, collect_threshold=256
+    )
+    assert int(slow.column("wmedian")[0].as_py()) == want
+    # dominating weight: median must equal that value
+    assert want == int(v[17])
