@@ -4249,6 +4249,43 @@ def q_weighted_median(sf_dir: str):
     return exact_weighted_median(ds, "v", "w")
 
 
+def q_flag_weighted_median(sf_dir: str):
+    """Per-returnflag WEIGHTED median price
+    (:func:`cloudtile_ray.stages.quantiles.grouped_weighted_median`):
+    the grouped weighted order statistic — all groups refine through
+    SHARED streaming weight-histogram passes (the grouped_quantiles
+    envelope), all-integer and exact at any parallelism."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.quantiles import grouped_weighted_median
+
+    ds = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "v": pa.array(
+                    np.rint(
+                        t.column("l_extendedprice").to_numpy(
+                            zero_copy_only=False
+                        )
+                        * 100
+                    ).astype(np.int64)
+                ),
+                "w": pa.array(
+                    np.rint(
+                        t.column("l_quantity").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_weighted_median(ds, "l_returnflag", "v", "w")
+
+
 def q_priority_division(sf_dir: str):
     """Relational DIVISION — the "for all" quantifier: customers that
     placed at least one order in EVERY distinct order priority, with
@@ -7411,6 +7448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_union": q_interval_union,
         "priority_division": q_priority_division,
         "weighted_median": q_weighted_median,
+        "flag_weighted_median": q_flag_weighted_median,
         "fuzzy_names": q_fuzzy_names,
         # never-driver-certified exact oracles beyond the 50 slots —
         # all green in the builder's full dtype-strict local DuckDB
@@ -10295,6 +10333,22 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT CAST(min(v) AS BIGINT) AS wmedian
             FROM o, tot WHERE 2 * cw >= tw""",
+        "flag_weighted_median": """
+            WITH b AS (SELECT l_returnflag AS rf,
+                         CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                         CAST(round(l_quantity) AS BIGINT) AS w
+                       FROM lineitem),
+            tot AS (SELECT rf, CAST(sum(w) AS BIGINT) AS tw
+                    FROM b GROUP BY 1),
+            c AS (SELECT rf, v, CAST(sum(w) AS BIGINT) AS wv
+                  FROM b GROUP BY 1, 2),
+            o AS (SELECT rf, v,
+                     CAST(sum(wv) OVER (PARTITION BY rf ORDER BY v)
+                          AS BIGINT) AS cw
+                  FROM c)
+            SELECT o.rf AS l_returnflag, CAST(min(v) AS BIGINT) AS wmedian
+            FROM o JOIN tot ON tot.rf = o.rf
+            WHERE 2 * cw >= tw GROUP BY 1""",
         # media_histogram: replay the arithmetic payload synthesis
         # (multimodal.synthesize_media_table sql_replayable mode) and the
         # 16-wide byte binning in pure integer SQL — certifies the

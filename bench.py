@@ -197,7 +197,7 @@ def run_queries(sf_dir: str) -> dict:
         "activity_heatmap", "ship_priority", "bot_flags", "rfm_segments",
         "name_pagerank", "media_histogram", "gpkg_roundtrip", "hll_registers",
         "cms_registers", "interval_union", "priority_division",
-        "name_triangles", "name_clustering", "weighted_median",
+        "name_triangles", "name_clustering", "weighted_median", "flag_weighted_median",
     ]
     import gc
 

@@ -784,3 +784,234 @@ def exact_weighted_median(
             pos = int(np.searchsorted(cw, target, side="left"))
             return pa.table({"wmedian": pa.array([int(v_s[pos])], pa.int64())})
     raise RuntimeError("weighted median selection failed to converge")
+
+
+def grouped_weighted_median(
+    ds,
+    group_col: str,
+    column: str,
+    weight_col: str,
+    bucket_count: int = 128,
+    collect_threshold: int = 65536,
+    driver_gate_bytes: int = 8 << 20,
+) -> pa.Table:
+    """Exact per-group WEIGHTED (lower) median — the grouped form of
+    :func:`exact_weighted_median`: for each group, the smallest value v
+    with ``2 * cumweight(v) >= group_total_weight``.  One row per group,
+    (group, wmedian) both exact integers.
+
+    Scale shape: under the driver gate the three-column projection
+    gathers once (one lexsort + segmented cumsum).  Beyond it, ALL
+    groups refine together — every round is ONE streaming pass emitting
+    per-(group, bin) weight sums and row counts (the
+    :func:`grouped_quantiles` shared-pass envelope: small G over huge
+    groups; driver state is G x bins), and every group whose bracket is
+    proven small by the row counts collects through one shared filtered
+    scan."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    slim = ds.map_batches(
+        lambda t: t.select([group_col, column, weight_col]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    if (slim.size_bytes() or driver_gate_bytes + 1) <= driver_gate_bytes:
+        tabs = [pa.table(b) for b in slim.iter_batches(batch_format="pyarrow")]
+        if not tabs:
+            raise ValueError("grouped weighted median of an empty dataset")
+        t = pa.concat_tables(tabs)
+        if t.num_rows == 0:
+            raise ValueError("grouped weighted median of an empty dataset")
+        gv = t.column(group_col).to_numpy(zero_copy_only=False)
+        vv = t.column(column).to_numpy(zero_copy_only=False).astype(np.int64)
+        wv = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(gv, return_inverse=True)
+        order = np.lexsort((vv, codes))
+        c_s, v_s, w_s = codes[order], vv[order], wv[order]
+        starts = np.searchsorted(c_s, np.arange(len(uniq)))
+        bounds = np.append(starts, len(c_s))
+        meds = np.empty(len(uniq), dtype=np.int64)
+        for i in range(len(uniq)):
+            a, b = bounds[i], bounds[i + 1]
+            cw = np.cumsum(w_s[a:b])
+            meds[i] = v_s[a + np.searchsorted(cw, (int(cw[-1]) + 1) // 2)]
+        return pa.table(
+            {group_col: pa.array(list(uniq)), "wmedian": pa.array(meds)}
+        )
+
+    stats = (
+        slim.groupby(group_col)
+        .aggregate(Sum(weight_col), Min(column), Max(column))
+        .to_pandas()
+    )
+    if not len(stats):
+        raise ValueError("grouped weighted median of an empty dataset")
+    state: dict = {}
+    for _, r in stats.iterrows():
+        g = r[group_col]
+        total = int(r[f"sum({weight_col})"])
+        state[g] = [
+            int(r[f"min({column})"]),
+            int(r[f"max({column})"]),
+            (total + 1) // 2,
+        ]
+    done: dict = {}
+
+    def _pass(cuts_by_group: dict) -> dict:
+        cref = ray.put(cuts_by_group)
+
+        def part(batch: pa.Table) -> pa.Table:
+            cbg = ray.get(cref)
+            gcol = batch.column(group_col)
+            if isinstance(gcol, pa.ChunkedArray):
+                gcol = gcol.combine_chunks()
+            de = gcol.dictionary_encode()
+            codes = de.indices.to_numpy()
+            vals = batch.column(column).to_numpy(zero_copy_only=False)
+            wts = batch.column(weight_col).to_numpy(zero_copy_only=False)
+            out_g, out_b, out_w, out_c = [], [], [], []
+            for code in np.unique(codes):
+                g = de.dictionary[int(code)].as_py()
+                cuts = cbg.get(g)
+                if cuts is None:
+                    continue
+                sel = codes == code
+                v = vals[sel]
+                w = wts[sel]
+                idx = np.searchsorted(cuts, v, side="left")
+                m = len(cuts) + 1
+                ws = np.zeros(m, dtype=np.int64)
+                np.add.at(ws, idx, w)
+                cnt = np.bincount(idx, minlength=m)
+                nz = np.nonzero(ws | cnt)[0]
+                out_g.extend([g] * len(nz))
+                out_b.append(nz.astype(np.int64))
+                out_w.append(ws[nz])
+                out_c.append(cnt[nz].astype(np.int64))
+            if not out_g:
+                return pa.table(
+                    {
+                        group_col: pa.array([], pa.string()),
+                        "bin": pa.array([], pa.int64()),
+                        "w": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    group_col: pa.array(out_g),
+                    "bin": pa.array(np.concatenate(out_b)),
+                    "w": pa.array(np.concatenate(out_w)),
+                    "cnt": pa.array(np.concatenate(out_c)),
+                }
+            )
+
+        rows = (
+            slim.map_batches(part, batch_format="pyarrow")
+            .groupby([group_col, "bin"])
+            .aggregate(Sum("w", alias_name="w"), Sum("cnt", alias_name="cnt"))
+            .to_pandas()
+        )
+        hists = {}
+        for g, sub in rows.groupby(group_col):
+            m = len(cuts_by_group[g]) + 1
+            hw = np.zeros(m, dtype=np.int64)
+            hc = np.zeros(m, dtype=np.int64)
+            hw[sub["bin"].to_numpy()] = sub["w"].to_numpy()
+            hc[sub["bin"].to_numpy()] = sub["cnt"].to_numpy()
+            hists[g] = (hw, hc)
+        return hists
+
+    def _collect(brackets: dict) -> dict:
+        bref = ray.put(brackets)
+
+        def keep(t: pa.Table) -> pa.Table:
+            bk = ray.get(bref)
+            gcol = t.column(group_col)
+            if isinstance(gcol, pa.ChunkedArray):
+                gcol = gcol.combine_chunks()
+            de = gcol.dictionary_encode()
+            codes = de.indices.to_numpy()
+            vals = t.column(column).to_numpy(zero_copy_only=False)
+            m = np.zeros(len(vals), dtype=bool)
+            for code in np.unique(codes):
+                g = de.dictionary[int(code)].as_py()
+                if g in bk:
+                    lo, hi = bk[g]
+                    sel = codes == code
+                    m |= sel & (vals >= lo) & (vals <= hi)
+            return t.filter(pa.array(m))
+
+        gs, vs, ws = [], [], []
+        for bt in slim.map_batches(keep, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            bt = pa.table(bt)
+            gs.append(bt.column(group_col).to_numpy(zero_copy_only=False))
+            vs.append(bt.column(column).to_numpy(zero_copy_only=False))
+            ws.append(bt.column(weight_col).to_numpy(zero_copy_only=False))
+        if not gs:
+            return {}
+        g_all = np.concatenate(gs)
+        v_all = np.concatenate(vs).astype(np.int64)
+        w_all = np.concatenate(ws).astype(np.int64)
+        out = {}
+        for g in brackets:
+            sel = g_all == g
+            v = v_all[sel]
+            w = w_all[sel]
+            order = np.argsort(v, kind="stable")
+            out[g] = (v[order], np.cumsum(w[order]))
+        return out
+
+    for _ in range(64):
+        for g, (lo, hi, tgt) in list(state.items()):
+            if g not in done and lo == hi:
+                done[g] = lo
+        active = [g for g in state if g not in done]
+        if not active:
+            break
+        cuts_by_group = {}
+        for g in active:
+            lo, hi, _t = state[g]
+            c = np.unique(np.linspace(lo, hi, bucket_count + 1).astype(np.int64))
+            cuts_by_group[g] = np.concatenate(([lo - 1], c[:-1]))
+        hists = _pass(cuts_by_group)
+        to_collect = {}
+        for g in active:
+            lo, hi, tgt = state[g]
+            cuts = cuts_by_group[g]
+            hw, hc = hists[g]
+            cumw = np.concatenate(([0], np.cumsum(hw)))
+            base_bin = int(np.searchsorted(cuts, lo, side="left"))
+            t_abs = int(cumw[base_bin]) + tgt
+            b = int(np.searchsorted(cumw[1:], t_abs, side="left"))
+            new_lo = int(cuts[b - 1]) + 1 if b >= 1 else lo
+            new_hi = int(cuts[b]) if b < len(cuts) else hi
+            new_lo, new_hi = max(new_lo, lo), min(new_hi, hi)
+            new_t = int(t_abs - cumw[b])
+            if new_lo == new_hi:
+                done[g] = new_lo
+            elif int(hc[b]) <= collect_threshold:
+                state[g] = [new_lo, new_hi, new_t]
+                to_collect[g] = (new_lo, new_hi)
+            else:
+                state[g] = [new_lo, new_hi, new_t]
+        if to_collect:
+            got = _collect(to_collect)
+            for g, (v_s, cw) in got.items():
+                if g in done:
+                    continue
+                _lo, _hi, tgt = state[g]
+                done[g] = int(v_s[np.searchsorted(cw, tgt, side="left")])
+    else:
+        raise RuntimeError("grouped weighted median failed to converge")
+
+    order = sorted(done)
+    return pa.table(
+        {
+            group_col: pa.array(order),
+            "wmedian": pa.array([done[g] for g in order], pa.int64()),
+        }
+    )

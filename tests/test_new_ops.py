@@ -5468,3 +5468,36 @@ def test_exact_weighted_median_brute_force(ray_session):
     assert int(slow.column("wmedian")[0].as_py()) == want
     # dominating weight: median must equal that value
     assert want == int(v[17])
+
+
+def test_grouped_weighted_median_brute_force(ray_session):
+    """Grouped weighted median vs a per-group sort+cumsum replay, both
+    the gated driver path and the forced shared-pass refinement."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.quantiles import grouped_weighted_median
+
+    rng = np.random.default_rng(103)
+    n = 9000
+    g = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    v = rng.integers(-2000, 2000, n).astype(np.int64)
+    w = rng.integers(0, 7, n).astype(np.int64)
+    want = {}
+    for gg in ("a", "b", "c"):
+        m = g == gg
+        order = np.argsort(v[m], kind="stable")
+        cw = np.cumsum(w[m][order])
+        want[gg] = int(v[m][order][np.searchsorted(cw, (int(cw[-1]) + 1) // 2)])
+    t = pa.table({"g": pa.array(g.tolist()), "v": pa.array(v), "w": pa.array(w)})
+    ds = ray.data.from_arrow(t).repartition(6)
+    fast = grouped_weighted_median(ds, "g", "v", "w")
+    got = dict(zip(fast.column("g").to_pylist(),
+                   fast.column("wmedian").to_pylist()))
+    assert got == want
+    slow = grouped_weighted_median(
+        ds, "g", "v", "w", driver_gate_bytes=0, collect_threshold=128
+    )
+    got2 = dict(zip(slow.column("g").to_pylist(),
+                    slow.column("wmedian").to_pylist()))
+    assert got2 == want
