@@ -7357,6 +7357,132 @@ def q_postings(sf_dir: str):
     return build_postings(ds, min_df=2, max_df_ratio=0.8)
 
 
+def prep_type_spans(batch):
+    """(event_type, s_us, e_us) spans for peak_concurrency: duration =
+    max(value_cents, 0) ms, same exact int arithmetic as
+    :func:`prep_events_no_id` / the interval_union oracle."""
+    import pyarrow as pa
+
+    ts = (
+        batch.column("ts")
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    cents = np.rint(
+        batch.column("value").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    dur = np.maximum(cents, 0) * 1000
+    return pa.table(
+        {
+            "event_type": batch.column("event_type"),
+            "s_us": pa.array(ts),
+            "e_us": pa.array(ts + dur),
+        }
+    )
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Sweep-line peak concurrency per event type
+    (:func:`cloudtile_ray.stages.events.peak_concurrency`): each event
+    opens a half-open span [ts, ts + cents ms); output = max number of
+    simultaneously-open spans per type and the first microsecond the
+    peak is reached.  Chunked boundary summaries compose associatively
+    (no global per-type sort ever assembles), replayed exactly by the
+    SQL running SUM(+1/-1) ORDER BY (t, d)."""
+    from cloudtile_ray.stages.events import peak_concurrency
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    ).map_batches(prep_type_spans, batch_format="pyarrow")
+    return peak_concurrency(ds)
+
+
+def q_value_ohlc(sf_dir: str):
+    """Hourly OHLC bars per event type
+    (:func:`cloudtile_ray.stages.events.hourly_ohlc`): open/close =
+    first/last value cents in (ts, event_id) order, high/low = max/min,
+    n = bar row count.  Fully decomposable partials (one row per
+    (type, hour) per batch), one bar-sized exchange."""
+    from cloudtile_ray.stages.events import hourly_ohlc
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "ts", "event_id", "value"],
+    )
+    return hourly_ohlc(ds)
+
+
+def q_scd_intervals(sf_dir: str):
+    """Slowly-changing-dimension type-2 history from the event log
+    (:func:`cloudtile_ray.stages.events.scd2_intervals`): per user,
+    consecutive same-type runs collapse to one validity interval
+    [valid_from_us, valid_to_us) with a version counter; the last
+    interval is open-ended (int64-max sentinel, NOT NULL — nullable
+    BIGINT comes back float64 from fetchdf and would break dtype-strict
+    hash parity).  One user-bucket exchange."""
+    from cloudtile_ray.stages.events import scd2_intervals
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return scd2_intervals(ds)
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford's-law audit: first-significant-digit histogram of order
+    totals (cents) per order priority — the classic fraud/data-quality
+    screen.  Digit extracted by vectorized repeated integer division
+    (log10-bounded loop, no row Python); counts via the map-side
+    pre-aggregated bucket exchange."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def digits(t):
+        cents = np.rint(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d = np.abs(cents)
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "digit": pa.array(d),
+            }
+        )
+
+    dd = ds.map_batches(digits, batch_format="pyarrow")
+    return bucketed_group_aggregate(
+        dd, ["o_orderpriority", "digit"], [("digit", "count", "n")]
+    )
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Per-document top-3 keywords by integer-scaled TF-IDF
+    (:func:`cloudtile_ray.stages.text.tfidf_topk`): score = tf *
+    ((n_docs * 10^6) // df) — fixed-point idf, so the ranking replays
+    bit-exactly in SQL where float ln() would not.  The k>1
+    magnitude-weighted companion to top_terms' (tf, df, tk) argmax."""
+    import pyarrow.parquet as _pq
+
+    from cloudtile_ray.stages.text import tfidf_topk
+
+    n_docs = _pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_topk(ds, n_docs=n_docs, k=3)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7615,6 +7741,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "sliding_counts": q_sliding_counts,
         "bigrams": q_bigrams,
+        "peak_concurrency": q_peak_concurrency,
+        "value_ohlc": q_value_ohlc,
+        "scd_intervals": q_scd_intervals,
+        "benford_digits": q_benford_digits,
+        "tfidf_terms": q_tfidf_terms,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -7877,6 +8008,78 @@ def oracle_sql() -> dict[str, str]:
         for j in range(5)
     )
     return {
+        "peak_concurrency": """
+            WITH spans AS (SELECT event_type,
+                             CAST(epoch_us(ts) AS BIGINT) AS s,
+                             CAST(epoch_us(ts) AS BIGINT)
+                               + greatest(CAST(round(value * 100) AS BIGINT),
+                                          0) * 1000 AS e
+                           FROM events),
+            bounds AS (SELECT event_type, s AS t, 1 AS d FROM spans
+                       UNION ALL
+                       SELECT event_type, e AS t, -1 AS d FROM spans),
+            run AS (SELECT event_type, t,
+                       sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                           ROWS UNBOUNDED PRECEDING) AS c
+                    FROM bounds),
+            pk AS (SELECT event_type, max(c) AS peak FROM run GROUP BY 1)
+            SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak,
+                   min(r.t) AS first_peak_us
+            FROM run r JOIN pk p
+              ON r.event_type = p.event_type AND r.c = p.peak
+            GROUP BY 1, 2""",
+        "value_ohlc": """
+            WITH e AS (SELECT event_type,
+                         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_type, ts_us // 3600000000 AS hour,
+                   first(cents ORDER BY ts_us, event_id) AS open_cents,
+                   max(cents) AS high_cents,
+                   min(cents) AS low_cents,
+                   last(cents ORDER BY ts_us, event_id) AS close_cents,
+                   count(*) AS n
+            FROM e GROUP BY 1, 2""",
+        "scd_intervals": """
+            WITH e AS (SELECT user_id, event_type,
+                         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+                       FROM events WHERE event_type IS NOT NULL),
+            o AS (SELECT *, lag(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts_us, event_id)
+                       AS prev_t
+                  FROM e),
+            c AS (SELECT user_id, event_type, ts_us, event_id FROM o
+                  WHERE prev_t IS NULL OR prev_t <> event_type)
+            SELECT user_id, event_type,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   ts_us AS valid_from_us,
+                   coalesce(lead(ts_us) OVER w,
+                            9223372036854775807) AS valid_to_us
+            FROM c WINDOW w AS
+              (PARTITION BY user_id ORDER BY ts_us, event_id)""",
+        "benford_digits": """
+            WITH c AS (SELECT o_orderpriority,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                       FROM orders)
+            SELECT o_orderpriority,
+                   CAST(substr(CAST(abs(cents) AS VARCHAR), 1, 1) AS BIGINT)
+                     AS digit,
+                   count(*) AS n
+            FROM c GROUP BY 1, 2""",
+        "tfidf_terms": """
+            WITH tok AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS tk
+                         FROM documents),
+            tf AS (SELECT doc_id, tk, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dft AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT count(*) AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.tk, tf.tf, dft.df,
+                      tf.tf * ((CAST(nd.n AS BIGINT) * 1000000) // dft.df)
+                        AS score
+                   FROM tf, dft, nd WHERE tf.tk = dft.tk)
+            SELECT doc_id, tk, tf, df, score FROM sc
+            QUALIFY row_number() OVER
+              (PARTITION BY doc_id ORDER BY score DESC, tk) <= 3""",
         "rfm_segments": """
             WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS od,
                               CAST(round(o_totalprice * 100) AS BIGINT)

@@ -1761,3 +1761,352 @@ def user_bot_features(ds, burst_threshold: int = 20, mono_threshold: int = 50):
         .groupby("_ubkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def peak_concurrency(ds, chunk_us: int = 86_400_000_000) -> "ray.data.Dataset":
+    """Per-type PEAK CONCURRENCY over a set of time intervals — the
+    sweep-line max-overlap operator: each input row is a half-open span
+    [s_us, e_us) tagged with ``event_type``; output is one row per type
+    with the maximum number of simultaneously-open spans and the
+    earliest microsecond at which that peak is first reached.
+
+    Scale shape (the sweep needs a GLOBAL time order per type, which a
+    single ``groupby(event_type)`` group cannot hold at corpus scale):
+    boundaries (+1 at s, -1 at e) are chunked by ``t // chunk_us`` and
+    exchanged on ``chunk % nb`` — each (type, chunk) summary
+    ``(sum_d, max_prefix, first_t)`` is computed with one segmented
+    cumsum (no per-row Python), and chunk summaries compose
+    associatively: chunk i's local prefix peaks are offset by the
+    cumulative net delta of all earlier chunks.  The second exchange is
+    type-cardinality-sized (tiny).  Equal-timestamp ties order ends
+    before starts (d ascending), i.e. half-open semantics, matching the
+    SQL ``SUM(d) OVER (ORDER BY t, d)`` replay exactly; per-row tie
+    order beyond (t, d) cannot change any (t, running-count) pair, so
+    the result is parallelism-independent."""
+    import pyarrow.compute as pc
+
+    nb = _n_user_buckets(ds)
+
+    def bounds(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        s = t.column("s_us").to_numpy(zero_copy_only=False)
+        e = t.column("e_us").to_numpy(zero_copy_only=False)
+        tt = np.concatenate([s, e])
+        dd = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+        )
+        et2 = pa.chunked_array([et, et])
+        ck = tt // chunk_us
+        return pa.table(
+            {
+                "event_type": et2.combine_chunks(),
+                "t": pa.array(tt),
+                "d": pa.array(dd),
+                "_ck": pa.array(ck),
+                "_pbkt": pa.array((ck % nb).astype(np.int64)),
+            }
+        )
+
+    def chunk_summary(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "_ck": pa.array([], pa.int64()),
+                "sum_d": pa.array([], pa.int64()),
+                "max_prefix": pa.array([], pa.int64()),
+                "first_t": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        de = g.column("event_type").combine_chunks().dictionary_encode()
+        tc = de.indices.to_numpy().astype(np.int64)
+        t = g.column("t").to_numpy(zero_copy_only=False)
+        d = g.column("d").to_numpy(zero_copy_only=False)
+        ck = g.column("_ck").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t, ck, tc))
+        tc_s, t_s, d_s, ck_s = tc[order], t[order], d[order], ck[order]
+        n = len(t_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (tc_s[1:] != tc_s[:-1]) | (ck_s[1:] != ck_s[:-1])
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, n))
+        cs = np.cumsum(d_s)
+        base = np.concatenate(([0], cs[:-1]))[starts]
+        within = cs - np.repeat(base, lens)
+        maxp = np.maximum.reduceat(within, starts)
+        cand = np.where(
+            within == np.repeat(maxp, lens), np.arange(n, dtype=np.int64), n
+        )
+        fidx = np.minimum.reduceat(cand, starts)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table(
+            {
+                "event_type": pc.take(de.dictionary, pa.array(tc_s[starts])),
+                "_ck": pa.array(ck_s[starts]),
+                "sum_d": pa.array(within[ends]),
+                "max_prefix": pa.array(maxp),
+                "first_t": pa.array(t_s[fidx]),
+            }
+        )
+
+    def combine_type(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "peak": pa.array([], pa.int64()),
+                "first_peak_us": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        ck = g.column("_ck").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        sum_d = g.column("sum_d").to_numpy(zero_copy_only=False)[order]
+        maxp = g.column("max_prefix").to_numpy(zero_copy_only=False)[order]
+        ft = g.column("first_t").to_numpy(zero_copy_only=False)[order]
+        before = np.concatenate(([0], np.cumsum(sum_d)[:-1]))
+        cand = before + maxp
+        peak = int(cand.max())
+        i = int(np.argmax(cand == peak))
+        return pa.table(
+            {
+                "event_type": g.column("event_type").take(pa.array([0])),
+                "peak": pa.array([peak], pa.int64()),
+                "first_peak_us": pa.array([int(ft[i])], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(bounds, batch_format="pyarrow")
+        .groupby("_pbkt")
+        .map_groups(chunk_summary, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(combine_type, batch_format="pyarrow")
+    )
+
+
+def hourly_ohlc(ds) -> "ray.data.Dataset":
+    """Per (event_type, hour) OHLC bars over value cents — open/close =
+    first/last value in deterministic (ts_us, event_id) order, high/low
+    = max/min, plus the bar's row count.  The classic time-series
+    resample, exact-integer end to end.
+
+    Scale shape: fully DECOMPOSABLE — every batch folds to at most one
+    partial row per (type, hour) it touches (open/close candidates
+    carry their (ts_us, event_id) keys), so the exchange moves
+    bar-cardinality-sized partials, never raw events; the combine is
+    the same segmented kernel over partials.  The exchange keys on
+    ``hour % nb``; skew is impossible because partials per (type, hour)
+    are bounded by the upstream block count."""
+    import pyarrow.compute as pc
+
+    nb = _n_user_buckets(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {
+            "event_type": pa.array([], pa.string()),
+            "hour": pa.array([], pa.int64()),
+            "o_ts": pa.array([], pa.int64()),
+            "o_eid": pa.array([], pa.int64()),
+            "open_cents": pa.array([], pa.int64()),
+            "c_ts": pa.array([], pa.int64()),
+            "c_eid": pa.array([], pa.int64()),
+            "close_cents": pa.array([], pa.int64()),
+            "high_cents": pa.array([], pa.int64()),
+            "low_cents": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(cols)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        de = t.column("event_type").combine_chunks().dictionary_encode()
+        tc = de.indices.to_numpy().astype(np.int64)
+        hour = ts // 3_600_000_000
+        pack = tc * np.int64(1 << 40) + hour
+        order = np.lexsort((eid, ts, pack))
+        p_s, ts_s, eid_s, c_s = pack[order], ts[order], eid[order], cents[order]
+        n = len(p_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = p_s[1:] != p_s[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n) - 1
+        lens = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "event_type": pc.take(
+                    de.dictionary, pa.array(tc[order][starts])
+                ),
+                "hour": pa.array(hour[order][starts]),
+                "o_ts": pa.array(ts_s[starts]),
+                "o_eid": pa.array(eid_s[starts]),
+                "open_cents": pa.array(c_s[starts]),
+                "c_ts": pa.array(ts_s[ends]),
+                "c_eid": pa.array(eid_s[ends]),
+                "close_cents": pa.array(c_s[ends]),
+                "high_cents": pa.array(np.maximum.reduceat(c_s, starts)),
+                "low_cents": pa.array(np.minimum.reduceat(c_s, starts)),
+                "n": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        h = t.column("hour").to_numpy(zero_copy_only=False)
+        return t.append_column("_hbkt", pa.array((h % nb).astype(np.int64)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_hbkt"]).combine_chunks()
+        if g.num_rows == 0:
+            return g.select(
+                [
+                    "event_type",
+                    "hour",
+                    "open_cents",
+                    "high_cents",
+                    "low_cents",
+                    "close_cents",
+                    "n",
+                ]
+            )
+        de = g.column("event_type").combine_chunks().dictionary_encode()
+        tc = de.indices.to_numpy().astype(np.int64)
+        hour = g.column("hour").to_numpy(zero_copy_only=False)
+        pack = tc * np.int64(1 << 40) + hour
+        o_ts = g.column("o_ts").to_numpy(zero_copy_only=False)
+        o_eid = g.column("o_eid").to_numpy(zero_copy_only=False)
+        c_ts = g.column("c_ts").to_numpy(zero_copy_only=False)
+        c_eid = g.column("c_eid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o_eid, o_ts, pack))
+        p_s = pack[order]
+        n = len(p_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = p_s[1:] != p_s[:-1]
+        starts = np.nonzero(new)[0]
+        # close: independently order by (pack, c_ts, c_eid); last per seg
+        order_c = np.lexsort((c_eid, c_ts, pack))
+        ends = np.append(starts[1:], n) - 1
+        oc = g.column("open_cents").to_numpy(zero_copy_only=False)
+        cc = g.column("close_cents").to_numpy(zero_copy_only=False)
+        hi = g.column("high_cents").to_numpy(zero_copy_only=False)
+        lo = g.column("low_cents").to_numpy(zero_copy_only=False)
+        nn = g.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": pc.take(
+                    de.dictionary, pa.array(tc[order][starts])
+                ),
+                "hour": pa.array(hour[order][starts]),
+                "open_cents": pa.array(oc[order][starts]),
+                "high_cents": pa.array(np.maximum.reduceat(hi[order], starts)),
+                "low_cents": pa.array(np.minimum.reduceat(lo[order], starts)),
+                "close_cents": pa.array(cc[order_c][ends]),
+                "n": pa.array(np.add.reduceat(nn[order], starts)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("_hbkt")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+SCD_OPEN_END_US = (1 << 63) - 1  # open-ended validity sentinel (not NULL:
+# DuckDB fetchdf turns a nullable BIGINT into float64, which would break
+# the dtype-strict hash parity the correctness gate enforces)
+
+
+def scd2_intervals(ds) -> "ray.data.Dataset":
+    """Slowly-changing-dimension (type-2) history build from an event
+    log: per user, consecutive events with the SAME ``event_type``
+    collapse into one validity interval ``[valid_from_us,
+    valid_to_us)``; a new row opens whenever the state CHANGES in
+    (ts_us, event_id) order.  The last interval per user is open-ended
+    (``valid_to_us = SCD_OPEN_END_US``).  Null event_type rows are
+    dropped (state unknown), matching the oracle's ``WHERE event_type
+    IS NOT NULL``.
+
+    ONE user-bucket exchange; the bucket kernel is a single lexsort +
+    change-flag filter + one shift — no per-user Python.  Event_id
+    breaks timestamp ties, so the change sequence (and therefore every
+    output row) is deterministic at any parallelism."""
+    import pyarrow.compute as pc
+
+    nb = _n_user_buckets(ds)
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        return _add_user_bucket(t, nb)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "version": pa.array([], pa.int64()),
+                "valid_from_us": pa.array([], pa.int64()),
+                "valid_to_us": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        de = g.column("event_type").combine_chunks().dictionary_encode()
+        tc = de.indices.to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s, tc_s = u[order], ts[order], tc[order]
+        n = len(u_s)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u_s[1:] != u_s[:-1]
+        change = first.copy()
+        change[1:] |= tc_s[1:] != tc_s[:-1]
+        cu, cts, ctc = u_s[change], ts_s[change], tc_s[change]
+        cfirst = first[change]
+        m = len(cu)
+        starts = np.nonzero(cfirst)[0]
+        lens = np.diff(np.append(starts, m))
+        version = (
+            np.arange(m, dtype=np.int64) - np.repeat(starts, lens) + 1
+        )
+        vt = np.empty(m, dtype=np.int64)
+        vt[:-1] = cts[1:]
+        vt[-1] = SCD_OPEN_END_US
+        last = np.zeros(m, dtype=bool)
+        last[np.append(starts[1:], m) - 1] = True
+        vt[last] = SCD_OPEN_END_US
+        return pa.table(
+            {
+                "user_id": pa.array(cu.astype(np.int64)),
+                "event_type": pc.take(de.dictionary, pa.array(ctc)),
+                "version": pa.array(version),
+                "valid_from_us": pa.array(cts),
+                "valid_to_us": pa.array(vt),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -1465,3 +1465,89 @@ def build_postings(
         order_cols=["doc_id"],
     )
     return broadcast_lookup(postings, sel, on=["tok"])
+
+
+def tfidf_topk(
+    ds, n_docs: int, k: int = 3, idf_scale: int = 1_000_000
+) -> "ray.data.Dataset":
+    """Per-document top-``k`` terms by INTEGER-SCALED TF-IDF:
+    ``score = tf * ((n_docs * idf_scale) // df)`` — a fixed-point idf
+    (integer floor division, identical in int64 and in the DuckDB
+    replay) so the ranking certifies bit-exactly where a float
+    ``ln(N/df)`` would not.  Ties break (tk ascending).  The top-1
+    (tf, df, tk) lexicographic variant is :func:`top_terms`; this is
+    the magnitude-weighted k>1 family (keyword extraction for
+    curation / retrieval).
+
+    Scale shape identical to :func:`top_terms`: per-batch (doc, tk, tf)
+    explode -> vocab-sized df aggregate -> broadcast df attach under a
+    measured byte budget (hash-join fallback above it) -> ONE
+    doc-bucket exchange whose kernel is an Arrow multi-key sort plus a
+    segmented rank filter (no per-doc Python).  Score fits int64 for
+    any corpus below ~9e18 / (idf_scale * max_tf)."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    num_buckets = default_num_buckets(ds)
+    idf_num = np.int64(n_docs) * np.int64(idf_scale)
+
+    freqs = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
+    dfs = bucketed_group_aggregate(
+        freqs, ["tk"], [("doc_id", "count", "df")]
+    ).materialize()
+    df_budget = 256 << 20
+    if (dfs.size_bytes() or 0) <= df_budget:
+        import ray
+
+        df_tbl = pa.concat_tables(
+            [t for t in ray.get(list(dfs.to_arrow_refs())) if t.num_columns]
+        ).combine_chunks()
+        dref = ray.put(df_tbl)
+
+        def attach_df(t: pa.Table) -> pa.Table:
+            lut = ray.get(dref)
+            idx = pc.index_in(
+                t.column("tk").combine_chunks(), value_set=lut.column("tk")
+            )
+            return t.append_column("df", pc.take(lut.column("df"), idx))
+
+        with_df = freqs.map_batches(attach_df, batch_format="pyarrow")
+    else:
+        with_df = hash_join(freqs, dfs, on=("tk",))
+
+    def score_bkt(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False)
+        df = t.column("df").to_numpy(zero_copy_only=False)
+        score = tf * (idf_num // df)
+        b = t.column("doc_id").to_numpy(zero_copy_only=False) % num_buckets
+        t = t.append_column("score", pa.array(score.astype(np.int64)))
+        return t.append_column("_bkt", pa.array(b.astype(np.int64)))
+
+    def pick_topk(g: pa.Table) -> pa.Table:
+        g = g.select(["doc_id", "tk", "tf", "df", "score"]).combine_chunks()
+        if g.num_rows == 0:
+            return g
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("score", "descending"),
+                ("tk", "ascending"),
+            ],
+        )
+        d_s = pc.take(g.column("doc_id"), idx).to_numpy(zero_copy_only=False)
+        n = len(d_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = d_s[1:] != d_s[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        keep = idx.to_numpy(zero_copy_only=False)[rank < k]
+        return g.take(pa.array(np.sort(keep)))
+
+    return (
+        with_df.map_batches(score_bkt, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(pick_topk, batch_format="pyarrow")
+    )

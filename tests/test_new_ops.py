@@ -5501,3 +5501,212 @@ def test_grouped_weighted_median_brute_force(ray_session):
     got2 = dict(zip(slow.column("g").to_pylist(),
                     slow.column("wmedian").to_pylist()))
     assert got2 == want
+
+
+def test_peak_concurrency_brute_force(ray_session):
+    """Sweep-line max-overlap vs a pure-python boundary walk: half-open
+    [s, e) spans, ends-before-starts at equal t; tiny chunk_us forces
+    the multi-chunk associative combine path."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import peak_concurrency
+
+    rng = np.random.default_rng(97)
+    n = 3000
+    types = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    s = rng.integers(0, 50_000, n).astype(np.int64)
+    e = s + rng.integers(0, 2_000, n).astype(np.int64)  # incl. zero-length
+    want = {}
+    for tt in np.unique(types):
+        m = types == tt
+        bounds = sorted(
+            [(int(x), 1) for x in s[m]] + [(int(x), -1) for x in e[m]],
+            key=lambda p: (p[0], p[1]),
+        )
+        c = peak = 0
+        first_t = None
+        for t, d in bounds:
+            c += d
+            if c > peak:
+                peak, first_t = c, t
+        want[str(tt)] = (peak, first_t)
+    t = pa.table(
+        {
+            "event_type": pa.array(types),
+            "s_us": pa.array(s),
+            "e_us": pa.array(e),
+        }
+    )
+    out = peak_concurrency(
+        ray.data.from_arrow(t).repartition(7), chunk_us=1_000
+    ).to_pandas()
+    got = {
+        r.event_type: (int(r.peak), int(r.first_peak_us))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_hourly_ohlc_brute_force(ray_session):
+    """OHLC partial-combine vs a pandas groupby replay: open/close by
+    (ts, event_id) order across many small blocks."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import hourly_ohlc
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    ts = rng.integers(0, 20 * 3_600_000_000, n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    types = np.array(["x", "y"])[rng.integers(0, 2, n)]
+    value = np.round(rng.uniform(-50, 150, n), 2)
+    t = pa.table(
+        {
+            "event_type": pa.array(types),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_id": pa.array(eid),
+            "value": pa.array(value),
+        }
+    )
+    out = (
+        hourly_ohlc(ray.data.from_arrow(t).repartition(9))
+        .to_pandas()
+        .sort_values(["event_type", "hour"], ignore_index=True)
+    )
+    df = pd.DataFrame(
+        {
+            "event_type": types,
+            "hour": ts // 3_600_000_000,
+            "ts": ts,
+            "eid": eid,
+            "cents": np.rint(value * 100).astype(np.int64),
+        }
+    ).sort_values(["event_type", "hour", "ts", "eid"])
+    want = (
+        df.groupby(["event_type", "hour"], as_index=False)
+        .agg(
+            open_cents=("cents", "first"),
+            high_cents=("cents", "max"),
+            low_cents=("cents", "min"),
+            close_cents=("cents", "last"),
+            n=("cents", "size"),
+        )
+        .sort_values(["event_type", "hour"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"n": np.int64}), want.astype({"n": np.int64})
+    )
+
+
+def test_scd2_intervals_brute_force(ray_session):
+    """SCD-2 change compression vs a python replay: same-type runs
+    collapse, versions count per user, last interval open-ended, null
+    types dropped."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import SCD_OPEN_END_US, scd2_intervals
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    u = rng.integers(0, 60, n).astype(np.int64)
+    ts = rng.integers(0, 1_000_000, n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    pool = ["p", "q", "r", None]
+    types = [pool[i] for i in rng.integers(0, 4, n)]
+    rows = sorted(
+        (
+            (int(uu), int(tt), int(ee), ty)
+            for uu, tt, ee, ty in zip(u, ts, eid, types)
+            if ty is not None
+        ),
+    )
+    want = []
+    by_user = {}
+    for uu, tt, ee, ty in rows:
+        by_user.setdefault(uu, []).append((tt, ee, ty))
+    for uu, evs in by_user.items():
+        changes = []
+        prev = None
+        for tt, ee, ty in evs:
+            if prev is None or ty != prev:
+                changes.append((tt, ty))
+            prev = ty
+        for i, (tt, ty) in enumerate(changes):
+            vt = changes[i + 1][0] if i + 1 < len(changes) else SCD_OPEN_END_US
+            want.append((uu, ty, i + 1, tt, vt))
+    t = pa.table(
+        {
+            "user_id": pa.array(u),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_id": pa.array(eid),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    out = scd2_intervals(ray.data.from_arrow(t).repartition(8)).to_pandas()
+    got = sorted(
+        (
+            int(r.user_id),
+            r.event_type,
+            int(r.version),
+            int(r.valid_from_us),
+            int(r.valid_to_us),
+        )
+        for r in out.itertuples(index=False)
+    )
+    assert got == sorted(want)
+
+
+def test_tfidf_topk_brute_force(ray_session):
+    """Integer-scaled tf-idf top-k vs a python replay on a tiny corpus:
+    score = tf * ((n_docs * scale) // df), ties by token."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.text import tfidf_topk
+
+    docs = {
+        0: "a a a b c rare",
+        1: "a b b c c c",
+        2: "b c d d unique token",
+        3: "a d e e e e",
+        4: "f f g common a",
+    }
+    n_docs, scale, k = len(docs), 1_000_000, 2
+    tf = {}
+    df = {}
+    for d, text in docs.items():
+        seen = {}
+        for tk in text.split(" "):
+            seen[tk] = seen.get(tk, 0) + 1
+        for tk, c in seen.items():
+            tf[(d, tk)] = c
+            df[tk] = df.get(tk, 0) + 1
+    want = []
+    for d in docs:
+        scored = sorted(
+            (
+                (-(tf[(dd, tk)] * ((n_docs * scale) // df[tk])), tk)
+                for (dd, tk) in tf
+                if dd == d
+            ),
+        )[:k]
+        for neg, tk in scored:
+            want.append((d, tk, -neg))
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+        }
+    )
+    out = tfidf_topk(
+        ray.data.from_arrow(t).repartition(3), n_docs=n_docs, k=k
+    ).to_pandas()
+    got = sorted(
+        (int(r.doc_id), r.tk, int(r.score)) for r in out.itertuples(index=False)
+    )
+    assert got == sorted(want)
+    assert set(out.columns) == {"doc_id", "tk", "tf", "df", "score"}
