@@ -7483,6 +7483,67 @@ def q_tfidf_terms(sf_dir: str):
     return tfidf_topk(ds, n_docs=n_docs, k=3)
 
 
+def q_media_dedup(sf_dir: str):
+    """Exact binary-content dedup over media payloads
+    (:func:`cloudtile_ray.stages.multimodal.media_dedup`): identical
+    payload bytes collapse to the lowest media_id, with copy count and
+    size.  The engine groups by a BLAKE2b content digest — it never
+    sees the generative key — while the oracle replays the partition
+    from the synthesis rule (ids sharing ``media_id % 60`` share
+    bytes), so the content-addressed dedup path itself is what gets
+    hash-certified."""
+    import ray.data
+
+    from cloudtile_ray.stages.multimodal import (
+        media_dedup,
+        synthesize_media_table,
+    )
+
+    ds = ray.data.from_arrow(
+        synthesize_media_table(200, sql_replayable=True, key_mod=60)
+    ).repartition(4)
+    return media_dedup(ds)
+
+
+def q_bloom_registers(sf_dir: str):
+    """EXACT counting-Bloom-filter cell state over event user_ids
+    (:func:`cloudtile_ray.stages.sketches.bloom_registers_exact`, 4
+    Knuth hashes x 4096 cells): every cell count is an integer sum
+    under a HUGEINT-replayable multiplicative hash, completing the
+    certified-sketch-state family (kmv, hll_registers,
+    cms_registers)."""
+    from cloudtile_ray.stages.sketches import bloom_registers_exact
+
+    ds = _read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return bloom_registers_exact(ds, "user_id")
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix: declared ``lang`` vs the n-gram
+    stopword-profile prediction (the certified ``langid`` heuristic),
+    counted per (lang, lang_pred) — the standard quality audit for a
+    corpus language filter.  Zero joins: the declared lang rides the
+    batch through the detector; counts fold map-side before one
+    matrix-sized exchange."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+    from cloudtile_ray.stages.text import LangId
+    from cloudtile_ray.stages.util import worker_cached
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+
+    def langid_fn(t):
+        return worker_cached(("langid",), LangId)(t)
+
+    pred = ds.map_batches(langid_fn, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["lang", "lang_pred"]), batch_format="pyarrow"
+    )
+    return bucketed_group_aggregate(
+        pred, ["lang", "lang_pred"], [("lang_pred", "count", "n")]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7746,6 +7807,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd_intervals": q_scd_intervals,
         "benford_digits": q_benford_digits,
         "tfidf_terms": q_tfidf_terms,
+        "media_dedup": q_media_dedup,
+        "bloom_registers": q_bloom_registers,
+        "lang_confusion": q_lang_confusion,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -7768,6 +7832,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     prefix = f"WITH {PAGES_SQL_CTE.strip()}, {ZONES_SQL_CTE.strip()}"
     zoom_ladder = "(VALUES (4), (5), (6)) zs(z)"
+    # bloom_registers oracle: the SAME multiplier constants the engine
+    # stage uses (sketches.BLOOM_MULTS), HUGEINT arithmetic replaying
+    # numpy's uint64 wrap (x * m mod 2**64) and >> 52 via // 2**52
+    from cloudtile_ray.stages.sketches import BLOOM_MULTS as _BLOOM_MULTS
+
+    bloom_mult_rows = ", ".join(
+        f"({j}, CAST({m} AS HUGEINT))" for j, m in enumerate(_BLOOM_MULTS)
+    )
     # stopword profiles for the langid oracle, generated from the SAME dict
     # the Ray stage uses (set membership — value order irrelevant; lang
     # order = dict order = the Ray tie-break order)
@@ -8080,6 +8152,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, tk, tf, df, score FROM sc
             QUALIFY row_number() OVER
               (PARTITION BY doc_id ORDER BY score DESC, tk) <= 3""",
+        "media_dedup": """
+            SELECT CAST(i % 60 AS BIGINT) AS keep_id,
+                   count(*) AS n_copies,
+                   CAST(64 + (i % 60) % 128 AS BIGINT) AS nbytes
+            FROM range(0, 200) t(i) GROUP BY 1, 3""",
+        "bloom_registers": f"""
+            WITH mults AS (SELECT * FROM (VALUES {bloom_mult_rows})
+                           m(j, mult)),
+            h AS (SELECT m.j,
+                     ((CAST(e.user_id AS HUGEINT) * m.mult)
+                       % 18446744073709551616) // 4503599627370496 AS bit
+                  FROM events e CROSS JOIN mults m)
+            SELECT CAST(j AS BIGINT) AS j, CAST(bit AS BIGINT) AS bit,
+                   count(*) AS n
+            FROM h GROUP BY 1, 2""",
+        "lang_confusion": f"""
+            WITH pred AS ({langid_sql})
+            SELECT d.lang, p.lang_pred, count(*) AS n
+            FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+            GROUP BY 1, 2""",
         "rfm_segments": """
             WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS od,
                               CAST(round(o_totalprice * 100) AS BIGINT)

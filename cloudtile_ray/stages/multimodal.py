@@ -30,25 +30,29 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def synthesize_media_table(
-    n: int, seed: int = 42, sql_replayable: bool = False
+    n: int, seed: int = 42, sql_replayable: bool = False,
+    key_mod: int | None = None,
 ) -> pa.Table:
     """Deterministic fake media rows.  Default payloads are seeded RNG
     bytes; ``sql_replayable=True`` switches to the arithmetic rule
-    ``byte[j] = (media_id * 31 + j * 7 + 13) % 256`` over the same
-    lengths (64 + i % 128), which a DuckDB generate_series CTE can
+    ``byte[j] = (k * 31 + j * 7 + 13) % 256`` over lengths
+    ``64 + k % 128`` where ``k = media_id % key_mod`` (``k = media_id``
+    when key_mod is None), which a DuckDB generate_series CTE can
     replay exactly — the certified media_histogram oracle depends on
-    this mode."""
+    this mode, and ``key_mod`` plants exact duplicate payloads for the
+    media_dedup oracle (ids sharing a residue share bytes)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     if sql_replayable:
         payloads = [
             (
-                (np.int64(i) * 31 + np.arange(64 + i % 128, dtype=np.int64) * 7 + 13)
+                (np.int64(k) * 31 + np.arange(64 + k % 128, dtype=np.int64) * 7 + 13)
                 % 256
             )
             .astype(np.uint8)
             .tobytes()
             for i in range(n)
+            for k in [i % key_mod if key_mod else i]
         ]
     else:
         payloads = [
@@ -313,4 +317,73 @@ def sample_frames(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+def media_dedup(ds) -> "ray.data.Dataset":
+    """EXACT content dedup over opaque binary payloads — the multimodal
+    twin of the text dedup family (``stages/dedup.py``): identical
+    payload bytes collapse to one representative (lowest ``media_id``),
+    with the copy count and payload size per survivor.
+
+    The content key is an 8-byte BLAKE2b digest computed per payload in
+    the map stage — per-item hashing is inherent to variable-length
+    binary rows (no vectorized kernel exists), but only ~8 hash bytes +
+    2 int64s per row ever reach the exchange, never the payloads
+    themselves, so at 100 TB the shuffle moves digests, not media.  One
+    digest-bucket exchange; the bucket kernel is Arrow C++ group_by
+    (min/count), no per-group Python."""
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    nb = default_num_buckets(ds)
+
+    def digest(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        n = t.num_rows
+        digs = np.empty(n, dtype=np.int64)
+        sizes = np.empty(n, dtype=np.int64)
+        payload = t.column("payload")
+        for i in range(n):  # per-item: variable-length binary hashing
+            b = payload[i].as_py()
+            digs[i] = int.from_bytes(
+                hashlib.blake2b(b, digest_size=8).digest(), "big"
+            ) >> 1  # keep non-negative in int64
+            sizes[i] = len(b)
+        return pa.table(
+            {
+                "dig": pa.array(digs),
+                "media_id": t.column("media_id"),
+                "nbytes": pa.array(sizes),
+                "_bkt": pa.array(digs % nb),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        agg = (
+            g.select(["dig", "media_id", "nbytes"])
+            .combine_chunks()
+            .group_by("dig")
+            .aggregate(
+                [
+                    ("media_id", "min"),
+                    ("media_id", "count"),
+                    ("nbytes", "min"),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "keep_id": agg.column("media_id_min"),
+                "n_copies": agg.column("media_id_count"),
+                "nbytes": agg.column("nbytes_min"),
+            }
+        )
+
+    return (
+        ds.map_batches(digest, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )

@@ -537,3 +537,62 @@ def kmv_sketch(ds, col: str, k: int = 64, mult: int = 2654435761, mod: int = 1 <
             }
         )
     )
+
+
+BLOOM_MULTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def bloom_registers_exact(
+    ds, value_col: str, m_log2: int = 12, mults: tuple = BLOOM_MULTS
+) -> "ray.data.Dataset":
+    """EXACT COUNTING-Bloom-filter register state -> one row per
+    non-zero cell ``(j, bit, n)``: hash function index, cell index
+    (top ``m_log2`` bits of the Knuth multiplicative hash ``(x *
+    mult_j) mod 2**64``), and the exact number of input ROWS landing
+    there.  The kmv/hll/cms certifiability pattern applied to the
+    Bloom family — every cell is an integer sum under a
+    HUGEINT-replayable hash, so the driver hash-certifies the filter
+    STATE itself; membership testing (``bloom_semi``) stays the
+    documented approximate use.  Counts are decomposable sums:
+    batch-side partials pre-fold before one cell-sized exchange
+    (<= k x 2**m_log2 rows ever ship, independent of input size)."""
+    if not 8 <= m_log2 <= 24:
+        raise ValueError("m_log2 must be in [8, 24]")
+    for m in mults:
+        if m % 2 == 0:
+            raise ValueError("multipliers must be odd")
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    shift = np.uint64(64 - m_log2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (
+            batch.column(value_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        if (x < 0).any():
+            raise ValueError("bloom_registers_exact requires non-negative keys")
+        js, bits, ns = [], [], []
+        for j, m in enumerate(mults):
+            h = (x.astype(np.uint64) * np.uint64(m)) >> shift
+            b, c = np.unique(h.astype(np.int64), return_counts=True)
+            js.append(np.full(len(b), j, dtype=np.int64))
+            bits.append(b)
+            ns.append(c.astype(np.int64))
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js) if js else np.array([], np.int64)),
+                "bit": pa.array(np.concatenate(bits) if bits else np.array([], np.int64)),
+                "n": pa.array(np.concatenate(ns) if ns else np.array([], np.int64)),
+            }
+        )
+
+    cells = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_aggregate(cells, ["j", "bit"], [("n", "sum", "n")])

@@ -5710,3 +5710,61 @@ def test_tfidf_topk_brute_force(ray_session):
     )
     assert got == sorted(want)
     assert set(out.columns) == {"doc_id", "tk", "tf", "df", "score"}
+
+
+def test_media_dedup_brute_force(ray_session):
+    """Binary content dedup vs the synthesis rule: ids sharing
+    media_id % key_mod share payload bytes, survivor = lowest id."""
+    import ray.data
+
+    from cloudtile_ray.stages.multimodal import media_dedup, synthesize_media_table
+
+    t = synthesize_media_table(150, sql_replayable=True, key_mod=40)
+    out = media_dedup(ray.data.from_arrow(t).repartition(5)).to_pandas()
+    got = sorted(
+        (int(r.keep_id), int(r.n_copies), int(r.nbytes))
+        for r in out.itertuples(index=False)
+    )
+    want = []
+    for k in range(40):
+        ids = [i for i in range(150) if i % 40 == k]
+        want.append((min(ids), len(ids), 64 + k % 128))
+    assert got == sorted(want)
+
+
+def test_media_dedup_rng_payloads_all_distinct(ray_session):
+    """Seeded-RNG payloads are all distinct -> every row survives with
+    n_copies == 1."""
+    import ray.data
+
+    from cloudtile_ray.stages.multimodal import media_dedup, synthesize_media_table
+
+    t = synthesize_media_table(80)
+    out = media_dedup(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    assert len(out) == 80
+    assert (out["n_copies"] == 1).all()
+    assert sorted(out["keep_id"]) == list(range(80))
+
+
+def test_bloom_registers_brute_force(ray_session):
+    """Counting-Bloom cell state vs a numpy replay: per-cell counts sum
+    exactly across blocks for every hash function."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.sketches import BLOOM_MULTS, bloom_registers_exact
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 40, 5000).astype(np.int64)
+    want = {}
+    for j, m in enumerate(BLOOM_MULTS):
+        h = (x.astype(np.uint64) * np.uint64(m)) >> np.uint64(52)
+        b, c = np.unique(h.astype(np.int64), return_counts=True)
+        for bb, cc in zip(b, c):
+            want[(j, int(bb))] = int(cc)
+    ds = ray.data.from_arrow(pa.table({"user_id": pa.array(x)})).repartition(6)
+    out = bloom_registers_exact(ds, "user_id").to_pandas()
+    got = {
+        (int(r.j), int(r.bit)): int(r.n) for r in out.itertuples(index=False)
+    }
+    assert got == want
