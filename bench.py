@@ -198,6 +198,8 @@ def run_queries(sf_dir: str) -> dict:
         "name_pagerank", "media_histogram", "gpkg_roundtrip", "hll_registers",
         "cms_registers", "interval_union", "priority_division",
         "name_triangles", "name_clustering", "weighted_median", "flag_weighted_median",
+        "peak_concurrency", "value_ohlc", "scd_intervals", "benford_digits",
+        "tfidf_terms", "media_dedup", "bloom_registers", "lang_confusion",
     ]
     import gc
 
