@@ -7544,6 +7544,55 @@ def q_lang_confusion(sf_dir: str):
     )
 
 
+def q_tile_compact(sf_dir: str):
+    """Quadtree pyramid compaction of the occupied z6 tile set
+    (:func:`cloudtile_ray.stages.tiles.compact_tiles`): four siblings
+    all occupied collapse into their parent, recursively — H3
+    compactCells / S2 CellUnion.Normalize for the XYZ tiling.  Output
+    is the minimal mixed-zoom cover; the exchange dedups to <= 4**z
+    cells before the one-task ladder walk."""
+    from cloudtile_ray.stages.index import AssignTiles
+    from cloudtile_ray.stages.tiles import compact_tiles
+
+    ds = (
+        _geo_only(sf_dir)
+        .map_batches(AssignTiles(6, 6), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["x", "y"]), batch_format="pyarrow")
+    )
+    return compact_tiles(ds, 6)
+
+
+def q_source_checksums(sf_dir: str):
+    """Per-source integrity manifest
+    (:func:`cloudtile_ray.stages.relational.source_checksums`): row
+    count, char sum, and an order-independent wrapping-sum content
+    checksum over doc_ids — the per-partition lineage/metrics record
+    the resumable-output story audits against, as an operator.
+    Commutative partials, one group-sized exchange."""
+    from cloudtile_ray.stages.relational import source_checksums
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return source_checksums(ds, "doc_id", "source", "n_chars")
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Token-coverage curve for vocabulary sizing
+    (:func:`cloudtile_ray.stages.text.vocab_coverage`): corpus token
+    occurrences covered by the top-k tokens at k in
+    {1, 10, 100, 1000, 10000} — the OOV-rate diagnostic behind
+    tokenizer vocab choices.  Distributed counts; only the vocab-sized
+    table gathers (same documented bound as the top_terms broadcast)."""
+    from cloudtile_ray.stages.text import vocab_coverage
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return vocab_coverage(ds)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7810,6 +7859,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup": q_media_dedup,
         "bloom_registers": q_bloom_registers,
         "lang_confusion": q_lang_confusion,
+        "tile_compact": q_tile_compact,
+        "source_checksums": q_source_checksums,
+        "vocab_coverage": q_vocab_coverage,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -7839,6 +7891,31 @@ def oracle_sql() -> dict[str, str]:
 
     bloom_mult_rows = ", ".join(
         f"({j}, CAST({m} AS HUGEINT))" for j, m in enumerate(_BLOOM_MULTS)
+    )
+    # tile_compact oracle: f6 = distinct occupied z6 tiles; f_z = parents
+    # whose 4 children are all in f_{z+1}; output = every full cell whose
+    # parent is not full (pack keys with 2**20 — x,y < 2**10 at z <= 10)
+    _tc_parts = [
+        "f6 AS (SELECT DISTINCT "
+        + _TILE_X
+        + " AS x, "
+        + _TILE_Y
+        + " AS y FROM geo, (VALUES (6)) zs(z))"
+    ]
+    for _zz in range(5, -1, -1):
+        _tc_parts.append(
+            f"f{_zz} AS (SELECT x // 2 AS x, y // 2 AS y FROM f{_zz + 1} "
+            "GROUP BY 1, 2 HAVING count(*) = 4)"
+        )
+    _tc_outs = [
+        f"SELECT CAST({_zz} AS BIGINT) AS z, x, y FROM f{_zz} "
+        f"WHERE (x // 2) * 1048576 + (y // 2) NOT IN "
+        f"(SELECT x * 1048576 + y FROM f{_zz - 1})"
+        for _zz in range(6, 0, -1)
+    ] + ["SELECT CAST(0 AS BIGINT) AS z, x, y FROM f0"]
+    tile_compact_sql = (
+        f"WITH {PAGES_SQL_CTE.strip()}, {', '.join(_tc_parts)} "
+        + " UNION ALL ".join(_tc_outs)
     )
     # stopword profiles for the langid oracle, generated from the SAME dict
     # the Ray stage uses (set membership — value order irrelevant; lang
@@ -8172,6 +8249,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.lang, p.lang_pred, count(*) AS n
             FROM documents d JOIN pred p ON d.doc_id = p.doc_id
             GROUP BY 1, 2""",
+        "tile_compact": tile_compact_sql,
+        "source_checksums": f"""
+            WITH h AS (SELECT source, n_chars,
+                         (CAST(doc_id AS HUGEINT) * {_BLOOM_MULTS[0]})
+                           % 18446744073709551616 AS hv
+                       FROM documents),
+            agg AS (SELECT source, count(*) AS n_rows,
+                       sum(n_chars) AS sc,
+                       sum(hv) % 18446744073709551616 AS s
+                    FROM h GROUP BY 1)
+            SELECT source, n_rows, CAST(sc AS BIGINT) AS sum_chars,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT)
+                     AS checksum
+            FROM agg""",
+        "vocab_coverage": """
+            WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tk
+                         FROM documents),
+            cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+            rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tk) AS rn
+                   FROM cnt),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+            ks AS (SELECT * FROM (VALUES (1), (10), (100), (1000),
+                                         (10000)) k(k))
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(coalesce(sum(rk.c) FILTER (WHERE rk.rn <= ks.k),
+                                 0) AS BIGINT) AS covered,
+                   (SELECT t FROM tot) AS total_tokens
+            FROM ks CROSS JOIN rk GROUP BY 1""",
         "rfm_segments": """
             WITH o AS (SELECT o_custkey, epoch_us(o_orderdate) AS od,
                               CAST(round(o_totalprice * 100) AS BIGINT)

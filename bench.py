@@ -200,6 +200,7 @@ def run_queries(sf_dir: str) -> dict:
         "name_triangles", "name_clustering", "weighted_median", "flag_weighted_median",
         "peak_concurrency", "value_ohlc", "scd_intervals", "benford_digits",
         "tfidf_terms", "media_dedup", "bloom_registers", "lang_confusion",
+        "tile_compact", "source_checksums", "vocab_coverage",
     ]
     import gc
 

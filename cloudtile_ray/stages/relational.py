@@ -1895,3 +1895,109 @@ def grouped_rank_dist(
 
     rank_fn = ann.map_batches(finish, batch_format="pyarrow")
     return hash_join(ds, rank_fn, on=[group_col, col])
+
+
+def source_checksums(
+    ds,
+    key_col: str,
+    group_col: str,
+    chars_col: str,
+    mult: int = 0x9E3779B97F4A7C15,
+) -> "ray.data.Dataset":
+    """Per-group integrity MANIFEST — the resumability/lineage audit
+    record: row count, character sum, and an order-independent content
+    checksum (``sum over rows of (key * mult) mod 2**64``, emitted
+    two's-complement int64).  Wrapping-sum checksums are commutative
+    and associative, so partials fold per batch and combine across any
+    parallelism — the whole audit is one group-sized exchange of
+    3-int partial rows, and two manifests diff cheaply to find the
+    partition that diverged.  HUGEINT-replayable (numpy uint64 wrap ==
+    ``% 2**64``), same multiplicative-hash family as the certified
+    sketch states."""
+    import numpy as np
+    import pyarrow as pa
+
+    if mult % 2 == 0:
+        raise ValueError("mult must be odd")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "_n": pa.array([], pa.int64()),
+                "_chars": pa.array([], pa.int64()),
+                "_ck": pa.array([], pa.uint64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        x = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (x < 0).any():
+            raise ValueError("source_checksums requires non-negative keys")
+        ch = t.column(chars_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        de = t.column(group_col).combine_chunks().dictionary_encode()
+        gc = de.indices.to_numpy().astype(np.int64)
+        k = len(de.dictionary)
+        h = x.astype(np.uint64) * np.uint64(mult)  # wraps mod 2**64
+        n = np.bincount(gc, minlength=k).astype(np.int64)
+        chars = np.zeros(k, dtype=np.int64)
+        np.add.at(chars, gc, ch)
+        ck = np.zeros(k, dtype=np.uint64)
+        np.add.at(ck, gc, h)  # uint64 wrap == mod 2**64
+        return pa.table(
+            {
+                group_col: de.dictionary,
+                "_n": pa.array(n),
+                "_chars": pa.array(chars),
+                "_ck": pa.array(ck),
+            }
+        )
+
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    nb = default_num_buckets(ds)
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        # stable string hash (partial rows are group-sized — tiny)
+        import zlib
+
+        vals = t.column(group_col).to_pylist()
+        hb = np.array(
+            [zlib.crc32(v.encode()) % nb for v in vals], dtype=np.int64
+        )
+        return t.append_column("_bkt", pa.array(hb))
+
+    def combine(g: pa.Table) -> pa.Table:
+        de = g.column(group_col).combine_chunks().dictionary_encode()
+        gc = de.indices.to_numpy().astype(np.int64)
+        k = len(de.dictionary)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "n_rows": pa.array([], pa.int64()),
+                    "sum_chars": pa.array([], pa.int64()),
+                    "checksum": pa.array([], pa.int64()),
+                }
+            )
+        n = np.zeros(k, dtype=np.int64)
+        np.add.at(n, gc, g.column("_n").to_numpy(zero_copy_only=False))
+        chars = np.zeros(k, dtype=np.int64)
+        np.add.at(chars, gc, g.column("_chars").to_numpy(zero_copy_only=False))
+        ck = np.zeros(k, dtype=np.uint64)
+        np.add.at(ck, gc, g.column("_ck").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                group_col: de.dictionary,
+                "n_rows": pa.array(n),
+                "sum_chars": pa.array(chars),
+                "checksum": pa.array(ck.view(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bkt, batch_format="pyarrow")
+        .groupby("_bkt")
+        .map_groups(combine, batch_format="pyarrow")
+    )

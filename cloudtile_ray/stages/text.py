@@ -1551,3 +1551,49 @@ def tfidf_topk(
         .groupby("_bkt")
         .map_groups(pick_topk, batch_format="pyarrow")
     )
+
+
+def vocab_coverage(ds, ks=(1, 10, 100, 1000, 10000)) -> "ray.data.Dataset":
+    """Token-coverage curve for vocabulary sizing — for each candidate
+    vocab size ``k``, how many corpus token OCCURRENCES the top-``k``
+    tokens (by count desc, token asc) cover, plus the corpus total.
+    The standard tokenizer-design diagnostic (what OOV rate does a 10k
+    vocab buy?), exact integers end to end.
+
+    Scale shape: corpus-sized work stays distributed (the same
+    tokenize + bucketed count exchange as :func:`top_terms`); only the
+    VOCAB-SIZED count table is gathered (the documented bound shared
+    with the top_terms broadcast — distinct tokens, not corpus rows),
+    ranked once with one argsort + cumsum, and probed at the ladder
+    points."""
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    freqs = ds.map_batches(doc_term_freqs, batch_format="pyarrow")
+    counts = bucketed_group_aggregate(
+        freqs, ["tk"], [("tf", "sum", "c")]
+    ).materialize()
+    tbl = pa.concat_tables(
+        [t for t in ray.get(list(counts.to_arrow_refs())) if t.num_columns]
+    ).combine_chunks()
+    c = tbl.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = pc.sort_indices(
+        tbl, sort_keys=[("c", "descending"), ("tk", "ascending")]
+    ).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(c[idx])
+    total = int(cum[-1]) if len(cum) else 0
+    covered = [
+        int(cum[min(int(k), len(cum)) - 1]) if len(cum) and k >= 1 else 0
+        for k in ks
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([int(k) for k in ks], pa.int64()),
+                "covered": pa.array(covered, pa.int64()),
+                "total_tokens": pa.array([total] * len(ks), pa.int64()),
+            }
+        )
+    )

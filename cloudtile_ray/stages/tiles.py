@@ -610,3 +610,78 @@ def decode_tile(blob: bytes) -> dict:
     if len(blob) >= off + 8 * n and n > 0:
         out["acc"] = np.frombuffer(blob[off : off + 8 * n], dtype=np.int64)
     return out
+
+
+def compact_tiles(ds, z: int) -> "ray.data.Dataset":
+    """Quadtree PYRAMID COMPACTION of an occupied XYZ tile set: any four
+    sibling tiles all present collapse into their parent, recursively up
+    the ladder, yielding the minimal mixed-zoom cover of the occupied
+    z-level set (the cell-index "compact" verb — H3's compactCells /
+    S2's CellUnion.Normalize for the quadtree tiling; reference
+    tippecanoe drives the equivalent ladder via its min/max-zoom
+    cutoffs).  Input: rows with ``x, y`` at zoom ``z`` (duplicates
+    fine); output: ``(z, x, y)`` rows of the compacted cover.
+
+    Scale shape: the exchange dedups to DISTINCT cells map-side
+    (bucketed, pre-aggregated), so at most ``4**z`` rows survive it —
+    bounded by the tile space, independent of input rows; the ladder
+    walk then runs in ONE task over that bounded set (documented gather:
+    ``z <= 10`` caps it at ~10^6 cells, far under a block), as a
+    six-line numpy loop — parent key pack, unique-with-counts, promote
+    on count == 4.  Levels are inherently sequential (a z4 promotion
+    needs the z5 result), so chunking the walk would serialize five
+    exchanges for no parallelism."""
+    if not 1 <= z <= 10:
+        raise ValueError("compact_tiles supports z in [1, 10] (4**z cells)")
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    distinct = bucketed_group_aggregate(
+        ds, ["x", "y"], [("x", "min", "_one")]
+    ).map_batches(
+        lambda t: t.select(["x", "y"]).append_column(
+            "_g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def compact(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "z": pa.array([], pa.int64()),
+                "x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        side = np.int64(1) << np.int64(z)
+        x = g.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        out_z, out_x, out_y = [], [], []
+        for zz in range(z, 0, -1):
+            pk = (x // 2) * side + (y // 2)
+            uniq, inv, cnt = np.unique(
+                pk, return_inverse=True, return_counts=True
+            )
+            promoted = cnt == 4
+            keep = ~promoted[inv]  # cells whose parent is NOT full
+            out_z.append(np.full(int(keep.sum()), zz, dtype=np.int64))
+            out_x.append(x[keep])
+            out_y.append(y[keep])
+            x, y = uniq[promoted] // side, uniq[promoted] % side
+            if len(x) == 0:
+                break
+        else:
+            out_z.append(np.zeros(len(x), dtype=np.int64))
+            out_x.append(x)
+            out_y.append(y)
+        return pa.table(
+            {
+                "z": pa.array(np.concatenate(out_z)),
+                "x": pa.array(np.concatenate(out_x)),
+                "y": pa.array(np.concatenate(out_y)),
+            }
+        )
+
+    return distinct.groupby("_g").map_groups(compact, batch_format="pyarrow")

@@ -5768,3 +5768,119 @@ def test_bloom_registers_brute_force(ray_session):
         (int(r.j), int(r.bit)): int(r.n) for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_compact_tiles_brute_force(ray_session):
+    """Quadtree compaction vs a set replay: full sibling quads collapse
+    recursively; the output cover expands back to exactly the input
+    set at max zoom and no output cell's parent is fully covered."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.tiles import compact_tiles
+
+    z = 4
+    rng = np.random.default_rng(21)
+    # dense block (guaranteed promotions) + sparse scatter
+    xs, ys = np.meshgrid(np.arange(4, 12), np.arange(0, 8))
+    cells = {(int(a), int(b)) for a, b in zip(xs.ravel(), ys.ravel())}
+    cells |= {
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 16, 60), rng.integers(0, 16, 60))
+    }
+    full = {z: set(cells)}
+    for zz in range(z, 0, -1):
+        parents = {}
+        for (a, b) in full[zz]:
+            parents.setdefault((a // 2, b // 2), 0)
+            parents[(a // 2, b // 2)] += 1
+        full[zz - 1] = {p for p, c in parents.items() if c == 4}
+    want = set()
+    for zz in range(z, -1, -1):
+        for (a, b) in full[zz]:
+            if zz == 0 or (a // 2, b // 2) not in full[zz - 1]:
+                want.add((zz, a, b))
+    arr = np.array(sorted(cells), dtype=np.int64)
+    # feed duplicates to exercise the distinct exchange
+    arr = np.concatenate([arr, arr[: len(arr) // 2]])
+    t = pa.table({"x": pa.array(arr[:, 0]), "y": pa.array(arr[:, 1])})
+    out = compact_tiles(ray.data.from_arrow(t).repartition(5), z).to_pandas()
+    got = {(int(r.z), int(r.x), int(r.y)) for r in out.itertuples(index=False)}
+    assert got == want
+    # expansion sanity: the cover expands back to exactly the input set
+    expanded = set()
+    for (zz, a, b) in got:
+        f = 1 << (z - zz)
+        for da in range(f):
+            for db in range(f):
+                expanded.add((a * f + da, b * f + db))
+    assert expanded == cells
+
+
+def test_source_checksums_brute_force(ray_session):
+    """Wrapping-sum manifest vs a numpy replay, invariant under
+    parallelism and row order."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.relational import source_checksums
+
+    rng = np.random.default_rng(8)
+    n = 4000
+    keys = rng.integers(0, 1 << 48, n).astype(np.int64)
+    chars = rng.integers(0, 1000, n).astype(np.int64)
+    grp = np.array(["s0", "s1", "s2"])[rng.integers(0, 3, n)]
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    want = {}
+    for g in np.unique(grp):
+        m = grp == g
+        ck = int((keys[m].astype(np.uint64) * mult).sum(dtype=np.uint64))
+        if ck >= 1 << 63:
+            ck -= 1 << 64
+        want[str(g)] = (int(m.sum()), int(chars[m].sum()), ck)
+    t = pa.table(
+        {
+            "doc_id": pa.array(keys),
+            "source": pa.array(grp),
+            "n_chars": pa.array(chars),
+        }
+    )
+    out = source_checksums(
+        ray.data.from_arrow(t).repartition(7), "doc_id", "source", "n_chars"
+    ).to_pandas()
+    got = {
+        r.source: (int(r.n_rows), int(r.sum_chars), int(r.checksum))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_vocab_coverage_brute_force(ray_session):
+    """Coverage ladder vs a python replay with (count desc, token asc)
+    rank ties."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.text import vocab_coverage
+
+    docs = ["a a a b", "b c c a", "d e a b", "f f f f a"]
+    toks = " ".join(docs).split(" ")
+    from collections import Counter
+
+    cnt = Counter(toks)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = len(toks)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    out = vocab_coverage(
+        ray.data.from_arrow(t).repartition(2), ks=(1, 2, 3, 100)
+    ).to_pandas()
+    got = {int(r.k): (int(r.covered), int(r.total_tokens)) for r in out.itertuples(index=False)}
+    want = {}
+    for k in (1, 2, 3, 100):
+        want[k] = (sum(c for _, c in ranked[:k]), total)
+    assert got == want
