@@ -7593,6 +7593,151 @@ def q_vocab_coverage(sf_dir: str):
     return vocab_coverage(ds)
 
 
+def q_event_debounce(sf_dir: str):
+    """Windowed event dedup — retry-storm / at-least-once cleanup
+    (:func:`cloudtile_ray.stages.events.debounce_events`): per
+    (user, type, day window) only the first event in (ts, event_id)
+    order survives, with the window's suppressed count.  One
+    user-bucket exchange, segmented first-per-window kernel."""
+    from cloudtile_ray.stages.events import debounce_events
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return debounce_events(ds)
+
+
+def q_rank_u_stat(sf_dir: str):
+    """Exact Mann-Whitney rank statistic between purchase and view
+    values (:func:`cloudtile_ray.stages.events.rank_u_statistic`):
+    u2 = 2*U so midrank ties stay integer and the statistic
+    hash-certifies.  Histogram-fold identity — never a cross join."""
+    from cloudtile_ray.stages.events import rank_u_statistic
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return rank_u_statistic(ds, "purchase", "view")
+
+
+def q_ref_integrity(sf_dir: str):
+    """Cross-table referential-integrity audit: orphan counts for the
+    four TPC-H-style foreign keys.  The fact-fact pair
+    (lineitem->orders) runs the hash-partitioned anti join (both sides
+    stream); the three dimension pairs broadcast the dimension's key
+    set once (``ray.put`` + ``index_in`` per batch — dimension-sized,
+    the documented small-side bound) so the fact table never
+    shuffles."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import hash_join
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    )
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    # fact->fact: byte-gated — broadcast the orders key set while its
+    # measured bytes fit the budget (keys only, 8 B/row); web-scale
+    # orders exceed it and fall back to the hash-partitioned anti join
+    # (both sides stream, per-task memory bounded by partition count)
+    _ORD_KEY_BUDGET = 256 << 20
+    n_orders = _pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders * 8 <= _ORD_KEY_BUDGET:
+        okeys = _pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+        ).column("o_orderkey")
+        oref = ray.put(okeys.combine_chunks())
+
+        def li_ord_orphans(t: pa.Table) -> pa.Table:
+            idx = pc.index_in(
+                t.column("l_orderkey").combine_chunks(),
+                value_set=ray.get(oref),
+            )
+            n = int(pc.sum(pc.is_null(idx).cast(pa.int64())).as_py() or 0)
+            return pa.table({"lo": pa.array([n], pa.int64())})
+
+        n_li_ord = int(
+            li.map_batches(li_ord_orphans, batch_format="pyarrow").sum("lo")
+            or 0
+        )
+    else:
+        n_li_ord = hash_join(
+            li.map_batches(
+                lambda t: t.select(["l_orderkey"]), batch_format="pyarrow"
+            ),
+            orders.map_batches(
+                lambda t: t.select(["o_orderkey"]), batch_format="pyarrow"
+            ),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            how="anti",
+        ).count()
+
+    def _dim_keys(path: str, key: str):
+        return ray.put(
+            _pq.read_table(path, columns=[key]).column(key).combine_chunks()
+        )
+
+    cref = _dim_keys(f"{sf_dir}/customer.parquet", "c_custkey")
+    pref = _dim_keys(f"{sf_dir}/part.parquet", "p_partkey")
+    sref = _dim_keys(f"{sf_dir}/supplier.parquet", "s_suppkey")
+
+    def orders_orphans(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(
+            t.column("o_custkey").combine_chunks(), value_set=ray.get(cref)
+        )
+        n = int(pc.sum(pc.is_null(idx).cast(pa.int64())).as_py() or 0)
+        return pa.table({"oc": pa.array([n], pa.int64())})
+
+    # the two lineitem dimension checks share ONE pass over the fact table
+    def lineitem_orphans(t: pa.Table) -> pa.Table:
+        pi = pc.index_in(
+            t.column("l_partkey").combine_chunks(), value_set=ray.get(pref)
+        )
+        si = pc.index_in(
+            t.column("l_suppkey").combine_chunks(), value_set=ray.get(sref)
+        )
+        np_ = int(pc.sum(pc.is_null(pi).cast(pa.int64())).as_py() or 0)
+        ns_ = int(pc.sum(pc.is_null(si).cast(pa.int64())).as_py() or 0)
+        return pa.table(
+            {"lp": pa.array([np_], pa.int64()), "ls": pa.array([ns_], pa.int64())}
+        )
+
+    oc = orders.map_batches(orders_orphans, batch_format="pyarrow").sum("oc")
+    lsum = li.map_batches(lineitem_orphans, batch_format="pyarrow").sum(
+        ["lp", "ls"]
+    )
+    n_ord_cust = int(oc or 0)
+    n_li_part = int((lsum or {}).get("sum(lp)", 0))
+    n_li_supp = int((lsum or {}).get("sum(ls)", 0))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rel": pa.array(
+                    [
+                        "lineitem->orders",
+                        "orders->customer",
+                        "lineitem->part",
+                        "lineitem->supplier",
+                    ]
+                ),
+                "n_orphans": pa.array(
+                    [n_li_ord, n_ord_cust, n_li_part, n_li_supp], pa.int64()
+                ),
+            }
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7862,6 +8007,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_compact": q_tile_compact,
         "source_checksums": q_source_checksums,
         "vocab_coverage": q_vocab_coverage,
+        "event_debounce": q_event_debounce,
+        "rank_u_stat": q_rank_u_stat,
+        "ref_integrity": q_ref_integrity,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -8250,6 +8398,49 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN pred p ON d.doc_id = p.doc_id
             GROUP BY 1, 2""",
         "tile_compact": tile_compact_sql,
+        "event_debounce": """
+            WITH e AS (SELECT user_id, event_type,
+                         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+                       FROM events WHERE event_type IS NOT NULL)
+            SELECT user_id, event_type, ts_us // 86400000000 AS win,
+                   first(event_id ORDER BY ts_us, event_id)
+                     AS keep_event_id,
+                   count(*) AS n_events
+            FROM e GROUP BY 1, 2, 3""",
+        "rank_u_stat": """
+            WITH e AS (SELECT event_type,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            h AS (SELECT c,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS na,
+                     count(*) FILTER (WHERE event_type = 'view') AS nb
+                  FROM e GROUP BY 1),
+            w AS (SELECT c, na, nb,
+                     coalesce(sum(nb) OVER (ORDER BY c
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS nb_less
+                  FROM h)
+            SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b,
+                   CAST(sum(na * (2 * nb_less + nb)) AS BIGINT) AS u2
+            FROM w""",
+        "ref_integrity": """
+            SELECT 'lineitem->orders' AS rel, count(*) AS n_orphans
+            FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+            UNION ALL
+            SELECT 'orders->customer', count(*) FROM orders o
+            WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'lineitem->part', count(*) FROM lineitem l
+            WHERE NOT EXISTS
+              (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+            UNION ALL
+            SELECT 'lineitem->supplier', count(*) FROM lineitem l
+            WHERE NOT EXISTS
+              (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)""",
         "source_checksums": f"""
             WITH h AS (SELECT source, n_chars,
                          (CAST(doc_id AS HUGEINT) * {_BLOOM_MULTS[0]})

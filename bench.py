@@ -201,6 +201,7 @@ def run_queries(sf_dir: str) -> dict:
         "peak_concurrency", "value_ohlc", "scd_intervals", "benford_digits",
         "tfidf_terms", "media_dedup", "bloom_registers", "lang_confusion",
         "tile_compact", "source_checksums", "vocab_coverage",
+        "event_debounce", "rank_u_stat", "ref_integrity",
     ]
     import gc
 

@@ -2110,3 +2110,140 @@ def scd2_intervals(ds) -> "ray.data.Dataset":
         .groupby("_ubkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def debounce_events(ds, window_us: int = 86_400_000_000) -> "ray.data.Dataset":
+    """Windowed event DEDUP (throttle/debounce): within each
+    ``(user_id, event_type, ts // window_us)`` window only the FIRST
+    event in (ts_us, event_id) order survives; output one row per
+    window with the surviving event_id and the window's total event
+    count.  The standard at-least-once-delivery / retry-storm cleanup
+    for event logs.  Null event_type rows are dropped (matching the
+    oracle's filter).
+
+    ONE user-bucket exchange; the bucket kernel is a single lexsort +
+    first-per-segment pick — the (user, type, window) key never
+    becomes a Ray group (near-row-cardinality keys would put Python in
+    the per-group path; see ``relational.bucketed_group_aggregate``)."""
+    import pyarrow.compute as pc
+
+    nb = _n_user_buckets(ds)
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        return _add_user_bucket(t, nb)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "win": pa.array([], pa.int64()),
+                "keep_event_id": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        de = g.column("event_type").combine_chunks().dictionary_encode()
+        tc = de.indices.to_numpy().astype(np.int64)
+        win = ts // window_us
+        order = np.lexsort((eid, ts, win, tc, u))
+        u_s, tc_s, w_s = u[order], tc[order], win[order]
+        n = len(u_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (
+            (u_s[1:] != u_s[:-1])
+            | (tc_s[1:] != tc_s[:-1])
+            | (w_s[1:] != w_s[:-1])
+        )
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts].astype(np.int64)),
+                "event_type": pc.take(de.dictionary, pa.array(tc_s[starts])),
+                "win": pa.array(w_s[starts]),
+                "keep_event_id": pa.array(eid[order][starts]),
+                "n_events": pa.array(lens.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def rank_u_statistic(ds, type_a: str, type_b: str) -> "ray.data.Dataset":
+    """EXACT Mann-Whitney rank-sum statistic between two event types
+    over value cents — the nonparametric two-sample location test at
+    corpus scale.  Emits ``(n_a, n_b, u2)`` with ``u2 = 2*U_a`` =
+    ``2*#{(a, b): a > b} + #{a == b}`` — doubled so midrank ties stay
+    INTEGER and the whole statistic hash-certifies (U itself can be
+    half-integral under ties; the caller divides by 2 for U, or by
+    ``2*n_a*n_b`` for the rank-biserial/AUC).
+
+    Scale shape: never a cross join — counts per distinct cents value
+    fold map-side through one bucketed exchange (value-domain-sized,
+    the same documented bound as the quantile bracket scans), then the
+    cumulative-count identity ``U2 = sum_v na(v) * (2*cumB<(v) +
+    nb(v))`` runs once over the gathered histogram."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        m = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        t = t.filter(m)
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        isa = pc.equal(t.column("event_type"), type_a).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "c": pa.array(cents),
+                "na": pa.array(isa.astype(np.int64)),
+                "nb": pa.array((~isa).astype(np.int64)),
+            }
+        )
+
+    hist = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["c"],
+        [("na", "sum", "na"), ("nb", "sum", "nb")],
+    ).materialize()
+    tbl = pa.concat_tables(
+        [t for t in ray.get(list(hist.to_arrow_refs())) if t.num_columns]
+    ).combine_chunks()
+    c = tbl.column("c").to_numpy(zero_copy_only=False)
+    na = tbl.column("na").to_numpy(zero_copy_only=False)
+    nb = tbl.column("nb").to_numpy(zero_copy_only=False)
+    order = np.argsort(c, kind="stable")
+    na_s, nb_s = na[order], nb[order]
+    nb_less = np.concatenate(([0], np.cumsum(nb_s)[:-1]))
+    u2 = int(np.sum(na_s * (2 * nb_less + nb_s)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([int(na_s.sum())], pa.int64()),
+                "n_b": pa.array([int(nb_s.sum())], pa.int64()),
+                "u2": pa.array([u2], pa.int64()),
+            }
+        )
+    )

@@ -5884,3 +5884,82 @@ def test_vocab_coverage_brute_force(ray_session):
     for k in (1, 2, 3, 100):
         want[k] = (sum(c for _, c in ranked[:k]), total)
     assert got == want
+
+
+def test_debounce_events_brute_force(ray_session):
+    """Windowed first-event dedup vs a python replay with ts ties
+    broken by event_id; null types dropped."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import debounce_events
+
+    rng = np.random.default_rng(15)
+    n = 3000
+    u = rng.integers(0, 30, n).astype(np.int64)
+    ts = rng.integers(0, 5_000, n).astype(np.int64)  # tiny window forces ties
+    eid = rng.permutation(n).astype(np.int64)
+    pool = ["a", "b", None]
+    types = [pool[i] for i in rng.integers(0, 3, n)]
+    W = 1000
+    best = {}
+    cnt = {}
+    for uu, tt, ee, ty in zip(u, ts, eid, types):
+        if ty is None:
+            continue
+        k = (int(uu), ty, int(tt) // W)
+        cnt[k] = cnt.get(k, 0) + 1
+        if k not in best or (int(tt), int(ee)) < best[k]:
+            best[k] = (int(tt), int(ee))
+    want = {k: (v[1], cnt[k]) for k, v in best.items()}
+    t = pa.table(
+        {
+            "user_id": pa.array(u),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_id": pa.array(eid),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    out = debounce_events(
+        ray.data.from_arrow(t).repartition(6), window_us=W
+    ).to_pandas()
+    got = {
+        (int(r.user_id), r.event_type, int(r.win)): (
+            int(r.keep_event_id),
+            int(r.n_events),
+        )
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_rank_u_statistic_brute_force(ray_session):
+    """2U vs the O(n*m) pair count: 2*#(a>b) + #(a==b)."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import rank_u_statistic
+
+    rng = np.random.default_rng(44)
+    na, nb = 400, 300
+    va = np.round(rng.uniform(0, 20, na), 2)
+    vb = np.round(rng.uniform(0, 20, nb), 2)
+    ca = np.rint(va * 100).astype(np.int64)
+    cb = np.rint(vb * 100).astype(np.int64)
+    u2 = int(
+        2 * (ca[:, None] > cb[None, :]).sum()
+        + (ca[:, None] == cb[None, :]).sum()
+    )
+    types = ["purchase"] * na + ["view"] * nb + ["other"] * 50
+    vals = np.concatenate([va, vb, np.full(50, 3.0)])
+    t = pa.table(
+        {"event_type": pa.array(types), "value": pa.array(vals)}
+    )
+    out = rank_u_statistic(
+        ray.data.from_arrow(t).repartition(5), "purchase", "view"
+    ).to_pandas()
+    assert (
+        int(out["n_a"][0]),
+        int(out["n_b"][0]),
+        int(out["u2"][0]),
+    ) == (na, nb, u2)
