@@ -7738,6 +7738,20 @@ def q_ref_integrity(sf_dir: str):
     )
 
 
+def q_embed_centroids(sf_dir: str):
+    """Exact per-label centroid numerators over int8-quantized
+    embeddings (:func:`cloudtile_ray.stages.similarity.quantized_centroids`):
+    integer code sums per (label, dim) + vector counts — the
+    certifiable core of a class-prototype build (float sums are
+    order-dependent; integer code sums are exact at any parallelism)."""
+    from cloudtile_ray.stages.similarity import quantized_centroids
+
+    ds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return quantized_centroids(ds)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8010,6 +8024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": q_event_debounce,
         "rank_u_stat": q_rank_u_stat,
         "ref_integrity": q_ref_integrity,
+        "embed_centroids": q_embed_centroids,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -8425,6 +8440,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nb) AS BIGINT) AS n_b,
                    CAST(sum(na * (2 * nb_less + nb)) AS BIGINT) AS u2
             FROM w""",
+        "embed_centroids": """
+            WITH b AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings),
+            s AS (SELECT label, e,
+                     list_max(list_transform(e, x -> abs(x))) / 127.0
+                       AS scale,
+                     len(e) AS nd
+                  FROM b),
+            c AS (SELECT label, nd,
+                     CASE WHEN scale = 0
+                          THEN list_transform(e, x -> 0.0)
+                          ELSE list_transform(e,
+                                 x -> floor(x / scale + 0.5))
+                     END AS codes
+                  FROM s),
+            x AS (SELECT label, d - 1 AS dim,
+                     CAST(codes[CAST(d AS INTEGER)] AS BIGINT) AS code
+                  FROM c CROSS JOIN range(1, 65) r(d) WHERE d <= nd)
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   CAST(sum(code) AS BIGINT) AS code_sum,
+                   count(*) AS n_vecs
+            FROM x GROUP BY 1, 2""",
         "ref_integrity": """
             SELECT 'lineitem->orders' AS rel, count(*) AS n_orphans
             FROM lineitem l WHERE NOT EXISTS

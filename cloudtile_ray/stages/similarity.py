@@ -683,3 +683,73 @@ def range_search(ds, queries: np.ndarray, query_ids: np.ndarray, theta: float):
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def quantized_centroids(ds) -> "ray.data.Dataset":
+    """EXACT per-label centroid NUMERATORS over int8-quantized
+    embeddings: for every (label, dim), the integer sum of quantized
+    codes plus the contributing vector count — the certifiable core of
+    a cluster-centroid / class-prototype build (float centroid sums
+    are order-dependent and cannot hash-certify; integer code sums
+    are associative and exact at any parallelism).  The caller divides
+    code_sum/n_vecs and rescales for the float prototype.
+
+    Quantization shares the ONE deterministic rule of
+    :func:`quantize_embeddings_batch` (scale = max|x|/127, codes =
+    floor(x/scale + 0.5)) so the DuckDB list-lambda oracle replays it.
+    Scale shape: per-batch (label, dim) partial sums fold before one
+    labels x dims-sized exchange — corpus vectors never shuffle."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    DIM_CAP = np.int64(1 << 20)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "code_sum": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        offs = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = offs[:-1]
+        n_dims = np.diff(offs)
+        if (n_dims >= DIM_CAP).any():
+            raise ValueError("embedding dims exceed the packed-key cap")
+        scale = np.maximum.reduceat(np.abs(v), starts) / 127.0
+        scale = np.where(n_dims > 0, scale, 0.0)
+        s_rep = np.repeat(scale, n_dims)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor(v / s_rep + 0.5)
+        q = np.where(s_rep == 0.0, 0.0, q).astype(np.int64)
+        lab = (
+            batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        dim = np.arange(len(v), dtype=np.int64) - np.repeat(starts, n_dims)
+        key = np.repeat(lab, n_dims) * DIM_CAP + dim
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq // DIM_CAP),
+                "dim": pa.array(uniq % DIM_CAP),
+                "code_sum": pa.array(sums),
+                "n_vecs": pa.array(cnts),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_aggregate(
+        parts,
+        ["label", "dim"],
+        [("code_sum", "sum", "code_sum"), ("n_vecs", "sum", "n_vecs")],
+    )

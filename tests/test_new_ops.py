@@ -5963,3 +5963,43 @@ def test_rank_u_statistic_brute_force(ray_session):
         int(out["n_b"][0]),
         int(out["u2"][0]),
     ) == (na, nb, u2)
+
+
+def test_quantized_centroids_brute_force(ray_session):
+    """Integer centroid numerators vs a per-vector numpy replay,
+    including a zero vector and ragged-safe dims."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.similarity import quantized_centroids
+
+    rng = np.random.default_rng(31)
+    n, d = 200, 8
+    emb = rng.normal(0, 1, (n, d)).astype(np.float32)
+    emb[7] = 0.0  # all-zero vector -> zero codes
+    lab = rng.integers(0, 4, n).astype(np.int32)
+    want = {}
+    for i in range(n):
+        v = emb[i].astype(np.float64)
+        s = np.abs(v).max() / 127.0
+        q = np.floor(v / s + 0.5).astype(np.int64) if s > 0 else np.zeros(d, np.int64)
+        for j in range(d):
+            k = (int(lab[i]), j)
+            cs, nv = want.get(k, (0, 0))
+            want[k] = (cs + int(q[j]), nv + 1)
+    t = pa.table(
+        {
+            "label": pa.array(lab),
+            "embedding": pa.array(
+                [row.tolist() for row in emb], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = quantized_centroids(
+        ray.data.from_arrow(t).repartition(5)
+    ).to_pandas()
+    got = {
+        (int(r.label), int(r.dim)): (int(r.code_sum), int(r.n_vecs))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
