@@ -7752,6 +7752,38 @@ def q_embed_centroids(sf_dir: str):
     return quantized_centroids(ds)
 
 
+def q_bearing_sectors(sf_dir: str):
+    """Eight-sector compass histogram over the corpus polyline segments
+    (:func:`cloudtile_ray.stages.lines.bearing_sectors`): integer
+    sign/magnitude octant rules (no atan2 — float angles cannot
+    hash-certify), first-match ladder shared verbatim with the SQL
+    CASE; counts + exact Chebyshev length sums per sector."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.lines import bearing_sectors, extract_lines
+
+    segs = (
+        _geocoded(sf_dir)
+        .map_batches(extract_lines, batch_format="pyarrow")
+        .map_batches(_chevron_arm_segments, batch_format="pyarrow")
+    )
+    return bearing_sectors(segs)
+
+
+def q_ooo_arrivals(sf_dir: str):
+    """Stream-disorder audit
+    (:func:`cloudtile_ray.stages.events.out_of_order_arrivals`): per
+    user, how often event time steps backwards in arrival (event_id)
+    order and the largest backward jump — the watermark/late-data
+    design measurement."""
+    from cloudtile_ray.stages.events import out_of_order_arrivals
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return out_of_order_arrivals(ds)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -7771,7 +7803,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     window: the r4 red row (user_changepoint — oracle dtype artifact,
     fixed), this round's four new exact oracles, then 45 never-driver-
     certified exact oracles (r4 verdict item 2 rotation), pushing the
-    certified union from 104 toward ~154.  Past position 50: the
+    certified union from 104 toward ~154; the window tail carries five
+    of this round's NEW operators (peak_concurrency, tfidf_terms,
+    media_dedup, bloom_registers, tile_compact) so the final round's
+    new work gets driver rows.  Past position 50: the
     remaining never-certified exact oracles, then prior-round-certified
     queries, then rows-only (non-SQL-expressible) entries.  Every
     exact-oracle entry, windowed or not, is green in the builder's full
@@ -7832,13 +7867,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "float_quantiles": q_float_quantiles,
         "asof_next": q_asof_next,
         "phrase_search": q_phrase_search,
+        # final-round swap: five of this round's NEW operators take the
+        # window tail (every slot is a never-driver-certified exact
+        # oracle either way; round 5 is the last, so the newest work
+        # gets its driver rows) — the five displaced queries moved just
+        # past the boundary and stay green in the local sweep
+        "peak_concurrency": q_peak_concurrency,
+        "tfidf_terms": q_tfidf_terms,
+        "media_dedup": q_media_dedup,
+        "bloom_registers": q_bloom_registers,
+        "tile_compact": q_tile_compact,
+        "hll_registers": q_hll_registers,
+        # --- window boundary ----------------------------------------
         "footprint_area": q_footprint_area,
         "span_dedup": q_span_dedup,
         "ngram_decontam": q_ngram_decontam,
         "lm_score": q_lm_score,
         "value_outliers": q_value_outliers,
-        "hll_registers": q_hll_registers,
-        # --- window boundary ----------------------------------------
         "cms_registers": q_cms_registers,
         "interval_union": q_interval_union,
         "priority_division": q_priority_division,
@@ -8010,21 +8055,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "sliding_counts": q_sliding_counts,
         "bigrams": q_bigrams,
-        "peak_concurrency": q_peak_concurrency,
         "value_ohlc": q_value_ohlc,
         "scd_intervals": q_scd_intervals,
         "benford_digits": q_benford_digits,
-        "tfidf_terms": q_tfidf_terms,
-        "media_dedup": q_media_dedup,
-        "bloom_registers": q_bloom_registers,
         "lang_confusion": q_lang_confusion,
-        "tile_compact": q_tile_compact,
         "source_checksums": q_source_checksums,
         "vocab_coverage": q_vocab_coverage,
         "event_debounce": q_event_debounce,
         "rank_u_stat": q_rank_u_stat,
         "ref_integrity": q_ref_integrity,
         "embed_centroids": q_embed_centroids,
+        "bearing_sectors": q_bearing_sectors,
+        "ooo_arrivals": q_ooo_arrivals,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -8440,6 +8482,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nb) AS BIGINT) AS n_b,
                    CAST(sum(na * (2 * nb_less + nb)) AS BIGINT) AS u2
             FROM w""",
+        "bearing_sectors": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            ld AS (SELECT doc_id, lon_mi, lat_mi,
+                          300 + (doc_id * 11) % 150 AS ldx,
+                          150 + (doc_id * 5) % 120 AS ldy
+                   FROM geo WHERE doc_id % 7 = 3),
+            segs AS (
+              SELECT lon_mi - ldx AS axm, lat_mi - ldy AS aym,
+                     lon_mi AS bxm, lat_mi + ldy AS bym FROM ld
+              UNION ALL
+              SELECT lon_mi, lat_mi + ldy,
+                     lon_mi + ldx, lat_mi - ldy FROM ld),
+            d AS (SELECT bxm - axm AS dx, bym - aym AS dy,
+                         greatest(abs(bxm - axm), abs(bym - aym)) AS cheb
+                  FROM segs WHERE bxm <> axm OR bym <> aym),
+            sec AS (SELECT CAST(CASE
+                     WHEN dx > 0 AND dy >= 0 AND dx > dy THEN 0
+                     WHEN dx > 0 AND dy > 0 THEN 1
+                     WHEN dx <= 0 AND dy > 0 AND -dx < dy THEN 2
+                     WHEN dx < 0 AND dy > 0 THEN 3
+                     WHEN dx < 0 AND dy <= 0 AND -dx > -dy THEN 4
+                     WHEN dx < 0 AND dy < 0 THEN 5
+                     WHEN dx >= 0 AND dy < 0 AND dx < -dy THEN 6
+                     ELSE 7 END AS BIGINT) AS sector, cheb
+                   FROM d)
+            SELECT sector, count(*) AS n_segments,
+                   CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
+            FROM sec GROUP BY 1""",
+        "ooo_arrivals": """
+            WITH e AS (SELECT user_id,
+                         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+                       FROM events),
+            o AS (SELECT user_id, ts_us,
+                     lag(ts_us) OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS prev_ts
+                  FROM e)
+            SELECT user_id, count(*) AS n_arrivals,
+                   CAST(coalesce(sum(CASE WHEN prev_ts > ts_us
+                                     THEN 1 ELSE 0 END), 0) AS BIGINT)
+                     AS n_ooo,
+                   CAST(coalesce(max(greatest(prev_ts - ts_us, 0)), 0)
+                        AS BIGINT) AS max_backstep_us
+            FROM o GROUP BY 1""",
         "embed_centroids": """
             WITH b AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
                        FROM embeddings),

@@ -202,7 +202,7 @@ def run_queries(sf_dir: str) -> dict:
         "tfidf_terms", "media_dedup", "bloom_registers", "lang_confusion",
         "tile_compact", "source_checksums", "vocab_coverage",
         "event_debounce", "rank_u_stat", "ref_integrity",
-        "embed_centroids",
+        "embed_centroids", "bearing_sectors", "ooo_arrivals",
     ]
     import gc
 

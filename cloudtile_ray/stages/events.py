@@ -2247,3 +2247,64 @@ def rank_u_statistic(ds, type_a: str, type_b: str) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def out_of_order_arrivals(ds) -> "ray.data.Dataset":
+    """Stream-disorder audit per user: walking events in ARRIVAL order
+    (event_id), count how often the event time steps backwards vs the
+    previous arrival and the largest backward jump — the measurement a
+    watermark/late-data policy is tuned against.  Output one row per
+    user: (n_arrivals, n_ooo, max_backstep_us).
+
+    ONE user-bucket exchange; segmented diff kernel (lexsort by
+    (user, event_id), per-user boundary masks) — no per-user Python."""
+    nb = _n_user_buckets(ds)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_arrivals": pa.array([], pa.int64()),
+                "n_ooo": pa.array([], pa.int64()),
+                "max_backstep_us": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, u))
+        u_s, ts_s = u[order], ts[order]
+        n = len(u_s)
+        same_user = np.zeros(n, dtype=bool)
+        same_user[1:] = u_s[1:] == u_s[:-1]
+        back = np.zeros(n, dtype=np.int64)
+        back[1:] = ts_s[:-1] - ts_s[1:]
+        back = np.where(same_user, back, 0)
+        uniq, inv = np.unique(u_s, return_inverse=True)
+        k = len(uniq)
+        n_arr = np.bincount(inv, minlength=k).astype(np.int64)
+        n_ooo = np.zeros(k, dtype=np.int64)
+        np.add.at(n_ooo, inv, (back > 0).astype(np.int64))
+        max_back = np.zeros(k, dtype=np.int64)
+        np.maximum.at(max_back, inv, np.maximum(back, 0))
+        return pa.table(
+            {
+                "user_id": pa.array(uniq.astype(np.int64)),
+                "n_arrivals": pa.array(n_arr),
+                "n_ooo": pa.array(n_ooo),
+                "max_backstep_us": pa.array(max_back),
+            }
+        )
+
+    return (
+        ds.map_batches(lambda t: _add_user_bucket(t, nb), batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -846,3 +846,60 @@ def densify_at_fractions(batch: pa.Table, fracs) -> pa.Table:
             }
         )
     return pa.concat_tables(tabs)
+
+
+BEARING_SECTOR_LABELS = ("E", "NE", "N", "NW", "W", "SW", "S", "SE")
+
+
+def bearing_sectors(segs) -> "ray.data.Dataset":
+    """Eight-sector compass histogram over line segments — direction
+    analytics for a polyline corpus (flow maps, road-orientation
+    audits).  Sectors are decided with pure integer sign/magnitude
+    comparisons (no atan2 — float angles cannot hash-certify), via a
+    FIRST-MATCH condition ladder shared verbatim with the SQL CASE, so
+    boundary rays (axes and diagonals) land identically.  Emits
+    ``(sector, n_segments, cheb_len_sum)`` with the Chebyshev length
+    sum as the exact integer magnitude.  Zero-length segments are
+    dropped (no direction).
+
+    Input: rows with int64 ``ax_mi, ay_mi, bx_mi, by_mi``.  Per-batch
+    partials fold before one 8-row exchange."""
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def part(t: pa.Table) -> pa.Table:
+        dx = (
+            t.column("bx_mi").to_numpy(zero_copy_only=False)
+            - t.column("ax_mi").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        dy = (
+            t.column("by_mi").to_numpy(zero_copy_only=False)
+            - t.column("ay_mi").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        m = (dx != 0) | (dy != 0)
+        dx, dy = dx[m], dy[m]
+        conds = [
+            (dx > 0) & (dy >= 0) & (dx > dy),
+            (dx > 0) & (dy > 0),
+            (dx <= 0) & (dy > 0) & (-dx < dy),
+            (dx < 0) & (dy > 0),
+            (dx < 0) & (dy <= 0) & (-dx > -dy),
+            (dx < 0) & (dy < 0),
+            (dx >= 0) & (dy < 0) & (dx < -dy),
+            (dx > 0) & (dy < 0),
+        ]
+        sector = np.select(conds, np.arange(8, dtype=np.int64), default=-1)
+        cheb = np.maximum(np.abs(dx), np.abs(dy))
+        return pa.table(
+            {
+                "sector": pa.array(sector.astype(np.int64)),
+                "one": pa.array(np.ones(len(sector), dtype=np.int64)),
+                "cheb": pa.array(cheb),
+            }
+        )
+
+    parts = segs.map_batches(part, batch_format="pyarrow")
+    return bucketed_group_aggregate(
+        parts,
+        ["sector"],
+        [("one", "sum", "n_segments"), ("cheb", "sum", "cheb_len_sum")],
+    )

@@ -6003,3 +6003,105 @@ def test_quantized_centroids_brute_force(ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_bearing_sectors_brute_force(ray_session):
+    """Octant ladder vs a python first-match replay over random integer
+    segments including axis and diagonal rays."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.lines import bearing_sectors
+
+    rng = np.random.default_rng(77)
+    n = 2000
+    dx = rng.integers(-50, 51, n).astype(np.int64)
+    dy = rng.integers(-50, 51, n).astype(np.int64)
+    # force boundary coverage: axes and both diagonals
+    dx[:8] = [5, 0, -5, 0, 5, -5, 5, -5]
+    dy[:8] = [0, 5, 0, -5, 5, -5, -5, 5]
+    ax = rng.integers(-1000, 1000, n).astype(np.int64)
+    ay = rng.integers(-1000, 1000, n).astype(np.int64)
+
+    def py_sector(x, y):
+        if x > 0 and y >= 0 and x > y:
+            return 0
+        if x > 0 and y > 0:
+            return 1
+        if x <= 0 and y > 0 and -x < y:
+            return 2
+        if x < 0 and y > 0:
+            return 3
+        if x < 0 and y <= 0 and -x > -y:
+            return 4
+        if x < 0 and y < 0:
+            return 5
+        if x >= 0 and y < 0 and x < -y:
+            return 6
+        return 7
+
+    want = {}
+    for i in range(n):
+        if dx[i] == 0 and dy[i] == 0:
+            continue
+        s = py_sector(int(dx[i]), int(dy[i]))
+        c, l = want.get(s, (0, 0))
+        want[s] = (c + 1, l + max(abs(int(dx[i])), abs(int(dy[i]))))
+    t = pa.table(
+        {
+            "ax_mi": pa.array(ax),
+            "ay_mi": pa.array(ay),
+            "bx_mi": pa.array(ax + dx),
+            "by_mi": pa.array(ay + dy),
+        }
+    )
+    out = bearing_sectors(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    got = {
+        int(r.sector): (int(r.n_segments), int(r.cheb_len_sum))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_out_of_order_arrivals_brute_force(ray_session):
+    """Disorder audit vs a python replay over shuffled arrival order."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import out_of_order_arrivals
+
+    rng = np.random.default_rng(52)
+    n = 3000
+    u = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.integers(0, 100_000, n).astype(np.int64)
+    eid = rng.permutation(n).astype(np.int64)
+    want = {}
+    for uu in np.unique(u):
+        m = u == uu
+        order = np.argsort(eid[m])
+        t_s = ts[m][order]
+        d = t_s[:-1] - t_s[1:]
+        want[int(uu)] = (
+            int(m.sum()),
+            int((d > 0).sum()),
+            int(max(d.max(), 0)) if len(d) else 0,
+        )
+    t = pa.table(
+        {
+            "user_id": pa.array(u),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_id": pa.array(eid),
+        }
+    )
+    out = out_of_order_arrivals(
+        ray.data.from_arrow(t).repartition(6)
+    ).to_pandas()
+    got = {
+        int(r.user_id): (
+            int(r.n_arrivals),
+            int(r.n_ooo),
+            int(r.max_backstep_us),
+        )
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
