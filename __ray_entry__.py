@@ -7784,6 +7784,34 @@ def q_ooo_arrivals(sf_dir: str):
     return out_of_order_arrivals(ds)
 
 
+def q_basket_pairs(sf_dir: str):
+    """Market-basket pair mining over orders
+    (:func:`cloudtile_ray.stages.relational.order_item_pairs`): baskets
+    containing both parts, support >= 2 — pair expansion vectorized
+    inside the order-bucket exchange, exact global counts before the
+    support filter."""
+    from cloudtile_ray.stages.relational import order_item_pairs
+
+    ds = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return order_item_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
+
+
+def q_value_drift(sf_dir: str):
+    """Exact distribution-drift numerator between purchase and view
+    value histograms (:func:`cloudtile_ray.stages.events.histogram_drift`):
+    tvd_num = sum over bins |na*NB - nb*NA| — the integer core of a
+    total-variation drift monitor (the float TVD is one division
+    away)."""
+    from cloudtile_ray.stages.events import histogram_drift
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return histogram_drift(ds, "purchase", "view")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8067,6 +8095,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_centroids": q_embed_centroids,
         "bearing_sectors": q_bearing_sectors,
         "ooo_arrivals": q_ooo_arrivals,
+        "basket_pairs": q_basket_pairs,
+        "value_drift": q_value_drift,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -8509,6 +8539,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "basket_pairs": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+                  FROM d a JOIN d b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey)
+            SELECT part_a, part_b, count(*) AS n_orders
+            FROM p GROUP BY 1, 2 HAVING count(*) >= 2""",
+        "value_drift": """
+            WITH e AS (SELECT event_type,
+                         CAST(floor(CAST(round(value * 100) AS BIGINT)
+                                    / 500.0) AS BIGINT) AS bin
+                       FROM events
+                       WHERE event_type IN ('purchase', 'view')),
+            h AS (SELECT bin,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS na,
+                     count(*) FILTER (WHERE event_type = 'view') AS nb
+                  FROM e GROUP BY 1),
+            t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM h)
+            SELECT CAST(t.ta AS BIGINT) AS n_a, CAST(t.tb AS BIGINT) AS n_b,
+                   CAST(sum(abs(na * t.tb - nb * t.ta)) AS BIGINT)
+                     AS tvd_num
+            FROM h, t GROUP BY 1, 2""",
         "ooo_arrivals": """
             WITH e AS (SELECT user_id,
                          CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id

@@ -2308,3 +2308,65 @@ def out_of_order_arrivals(ds) -> "ray.data.Dataset":
         .groupby("_ubkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def histogram_drift(
+    ds, type_a: str, type_b: str, bin_cents: int = 500
+) -> "ray.data.Dataset":
+    """EXACT distribution-drift statistic between two event types over
+    binned value cents — the integer core of a total-variation /
+    PSI-style drift monitor: one row ``(n_a, n_b, tvd_num)`` with
+    ``tvd_num = sum over bins |na*NB - nb*NA|`` (the TVD numerator
+    cross-scaled to integers; the caller divides by ``2*NA*NB`` for
+    TVD itself — float normalization cannot hash-certify, the integer
+    numerator can).  Bins are floor(cents / bin_cents) — floor, not
+    truncation, matching the SQL ``floor(c / b)`` replay on negatives.
+
+    Same scale shape as :func:`rank_u_statistic`: per-bin counts fold
+    map-side through one bucketed exchange (bin-cardinality-sized),
+    then one pass over the gathered histogram."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        m = pc.or_(pc.equal(et, type_a), pc.equal(et, type_b))
+        t = t.filter(m)
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        isa = pc.equal(t.column("event_type"), type_a).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "bin": pa.array(cents // bin_cents),  # numpy floor div
+                "na": pa.array(isa.astype(np.int64)),
+                "nb": pa.array((~isa).astype(np.int64)),
+            }
+        )
+
+    hist = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["bin"],
+        [("na", "sum", "na"), ("nb", "sum", "nb")],
+    ).materialize()
+    tbl = pa.concat_tables(
+        [t for t in ray.get(list(hist.to_arrow_refs())) if t.num_columns]
+    ).combine_chunks()
+    na = tbl.column("na").to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = tbl.column("nb").to_numpy(zero_copy_only=False).astype(np.int64)
+    NA, NB = int(na.sum()), int(nb.sum())
+    tvd = int(np.abs(na * NB - nb * NA).sum())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([NA], pa.int64()),
+                "n_b": pa.array([NB], pa.int64()),
+                "tvd_num": pa.array([tvd], pa.int64()),
+            }
+        )
+    )

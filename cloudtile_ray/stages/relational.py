@@ -2001,3 +2001,93 @@ def source_checksums(
         .groupby("_bkt")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+def order_item_pairs(
+    ds, order_col: str, item_col: str, min_support: int = 2
+) -> "ray.data.Dataset":
+    """Market-basket PAIR MINING: for every unordered pair of DISTINCT
+    items co-occurring in one order/basket, the number of baskets
+    containing both — filtered to ``count >= min_support`` (the
+    association-rule support floor).  The transactional twin of the
+    term co-occurrence operator.
+
+    Scale shape: pair expansion happens INSIDE the order-bucket
+    exchange (a basket's rows co-locate by construction), vectorized
+    with the repeat/arange run-expansion — per-basket pair count is
+    L*(L-1)/2 with L the basket's DISTINCT item count (small by
+    nature; a pathological mega-basket is the documented skew case a
+    basket-size cap would handle).  Pair counting is a second bucketed
+    exchange over (item_a, item_b); the support filter prunes map-side
+    output only after the exact global count."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    nb = default_num_buckets(ds)
+
+    def part(t: pa.Table) -> pa.Table:
+        o = t.column(order_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_obkt", pa.array((o % nb).astype(np.int64))
+        )
+
+    def pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pa_": pa.array([], pa.int64()),
+                "pb_": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        o = g.column(order_col).to_numpy(zero_copy_only=False)
+        p = g.column(item_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o_s, p_s = o[order], p[order]
+        # distinct (order, item)
+        keep = np.empty(len(o_s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (o_s[1:] != o_s[:-1]) | (p_s[1:] != p_s[:-1])
+        o_s, p_s = o_s[keep], p_s[keep]
+        n = len(o_s)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = o_s[1:] != o_s[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, n))
+        # each element at within-basket position k pairs with the
+        # (L-1-k) elements after it: run-expansion, no Python loop
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        cnt_a = np.repeat(lens, lens) - 1 - pos
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt_a)
+        excl = np.concatenate(([0], np.cumsum(cnt_a)[:-1]))
+        b_idx = a_idx + 1 + (
+            np.arange(int(cnt_a.sum()), dtype=np.int64)
+            - np.repeat(excl, cnt_a)
+        )
+        return pa.table(
+            {"pa_": pa.array(p_s[a_idx]), "pb_": pa.array(p_s[b_idx])}
+        )
+
+    counted = bucketed_group_aggregate(
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_obkt")
+        .map_groups(pairs, batch_format="pyarrow"),
+        ["pa_", "pb_"],
+        [("pa_", "count", "n_orders")],
+    )
+
+    def support(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n_orders"), min_support))
+        return pa.table(
+            {
+                "part_a": t.column("pa_"),
+                "part_b": t.column("pb_"),
+                "n_orders": t.column("n_orders"),
+            }
+        )
+
+    return counted.map_batches(support, batch_format="pyarrow")

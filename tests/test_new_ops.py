@@ -6105,3 +6105,73 @@ def test_out_of_order_arrivals_brute_force(ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_order_item_pairs_brute_force(ray_session):
+    """Basket pair mining vs an O(n^2) python replay, with duplicate
+    (order, item) rows collapsing before expansion."""
+    import pyarrow as pa
+    import ray.data
+    from itertools import combinations
+
+    from cloudtile_ray.stages.relational import order_item_pairs
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    orders = rng.integers(0, 400, n).astype(np.int64)
+    items = rng.integers(0, 40, n).astype(np.int64)
+    baskets = {}
+    for o, i in zip(orders, items):
+        baskets.setdefault(int(o), set()).add(int(i))
+    want = {}
+    for its in baskets.values():
+        for a, b in combinations(sorted(its), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    want = {k: v for k, v in want.items() if v >= 3}
+    t = pa.table(
+        {"l_orderkey": pa.array(orders), "l_partkey": pa.array(items)}
+    )
+    out = order_item_pairs(
+        ray.data.from_arrow(t).repartition(6),
+        "l_orderkey",
+        "l_partkey",
+        min_support=3,
+    ).to_pandas()
+    got = {
+        (int(r.part_a), int(r.part_b)): int(r.n_orders)
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_histogram_drift_brute_force(ray_session):
+    """TVD numerator vs a python replay, negative values exercising the
+    floor-division bin rule."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import histogram_drift
+
+    rng = np.random.default_rng(66)
+    na, nb = 500, 700
+    va = np.round(rng.uniform(-10, 30, na), 2)
+    vb = np.round(rng.uniform(-5, 40, nb), 2)
+    ca = np.rint(va * 100).astype(np.int64) // 500
+    cb = np.rint(vb * 100).astype(np.int64) // 500
+    bins = np.union1d(ca, cb)
+    tvd = 0
+    for b in bins:
+        tvd += abs(int((ca == b).sum()) * nb - int((cb == b).sum()) * na)
+    types = ["purchase"] * na + ["view"] * nb + [None] * 20
+    vals = np.concatenate([va, vb, np.zeros(20)])
+    t = pa.table(
+        {"event_type": pa.array(types, pa.string()), "value": pa.array(vals)}
+    )
+    out = histogram_drift(
+        ray.data.from_arrow(t).repartition(5), "purchase", "view"
+    ).to_pandas()
+    assert (
+        int(out["n_a"][0]),
+        int(out["n_b"][0]),
+        int(out["tvd_num"][0]),
+    ) == (na, nb, tvd)
