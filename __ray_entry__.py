@@ -7812,6 +7812,34 @@ def q_value_drift(sf_dir: str):
     return histogram_drift(ds, "purchase", "view")
 
 
+def q_user_accretion(sf_dir: str):
+    """Running distinct-user growth curve
+    (:func:`cloudtile_ray.stages.events.user_accretion`): per day, the
+    first-time users and the cumulative distinct count — the running
+    count-distinct a naive window cannot do; first-appearance is a
+    decomposable min, the cumsum runs on the calendar-sized result."""
+    from cloudtile_ray.stages.events import user_accretion
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return user_accretion(ds)
+
+
+def q_day_churn(sf_dir: str):
+    """Day-over-day retention/churn
+    (:func:`cloudtile_ray.stages.events.day_churn`): per day, the
+    distinct actives, how many return the next day, and the churned
+    remainder — adjacency computed per user bucket, only day-grain
+    partials exchange."""
+    from cloudtile_ray.stages.events import day_churn
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return day_churn(ds)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8097,6 +8125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ooo_arrivals": q_ooo_arrivals,
         "basket_pairs": q_basket_pairs,
         "value_drift": q_value_drift,
+        "user_accretion": q_user_accretion,
+        "day_churn": q_day_churn,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -8539,6 +8569,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "user_accretion": """
+            WITH e AS (SELECT user_id,
+                         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1),
+            d AS (SELECT first_day AS day, count(*) AS new_users
+                  FROM f GROUP BY 1)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+            FROM d""",
+        "day_churn": """
+            WITH e AS (SELECT DISTINCT user_id,
+                         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+                       FROM events)
+            SELECT a.day, count(*) AS n_active,
+                   CAST(count(b.user_id) AS BIGINT) AS n_retained,
+                   CAST(count(*) - count(b.user_id) AS BIGINT) AS n_churned
+            FROM e a LEFT JOIN e b
+              ON b.user_id = a.user_id AND b.day = a.day + 1
+            GROUP BY 1""",
         "basket_pairs": """
             WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
             p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b

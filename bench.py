@@ -203,7 +203,7 @@ def run_queries(sf_dir: str) -> dict:
         "tile_compact", "source_checksums", "vocab_coverage",
         "event_debounce", "rank_u_stat", "ref_integrity",
         "embed_centroids", "bearing_sectors", "ooo_arrivals",
-        "basket_pairs", "value_drift",
+        "basket_pairs", "value_drift", "user_accretion", "day_churn",
     ]
     import gc
 

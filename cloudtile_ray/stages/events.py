@@ -2370,3 +2370,135 @@ def histogram_drift(
             }
         )
     )
+
+
+def user_accretion(ds) -> "ray.data.Dataset":
+    """Running DISTINCT-user curve — growth accounting: per day, how
+    many users appear for the FIRST time and the cumulative distinct
+    user count to date.  The classic "running count distinct" that a
+    naive window cannot compute: first-appearance day per user is one
+    decomposable min-aggregate (user-grain bucketed exchange), the
+    day-grain counts + cumulative sum then run over the CALENDAR-SIZED
+    result (bounded gather, same documented bound as the calendar
+    scans).  Output (day, new_users, cum_users)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pa.array(ts // 86_400_000_000),
+            }
+        )
+
+    first_day = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [("day", "min", "first_day")],
+    )
+    per_day = bucketed_group_aggregate(
+        first_day, ["first_day"], [("first_day", "count", "new_users")]
+    ).materialize()
+    tbl = pa.concat_tables(
+        [t for t in ray.get(list(per_day.to_arrow_refs())) if t.num_columns]
+    ).combine_chunks()
+    d = tbl.column("first_day").to_numpy(zero_copy_only=False)
+    n = tbl.column("new_users").to_numpy(zero_copy_only=False)
+    order = np.argsort(d, kind="stable")
+    d_s, n_s = d[order], n[order]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(d_s.astype(np.int64)),
+                "new_users": pa.array(n_s.astype(np.int64)),
+                "cum_users": pa.array(np.cumsum(n_s).astype(np.int64)),
+            }
+        )
+    )
+
+
+def day_churn(ds) -> "ray.data.Dataset":
+    """Day-over-day retention/churn: per active day, the distinct-user
+    count, how many of them are also active the NEXT day (retained),
+    and how many are not (churned).  Per-user sorted distinct-day
+    lists never leave their bucket — adjacency is a segmented diff —
+    and only day-grain count partials reach the final calendar-sized
+    exchange.  Output (day, n_active, n_retained, n_churned)."""
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    nb = _n_user_buckets(ds)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pa.array(ts // 86_400_000_000),
+            }
+        )
+        return _add_user_bucket(out, nb)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "n_active": pa.array([], pa.int64()),
+                "n_retained": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        keep = np.empty(len(u_s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[keep], d_s[keep]
+        n = len(u_s)
+        same = np.zeros(n, dtype=bool)
+        same[:-1] = (u_s[1:] == u_s[:-1]) & (d_s[1:] == d_s[:-1] + 1)
+        days, inv = np.unique(d_s, return_inverse=True)
+        act = np.bincount(inv, minlength=len(days)).astype(np.int64)
+        ret = np.zeros(len(days), dtype=np.int64)
+        np.add.at(ret, inv, same.astype(np.int64))
+        return pa.table(
+            {
+                "day": pa.array(days.astype(np.int64)),
+                "n_active": pa.array(act),
+                "n_retained": pa.array(ret),
+            }
+        )
+
+    folded = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["day"],
+        [("n_active", "sum", "n_active"), ("n_retained", "sum", "n_retained")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        act = t.column("n_active").to_numpy(zero_copy_only=False)
+        ret = t.column("n_retained").to_numpy(zero_copy_only=False)
+        return t.append_column("n_churned", pa.array((act - ret).astype(np.int64)))
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -6175,3 +6175,69 @@ def test_histogram_drift_brute_force(ray_session):
         int(out["n_b"][0]),
         int(out["tvd_num"][0]),
     ) == (na, nb, tvd)
+
+
+def test_user_accretion_brute_force(ray_session):
+    """First-appearance growth curve vs a python replay."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import user_accretion
+
+    rng = np.random.default_rng(41)
+    n = 4000
+    u = rng.integers(0, 200, n).astype(np.int64)
+    day = rng.integers(0, 25, n).astype(np.int64)
+    ts = day * 86_400_000_000 + rng.integers(0, 86_400_000_000, n)
+    first = {}
+    for uu, dd in zip(u, day):
+        if int(uu) not in first or dd < first[int(uu)]:
+            first[int(uu)] = int(dd)
+    from collections import Counter
+
+    per_day = Counter(first.values())
+    want = []
+    cum = 0
+    for d in sorted(per_day):
+        cum += per_day[d]
+        want.append((d, per_day[d], cum))
+    t = pa.table(
+        {"user_id": pa.array(u), "ts": pa.array(ts.astype("datetime64[us]"))}
+    )
+    out = user_accretion(ray.data.from_arrow(t).repartition(6)).to_pandas()
+    got = [
+        (int(r.day), int(r.new_users), int(r.cum_users))
+        for r in out.sort_values("day").itertuples(index=False)
+    ]
+    assert got == want
+
+
+def test_day_churn_brute_force(ray_session):
+    """Next-day retention vs a python set replay."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import day_churn
+
+    rng = np.random.default_rng(14)
+    n = 5000
+    u = rng.integers(0, 150, n).astype(np.int64)
+    day = rng.integers(0, 20, n).astype(np.int64)
+    ts = day * 86_400_000_000 + rng.integers(0, 86_400_000_000, n)
+    active = {}
+    for uu, dd in zip(u, day):
+        active.setdefault(int(dd), set()).add(int(uu))
+    want = {}
+    for d, users in active.items():
+        nxt = active.get(d + 1, set())
+        ret = len(users & nxt)
+        want[d] = (len(users), ret, len(users) - ret)
+    t = pa.table(
+        {"user_id": pa.array(u), "ts": pa.array(ts.astype("datetime64[us]"))}
+    )
+    out = day_churn(ray.data.from_arrow(t).repartition(7)).to_pandas()
+    got = {
+        int(r.day): (int(r.n_active), int(r.n_retained), int(r.n_churned))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
