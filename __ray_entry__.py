@@ -7840,6 +7840,194 @@ def q_day_churn(sf_dir: str):
     return day_churn(ds)
 
 
+def q_shipping_lag(sf_dir: str):
+    """Order-fulfillment lag histogram: days from order date to the
+    order's LAST ship date, counted per order priority — the classic
+    SLA distribution.  Lineitem folds to order-grain max ship dates
+    map-side (decomposable max through the bucketed exchange); the
+    order date attaches via the byte-gated broadcast (order-keyed
+    lookup, dimension-bounded here; a 100 TB orders table exceeds the
+    gate and rides the same bucket exchange instead)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray
+
+    from cloudtile_ray.stages.relational import (
+        bucketed_group_aggregate,
+        hash_join,
+    )
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        sd = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ship_day": pa.array(sd // 86_400_000_000),
+            }
+        )
+
+    last_ship = bucketed_group_aggregate(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("ship_day", "max", "last_ship_day")],
+    )
+
+    _GATE = 256 << 20
+    n_orders = _pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders * 24 <= _GATE:
+        ot = _pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        od = (
+            ot.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 86_400_000_000
+        )
+        lut = pa.table(
+            {
+                "o_orderkey": ot.column("o_orderkey"),
+                "o_day": pa.array(od),
+                "o_orderpriority": ot.column("o_orderpriority"),
+            }
+        ).combine_chunks()
+        lref = ray.put(lut)
+
+        def attach(t: pa.Table) -> pa.Table:
+            lt = ray.get(lref)
+            idx = pc.index_in(
+                t.column("l_orderkey").combine_chunks(),
+                value_set=lt.column("o_orderkey"),
+            )
+            lag = (
+                t.column("last_ship_day").to_numpy(zero_copy_only=False)
+                - pc.take(lt.column("o_day"), idx).to_numpy(
+                    zero_copy_only=False
+                )
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderpriority": pc.take(
+                        lt.column("o_orderpriority"), idx
+                    ),
+                    "lag_days": pa.array(lag),
+                }
+            )
+
+        lagged = last_ship.map_batches(attach, batch_format="pyarrow")
+    else:
+        orders = _read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t.column("o_orderkey"),
+                    "o_day": pa.array(
+                        t.column("o_orderdate")
+                        .to_numpy(zero_copy_only=False)
+                        .astype("datetime64[us]")
+                        .astype(np.int64)
+                        // 86_400_000_000
+                    ),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            last_ship, orders, on=("l_orderkey",), right_on=("o_orderkey",)
+        )
+        lagged = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "lag_days": pa.array(
+                        t.column("last_ship_day").to_numpy(
+                            zero_copy_only=False
+                        )
+                        - t.column("o_day").to_numpy(zero_copy_only=False)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    return bucketed_group_aggregate(
+        lagged,
+        ["o_orderpriority", "lag_days"],
+        [("lag_days", "count", "n")],
+    )
+
+
+def q_grid_adjacency(sf_dir: str):
+    """Join-count spatial statistics over the occupied z6 tile grid:
+    occupied-cell count plus rook-adjacent occupied pairs split by
+    orientation — the integer core of a join-count autocorrelation
+    test (clustered vs dispersed occupancy).  The occupied set dedups
+    through the bucketed exchange (<= 4**z cells, the tile_compact
+    bound); adjacency is one sorted-membership check in a single
+    task."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.index import AssignTiles
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    ds = (
+        _geo_only(sf_dir)
+        .map_batches(AssignTiles(6, 6), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["x", "y"]), batch_format="pyarrow")
+    )
+    distinct = bucketed_group_aggregate(
+        ds, ["x", "y"], [("x", "min", "_one")]
+    ).map_batches(
+        lambda t: t.select(["x", "y"]).append_column(
+            "_g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+
+    def adj(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "n_occupied": pa.array([], pa.int64()),
+                "n_h_pairs": pa.array([], pa.int64()),
+                "n_v_pairs": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        x = g.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        side = np.int64(1) << np.int64(6)
+        pk = np.sort(x * side + y)
+        h = np.isin((x + 1) * side + y, pk).sum()
+        # y+1 == side would pack onto (x+1, 0) — mask the top row out
+        vm = (y + 1) < side
+        v = np.isin(x[vm] * side + (y[vm] + 1), pk).sum()
+        return pa.table(
+            {
+                "n_occupied": pa.array([len(x)], pa.int64()),
+                "n_h_pairs": pa.array([int(h)], pa.int64()),
+                "n_v_pairs": pa.array([int(v)], pa.int64()),
+            }
+        )
+
+    return distinct.groupby("_g").map_groups(adj, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8127,6 +8315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_drift": q_value_drift,
         "user_accretion": q_user_accretion,
         "day_churn": q_day_churn,
+        "shipping_lag": q_shipping_lag,
+        "grid_adjacency": q_grid_adjacency,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -8569,6 +8759,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "shipping_lag": """
+            WITH ls AS (SELECT l_orderkey,
+                          max(CAST(epoch_us(l_shipdate) AS BIGINT)
+                              // 86400000000) AS last_ship_day
+                        FROM lineitem GROUP BY 1)
+            SELECT o.o_orderpriority,
+                   ls.last_ship_day
+                     - (CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                        // 86400000000) AS lag_days,
+                   count(*) AS n
+            FROM ls JOIN orders o ON o.o_orderkey = ls.l_orderkey
+            GROUP BY 1, 2""",
+        "grid_adjacency": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            t6 AS (SELECT DISTINCT {_TILE_X} AS x, {_TILE_Y} AS y
+                   FROM geo, (VALUES (6)) zs(z))
+            SELECT (SELECT count(*) FROM t6) AS n_occupied,
+                   (SELECT count(*) FROM t6 a JOIN t6 b
+                      ON b.x = a.x + 1 AND b.y = a.y) AS n_h_pairs,
+                   (SELECT count(*) FROM t6 a JOIN t6 b
+                      ON b.x = a.x AND b.y = a.y + 1) AS n_v_pairs""",
         "user_accretion": """
             WITH e AS (SELECT user_id,
                          CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
