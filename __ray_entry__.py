@@ -8028,6 +8028,155 @@ def q_grid_adjacency(sf_dir: str):
     return distinct.groupby("_g").map_groups(adj, batch_format="pyarrow")
 
 
+def q_pyramid_audit(sf_dir: str):
+    """Tile-pyramid consistency audit: every occupied z5 tile with its
+    own doc count and the sum of its four z6 children's counts — the
+    invariant (equal by construction) a resumable multi-zoom tiling
+    job verifies per partition before publishing.  Both levels come
+    from ONE AssignTiles(5, 6) explode pass; counts fold map-side
+    through one tile-sized exchange and the parent/child match is a
+    segmented in-bucket fold (children co-locate with their parent by
+    construction of the bucket key)."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.index import AssignTiles
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    exploded = _geo_only(sf_dir).map_batches(
+        AssignTiles(5, 6), batch_format="pyarrow"
+    )
+
+    def to_parent(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        # z6 rows keyed by their z5 PARENT so both levels land together
+        px = np.where(z == 6, x // 2, x)
+        py = np.where(z == 6, y // 2, y)
+        return pa.table(
+            {
+                "px": pa.array(px.astype(np.int64)),
+                "py": pa.array(py.astype(np.int64)),
+                "is_child": pa.array((z == 6).astype(np.int64)),
+                "is_parent": pa.array((z == 5).astype(np.int64)),
+            }
+        )
+
+    return bucketed_group_aggregate(
+        exploded.map_batches(to_parent, batch_format="pyarrow"),
+        ["px", "py"],
+        [
+            ("is_parent", "sum", "parent_n"),
+            ("is_child", "sum", "child_sum"),
+        ],
+    )
+
+
+def q_hapax_stats(sf_dir: str):
+    """Lexical-diversity audit: corpus HAPAX LEGOMENA at BIGRAM grain
+    (word pairs occurring exactly once in the whole corpus), attributed
+    to the source owning the single occurrence.  (Unigram hapax is
+    degenerate on this closed-vocabulary corpus; bigrams have a real
+    rarity tail.)  Per-(bigram, source) partials fold through ONE
+    bigram-bucket exchange; inside each bucket every occurrence of a
+    bigram is present (bucket-complete by construction), so the
+    total==1 filter and the source attribution are one in-bucket
+    group_by — hot bigrams fold map-side and never assemble."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    nb = default_num_buckets(ds)
+
+    def tok(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n = len(flat)
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        is_last = np.zeros(n, dtype=bool)
+        is_last[offs[1:][lens > 0] - 1] = True
+        valid = ~is_last[: n - 1] if n else np.zeros(0, dtype=bool)
+        vidx = np.nonzero(valid)[0]
+        a = flat.take(pa.array(vidx))
+        b = flat.take(pa.array(vidx + 1))
+        bg = pc.binary_join_element_wise(a, b, " ")
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        src = pc.take(
+            t.column("source").combine_chunks(), pa.array(doc_idx[vidx])
+        )
+        g = (
+            pa.table({"bg": bg, "source": src})
+            .combine_chunks()
+            .group_by(["bg", "source"])
+            .aggregate([([], "count_all")])
+        )
+        import zlib
+
+        hb = np.array(
+            [zlib.crc32(v.encode()) % nb for v in g.column("bg").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "bg": g.column("bg"),
+                "source": g.column("source"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+                "_tbkt": pa.array(hb),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_hapax": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        de = g.column("bg").combine_chunks().dictionary_encode()
+        tc = de.indices.to_numpy().astype(np.int64)
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        tot = np.zeros(len(de.dictionary), dtype=np.int64)
+        np.add.at(tot, tc, n)
+        hapax = tot[tc] == 1  # row's bigram occurs once corpus-wide
+        sub = g.filter(pa.array(hapax))
+        if sub.num_rows == 0:
+            return empty
+        agg = (
+            sub.select(["source", "n"])
+            .combine_chunks()
+            .group_by("source")
+            .aggregate([("n", "count")])
+        )
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "source": agg.column("source"),
+                "n_hapax": _pc.cast(agg.column("n_count"), pa.int64()),
+            }
+        )
+
+    hapax_per_bucket = (
+        ds.map_batches(tok, batch_format="pyarrow")
+        .groupby("_tbkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    return bucketed_group_aggregate(
+        hapax_per_bucket, ["source"], [("n_hapax", "sum", "n_hapax")]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8317,6 +8466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "day_churn": q_day_churn,
         "shipping_lag": q_shipping_lag,
         "grid_adjacency": q_grid_adjacency,
+        "pyramid_audit": q_pyramid_audit,
+        "hapax_stats": q_hapax_stats,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -8759,6 +8910,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "pyramid_audit": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
+            lv AS (SELECT doc_id, z, {_TILE_X} AS x, {_TILE_Y} AS y
+                   FROM geo, (VALUES (5), (6)) zs(z)),
+            keyed AS (SELECT CASE WHEN z = 6 THEN x // 2 ELSE x END AS px,
+                             CASE WHEN z = 6 THEN y // 2 ELSE y END AS py,
+                             CASE WHEN z = 5 THEN 1 ELSE 0 END AS is_parent,
+                             CASE WHEN z = 6 THEN 1 ELSE 0 END AS is_child
+                      FROM lv)
+            SELECT px, py, CAST(sum(is_parent) AS BIGINT) AS parent_n,
+                   CAST(sum(is_child) AS BIGINT) AS child_sum
+            FROM keyed GROUP BY 1, 2""",
+        "hapax_stats": """
+            WITH tok AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS t,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS i
+                         FROM documents),
+            big AS (SELECT doc_id,
+                       t || ' ' || lead(t) OVER
+                         (PARTITION BY doc_id ORDER BY i) AS bg
+                    FROM tok),
+            bg2 AS (SELECT doc_id, bg FROM big WHERE bg IS NOT NULL),
+            tot AS (SELECT bg, count(*) AS c FROM bg2 GROUP BY 1),
+            loc AS (SELECT b.bg, d.source
+                    FROM bg2 b JOIN documents d USING (doc_id)
+                    WHERE b.bg IN (SELECT bg FROM tot WHERE c = 1))
+            SELECT source, count(*) AS n_hapax FROM loc GROUP BY 1""",
         "shipping_lag": """
             WITH ls AS (SELECT l_orderkey,
                           max(CAST(epoch_us(l_shipdate) AS BIGINT)

@@ -204,7 +204,7 @@ def run_queries(sf_dir: str) -> dict:
         "event_debounce", "rank_u_stat", "ref_integrity",
         "embed_centroids", "bearing_sectors", "ooo_arrivals",
         "basket_pairs", "value_drift", "user_accretion", "day_churn",
-        "shipping_lag", "grid_adjacency",
+        "shipping_lag", "grid_adjacency", "pyramid_audit", "hapax_stats",
     ]
     import gc
 
