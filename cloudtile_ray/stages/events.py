@@ -2406,16 +2406,31 @@ def user_accretion(ds) -> "ray.data.Dataset":
         ["user_id"],
         [("day", "min", "first_day")],
     )
-    per_day = bucketed_group_aggregate(
-        first_day, ["first_day"], [("first_day", "count", "new_users")]
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        fd = t.column("first_day").to_numpy(zero_copy_only=False)
+        d, n = np.unique(fd, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(d.astype(np.int64)),
+                "n": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    # day-grain partials per block; the gather is calendar x blocks
+    # bounded (the documented calendar-scan bound), saving the second
+    # exchange the day-grain rollup would otherwise pay
+    per_day = first_day.map_batches(
+        day_counts, batch_format="pyarrow"
     ).materialize()
     tbl = pa.concat_tables(
         [t for t in ray.get(list(per_day.to_arrow_refs())) if t.num_columns]
     ).combine_chunks()
-    d = tbl.column("first_day").to_numpy(zero_copy_only=False)
-    n = tbl.column("new_users").to_numpy(zero_copy_only=False)
-    order = np.argsort(d, kind="stable")
-    d_s, n_s = d[order], n[order]
+    d = tbl.column("day").to_numpy(zero_copy_only=False)
+    n = tbl.column("n").to_numpy(zero_copy_only=False)
+    d_s, inv = np.unique(d, return_inverse=True)
+    n_s = np.zeros(len(d_s), dtype=np.int64)
+    np.add.at(n_s, inv, n)
     return ray.data.from_arrow(
         pa.table(
             {
