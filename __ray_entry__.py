@@ -7993,10 +7993,7 @@ def q_grid_adjacency(sf_dir: str):
     distinct = bucketed_group_aggregate(
         ds, ["x", "y"], [("x", "min", "_one")]
     ).map_batches(
-        lambda t: t.select(["x", "y"]).append_column(
-            "_g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
-        ),
-        batch_format="pyarrow",
+        lambda t: t.select(["x", "y"]), batch_format="pyarrow"
     )
 
     def adj(g: pa.Table) -> pa.Table:
@@ -8025,7 +8022,21 @@ def q_grid_adjacency(sf_dir: str):
             }
         )
 
-    return distinct.groupby("_g").map_groups(adj, batch_format="pyarrow")
+    # <= 4**6 distinct cells (documented bound): gather once instead of
+    # an all-to-all into a single group
+    import ray
+    import ray.data
+
+    tabs = [
+        t
+        for t in ray.get(list(distinct.materialize().to_arrow_refs()))
+        if t.num_columns
+    ]
+    if not tabs:
+        return ray.data.from_arrow(adj(pa.table({"x": [], "y": []})))
+    return ray.data.from_arrow(
+        adj(pa.concat_tables(tabs).combine_chunks())
+    )
 
 
 def q_pyramid_audit(sf_dir: str):

@@ -1878,13 +1878,41 @@ def peak_concurrency(ds, chunk_us: int = 86_400_000_000) -> "ray.data.Dataset":
             }
         )
 
-    return (
+    # chunk summaries are (types x chunks)-bounded — gather them
+    # (documented bound, independent of input rows) and run the tiny
+    # per-type sequential combine once, instead of paying a second
+    # all-to-all for a handful of rows
+    import ray
+    import ray.data
+
+    summaries = (
         ds.map_batches(bounds, batch_format="pyarrow")
         .groupby("_pbkt")
         .map_groups(chunk_summary, batch_format="pyarrow")
-        .groupby("event_type")
-        .map_groups(combine_type, batch_format="pyarrow")
+        .materialize()
     )
+    tabs = [
+        t for t in ray.get(list(summaries.to_arrow_refs())) if t.num_columns
+    ]
+    empty_out = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "peak": pa.array([], pa.int64()),
+            "first_peak_us": pa.array([], pa.int64()),
+        }
+    )
+    if not tabs:
+        return ray.data.from_arrow(empty_out)
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    if tbl.num_rows == 0:
+        return ray.data.from_arrow(empty_out)
+    de = tbl.column("event_type").combine_chunks().dictionary_encode()
+    tc = de.indices.to_numpy().astype(np.int64)
+    out = [
+        combine_type(tbl.filter(pa.array(tc == code)))
+        for code in range(len(de.dictionary))
+    ]
+    return ray.data.from_arrow(pa.concat_tables(out))
 
 
 def hourly_ohlc(ds) -> "ray.data.Dataset":

@@ -639,10 +639,7 @@ def compact_tiles(ds, z: int) -> "ray.data.Dataset":
     distinct = bucketed_group_aggregate(
         ds, ["x", "y"], [("x", "min", "_one")]
     ).map_batches(
-        lambda t: t.select(["x", "y"]).append_column(
-            "_g", pa.array(np.zeros(t.num_rows, dtype=np.int64))
-        ),
-        batch_format="pyarrow",
+        lambda t: t.select(["x", "y"]), batch_format="pyarrow"
     )
 
     def compact(g: pa.Table) -> pa.Table:
@@ -684,4 +681,24 @@ def compact_tiles(ds, z: int) -> "ray.data.Dataset":
             }
         )
 
-    return distinct.groupby("_g").map_groups(compact, batch_format="pyarrow")
+    # the distinct set is <= 4**z rows (the documented bound) — gather
+    # it and run the ladder walk once, instead of an all-to-all shuffle
+    # into a single group
+    import ray
+    import ray.data
+
+    mat = distinct.materialize()
+    tabs = [t for t in ray.get(list(mat.to_arrow_refs())) if t.num_columns]
+    if not tabs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "z": pa.array([], pa.int64()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return ray.data.from_arrow(
+        compact(pa.concat_tables(tabs).combine_chunks())
+    )
