@@ -8188,6 +8188,160 @@ def q_hapax_stats(sf_dir: str):
     )
 
 
+def q_revenue_concentration(sf_dir: str):
+    """Revenue-concentration ladder: share of total order revenue held
+    by the top-k customers (k in 1, 10, 100, 1000) — the whale-curve
+    companion to the Lorenz operator, exact cents end to end.
+    Customer-grain revenue folds through one bucketed exchange; only
+    the DIMENSION-SIZED customer rollup gathers (documented bound) for
+    the rank + cumulative probe."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {"o_custkey": t.column("o_custkey"), "cents": pa.array(cents)}
+        )
+
+    per_cust = bucketed_group_aggregate(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("cents", "sum", "rev")],
+    ).materialize()
+    tbl = pa.concat_tables(
+        [t for t in ray.get(list(per_cust.to_arrow_refs())) if t.num_columns]
+    ).combine_chunks()
+    rev = tbl.column("rev").to_numpy(zero_copy_only=False).astype(np.int64)
+    ck = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ck, -rev))
+    cum = np.cumsum(rev[order])
+    total = int(cum[-1]) if len(cum) else 0
+    ks = (1, 10, 100, 1000)
+    covered = [
+        int(cum[min(k, len(cum)) - 1]) if len(cum) else 0 for k in ks
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(list(ks), pa.int64()),
+                "covered_cents": pa.array(covered, pa.int64()),
+                "total_cents": pa.array([total] * len(ks), pa.int64()),
+                "n_customers": pa.array([len(cum)] * len(ks), pa.int64()),
+            }
+        )
+    )
+
+
+def q_type_profiles(sf_dir: str):
+    """Behavior-signature histogram at (user, day) grain: user-days
+    counted by the exact SET of event types emitted that day, encoded
+    as a bitmask (bit = the type's alphabetical rank among corpus
+    types).  The segmentation primitive behind cohort tooling; daily
+    grain keeps the signature distribution non-degenerate.  Type
+    alphabet gathers once (tiny, broadcast); per-user-day OR-fold runs
+    in the user-bucket exchange; bitmask counts fold map-side into the
+    final tiny exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+    from cloudtile_ray.stages.util import default_num_buckets
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    nb = default_num_buckets(ds)
+
+    # corpus type alphabet: tiny by nature — one distinct pass, gathered
+    types = sorted(
+        r["event_type"]
+        for r in bucketed_group_aggregate(
+            ds.map_batches(
+                lambda t: t.filter(
+                    pc.is_valid(t.column("event_type"))
+                ).select(["event_type"]),
+                batch_format="pyarrow",
+            ),
+            ["event_type"],
+            [("event_type", "count", "_n")],
+        ).take_all()
+    )
+    if len(types) > 62:
+        raise ValueError("type bitmask needs <= 62 types")
+    tref = ray.put(types)
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        alphabet = ray.get(tref)
+        idx = pc.index_in(
+            t.column("event_type").combine_chunks(),
+            value_set=pa.array(alphabet),
+        ).to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 86_400_000_000
+        )
+        key = u * np.int64(1 << 20) + day  # day < 2**20 (documented)
+        uniq, inv = np.unique(key, return_inverse=True)
+        bm = np.zeros(len(uniq), dtype=np.int64)
+        np.bitwise_or.at(bm, inv, np.int64(1) << idx.astype(np.int64))
+        return pa.table(
+            {
+                "ud": pa.array(uniq),
+                "bm": pa.array(bm),
+                "_ubkt": pa.array(
+                    ((uniq >> np.int64(20)) % nb).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bitmask": pa.array([], pa.int64()),
+                "n_users": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = g.column("ud").to_numpy(zero_copy_only=False)
+        bm = g.column("bm").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(u, return_inverse=True)
+        full = np.zeros(len(uniq), dtype=np.int64)
+        np.bitwise_or.at(full, inv, bm)
+        mk, cnt = np.unique(full, return_counts=True)
+        return pa.table(
+            {
+                "bitmask": pa.array(mk),
+                "n_users": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    folded = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return bucketed_group_aggregate(
+        folded, ["bitmask"], [("n_users", "sum", "n_users")]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8479,6 +8633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_adjacency": q_grid_adjacency,
         "pyramid_audit": q_pyramid_audit,
         "hapax_stats": q_hapax_stats,
+        "revenue_concentration": q_revenue_concentration,
+        "type_profiles": q_type_profiles,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -8921,6 +9077,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "revenue_concentration": """
+            WITH pc_ AS (SELECT o_custkey,
+                           CAST(sum(CAST(round(o_totalprice * 100)
+                                         AS BIGINT)) AS BIGINT) AS rev
+                         FROM orders GROUP BY 1),
+            rk AS (SELECT rev, row_number() OVER
+                     (ORDER BY rev DESC, o_custkey) AS rn
+                   FROM pc_),
+            tot AS (SELECT CAST(sum(rev) AS BIGINT) AS t,
+                           count(*) AS nc FROM rk),
+            ks AS (SELECT * FROM (VALUES (1), (10), (100), (1000)) k(k))
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(coalesce(sum(rk.rev)
+                        FILTER (WHERE rk.rn <= ks.k), 0) AS BIGINT)
+                     AS covered_cents,
+                   (SELECT t FROM tot) AS total_cents,
+                   (SELECT nc FROM tot) AS n_customers
+            FROM ks CROSS JOIN rk GROUP BY 1""",
+        "type_profiles": """
+            WITH ty AS (SELECT DISTINCT event_type FROM events
+                        WHERE event_type IS NOT NULL),
+            o AS (SELECT event_type,
+                     row_number() OVER (ORDER BY event_type) - 1 AS ord
+                  FROM ty),
+            ut AS (SELECT DISTINCT e.user_id,
+                      CAST(epoch_us(e.ts) AS BIGINT) // 86400000000 AS day,
+                      o.ord
+                   FROM events e JOIN o ON e.event_type = o.event_type),
+            bm AS (SELECT user_id, day,
+                      CAST(sum(1 << CAST(ord AS INTEGER)) AS BIGINT)
+                        AS bitmask
+                   FROM ut GROUP BY 1, 2)
+            SELECT bitmask, count(*) AS n_users FROM bm GROUP BY 1""",
         "pyramid_audit": f"""{f'WITH {PAGES_SQL_CTE.strip()}'},
             lv AS (SELECT doc_id, z, {_TILE_X} AS x, {_TILE_Y} AS y
                    FROM geo, (VALUES (5), (6)) zs(z)),
