@@ -8342,6 +8342,34 @@ def q_type_profiles(sf_dir: str):
     )
 
 
+def q_bloom_fp_audit(sf_dir: str):
+    """Bloom false-positive audit
+    (:func:`cloudtile_ray.stages.sketches.bloom_fp_audit`): a 4-hash
+    1024-bit filter over purchasing users, tested against every event
+    row — (n_tested, n_pass, n_true, n_fp), with the filter's measured
+    FP cost certified against the exact semi-join truth.  Only the
+    bounded bit set is global state; the truth path is byte-gated."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.sketches import bloom_fp_audit
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "is_member": pc.equal(
+                    pc.fill_null(t.column("event_type"), ""), "purchase"
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return bloom_fp_audit(ds, "user_id", "is_member", m_log2=10)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8635,6 +8663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_stats": q_hapax_stats,
         "revenue_concentration": q_revenue_concentration,
         "type_profiles": q_type_profiles,
+        "bloom_fp_audit": q_bloom_fp_audit,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9077,6 +9106,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "bloom_fp_audit": f"""
+            WITH mults AS (SELECT * FROM (VALUES {bloom_mult_rows})
+                           m(j, mult)),
+            pu AS (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase'),
+            bits AS (SELECT DISTINCT m.j,
+                        ((CAST(p.user_id AS HUGEINT) * m.mult)
+                          % 18446744073709551616)
+                          // 18014398509481984 AS bit
+                     FROM pu p CROSS JOIN mults m),
+            h AS (SELECT e.event_id, e.user_id, m.j,
+                     ((CAST(e.user_id AS HUGEINT) * m.mult)
+                       % 18446744073709551616)
+                       // 18014398509481984 AS bit
+                  FROM events e CROSS JOIN mults m),
+            passed AS (SELECT event_id FROM h
+                       JOIN bits b ON b.j = h.j AND b.bit = h.bit
+                       GROUP BY 1 HAVING count(*) = 4)
+            SELECT (SELECT count(*) FROM events) AS n_tested,
+                   (SELECT count(*) FROM passed) AS n_pass,
+                   (SELECT count(*) FROM events
+                    WHERE user_id IN (SELECT user_id FROM pu)) AS n_true,
+                   CAST((SELECT count(*) FROM passed)
+                        - (SELECT count(*) FROM events
+                           WHERE user_id IN (SELECT user_id FROM pu))
+                        AS BIGINT) AS n_fp""",
         "revenue_concentration": """
             WITH pc_ AS (SELECT o_custkey,
                            CAST(sum(CAST(round(o_totalprice * 100)

@@ -205,7 +205,7 @@ def run_queries(sf_dir: str) -> dict:
         "embed_centroids", "bearing_sectors", "ooo_arrivals",
         "basket_pairs", "value_drift", "user_accretion", "day_churn",
         "shipping_lag", "grid_adjacency", "pyramid_audit", "hapax_stats",
-        "revenue_concentration", "type_profiles",
+        "revenue_concentration", "type_profiles", "bloom_fp_audit",
     ]
     import gc
 

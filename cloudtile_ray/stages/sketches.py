@@ -596,3 +596,149 @@ def bloom_registers_exact(
 
     cells = ds.map_batches(partial, batch_format="pyarrow")
     return bucketed_group_aggregate(cells, ["j", "bit"], [("n", "sum", "n")])
+
+
+def bloom_fp_audit(
+    ds,
+    value_col: str,
+    member_mask_col: str,
+    m_log2: int = 10,
+    mults: tuple = BLOOM_MULTS,
+) -> "ray.data.Dataset":
+    """Bloom-filter FALSE-POSITIVE audit, end to end certifiable: build
+    a k-hash Bloom filter over the MEMBER keys (rows where
+    ``member_mask_col`` is true), test EVERY row's key against it, and
+    report ``(n_tested, n_pass, n_true, n_fp)`` — the measured FP cost
+    a bloom-semi-join plan pays at this m/k, vs the exact membership
+    truth.  Blooms have no false negatives, so ``n_fp = n_pass -
+    n_true`` and the audit certifies that identity too.
+
+    Scale shape: the BIT SET is the only global state — unions of
+    per-batch (j, bit) partials (<= k * 2**m rows, input-independent),
+    gathered and broadcast; keys never assemble.  Exact truth takes
+    the byte-gated path: the distinct member-key set broadcasts under
+    the budget (measured bytes), else membership is counted with the
+    hash-partitioned semi join — the same gate idiom as the engine's
+    other small-side lookups."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate, hash_join
+
+    if not 8 <= m_log2 <= 24:
+        raise ValueError("m_log2 must be in [8, 24]")
+    shift = np.uint64(64 - m_log2)
+    k = len(mults)
+
+    members = ds.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column(member_mask_col), True)
+        ).select([value_col]),
+        batch_format="pyarrow",
+    )
+
+    # distinct member keys once; feeds BOTH the bit set and the truth
+    distinct_members = bucketed_group_aggregate(
+        members, [value_col], [(value_col, "min", "_one")]
+    ).map_batches(
+        lambda t: t.select([value_col]), batch_format="pyarrow"
+    ).materialize()
+
+    def bits_partial(t: pa.Table) -> pa.Table:
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (x < 0).any():
+            raise ValueError("bloom_fp_audit requires non-negative keys")
+        js, bs = [], []
+        for j, m in enumerate(mults):
+            h = (x.astype(np.uint64) * np.uint64(m)) >> shift
+            js.append(np.full(len(np.unique(h)), j, dtype=np.int64))
+            bs.append(np.unique(h).astype(np.int64))
+        return pa.table(
+            {
+                "j": pa.array(np.concatenate(js) if js else np.array([], np.int64)),
+                "bit": pa.array(np.concatenate(bs) if bs else np.array([], np.int64)),
+            }
+        )
+
+    bit_rows = bucketed_group_aggregate(
+        distinct_members.map_batches(bits_partial, batch_format="pyarrow"),
+        ["j", "bit"],
+        [("j", "min", "_one")],
+    ).materialize()
+    btabs = [
+        t for t in ray.get(list(bit_rows.to_arrow_refs())) if t.num_columns
+    ]
+    bitset = np.zeros((k, 1 << m_log2), dtype=bool)
+    if btabs:
+        bt = pa.concat_tables(btabs)
+        bitset[
+            bt.column("j").to_numpy(zero_copy_only=False),
+            bt.column("bit").to_numpy(zero_copy_only=False),
+        ] = True
+    bref = ray.put(bitset)
+
+    # truth path: byte-gated broadcast of the distinct member keys
+    gate = 256 << 20
+    member_bytes = distinct_members.size_bytes() or 0
+    kref = None
+    if member_bytes <= gate:
+        ktabs = [
+            t
+            for t in ray.get(list(distinct_members.to_arrow_refs()))
+            if t.num_columns
+        ]
+        keys = (
+            pa.concat_tables(ktabs).column(value_col).combine_chunks()
+            if ktabs
+            else pa.array([], pa.int64())
+        )
+        kref = ray.put(keys)
+
+    def audit(t: pa.Table) -> pa.Table:
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bs = ray.get(bref)
+        ok = np.ones(len(x), dtype=bool)
+        for j, m in enumerate(mults):
+            h = (x.astype(np.uint64) * np.uint64(m)) >> shift
+            ok &= bs[j, h.astype(np.int64)]
+        row = {
+            "n_tested": np.int64(len(x)),
+            "n_pass": np.int64(int(ok.sum())),
+        }
+        if kref is not None:
+            idx = pc.index_in(
+                pa.array(x), value_set=ray.get(kref)
+            )
+            row["n_true"] = np.int64(
+                int(pc.sum(pc.is_valid(idx).cast(pa.int64())).as_py() or 0)
+            )
+        return pa.table({c: pa.array([v]) for c, v in row.items()})
+
+    sums = ds.map_batches(audit, batch_format="pyarrow").sum(
+        ["n_tested", "n_pass"] + (["n_true"] if kref is not None else [])
+    )
+    n_tested = int(sums["sum(n_tested)"])
+    n_pass = int(sums["sum(n_pass)"])
+    if kref is not None:
+        n_true = int(sums["sum(n_true)"])
+    else:
+        # web-scale member set: hash-partitioned semi join for the truth
+        n_true = hash_join(
+            ds.map_batches(
+                lambda t: t.select([value_col]), batch_format="pyarrow"
+            ),
+            distinct_members,
+            on=(value_col,),
+            how="semi",
+        ).count()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_tested": pa.array([n_tested], pa.int64()),
+                "n_pass": pa.array([n_pass], pa.int64()),
+                "n_true": pa.array([n_true], pa.int64()),
+                "n_fp": pa.array([n_pass - n_true], pa.int64()),
+            }
+        )
+    )

@@ -6241,3 +6241,48 @@ def test_day_churn_brute_force(ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_bloom_fp_audit_brute_force(ray_session):
+    """FP audit vs a python bloom replay: pass superset of truth, fp =
+    pass - true, and a tiny filter actually produces false positives."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.sketches import BLOOM_MULTS, bloom_fp_audit
+
+    rng = np.random.default_rng(19)
+    n = 4000
+    keys = rng.integers(0, 1 << 30, n).astype(np.int64)
+    member = rng.random(n) < 0.2
+    m_log2 = 8
+    shift = np.uint64(64 - m_log2)
+    bits = set()
+    mset = set(keys[member].tolist())
+    for x in mset:
+        for j, m in enumerate(BLOOM_MULTS):
+            bits.add((j, int((np.uint64(x) * np.uint64(m)) >> shift)))
+    n_pass = 0
+    for x in keys:
+        if all(
+            (j, int((np.uint64(x) * np.uint64(m)) >> shift)) in bits
+            for j, m in enumerate(BLOOM_MULTS)
+        ):
+            n_pass += 1
+    n_true = sum(1 for x in keys if int(x) in mset)
+    t = pa.table(
+        {"user_id": pa.array(keys), "is_member": pa.array(member)}
+    )
+    out = bloom_fp_audit(
+        ray.data.from_arrow(t).repartition(5),
+        "user_id",
+        "is_member",
+        m_log2=m_log2,
+    ).to_pandas()
+    assert (
+        int(out["n_tested"][0]),
+        int(out["n_pass"][0]),
+        int(out["n_true"][0]),
+        int(out["n_fp"][0]),
+    ) == (n, n_pass, n_true, n_pass - n_true)
+    assert int(out["n_fp"][0]) > 0  # tiny filter must show real FPs
