@@ -8370,6 +8370,21 @@ def q_bloom_fp_audit(sf_dir: str):
     return bloom_fp_audit(ds, "user_id", "is_member", m_log2=10)
 
 
+def q_rolling_actives(sf_dir: str):
+    """Exact 7-day rolling distinct users per observed day
+    (:func:`cloudtile_ray.stages.events.rolling_active_users`): the
+    window-distinct a naive rolling count cannot do — per-user day
+    intervals merge (gaps-and-islands), island boundaries become
+    +1/-1 deltas folded per day, one calendar-sized running sum
+    answers every day.  No per-day distinct set ever exists."""
+    from cloudtile_ray.stages.events import rolling_active_users
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return rolling_active_users(ds, window_days=7)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8664,6 +8679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_concentration": q_revenue_concentration,
         "type_profiles": q_type_profiles,
         "bloom_fp_audit": q_bloom_fp_audit,
+        "rolling_actives": q_rolling_actives,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9106,6 +9122,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "rolling_actives": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                          CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                            AS day
+                        FROM events),
+            days AS (SELECT DISTINCT day FROM ud)
+            SELECT d.day,
+                   CAST(count(DISTINCT u.user_id) AS BIGINT)
+                     AS n_active_w
+            FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY 1""",
         "bloom_fp_audit": f"""
             WITH mults AS (SELECT * FROM (VALUES {bloom_mult_rows})
                            m(j, mult)),

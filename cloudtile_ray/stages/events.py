@@ -2545,3 +2545,130 @@ def day_churn(ds) -> "ray.data.Dataset":
         return t.append_column("n_churned", pa.array((act - ret).astype(np.int64)))
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def rolling_active_users(ds, window_days: int = 7) -> "ray.data.Dataset":
+    """EXACT rolling-window distinct users — for every observed
+    activity day ``d``, how many distinct users were active in
+    ``[d - window + 1, d]``.  The window-distinct a naive rolling count
+    cannot do (users repeat across days).  Per user, each active day
+    contributes the day-interval ``[day, day + window)``; overlapping
+    intervals merge (the gaps-and-islands kernel), so the user counts
+    ONCE toward every day in the union — then island boundaries become
+    +1/-1 deltas, deltas fold per DAY through one bucketed exchange,
+    and the running sum over the CALENDAR-SIZED delta list answers
+    every observed day via one searchsorted.  No per-day distinct sets
+    ever exist anywhere."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    nb = _n_user_buckets(ds)
+    W = np.int64(window_days)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        out = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pa.array(ts // 86_400_000_000),
+            }
+        )
+        return _add_user_bucket(out, nb)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "delta": pa.array([], pa.int64()),
+                "observed": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u_s, d_s = u[order], d[order]
+        keep = np.empty(len(u_s), dtype=bool)
+        keep[0] = True
+        keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[keep], d_s[keep]
+        n = len(u_s)
+        # island break: new user OR gap > window (interval [day, day+W))
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] >= d_s[:-1] + W)
+        isl = np.cumsum(brk) - 1
+        starts = d_s[brk]
+        ends = np.zeros(isl[-1] + 1, dtype=np.int64)
+        np.maximum.at(ends, isl, d_s + W)
+        days = np.concatenate([starts, ends])
+        deltas = np.concatenate(
+            [
+                np.ones(len(starts), dtype=np.int64),
+                -np.ones(len(ends), dtype=np.int64),
+            ]
+        )
+        # fold bucket-locally before the exchange
+        dk, inv = np.unique(days, return_inverse=True)
+        dsum = np.zeros(len(dk), dtype=np.int64)
+        np.add.at(dsum, inv, deltas)
+        # observed-day flags ride the same partial rows
+        ok, oinv = np.unique(d_s, return_inverse=True)
+        obs = np.zeros(len(ok), dtype=np.int64)
+        obs[np.unique(oinv)] = 1
+        all_days = np.union1d(dk, ok)
+        out_delta = np.zeros(len(all_days), dtype=np.int64)
+        out_delta[np.searchsorted(all_days, dk)] = dsum
+        out_obs = np.zeros(len(all_days), dtype=np.int64)
+        out_obs[np.searchsorted(all_days, ok)] = 1
+        return pa.table(
+            {
+                "day": pa.array(all_days.astype(np.int64)),
+                "delta": pa.array(out_delta),
+                "observed": pa.array(out_obs),
+            }
+        )
+
+    folded = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow"),
+        ["day"],
+        [("delta", "sum", "delta"), ("observed", "sum", "observed")],
+    ).materialize()
+    tabs = [
+        t for t in ray.get(list(folded.to_arrow_refs())) if t.num_columns
+    ]
+    empty = pa.table(
+        {
+            "day": pa.array([], pa.int64()),
+            "n_active_w": pa.array([], pa.int64()),
+        }
+    )
+    if not tabs:
+        return ray.data.from_arrow(empty)
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    day = tbl.column("day").to_numpy(zero_copy_only=False)
+    delta = tbl.column("delta").to_numpy(zero_copy_only=False)
+    obs = tbl.column("observed").to_numpy(zero_copy_only=False)
+    order = np.argsort(day, kind="stable")
+    day_s, delta_s, obs_s = day[order], delta[order], obs[order]
+    running = np.cumsum(delta_s)
+    m = obs_s > 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "day": pa.array(day_s[m]),
+                "n_active_w": pa.array(running[m]),
+            }
+        )
+    )

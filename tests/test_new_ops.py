@@ -6286,3 +6286,37 @@ def test_bloom_fp_audit_brute_force(ray_session):
         int(out["n_fp"][0]),
     ) == (n, n_pass, n_true, n_pass - n_true)
     assert int(out["n_fp"][0]) > 0  # tiny filter must show real FPs
+
+
+def test_rolling_active_users_brute_force(ray_session):
+    """Window-distinct vs a python set replay at several window sizes."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import rolling_active_users
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    u = rng.integers(0, 80, n).astype(np.int64)
+    day = rng.integers(0, 40, n).astype(np.int64)
+    ts = day * 86_400_000_000 + rng.integers(0, 86_400_000_000, n)
+    t = pa.table(
+        {"user_id": pa.array(u), "ts": pa.array(ts.astype("datetime64[us]"))}
+    )
+    for W in (1, 3, 7):
+        active = {}
+        for uu, dd in zip(u, day):
+            active.setdefault(int(dd), set()).add(int(uu))
+        want = {}
+        for d in active:
+            s = set()
+            for d2 in range(d - W + 1, d + 1):
+                s |= active.get(d2, set())
+            want[d] = len(s)
+        out = rolling_active_users(
+            ray.data.from_arrow(t).repartition(6), window_days=W
+        ).to_pandas()
+        got = {
+            int(r.day): int(r.n_active_w) for r in out.itertuples(index=False)
+        }
+        assert got == want, W
