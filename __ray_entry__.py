@@ -8128,11 +8128,10 @@ def q_hapax_stats(sf_dir: str):
             .group_by(["bg", "source"])
             .aggregate([([], "count_all")])
         )
-        import zlib
+        from cloudtile_ray.stages.util import stable_hash_strings
 
-        hb = np.array(
-            [zlib.crc32(v.encode()) % nb for v in g.column("bg").to_pylist()],
-            dtype=np.int64,
+        hb = (stable_hash_strings(g.column("bg")) % np.uint64(nb)).astype(
+            np.int64
         )
         return pa.table(
             {
@@ -8218,9 +8217,19 @@ def q_revenue_concentration(sf_dir: str):
         ["o_custkey"],
         [("cents", "sum", "rev")],
     ).materialize()
-    tbl = pa.concat_tables(
-        [t for t in ray.get(list(per_cust.to_arrow_refs())) if t.num_columns]
-    ).combine_chunks()
+    tabs = [
+        t for t in ray.get(list(per_cust.to_arrow_refs())) if t.num_columns
+    ]
+    tbl = (
+        pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "rev": pa.array([], pa.int64()),
+            }
+        )
+    )
     rev = tbl.column("rev").to_numpy(zero_copy_only=False).astype(np.int64)
     ck = tbl.column("o_custkey").to_numpy(zero_copy_only=False)
     order = np.lexsort((ck, -rev))

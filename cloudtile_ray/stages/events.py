@@ -2256,9 +2256,18 @@ def rank_u_statistic(ds, type_a: str, type_b: str) -> "ray.data.Dataset":
         ["c"],
         [("na", "sum", "na"), ("nb", "sum", "nb")],
     ).materialize()
-    tbl = pa.concat_tables(
-        [t for t in ray.get(list(hist.to_arrow_refs())) if t.num_columns]
-    ).combine_chunks()
+    tabs = [t for t in ray.get(list(hist.to_arrow_refs())) if t.num_columns]
+    tbl = (
+        pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else pa.table(
+            {
+                "c": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64()),
+            }
+        )
+    )
     c = tbl.column("c").to_numpy(zero_copy_only=False)
     na = tbl.column("na").to_numpy(zero_copy_only=False)
     nb = tbl.column("nb").to_numpy(zero_copy_only=False)
@@ -2382,9 +2391,18 @@ def histogram_drift(
         ["bin"],
         [("na", "sum", "na"), ("nb", "sum", "nb")],
     ).materialize()
-    tbl = pa.concat_tables(
-        [t for t in ray.get(list(hist.to_arrow_refs())) if t.num_columns]
-    ).combine_chunks()
+    tabs = [t for t in ray.get(list(hist.to_arrow_refs())) if t.num_columns]
+    tbl = (
+        pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else pa.table(
+            {
+                "bin": pa.array([], pa.int64()),
+                "na": pa.array([], pa.int64()),
+                "nb": pa.array([], pa.int64()),
+            }
+        )
+    )
     na = tbl.column("na").to_numpy(zero_copy_only=False).astype(np.int64)
     nb = tbl.column("nb").to_numpy(zero_copy_only=False).astype(np.int64)
     NA, NB = int(na.sum()), int(nb.sum())
@@ -2451,9 +2469,14 @@ def user_accretion(ds) -> "ray.data.Dataset":
     per_day = first_day.map_batches(
         day_counts, batch_format="pyarrow"
     ).materialize()
-    tbl = pa.concat_tables(
-        [t for t in ray.get(list(per_day.to_arrow_refs())) if t.num_columns]
-    ).combine_chunks()
+    tabs = [t for t in ray.get(list(per_day.to_arrow_refs())) if t.num_columns]
+    tbl = (
+        pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else pa.table(
+            {"day": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+        )
+    )
     d = tbl.column("day").to_numpy(zero_copy_only=False)
     n = tbl.column("n").to_numpy(zero_copy_only=False)
     d_s, inv = np.unique(d, return_inverse=True)
@@ -2608,7 +2631,9 @@ def rolling_active_users(ds, window_days: int = 7) -> "ray.data.Dataset":
         brk[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] >= d_s[:-1] + W)
         isl = np.cumsum(brk) - 1
         starts = d_s[brk]
-        ends = np.zeros(isl[-1] + 1, dtype=np.int64)
+        # init to int64 min, NOT zero: pre-epoch activity days are
+        # negative and a zero floor would clamp their island ends
+        ends = np.full(isl[-1] + 1, np.iinfo(np.int64).min, dtype=np.int64)
         np.maximum.at(ends, isl, d_s + W)
         days = np.concatenate([starts, ends])
         deltas = np.concatenate(
@@ -2622,9 +2647,7 @@ def rolling_active_users(ds, window_days: int = 7) -> "ray.data.Dataset":
         dsum = np.zeros(len(dk), dtype=np.int64)
         np.add.at(dsum, inv, deltas)
         # observed-day flags ride the same partial rows
-        ok, oinv = np.unique(d_s, return_inverse=True)
-        obs = np.zeros(len(ok), dtype=np.int64)
-        obs[np.unique(oinv)] = 1
+        ok = np.unique(d_s)
         all_days = np.union1d(dk, ok)
         out_delta = np.zeros(len(all_days), dtype=np.int64)
         out_delta[np.searchsorted(all_days, dk)] = dsum

@@ -326,13 +326,18 @@ def media_dedup(ds) -> "ray.data.Dataset":
     payload bytes collapse to one representative (lowest ``media_id``),
     with the copy count and payload size per survivor.
 
-    The content key is an 8-byte BLAKE2b digest computed per payload in
-    the map stage — per-item hashing is inherent to variable-length
-    binary rows (no vectorized kernel exists), but only ~8 hash bytes +
-    2 int64s per row ever reach the exchange, never the payloads
-    themselves, so at 100 TB the shuffle moves digests, not media.  One
-    digest-bucket exchange; the bucket kernel is Arrow C++ group_by
-    (min/count), no per-group Python."""
+    The content key is the FULL 16-byte BLAKE2b digest computed per
+    payload in the map stage — per-item hashing is inherent to
+    variable-length binary rows (no vectorized kernel exists), but only
+    digest bytes + 2 int64s per row ever reach the exchange, never the
+    payloads, so at 100 TB the shuffle moves digests, not media.  The
+    grouping key is the digest BYTES (128-bit): a truncated 63-bit key
+    would hit the birthday bound (~50% collision odds near 3.6e9
+    payloads) and silently merge distinct content; 128 bits keeps the
+    collision probability negligible at any realistic corpus size (the
+    bucket key is a 63-bit slice — a bucket collision only co-locates
+    rows, never merges them).  One digest-bucket exchange; the bucket
+    kernel is Arrow C++ group_by (min/count), no per-group Python."""
     import pyarrow.compute as pc
 
     from cloudtile_ray.stages.util import default_num_buckets
@@ -343,21 +348,22 @@ def media_dedup(ds) -> "ray.data.Dataset":
         import hashlib
 
         n = t.num_rows
-        digs = np.empty(n, dtype=np.int64)
+        digs: list[bytes] = []
+        bkt = np.empty(n, dtype=np.int64)
         sizes = np.empty(n, dtype=np.int64)
         payload = t.column("payload")
         for i in range(n):  # per-item: variable-length binary hashing
             b = payload[i].as_py()
-            digs[i] = int.from_bytes(
-                hashlib.blake2b(b, digest_size=8).digest(), "big"
-            ) >> 1  # keep non-negative in int64
+            d = hashlib.blake2b(b, digest_size=16).digest()
+            digs.append(d)
+            bkt[i] = (int.from_bytes(d[:8], "big") >> 1) % nb
             sizes[i] = len(b)
         return pa.table(
             {
-                "dig": pa.array(digs),
+                "dig": pa.array(digs, pa.binary()),
                 "media_id": t.column("media_id"),
                 "nbytes": pa.array(sizes),
-                "_bkt": pa.array(digs % nb),
+                "_bkt": pa.array(bkt),
             }
         )
 

@@ -723,8 +723,13 @@ def quantized_centroids(ds) -> "ray.data.Dataset":
         n_dims = np.diff(offs)
         if (n_dims >= DIM_CAP).any():
             raise ValueError("embedding dims exceed the packed-key cap")
-        scale = np.maximum.reduceat(np.abs(v), starts) / 127.0
-        scale = np.where(n_dims > 0, scale, 0.0)
+        # reduceat only over NON-EMPTY starts: an empty trailing vector
+        # has start == len(v), which reduceat rejects; empty vectors
+        # contribute no elements, so non-empty segments stay intact
+        nz = n_dims > 0
+        scale = np.zeros(len(starts), dtype=np.float64)
+        if nz.any():
+            scale[nz] = np.maximum.reduceat(np.abs(v), starts[nz]) / 127.0
         s_rep = np.repeat(scale, n_dims)
         with np.errstate(divide="ignore", invalid="ignore"):
             q = np.floor(v / s_rep + 0.5)

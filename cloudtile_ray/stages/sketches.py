@@ -652,8 +652,9 @@ def bloom_fp_audit(
         js, bs = [], []
         for j, m in enumerate(mults):
             h = (x.astype(np.uint64) * np.uint64(m)) >> shift
-            js.append(np.full(len(np.unique(h)), j, dtype=np.int64))
-            bs.append(np.unique(h).astype(np.int64))
+            u = np.unique(h).astype(np.int64)
+            js.append(np.full(len(u), j, dtype=np.int64))
+            bs.append(u)
         return pa.table(
             {
                 "j": pa.array(np.concatenate(js) if js else np.array([], np.int64)),

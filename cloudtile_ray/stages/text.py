@@ -1499,9 +1499,19 @@ def tfidf_topk(
     if (dfs.size_bytes() or 0) <= df_budget:
         import ray
 
-        df_tbl = pa.concat_tables(
-            [t for t in ray.get(list(dfs.to_arrow_refs())) if t.num_columns]
-        ).combine_chunks()
+        dtabs = [
+            t for t in ray.get(list(dfs.to_arrow_refs())) if t.num_columns
+        ]
+        df_tbl = (
+            pa.concat_tables(dtabs).combine_chunks()
+            if dtabs
+            else pa.table(
+                {
+                    "tk": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        )
         dref = ray.put(df_tbl)
 
         def attach_df(t: pa.Table) -> pa.Table:
@@ -1575,9 +1585,14 @@ def vocab_coverage(ds, ks=(1, 10, 100, 1000, 10000)) -> "ray.data.Dataset":
     counts = bucketed_group_aggregate(
         freqs, ["tk"], [("tf", "sum", "c")]
     ).materialize()
-    tbl = pa.concat_tables(
-        [t for t in ray.get(list(counts.to_arrow_refs())) if t.num_columns]
-    ).combine_chunks()
+    tabs = [t for t in ray.get(list(counts.to_arrow_refs())) if t.num_columns]
+    tbl = (
+        pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else pa.table(
+            {"tk": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+        )
+    )
     c = tbl.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
     idx = pc.sort_indices(
         tbl, sort_keys=[("c", "descending"), ("tk", "ascending")]

@@ -6320,3 +6320,72 @@ def test_rolling_active_users_brute_force(ray_session):
             int(r.day): int(r.n_active_w) for r in out.itertuples(index=False)
         }
         assert got == want, W
+
+
+def test_rank_u_statistic_no_matching_types(ray_session):
+    """Review fix: absent type names yield the (0, 0, 0) row, not an
+    ArrowInvalid from concat of zero gathered blocks."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import rank_u_statistic
+
+    t = pa.table(
+        {"event_type": pa.array(["x", "y"]), "value": pa.array([1.0, 2.0])}
+    )
+    out = rank_u_statistic(
+        ray.data.from_arrow(t), "purchase", "view"
+    ).to_pandas()
+    assert (
+        int(out["n_a"][0]),
+        int(out["n_b"][0]),
+        int(out["u2"][0]),
+    ) == (0, 0, 0)
+
+
+def test_rolling_active_users_negative_days(ray_session):
+    """Review fix: pre-epoch activity (negative days) must not have
+    island ends clamped to day 0."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import rolling_active_users
+
+    # user 1 active day -10; user 2 active day -2; window 3
+    ts = np.array([-10, -2], dtype=np.int64) * 86_400_000_000
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+        }
+    )
+    out = rolling_active_users(
+        ray.data.from_arrow(t), window_days=3
+    ).to_pandas()
+    got = {int(r.day): int(r.n_active_w) for r in out.itertuples(index=False)}
+    assert got == {-10: 1, -2: 1}
+
+
+def test_quantized_centroids_empty_trailing_vector(ray_session):
+    """Review fix: a zero-length embedding in the batch tail must not
+    crash the reduceat scale pass."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.similarity import quantized_centroids
+
+    t = pa.table(
+        {
+            "label": pa.array([0, 0, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0, -2.0], [0.5, 0.5], []], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = quantized_centroids(ray.data.from_arrow(t)).to_pandas()
+    got = {
+        (int(r.label), int(r.dim)): (int(r.code_sum), int(r.n_vecs))
+        for r in out.itertuples(index=False)
+    }
+    # label 0: v1 scale=2/127 -> codes (64, -127); v2 scale=.5/127 -> (127, 127)
+    assert got == {(0, 0): (64 + 127, 2), (0, 1): (-127 + 127, 2)}
