@@ -8394,6 +8394,20 @@ def q_rolling_actives(sf_dir: str):
     return rolling_active_users(ds, window_days=7)
 
 
+def q_neg_samples(sf_dir: str):
+    """Deterministic negative sampling for contrastive training
+    (:func:`cloudtile_ray.stages.similarity.hash_negative_samples`):
+    4 other-label negatives per vector, drawn from BOUNDED per-label
+    k-min-hash pools (the kmv reservoir — labels x 256 global rows at
+    any corpus size), reproducible and certified row-for-row."""
+    from cloudtile_ray.stages.similarity import hash_negative_samples
+
+    ds = _read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+    return hash_negative_samples(ds, "vec_id", "label")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8689,6 +8703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_profiles": q_type_profiles,
         "bloom_fp_audit": q_bloom_fp_audit,
         "rolling_actives": q_rolling_actives,
+        "neg_samples": q_neg_samples,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9131,6 +9146,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "neg_samples": f"""
+            WITH h AS (SELECT vec_id, label,
+                         (CAST(vec_id AS HUGEINT) * {_BLOOM_MULTS[0]})
+                           % 18446744073709551616 AS hv
+                       FROM embeddings),
+            p AS (SELECT label, vec_id, hv,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY hv, vec_id) AS rn
+                  FROM h),
+            pool AS (SELECT label, vec_id, hv FROM p WHERE rn <= 256),
+            labs AS (SELECT DISTINCT label FROM embeddings),
+            comp AS (SELECT l.label AS tgt, pl.vec_id,
+                        row_number() OVER (PARTITION BY l.label
+                            ORDER BY pl.label, pl.hv, pl.vec_id) - 1
+                          AS pos
+                     FROM labs l JOIN pool pl ON pl.label <> l.label),
+            cl AS (SELECT tgt, count(*) AS clen FROM comp GROUP BY 1),
+            q AS (SELECT h.vec_id, h.label, j.j,
+                     CAST(((h.hv % cl.clen) + j.j) % cl.clen AS BIGINT)
+                       AS pos
+                  FROM h JOIN cl ON cl.tgt = h.label
+                  CROSS JOIN (VALUES (0), (1), (2), (3)) j(j))
+            SELECT q.vec_id, CAST(q.j AS BIGINT) AS j,
+                   c.vec_id AS neg_id
+            FROM q JOIN comp c ON c.tgt = q.label AND c.pos = q.pos""",
         "rolling_actives": """
             WITH ud AS (SELECT DISTINCT user_id,
                           CAST(epoch_us(ts) AS BIGINT) // 86400000000

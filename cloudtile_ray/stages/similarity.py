@@ -758,3 +758,136 @@ def quantized_centroids(ds) -> "ray.data.Dataset":
         ["label", "dim"],
         [("code_sum", "sum", "code_sum"), ("n_vecs", "sum", "n_vecs")],
     )
+
+
+def hash_negative_samples(
+    ds,
+    id_col: str,
+    label_col: str,
+    k_neg: int = 4,
+    pool_size: int = 256,
+    mult: int = 0x9E3779B97F4A7C15,
+) -> "ray.data.Dataset":
+    """Deterministic NEGATIVE SAMPLING for contrastive training — for
+    every vector, ``k_neg`` negatives drawn from other-label examples,
+    reproducible at any parallelism and certifiable row-for-row.
+
+    The sampling pool per label is its ``pool_size`` members with the
+    smallest Knuth hash (the kmv construction — a BOUNDED, exchange-
+    computable reservoir), so the global state is labels x pool_size
+    rows no matter the corpus size; a naive "uniform over the
+    complement" would need the corpus-sized id list everywhere.  A
+    vector with label L draws from the concatenation of all OTHER
+    labels' pools, ordered by (label, pool rank): negative j =
+    ``comp[(h(id) % len + j) % len]`` — the inner mod FIRST so the
+    arithmetic never exceeds 2**64 and replays exactly in HUGEINT.
+    Output (vec_id, j, neg_id); vectors whose complement pool is empty
+    (single-label corpora) emit nothing, matching the oracle join."""
+    import pyarrow.compute as pc
+
+    if mult % 2 == 0:
+        raise ValueError("mult must be odd")
+    um = np.uint64(mult)
+
+    def pool_partial(t: pa.Table) -> pa.Table:
+        x = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (x < 0).any():
+            raise ValueError("hash_negative_samples requires non-negative ids")
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = x.astype(np.uint64) * um
+        order = np.lexsort((x, h, lab))
+        lab_s, x_s, h_s = lab[order], x[order], h[order]
+        new = np.empty(len(lab_s), dtype=bool)
+        if len(lab_s):
+            new[0] = True
+            new[1:] = lab_s[1:] != lab_s[:-1]
+        starts = np.nonzero(new)[0]
+        lens = np.diff(np.append(starts, len(lab_s)))
+        rank = np.arange(len(lab_s), dtype=np.int64) - np.repeat(starts, lens)
+        keep = rank < pool_size
+        return pa.table(
+            {
+                "label": pa.array(lab_s[keep]),
+                "vec_id": pa.array(x_s[keep]),
+                "hv": pa.array(h_s[keep].view(np.int64)),
+            }
+        )
+
+    import ray
+    import ray.data
+
+    pools = (
+        ds.map_batches(pool_partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(
+            lambda g: pool_partial(
+                pa.table(
+                    {
+                        id_col: g.column("vec_id"),
+                        label_col: g.column("label"),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    ptabs = [t for t in ray.get(list(pools.to_arrow_refs())) if t.num_columns]
+    if not ptabs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "neg_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ptbl = pa.concat_tables(ptabs).combine_chunks()
+    plab = ptbl.column("label").to_numpy(zero_copy_only=False)
+    pid = ptbl.column("vec_id").to_numpy(zero_copy_only=False)
+    phv = ptbl.column("hv").to_numpy(zero_copy_only=False).view(np.uint64)
+    order = np.lexsort((pid, phv, plab))
+    plab, pid = plab[order], pid[order]
+    labels = np.unique(plab)
+    # complement list per target label, ordered by (label, pool rank)
+    comps = {
+        int(L): pid[plab != L].copy() for L in labels
+    }
+    cref = ray.put(comps)
+
+    def draw(t: pa.Table) -> pa.Table:
+        comps_ = ray.get(cref)
+        x = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = x.astype(np.uint64) * um
+        out_v, out_j, out_n = [], [], []
+        for L in np.unique(lab):
+            comp = comps_.get(int(L))
+            if comp is None or len(comp) == 0:
+                continue
+            clen = np.uint64(len(comp))
+            m = lab == L
+            base = (h[m] % clen).astype(np.int64)
+            for j in range(k_neg):
+                pos = (base + j) % len(comp)
+                out_v.append(x[m])
+                out_j.append(np.full(int(m.sum()), j, dtype=np.int64))
+                out_n.append(comp[pos])
+        if not out_v:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "neg_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "j": pa.array(np.concatenate(out_j)),
+                "neg_id": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    return ds.map_batches(draw, batch_format="pyarrow")

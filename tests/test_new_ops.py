@@ -6389,3 +6389,52 @@ def test_quantized_centroids_empty_trailing_vector(ray_session):
     }
     # label 0: v1 scale=2/127 -> codes (64, -127); v2 scale=.5/127 -> (127, 127)
     assert got == {(0, 0): (64 + 127, 2), (0, 1): (-127 + 127, 2)}
+
+
+def test_hash_negative_samples_brute_force(ray_session):
+    """Negative sampling vs a python replay: bounded kmv pools per
+    label, complement indexing, no same-label negatives."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.similarity import hash_negative_samples
+
+    rng = np.random.default_rng(28)
+    n = 600
+    ids = rng.permutation(10_000)[:n].astype(np.int64)
+    lab = rng.integers(0, 4, n).astype(np.int64)
+    MULT = 0x9E3779B97F4A7C15
+    POOL, K = 16, 3
+    hv = {int(i): int(np.uint64(i) * np.uint64(MULT)) for i in ids}
+    pools = {}
+    for L in np.unique(lab):
+        members = sorted(
+            (int(i) for i in ids[lab == L]), key=lambda i: (hv[i], i)
+        )[:POOL]
+        pools[int(L)] = members
+    want = set()
+    for i, L in zip(ids, lab):
+        comp = [
+            v
+            for L2 in sorted(pools)
+            if L2 != int(L)
+            for v in sorted(pools[L2], key=lambda x: (hv[x], x))
+        ]
+        base = hv[int(i)] % len(comp)
+        for j in range(K):
+            want.add((int(i), j, comp[(base + j) % len(comp)]))
+    t = pa.table({"vec_id": pa.array(ids), "label": pa.array(lab)})
+    out = hash_negative_samples(
+        ray.data.from_arrow(t).repartition(5),
+        "vec_id",
+        "label",
+        k_neg=K,
+        pool_size=POOL,
+    ).to_pandas()
+    got = {
+        (int(r.vec_id), int(r.j), int(r.neg_id))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+    lab_of = {int(i): int(L) for i, L in zip(ids, lab)}
+    assert all(lab_of[v] != lab_of[ng] for v, _, ng in got)
