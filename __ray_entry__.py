@@ -8408,6 +8408,103 @@ def q_neg_samples(sf_dir: str):
     return hash_negative_samples(ds, "vec_id", "label")
 
 
+def q_coarrival_pairs(sf_dir: str):
+    """Short-window co-arrival mining
+    (:func:`cloudtile_ray.stages.events.coarrival_pairs`): ordered
+    type pairs where the second event follows the first within 60 s
+    for the same user — "A tends to precede B" counts.  Pair expansion
+    inside the user-bucket exchange (run-expansion over searchsorted
+    windows); only type-pair partials leave the bucket."""
+    from cloudtile_ray.stages.events import coarrival_pairs
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return coarrival_pairs(ds, window_us=60_000_000)
+
+
+def q_dow_profile(sf_dir: str):
+    """Robust weekly seasonality profile: per (event_type, day-of-week),
+    the LOWER MEDIAN of daily event counts plus the day count — the
+    outlier-resistant seasonal baseline an anomaly monitor compares
+    against.  Daily counts fold through one calendar x types bounded
+    exchange; the per-cell median runs over <= weeks-many values on the
+    gathered rollup (same documented calendar bound as the heatmap
+    scans).  Median = value at rank (n+1)//2, deterministic regardless
+    of tie order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pa.array(ts // 86_400_000_000),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    daily = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("one", "sum", "cnt")],
+    ).materialize()
+    tabs = [t for t in ray.get(list(daily.to_arrow_refs())) if t.num_columns]
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "dow": pa.array([], pa.int64()),
+            "median_daily": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+        }
+    )
+    if not tabs:
+        return ray.data.from_arrow(empty)
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    de = tbl.column("event_type").combine_chunks().dictionary_encode()
+    tc = de.indices.to_numpy().astype(np.int64)
+    day = tbl.column("day").to_numpy(zero_copy_only=False)
+    cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+    dow = (day + 4) % 7  # epoch day 0 = Thursday; 0 = Monday
+    key = tc * 7 + dow
+    order = np.lexsort((cnt, key))
+    k_s, c_s = key[order], cnt[order]
+    new = np.empty(len(k_s), dtype=bool)
+    new[0] = True
+    new[1:] = k_s[1:] != k_s[:-1]
+    starts = np.nonzero(new)[0]
+    lens = np.diff(np.append(starts, len(k_s)))
+    med_idx = starts + (lens - 1) // 2  # lower median, values sorted asc
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pc.take(
+                    de.dictionary, pa.array(k_s[starts] // 7)
+                ),
+                "dow": pa.array((k_s[starts] % 7).astype(np.int64)),
+                "median_daily": pa.array(c_s[med_idx].astype(np.int64)),
+                "n_days": pa.array(lens.astype(np.int64)),
+            }
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8704,6 +8801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fp_audit": q_bloom_fp_audit,
         "rolling_actives": q_rolling_actives,
         "neg_samples": q_neg_samples,
+        "coarrival_pairs": q_coarrival_pairs,
+        "dow_profile": q_dow_profile,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9146,6 +9245,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "dow_profile": """
+            WITH e AS (SELECT event_type,
+                         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+                       FROM events WHERE event_type IS NOT NULL),
+            dc AS (SELECT event_type, day, count(*) AS cnt
+                   FROM e GROUP BY 1, 2),
+            dw AS (SELECT event_type, (day + 4) % 7 AS dow, cnt FROM dc),
+            rk AS (SELECT event_type, dow, cnt,
+                      row_number() OVER (PARTITION BY event_type, dow
+                                         ORDER BY cnt) AS rn
+                   FROM dw),
+            nn AS (SELECT event_type, dow, count(*) AS m
+                   FROM dw GROUP BY 1, 2)
+            SELECT r.event_type, r.dow, r.cnt AS median_daily,
+                   CAST(n.m AS BIGINT) AS n_days
+            FROM rk r JOIN nn n
+              ON n.event_type = r.event_type AND n.dow = r.dow
+            WHERE r.rn = (n.m + 1) // 2""",
+        "coarrival_pairs": """
+            WITH e AS (SELECT user_id, event_type,
+                         CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id
+                       FROM events WHERE event_type IS NOT NULL)
+            SELECT a.event_type AS type_first,
+                   b.event_type AS type_second,
+                   count(*) AS n
+            FROM e a JOIN e b
+              ON b.user_id = a.user_id
+             AND (b.ts_us > a.ts_us
+                  OR (b.ts_us = a.ts_us AND b.event_id > a.event_id))
+             AND b.ts_us - a.ts_us <= 60000000
+             AND b.event_type <> a.event_type
+            GROUP BY 1, 2""",
         "neg_samples": f"""
             WITH h AS (SELECT vec_id, label,
                          (CAST(vec_id AS HUGEINT) * {_BLOOM_MULTS[0]})

@@ -206,7 +206,7 @@ def run_queries(sf_dir: str) -> dict:
         "basket_pairs", "value_drift", "user_accretion", "day_churn",
         "shipping_lag", "grid_adjacency", "pyramid_audit", "hapax_stats",
         "revenue_concentration", "type_profiles", "bloom_fp_audit",
-        "rolling_actives", "neg_samples",
+        "rolling_actives", "neg_samples", "coarrival_pairs", "dow_profile",
     ]
     import gc
 

@@ -2695,3 +2695,106 @@ def rolling_active_users(ds, window_days: int = 7) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def coarrival_pairs(ds, window_us: int = 60_000_000) -> "ray.data.Dataset":
+    """Short-window CO-ARRIVAL mining: ordered pairs of event types
+    where the second event follows the first within ``window_us`` for
+    the same user — the temporal-correlation primitive behind
+    "A tends to precede B" analyses.  Strict (ts, event_id) order
+    breaks simultaneous ties; same-type pairs are excluded.
+
+    Scale shape: pair expansion runs INSIDE the user-bucket exchange —
+    for each event, its successors within the window are one
+    ``searchsorted`` upper bound away (per-user segment bounds
+    clamped), and the pairs materialize with the same repeat/arange
+    run-expansion as the basket miner; per-event fan-out is bounded by
+    the user's arrival rate x window (a documented skew cap for a
+    pathological firehose user would salt by time).  Only
+    type-pair-count partials leave the bucket."""
+    import pyarrow.compute as pc
+
+    nb = _n_user_buckets(ds)
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    def part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        return _add_user_bucket(t, nb)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "type_first": pa.array([], pa.string()),
+                "type_second": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            g.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        de = g.column("event_type").combine_chunks().dictionary_encode()
+        tc = de.indices.to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u_s, ts_s, tc_s = u[order], ts[order], tc[order]
+        n = len(u_s)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = u_s[1:] != u_s[:-1]
+        starts = np.nonzero(first)[0]
+        lens = np.diff(np.append(starts, n))
+        # successors within the window, same user only: offset each
+        # user segment's times into a disjoint value range so ONE
+        # global searchsorted serves every user (the interval_union
+        # trick), with the same overflow-guarded per-segment fallback
+        seg_idx = np.repeat(np.arange(len(starts), dtype=np.int64), lens)
+        span = np.int64(ts_s.max() - ts_s.min() + window_us + 2) if n else np.int64(1)
+        base = ts_s - np.int64(ts_s.min())
+        if (len(starts) + 1) * int(span) < (1 << 62):
+            shifted = base + seg_idx * span
+            hi = np.searchsorted(shifted, shifted + window_us, side="right")
+        else:
+            # astronomically wide time domain: per-segment sweep
+            hi = np.empty(n, dtype=np.int64)
+            bounds = np.append(starts, n)
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                hi[a:b] = a + np.searchsorted(
+                    ts_s[a:b], ts_s[a:b] + window_us, side="right"
+                )
+        cnt = hi - np.arange(n, dtype=np.int64) - 1
+        cnt = np.maximum(cnt, 0)
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        excl = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        b_idx = a_idx + 1 + (
+            np.arange(int(cnt.sum()), dtype=np.int64)
+            - np.repeat(excl, cnt)
+        )
+        ta, tb = tc_s[a_idx], tc_s[b_idx]
+        keep = ta != tb
+        ta, tb = ta[keep], tb[keep]
+        ntypes = np.int64(max(len(de.dictionary), 1))
+        key = ta * ntypes + tb
+        uk, ucnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "type_first": pc.take(de.dictionary, pa.array(uk // ntypes)),
+                "type_second": pc.take(de.dictionary, pa.array(uk % ntypes)),
+                "n": pa.array(ucnt.astype(np.int64)),
+            }
+        )
+
+    folded = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("_ubkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+    return bucketed_group_aggregate(
+        folded, ["type_first", "type_second"], [("n", "sum", "n")]
+    )

@@ -6438,3 +6438,105 @@ def test_hash_negative_samples_brute_force(ray_session):
     assert got == want
     lab_of = {int(i): int(L) for i, L in zip(ids, lab)}
     assert all(lab_of[v] != lab_of[ng] for v, _, ng in got)
+
+
+def test_coarrival_pairs_brute_force(ray_session):
+    """Windowed ordered type-pair counts vs an O(n^2) python replay,
+    including equal-timestamp eid ordering and cross-user isolation."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.events import coarrival_pairs
+
+    rng = np.random.default_rng(35)
+    n = 2500
+    u = rng.integers(0, 50, n).astype(np.int64)
+    ts = rng.integers(0, 5_000, n).astype(np.int64)  # dense -> window hits
+    eid = rng.permutation(n).astype(np.int64)
+    pool = ["a", "b", "c", None]
+    types = [pool[i] for i in rng.integers(0, 4, n)]
+    W = 100
+    want = {}
+    rows = [
+        (int(uu), int(tt), int(ee), ty)
+        for uu, tt, ee, ty in zip(u, ts, eid, types)
+        if ty is not None
+    ]
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r[0], []).append(r)
+    for evs in by_user.values():
+        evs.sort(key=lambda r: (r[1], r[2]))
+        for i in range(len(evs)):
+            for j in range(i + 1, len(evs)):
+                if evs[j][1] - evs[i][1] > W:
+                    break
+                if evs[j][3] != evs[i][3]:
+                    k = (evs[i][3], evs[j][3])
+                    want[k] = want.get(k, 0) + 1
+    t = pa.table(
+        {
+            "user_id": pa.array(u),
+            "ts": pa.array(ts.astype("datetime64[us]")),
+            "event_id": pa.array(eid),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    out = coarrival_pairs(
+        ray.data.from_arrow(t).repartition(6), window_us=W
+    ).to_pandas()
+    got = {
+        (r.type_first, r.type_second): int(r.n)
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
+
+
+def test_dow_profile_brute_force(ray_session):
+    """Weekly profile vs a python replay: lower median of daily counts
+    per (type, dow)."""
+    import pyarrow as pa
+    import ray.data
+
+    from __ray_entry__ import q_dow_profile  # query-level op
+
+    rng = np.random.default_rng(61)
+    n = 4000
+    day = rng.integers(0, 60, n).astype(np.int64)
+    ts = day * 86_400_000_000 + rng.integers(0, 86_400_000_000, n)
+    pool = ["a", "b", None]
+    types = [pool[i] for i in rng.integers(0, 3, n)]
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "ts": pa.array(ts.astype("datetime64[us]")),
+                    "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+                    "event_type": pa.array(types, pa.string()),
+                    "value": pa.array(np.zeros(n)),
+                    "props": pa.array([""] * n),
+                }
+            ),
+            os.path.join(td, "events.parquet"),
+        )
+        out = q_dow_profile(td).to_pandas()
+    daily = {}
+    for dd, ty in zip(day, types):
+        if ty is None:
+            continue
+        daily[(ty, int(dd))] = daily.get((ty, int(dd)), 0) + 1
+    cells = {}
+    for (ty, dd), c in daily.items():
+        cells.setdefault((ty, (dd + 4) % 7), []).append(c)
+    want = {
+        k: (sorted(v)[(len(v) - 1) // 2], len(v)) for k, v in cells.items()
+    }
+    got = {
+        (r.event_type, int(r.dow)): (int(r.median_daily), int(r.n_days))
+        for r in out.itertuples(index=False)
+    }
+    assert got == want
