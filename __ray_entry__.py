@@ -8505,6 +8505,95 @@ def q_dow_profile(sf_dir: str):
     )
 
 
+def q_max_token_run(sf_dir: str):
+    """Per-document longest consecutive token run
+    (:func:`cloudtile_ray.stages.text.max_token_run_batch`): the
+    Gopher-style consecutive-repetition quality signal the top-token
+    frequency cannot see.  Pure map stage, zero exchanges; ties
+    (run DESC, token ASC) replayed by the SQL islands formulation."""
+    from cloudtile_ray.stages.text import max_token_run_batch
+
+    ds = _read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(max_token_run_batch, batch_format="pyarrow")
+
+
+def q_fano_factor(sf_dir: str):
+    """Burstiness audit per event type: the exact integer moments of
+    hourly counts — n_hours (hours WITH events), sum, sum of squares,
+    and the Fano numerator ``n*sum(c^2) - sum(c)^2`` (the caller
+    divides by ``n * sum`` for the index of dispersion; float division
+    cannot hash-certify, the integer moments can).  Hourly counts fold
+    through one calendar x types bounded exchange; moments fold on the
+    gathered rollup."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour": pa.array(ts // 3_600_000_000),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    hourly = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        [("one", "sum", "cnt")],
+    ).materialize()
+    tabs = [t for t in ray.get(list(hourly.to_arrow_refs())) if t.num_columns]
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_hours": pa.array([], pa.int64()),
+            "sum_c": pa.array([], pa.int64()),
+            "sum_c2": pa.array([], pa.int64()),
+            "fano_num": pa.array([], pa.int64()),
+        }
+    )
+    if not tabs:
+        return ray.data.from_arrow(empty)
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    de = tbl.column("event_type").combine_chunks().dictionary_encode()
+    tc = de.indices.to_numpy().astype(np.int64)
+    cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+    k = len(de.dictionary)
+    n_h = np.bincount(tc, minlength=k).astype(np.int64)
+    s1 = np.zeros(k, dtype=np.int64)
+    np.add.at(s1, tc, cnt)
+    s2 = np.zeros(k, dtype=np.int64)
+    np.add.at(s2, tc, cnt * cnt)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": de.dictionary,
+                "n_hours": pa.array(n_h),
+                "sum_c": pa.array(s1),
+                "sum_c2": pa.array(s2),
+                "fano_num": pa.array(n_h * s2 - s1 * s1),
+            }
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8803,6 +8892,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neg_samples": q_neg_samples,
         "coarrival_pairs": q_coarrival_pairs,
         "dow_profile": q_dow_profile,
+        "max_token_run": q_max_token_run,
+        "fano_factor": q_fano_factor,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9245,6 +9336,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "max_token_run": """
+            WITH tok AS (SELECT doc_id,
+                           unnest(string_split(text, ' ')) AS t,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS i
+                         FROM documents),
+            isl AS (SELECT doc_id, t, i,
+                       i - row_number() OVER (PARTITION BY doc_id, t
+                                              ORDER BY i) AS grp
+                    FROM tok),
+            runs AS (SELECT doc_id, t, count(*) AS rl
+                     FROM isl GROUP BY doc_id, t, grp),
+            mx AS (SELECT doc_id, t, max(rl) AS run_len
+                   FROM runs GROUP BY 1, 2)
+            SELECT doc_id, t AS tk, CAST(run_len AS BIGINT) AS run_len
+            FROM mx
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY run_len DESC, t) = 1""",
+        "fano_factor": """
+            WITH e AS (SELECT event_type,
+                         CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour
+                       FROM events WHERE event_type IS NOT NULL),
+            hc AS (SELECT event_type, hour, count(*) AS cnt
+                   FROM e GROUP BY 1, 2)
+            SELECT event_type, count(*) AS n_hours,
+                   CAST(sum(cnt) AS BIGINT) AS sum_c,
+                   CAST(sum(cnt * cnt) AS BIGINT) AS sum_c2,
+                   CAST(count(*) * sum(cnt * cnt)
+                        - sum(cnt) * sum(cnt) AS BIGINT) AS fano_num
+            FROM hc GROUP BY 1""",
         "dow_profile": """
             WITH e AS (SELECT event_type,
                          CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day

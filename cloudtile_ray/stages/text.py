@@ -1612,3 +1612,67 @@ def vocab_coverage(ds, ks=(1, 10, 100, 1000, 10000)) -> "ray.data.Dataset":
             }
         )
     )
+
+
+def max_token_run_batch(batch: pa.Table) -> pa.Table:
+    """Per-document LONGEST CONSECUTIVE RUN of one token — the
+    Gopher-style consecutive-repetition quality signal the plain
+    top-token frequency (:func:`token_repetition_batch`) cannot see
+    ("the the the" vs three spread-out "the"s).  Emits (doc_id, tk,
+    run_len) with ties broken (run_len DESC, tk ASC), matching the SQL
+    islands replay bit-for-bit.
+
+    Vectorized: one split + dictionary_encode, run boundaries =
+    code-change OR doc-boundary flags, run lengths by diff over
+    boundary indices, per-(doc, tk) max then per-doc argmax — all
+    numpy segment ops, stateless per batch (a doc sits in one row)."""
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    lens = pc.list_value_length(toks).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy().astype(np.int64)
+    n = len(codes)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "tk": pa.array([], pa.string()),
+            "run_len": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    brk = np.empty(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = (codes[1:] != codes[:-1]) | (doc_idx[1:] != doc_idx[:-1])
+    starts = np.nonzero(brk)[0]
+    run_len = np.diff(np.append(starts, n))
+    run_doc = doc_idx[starts]
+    run_code = codes[starts]
+    vocab = np.int64(max(len(de.dictionary), 1))
+    # per-(doc, tk) max run
+    key = run_doc * vocab + run_code
+    uk, inv = np.unique(key, return_inverse=True)
+    mx = np.zeros(len(uk), dtype=np.int64)
+    np.maximum.at(mx, inv, run_len)
+    # per-doc argmax by (run_len DESC, tk ASC): tk order via the SORTED
+    # dictionary rank, not the encounter-order code
+    tk_arr = pc.take(de.dictionary, pa.array(uk % vocab))
+    rank = pc.rank(tk_arr, sort_keys="ascending", tiebreaker="dense")
+    tkrank = rank.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((tkrank, -mx, uk // vocab))
+    d_s = (uk // vocab)[order]
+    first = np.empty(len(d_s), dtype=bool)
+    first[0] = True
+    first[1:] = d_s[1:] != d_s[:-1]
+    pick = order[first]
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[(uk // vocab)[pick]]),
+            "tk": pc.take(de.dictionary, pa.array(uk[pick] % vocab)),
+            "run_len": pa.array(mx[pick]),
+        }
+    )

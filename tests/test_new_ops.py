@@ -6540,3 +6540,46 @@ def test_dow_profile_brute_force(ray_session):
         for r in out.itertuples(index=False)
     }
     assert got == want
+
+
+def test_max_token_run_brute_force(ray_session):
+    """Longest consecutive run vs a python replay, incl. tie-breaks."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.text import max_token_run_batch
+
+    docs = {
+        0: "a a a b b c",
+        1: "b a a b b z",          # tie run 2: 'a' wins alphabetically
+        2: "z z z z",
+        3: "q",
+        4: "m n m n m n",          # all runs length 1, 'm' wins
+    }
+    want = {}
+    for d, text in docs.items():
+        toks = text.split(" ")
+        runs = {}
+        i = 0
+        while i < len(toks):
+            j = i
+            while j < len(toks) and toks[j] == toks[i]:
+                j += 1
+            runs[toks[i]] = max(runs.get(toks[i], 0), j - i)
+            i = j
+        best = sorted(runs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        want[d] = (best[0], best[1])
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values())),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .repartition(2)
+        .map_batches(max_token_run_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    got = {int(r.doc_id): (r.tk, int(r.run_len)) for r in out.itertuples(index=False)}
+    assert got == want
