@@ -8594,6 +8594,101 @@ def q_fano_factor(sf_dir: str):
     )
 
 
+def q_order_backlog(sf_dir: str):
+    """Peak order BACKLOG per priority: each order is open over
+    [order day, last ship day]; output the maximum number of
+    simultaneously-open orders per priority and the first day the peak
+    is hit — the fulfillment-capacity planning number.  Pure operator
+    REUSE: the spans feed :func:`cloudtile_ray.stages.events.peak_concurrency`
+    (the sweep kernel is unit-agnostic — day numbers ride the int
+    lane), with last-ship folding + the byte-gated order attach shared
+    with shipping_lag."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray
+
+    from cloudtile_ray.stages.events import peak_concurrency
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    li = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        sd = (
+            t.column("l_shipdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ship_day": pa.array(sd // 86_400_000_000),
+            }
+        )
+
+    last_ship = bucketed_group_aggregate(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("ship_day", "max", "last_ship_day")],
+    )
+    ot = _pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    od = (
+        ot.column("o_orderdate")
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+        // 86_400_000_000
+    )
+    lut = pa.table(
+        {
+            "o_orderkey": ot.column("o_orderkey"),
+            "o_day": pa.array(od),
+            "o_orderpriority": ot.column("o_orderpriority"),
+        }
+    ).combine_chunks()
+    lref = ray.put(lut)
+
+    def spans(t: pa.Table) -> pa.Table:
+        lt = ray.get(lref)
+        idx = pc.index_in(
+            t.column("l_orderkey").combine_chunks(),
+            value_set=lt.column("o_orderkey"),
+        )
+        o_day = pc.take(lt.column("o_day"), idx).to_numpy(
+            zero_copy_only=False
+        )
+        last = t.column("last_ship_day").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": pc.take(lt.column("o_orderpriority"), idx),
+                "s_us": pa.array(o_day.astype(np.int64)),
+                # closed interval [o_day, last_ship] -> half-open +1
+                "e_us": pa.array((last + 1).astype(np.int64)),
+            }
+        )
+
+    out = peak_concurrency(
+        last_ship.map_batches(spans, batch_format="pyarrow"),
+        chunk_us=32,  # day-granular spans: 32-day chunks
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderpriority": t.column("event_type"),
+                "peak_open": t.column("peak"),
+                "first_peak_day": t.column("first_peak_us"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8894,6 +8989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_profile": q_dow_profile,
         "max_token_run": q_max_token_run,
         "fano_factor": q_fano_factor,
+        "order_backlog": q_order_backlog,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9336,6 +9432,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "order_backlog": """
+            WITH ls AS (SELECT l_orderkey,
+                          max(CAST(epoch_us(l_shipdate) AS BIGINT)
+                              // 86400000000) AS last_ship_day
+                        FROM lineitem GROUP BY 1),
+            spans AS (SELECT o.o_orderpriority,
+                         CAST(epoch_us(o.o_orderdate) AS BIGINT)
+                           // 86400000000 AS s,
+                         ls.last_ship_day + 1 AS e
+                      FROM ls JOIN orders o
+                        ON o.o_orderkey = ls.l_orderkey),
+            bounds AS (SELECT o_orderpriority, s AS t, 1 AS d FROM spans
+                       UNION ALL
+                       SELECT o_orderpriority, e, -1 FROM spans),
+            run AS (SELECT o_orderpriority, t,
+                       sum(d) OVER (PARTITION BY o_orderpriority
+                           ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS c
+                    FROM bounds),
+            pk AS (SELECT o_orderpriority, max(c) AS peak
+                   FROM run GROUP BY 1)
+            SELECT r.o_orderpriority, CAST(p.peak AS BIGINT) AS peak_open,
+                   min(r.t) AS first_peak_day
+            FROM run r JOIN pk p
+              ON r.o_orderpriority = p.o_orderpriority AND r.c = p.peak
+            GROUP BY 1, 2""",
         "max_token_run": """
             WITH tok AS (SELECT doc_id,
                            unnest(string_split(text, ' ')) AS t,

@@ -207,7 +207,7 @@ def run_queries(sf_dir: str) -> dict:
         "shipping_lag", "grid_adjacency", "pyramid_audit", "hapax_stats",
         "revenue_concentration", "type_profiles", "bloom_fp_audit",
         "rolling_actives", "neg_samples", "coarrival_pairs", "dow_profile",
-        "max_token_run", "fano_factor",
+        "max_token_run", "fano_factor", "order_backlog",
     ]
     import gc
 
