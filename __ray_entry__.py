@@ -8689,6 +8689,84 @@ def q_order_backlog(sf_dir: str):
     )
 
 
+def q_tile_uncompact(sf_dir: str):
+    """Compact -> uncompact ROUND TRIP
+    (:func:`cloudtile_ray.stages.tiles.uncompact_tiles`): the mixed-zoom
+    cover from tile_compact expands back to level-6 cells; the oracle
+    is simply the distinct occupied z6 set — certifying that the pair
+    of operators is a true inverse on real data (H3
+    compact/uncompactCells contract).  The expansion is a pure map
+    stage (repeat/arange fan-out), zero exchanges past the compact."""
+    from cloudtile_ray.stages.index import AssignTiles
+    from cloudtile_ray.stages.tiles import compact_tiles, uncompact_tiles
+
+    ds = (
+        _geo_only(sf_dir)
+        .map_batches(AssignTiles(6, 6), batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["x", "y"]), batch_format="pyarrow")
+    )
+    return uncompact_tiles(compact_tiles(ds, 6), 6)
+
+
+def q_multigrain_actives(sf_dir: str):
+    """Distinct active users at three calendar grains (day / ISO-week /
+    30-day month bucket) in ONE logical pass
+    (:func:`cloudtile_ray.stages.relational.grouped_distinct_count`
+    over the exploded grain keys): the dashboard rollup that usually
+    runs three separate count-distinct jobs.  Each event emits three
+    (grain, period) keys map-side; one pair-dedup exchange serves all
+    grains."""
+    import pyarrow as pa
+
+    from cloudtile_ray.stages.relational import grouped_distinct_count
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        day = ts // 86_400_000_000
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(u)
+        # grain encoded in the period key: grain * 2**40 + period
+        G = np.int64(1) << np.int64(40)
+        keys = np.concatenate(
+            [0 * G + day, 1 * G + day // 7, 2 * G + day // 30]
+        )
+        return pa.table(
+            {
+                "gp": pa.array(keys),
+                "user_id": pa.array(np.tile(u, 3)),
+            }
+        )
+
+    out = grouped_distinct_count(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        "gp",
+        "user_id",
+        out_name="n_users",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        gp = t.column("gp").to_numpy(zero_copy_only=False)
+        G = np.int64(1) << np.int64(40)
+        return pa.table(
+            {
+                "grain": pa.array((gp // G).astype(np.int64)),
+                "period": pa.array((gp % G).astype(np.int64)),
+                "n_users": t.column("n_users"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -8990,6 +9068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_token_run": q_max_token_run,
         "fano_factor": q_fano_factor,
         "order_backlog": q_order_backlog,
+        "tile_uncompact": q_tile_uncompact,
+        "multigrain_actives": q_multigrain_actives,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9432,6 +9512,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "tile_uncompact": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
+            SELECT DISTINCT {_TILE_X} AS x, {_TILE_Y} AS y
+            FROM geo, (VALUES (6)) zs(z)""",
+        "multigrain_actives": """
+            WITH e AS (SELECT user_id,
+                         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+                       FROM events),
+            x AS (SELECT CAST(0 AS BIGINT) AS grain, day AS period,
+                         user_id FROM e
+                  UNION ALL
+                  SELECT 1, day // 7, user_id FROM e
+                  UNION ALL
+                  SELECT 2, day // 30, user_id FROM e)
+            SELECT grain, period,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM x GROUP BY 1, 2""",
         "order_backlog": """
             WITH ls AS (SELECT l_orderkey,
                           max(CAST(epoch_us(l_shipdate) AS BIGINT)

@@ -702,3 +702,48 @@ def compact_tiles(ds, z: int) -> "ray.data.Dataset":
     return ray.data.from_arrow(
         compact(pa.concat_tables(tabs).combine_chunks())
     )
+
+
+def uncompact_tiles(ds, z: int) -> "ray.data.Dataset":
+    """INVERSE of :func:`compact_tiles` — expand a mixed-zoom cover
+    back to the full set of level-``z`` cells it covers (H3
+    uncompactCells / S2 CellUnion.Denormalize).  Input rows
+    ``(z, x, y)`` with cell zoom <= z; each cell at zoom zz explodes
+    into its ``4**(z-zz)`` descendants — a pure vectorized map stage
+    (repeat/arange fan-out per zoom group), no exchange at all: the
+    cover streams and each block expands independently."""
+    if not 1 <= z <= 10:
+        raise ValueError("uncompact_tiles supports z in [1, 10]")
+
+    def expand(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        zz = t.column("z").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        if (zz > z).any() or (zz < 0).any():
+            raise ValueError("cover cells must have zoom in [0, z]")
+        out_x, out_y = [], []
+        for lvl in np.unique(zz):
+            m = zz == lvl
+            f = np.int64(1) << np.int64(z - lvl)
+            # descendants: (x*f + dx, y*f + dy) for dx, dy in [0, f)
+            dx = np.repeat(np.arange(f, dtype=np.int64), f)
+            dy = np.tile(np.arange(f, dtype=np.int64), int(f))
+            out_x.append(
+                (np.repeat(x[m] * f, int(f * f)) + np.tile(dx, int(m.sum())))
+            )
+            out_y.append(
+                (np.repeat(y[m] * f, int(f * f)) + np.tile(dy, int(m.sum())))
+            )
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate(out_x)),
+                "y": pa.array(np.concatenate(out_y)),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow")

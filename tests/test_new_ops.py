@@ -6583,3 +6583,27 @@ def test_max_token_run_brute_force(ray_session):
     )
     got = {int(r.doc_id): (r.tk, int(r.run_len)) for r in out.itertuples(index=False)}
     assert got == want
+
+
+def test_uncompact_inverts_compact(ray_session):
+    """compact -> uncompact round trip returns exactly the input set."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.tiles import compact_tiles, uncompact_tiles
+
+    rng = np.random.default_rng(73)
+    z = 5
+    xs, ys = np.meshgrid(np.arange(8, 16), np.arange(16, 24))
+    cells = {(int(a), int(b)) for a, b in zip(xs.ravel(), ys.ravel())}
+    cells |= {
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 32, 40), rng.integers(0, 32, 40))
+    }
+    arr = np.array(sorted(cells), dtype=np.int64)
+    t = pa.table({"x": pa.array(arr[:, 0]), "y": pa.array(arr[:, 1])})
+    cover = compact_tiles(ray.data.from_arrow(t).repartition(4), z)
+    out = uncompact_tiles(cover, z).to_pandas()
+    got = {(int(r.x), int(r.y)) for r in out.itertuples(index=False)}
+    assert got == cells
+    assert len(out) == len(cells)  # no duplicates either
