@@ -8767,6 +8767,65 @@ def q_multigrain_actives(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def q_ivm_hourly(sf_dir: str):
+    """Incremental view maintenance, demonstrated as an operator: the
+    hourly (type, hour) count/cents view is built as BASE aggregate
+    (event_id % 5 != 0) merged with a DELTA aggregate (event_id % 5 ==
+    0) — two independent partial views combined by key-wise addition,
+    certified against the oracle's full recompute.  This is the
+    decomposability contract every aggregate in this engine relies on,
+    made explicit: a production delta batch would merge into a stored
+    base without re-reading it.  The merge itself is the standard
+    map-side-folded bucket exchange over the UNION of the two partial
+    views — no driver-side join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((eid % 5 == 0).astype(np.int64)),
+                "event_type": t.column("event_type"),
+                "hour": pa.array(ts // 3_600_000_000),
+                "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "cents": pa.array(cents),
+            }
+        )
+
+    # both partial views materialize as distinct (part, key) rows of ONE
+    # tagged aggregate — base and delta never mix before the merge fold
+    views = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["part", "event_type", "hour"],
+        [("n", "sum", "n"), ("cents", "sum", "sum_cents")],
+    )
+    # key-wise merge of the partial views; a stored base view would
+    # enter this fold as a parquet read instead
+    return bucketed_group_aggregate(
+        views,
+        ["event_type", "hour"],
+        [("n", "sum", "n"), ("sum_cents", "sum", "sum_cents")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9070,6 +9129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_backlog": q_order_backlog,
         "tile_uncompact": q_tile_uncompact,
         "multigrain_actives": q_multigrain_actives,
+        "ivm_hourly": q_ivm_hourly,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9512,6 +9572,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "ivm_hourly": """
+            SELECT event_type,
+                   CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY 1, 2""",
         "tile_uncompact": f"""{f'WITH {PAGES_SQL_CTE.strip()}'}
             SELECT DISTINCT {_TILE_X} AS x, {_TILE_Y} AS y
             FROM geo, (VALUES (6)) zs(z)""",
