@@ -8826,6 +8826,97 @@ def q_ivm_hourly(sf_dir: str):
     )
 
 
+def q_region_share(sf_dir: str):
+    """Percent-of-parent hierarchy rollup: exact revenue cents per
+    nation alongside its region's total — the numerator/denominator
+    pair of the share-of-parent report (the float share is one
+    division away; the integer pair hash-certifies).  Customer ->
+    nation -> region attaches via one broadcast dimension lookup (the
+    dimensions are small by definition); revenue folds map-side
+    through one nation-sized exchange, and region totals fold from
+    the nation rollup driver-side (25-row bound)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = _pq.read_table(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = _pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    cref = ray.put(cust.combine_chunks())
+
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        idx = pc.index_in(
+            t.column("o_custkey").combine_chunks(),
+            value_set=c.column("c_custkey"),
+        )
+        nk = pc.take(c.column("c_nationkey"), idx)
+        cents = np.rint(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"nk": nk, "cents": pa.array(cents)})
+
+    per_nation = bucketed_group_aggregate(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["nk"],
+        [("cents", "sum", "nation_cents")],
+    ).materialize()
+    tabs = [
+        t for t in ray.get(list(per_nation.to_arrow_refs())) if t.num_columns
+    ]
+    empty = pa.table(
+        {
+            "r_name": pa.array([], pa.string()),
+            "n_name": pa.array([], pa.string()),
+            "nation_cents": pa.array([], pa.int64()),
+            "region_cents": pa.array([], pa.int64()),
+        }
+    )
+    if not tabs:
+        return ray.data.from_arrow(empty)
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    nk = tbl.column("nk").to_numpy(zero_copy_only=False)
+    nc = tbl.column("nation_cents").to_numpy(zero_copy_only=False)
+    nidx = pc.index_in(
+        pa.array(nk), value_set=nation.column("n_nationkey").combine_chunks()
+    )
+    rk = pc.take(nation.column("n_regionkey"), nidx).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_name = pc.take(nation.column("n_name"), nidx)
+    rtot = np.zeros(int(rk.max()) + 1 if len(rk) else 1, dtype=np.int64)
+    np.add.at(rtot, rk, nc)
+    ridx = pc.index_in(
+        pa.array(rk), value_set=region.column("r_regionkey").combine_chunks()
+    )
+    r_name = pc.take(region.column("r_name"), ridx)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "r_name": r_name,
+                "n_name": n_name,
+                "nation_cents": pa.array(nc.astype(np.int64)),
+                "region_cents": pa.array(rtot[rk]),
+            }
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9130,6 +9221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_uncompact": q_tile_uncompact,
         "multigrain_actives": q_multigrain_actives,
         "ivm_hourly": q_ivm_hourly,
+        "region_share": q_region_share,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9572,6 +9664,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "region_share": """
+            WITH rev AS (SELECT n.n_name, r.r_name,
+                            CAST(sum(CAST(round(o.o_totalprice * 100)
+                                          AS BIGINT)) AS BIGINT)
+                              AS nation_cents
+                         FROM orders o
+                         JOIN customer c ON c.c_custkey = o.o_custkey
+                         JOIN nation n ON n.n_nationkey = c.c_nationkey
+                         JOIN region r ON r.r_regionkey = n.n_regionkey
+                         GROUP BY 1, 2)
+            SELECT r_name, n_name, nation_cents,
+                   CAST(sum(nation_cents) OVER (PARTITION BY r_name)
+                        AS BIGINT) AS region_cents
+            FROM rev""",
         "ivm_hourly": """
             SELECT event_type,
                    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,

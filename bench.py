@@ -208,7 +208,7 @@ def run_queries(sf_dir: str) -> dict:
         "revenue_concentration", "type_profiles", "bloom_fp_audit",
         "rolling_actives", "neg_samples", "coarrival_pairs", "dow_profile",
         "max_token_run", "fano_factor", "order_backlog",
-        "tile_uncompact", "multigrain_actives", "ivm_hourly",
+        "tile_uncompact", "multigrain_actives", "ivm_hourly", "region_share",
     ]
     import gc
 
