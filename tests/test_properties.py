@@ -118,3 +118,138 @@ def test_interval_union_invariants(ray_session, rows):
                 merged.append([a, b])
         assert r.n_islands == len(merged)
         assert r.covered_us == sum(b - a for a, b in merged)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),       # user
+            st.integers(-50, 50),    # start day (incl. pre-epoch)
+            st.integers(0, 30),      # extra active days spread
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 9),               # window
+)
+def test_rolling_actives_invariants(ray_session, rows, window):
+    """Window-distinct equals the set replay for every observed day;
+    monotone in window size is NOT required, but bounds are: at least
+    the day's own actives, at most the total distinct users."""
+    import ray.data
+
+    from cloudtile_ray.stages.events import rolling_active_users
+
+    u = np.array([r[0] for r in rows], dtype=np.int64)
+    day = np.array([r[1] + (r[2] % 7) for r in rows], dtype=np.int64)
+    ts = day * 86_400_000_000
+    t = pa.table(
+        {"user_id": pa.array(u), "ts": pa.array(ts.astype("datetime64[us]"))}
+    )
+    out = rolling_active_users(
+        ray.data.from_arrow(t).repartition(3), window_days=window
+    ).to_pandas()
+    active = {}
+    for uu, dd in zip(u, day):
+        active.setdefault(int(dd), set()).add(int(uu))
+    got = {int(r.day): int(r.n_active_w) for r in out.itertuples(index=False)}
+    assert set(got) == set(active)
+    total_users = len(set(u.tolist()))
+    for d, n in got.items():
+        exact = set()
+        for d2 in range(d - window + 1, d + 1):
+            exact |= active.get(d2, set())
+        assert n == len(exact)
+        assert len(active[d]) <= n <= total_users
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 31), st.integers(0, 31)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_compact_uncompact_roundtrip_property(ray_session, cells):
+    """uncompact(compact(S)) == S for any occupied set at z=5, and the
+    cover never contains a cell whose parent is also in the cover."""
+    import ray.data
+
+    from cloudtile_ray.stages.tiles import compact_tiles, uncompact_tiles
+
+    cset = set(cells)
+    arr = np.array(sorted(cset), dtype=np.int64)
+    t = pa.table({"x": pa.array(arr[:, 0]), "y": pa.array(arr[:, 1])})
+    cover_ds = compact_tiles(ray.data.from_arrow(t).repartition(2), 5)
+    cover = cover_ds.to_pandas()
+    back = uncompact_tiles(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "z": pa.array(cover["z"].to_numpy()),
+                    "x": pa.array(cover["x"].to_numpy()),
+                    "y": pa.array(cover["y"].to_numpy()),
+                }
+            )
+        ),
+        5,
+    ).to_pandas()
+    got = {(int(r.x), int(r.y)) for r in back.itertuples(index=False)}
+    assert got == cset
+    assert len(back) == len(cset)
+    cover_set = {(int(r.z), int(r.x), int(r.y)) for r in cover.itertuples(index=False)}
+    for (z, x, y) in cover_set:
+        assert z == 0 or (z - 1, x // 2, y // 2) not in cover_set
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q", "r"]),
+            st.integers(0, 500),     # start
+            st.integers(0, 60),      # duration
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(8, 64),              # chunk size (forces combine paths)
+)
+def test_peak_concurrency_invariants(ray_session, rows, chunk):
+    """Peak equals the brute boundary walk for every type and chunking
+    choice — the associative chunk combine cannot depend on chunk_us."""
+    import ray.data
+
+    from cloudtile_ray.stages.events import peak_concurrency
+
+    et = np.array([r[0] for r in rows])
+    s = np.array([r[1] for r in rows], dtype=np.int64)
+    e = s + np.array([r[2] for r in rows], dtype=np.int64)
+    t = pa.table(
+        {"event_type": pa.array(et), "s_us": pa.array(s), "e_us": pa.array(e)}
+    )
+    out = peak_concurrency(
+        ray.data.from_arrow(t).repartition(3), chunk_us=chunk
+    ).to_pandas()
+    for tt in set(et.tolist()):
+        m = et == tt
+        bounds = sorted(
+            [(int(x), 1) for x in s[m]] + [(int(x), -1) for x in e[m]],
+            key=lambda p: (p[0], p[1]),
+        )
+        # peak = max over ROW prefixes (can be 0 when every interval is
+        # zero-length: -1 sorts before +1 at the same t, dipping below 0
+        # transiently); first = min t among rows achieving the peak —
+        # exactly the SQL max(c) + min(t) FILTER semantics
+        c = 0
+        prefixes = []
+        for tvalue, d in bounds:
+            c += d
+            prefixes.append((tvalue, c))
+        peak = max(p for _, p in prefixes)
+        first = min(tvalue for tvalue, p in prefixes if p == peak)
+        row = out[out.event_type == tt]
+        assert int(row["peak"].iloc[0]) == peak
+        assert int(row["first_peak_us"].iloc[0]) == first
