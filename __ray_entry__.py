@@ -8917,6 +8917,98 @@ def q_region_share(sf_dir: str):
     )
 
 
+def q_seasonal_anomalies(sf_dir: str):
+    """Seasonal anomaly detection: the top-5 most-deviant days per
+    event type, scored by |daily count − weekly-median baseline| —
+    composing the certified daily rollup with the dow_profile lower
+    median in ONE gathered pass (both ride the same calendar x types
+    bounded table).  Exact integers: the deviation needs no float.
+    Ties break (abs_dev DESC, day ASC)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pa.array(ts // 86_400_000_000),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    daily = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("one", "sum", "cnt")],
+    ).materialize()
+    tabs = [t for t in ray.get(list(daily.to_arrow_refs())) if t.num_columns]
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "day": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "baseline": pa.array([], pa.int64()),
+            "abs_dev": pa.array([], pa.int64()),
+        }
+    )
+    if not tabs:
+        return ray.data.from_arrow(empty)
+    tbl = pa.concat_tables(tabs).combine_chunks()
+    de = tbl.column("event_type").combine_chunks().dictionary_encode()
+    tc = de.indices.to_numpy().astype(np.int64)
+    day = tbl.column("day").to_numpy(zero_copy_only=False)
+    cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+    cell = tc * 7 + (day + 4) % 7
+    order = np.lexsort((cnt, cell))
+    c_s = cell[order]
+    new = np.empty(len(c_s), dtype=bool)
+    new[0] = True
+    new[1:] = c_s[1:] != c_s[:-1]
+    starts = np.nonzero(new)[0]
+    lens = np.diff(np.append(starts, len(c_s)))
+    med_per_cell = np.zeros(int(cell.max()) + 1, dtype=np.int64)
+    med_per_cell[c_s[starts]] = cnt[order][starts + (lens - 1) // 2]
+    baseline = med_per_cell[cell]
+    dev = np.abs(cnt - baseline)
+    # top-5 per type by (dev DESC, day ASC)
+    order2 = np.lexsort((day, -dev, tc))
+    t_s = tc[order2]
+    first = np.empty(len(t_s), dtype=bool)
+    first[0] = True
+    first[1:] = t_s[1:] != t_s[:-1]
+    tstarts = np.nonzero(first)[0]
+    tlens = np.diff(np.append(tstarts, len(t_s)))
+    rank = np.arange(len(t_s), dtype=np.int64) - np.repeat(tstarts, tlens)
+    keep = order2[rank < 5]
+    keep = np.sort(keep)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pc.take(de.dictionary, pa.array(tc[keep])),
+                "day": pa.array(day[keep]),
+                "cnt": pa.array(cnt[keep]),
+                "baseline": pa.array(baseline[keep]),
+                "abs_dev": pa.array(dev[keep]),
+            }
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9222,6 +9314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multigrain_actives": q_multigrain_actives,
         "ivm_hourly": q_ivm_hourly,
         "region_share": q_region_share,
+        "seasonal_anomalies": q_seasonal_anomalies,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9664,6 +9757,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "seasonal_anomalies": """
+            WITH e AS (SELECT event_type,
+                         CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+                       FROM events WHERE event_type IS NOT NULL),
+            dc AS (SELECT event_type, day, count(*) AS cnt
+                   FROM e GROUP BY 1, 2),
+            dw AS (SELECT event_type, day, cnt, (day + 4) % 7 AS dow
+                   FROM dc),
+            rk AS (SELECT event_type, dow, cnt,
+                      row_number() OVER (PARTITION BY event_type, dow
+                                         ORDER BY cnt) AS rn
+                   FROM dw),
+            nn AS (SELECT event_type, dow, count(*) AS m
+                   FROM dw GROUP BY 1, 2),
+            med AS (SELECT r.event_type, r.dow, r.cnt AS baseline
+                    FROM rk r JOIN nn n
+                      ON n.event_type = r.event_type AND n.dow = r.dow
+                    WHERE r.rn = (n.m + 1) // 2),
+            dev AS (SELECT d.event_type, d.day, d.cnt, m.baseline,
+                       abs(d.cnt - m.baseline) AS abs_dev
+                    FROM dw d JOIN med m
+                      ON m.event_type = d.event_type AND m.dow = d.dow)
+            SELECT event_type, day, cnt, baseline,
+                   CAST(abs_dev AS BIGINT) AS abs_dev
+            FROM dev
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY abs_dev DESC, day) <= 5""",
         "region_share": """
             WITH rev AS (SELECT n.n_name, r.r_name,
                             CAST(sum(CAST(round(o.o_totalprice * 100)

@@ -209,6 +209,7 @@ def run_queries(sf_dir: str) -> dict:
         "rolling_actives", "neg_samples", "coarrival_pairs", "dow_profile",
         "max_token_run", "fano_factor", "order_backlog",
         "tile_uncompact", "multigrain_actives", "ivm_hourly", "region_share",
+        "seasonal_anomalies",
     ]
     import gc
 
