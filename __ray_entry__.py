@@ -8424,6 +8424,114 @@ def q_coarrival_pairs(sf_dir: str):
     return coarrival_pairs(ds, window_us=60_000_000)
 
 
+def _daily_type_counts(sf_dir: str):
+    """Shared gathered daily rollup: (event_type, day, cnt) Arrow table
+    (None when empty) — one bucketed exchange + calendar x types
+    bounded gather, reused by q_dow_profile and q_seasonal_anomalies
+    so the certified rollup semantics live in one place."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from cloudtile_ray.stages.relational import bucketed_group_aggregate
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("event_type")))
+        ts = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": pa.array(ts // 86_400_000_000),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    daily = bucketed_group_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("one", "sum", "cnt")],
+    ).materialize()
+    tabs = [t for t in ray.get(list(daily.to_arrow_refs())) if t.num_columns]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs).combine_chunks()
+
+
+def q_dow_profile(sf_dir: str):
+    """Robust weekly seasonality profile: per (event_type, day-of-week),
+    the LOWER MEDIAN of daily event counts plus the day count — the
+    outlier-resistant seasonal baseline an anomaly monitor compares
+    against (see :func:`_daily_type_counts` for the shared rollup).
+    Median = value at rank (n+1)//2, deterministic regardless of tie
+    order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    tbl = _daily_type_counts(sf_dir)
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "dow": pa.array([], pa.int64()),
+            "median_daily": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+        }
+    )
+    if tbl is None:
+        return ray.data.from_arrow(empty)
+    de = tbl.column("event_type").combine_chunks().dictionary_encode()
+    tc = de.indices.to_numpy().astype(np.int64)
+    day = tbl.column("day").to_numpy(zero_copy_only=False)
+    cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+    dow = (day + 4) % 7  # epoch day 0 = Thursday; 0 = Monday
+    key = tc * 7 + dow
+    order = np.lexsort((cnt, key))
+    k_s, c_s = key[order], cnt[order]
+    new = np.empty(len(k_s), dtype=bool)
+    new[0] = True
+    new[1:] = k_s[1:] != k_s[:-1]
+    starts = np.nonzero(new)[0]
+    lens = np.diff(np.append(starts, len(k_s)))
+    med_idx = starts + (lens - 1) // 2  # lower median, values sorted asc
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pc.take(
+                    de.dictionary, pa.array(k_s[starts] // 7)
+                ),
+                "dow": pa.array((k_s[starts] % 7).astype(np.int64)),
+                "median_daily": pa.array(c_s[med_idx].astype(np.int64)),
+                "n_days": pa.array(lens.astype(np.int64)),
+            }
+        )
+    )
+
+
+def q_coarrival_pairs(sf_dir: str):
+    """Short-window co-arrival mining
+    (:func:`cloudtile_ray.stages.events.coarrival_pairs`): ordered
+    type pairs where the second event follows the first within 60 s
+    for the same user — "A tends to precede B" counts.  Pair expansion
+    inside the user-bucket exchange (run-expansion over searchsorted
+    windows); only type-pair partials leave the bucket."""
+    from cloudtile_ray.stages.events import coarrival_pairs
+
+    ds = _read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return coarrival_pairs(ds, window_us=60_000_000)
+
+
 def q_dow_profile(sf_dir: str):
     """Robust weekly seasonality profile: per (event_type, day-of-week),
     the LOWER MEDIAN of daily event counts plus the day count — the
@@ -8594,6 +8702,80 @@ def q_fano_factor(sf_dir: str):
     )
 
 
+def _attach_order_day_priority(last_ship, sf_dir: str):
+    """Attach (o_day, o_orderpriority) to an order-grain dataset —
+    byte-GATED: the orders (key, day, priority) projection broadcasts
+    while its measured bytes fit the budget; a web-scale orders table
+    exceeds it and rides the hash-partitioned join instead (both sides
+    stream).  Shared by q_shipping_lag-style attaches and
+    q_order_backlog."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray
+
+    from cloudtile_ray.stages.relational import hash_join
+
+    _GATE = 256 << 20
+    n_orders = _pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders * 24 <= _GATE:
+        ot = _pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        )
+        od = (
+            ot.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 86_400_000_000
+        )
+        lut = pa.table(
+            {
+                "o_orderkey": ot.column("o_orderkey"),
+                "o_day": pa.array(od),
+                "o_orderpriority": ot.column("o_orderpriority"),
+            }
+        ).combine_chunks()
+        lref = ray.put(lut)
+
+        def attach(t: pa.Table) -> pa.Table:
+            lt = ray.get(lref)
+            idx = pc.index_in(
+                t.column("l_orderkey").combine_chunks(),
+                value_set=lt.column("o_orderkey"),
+            )
+            return t.append_column(
+                "o_day", pc.take(lt.column("o_day"), idx)
+            ).append_column(
+                "o_orderpriority", pc.take(lt.column("o_orderpriority"), idx)
+            )
+
+        return last_ship.map_batches(attach, batch_format="pyarrow")
+    orders = _read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_day": pa.array(
+                    t.column("o_orderdate")
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .astype(np.int64)
+                    // 86_400_000_000
+                ),
+                "o_orderpriority": t.column("o_orderpriority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        last_ship, orders, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+
 def q_order_backlog(sf_dir: str):
     """Peak order BACKLOG per priority: each order is open over
     [order day, last ship day]; output the maximum number of
@@ -8634,39 +8816,14 @@ def q_order_backlog(sf_dir: str):
         ["l_orderkey"],
         [("ship_day", "max", "last_ship_day")],
     )
-    ot = _pq.read_table(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
-    )
-    od = (
-        ot.column("o_orderdate")
-        .to_numpy(zero_copy_only=False)
-        .astype("datetime64[us]")
-        .astype(np.int64)
-        // 86_400_000_000
-    )
-    lut = pa.table(
-        {
-            "o_orderkey": ot.column("o_orderkey"),
-            "o_day": pa.array(od),
-            "o_orderpriority": ot.column("o_orderpriority"),
-        }
-    ).combine_chunks()
-    lref = ray.put(lut)
+    spanned = _attach_order_day_priority(last_ship, sf_dir)
 
-    def spans(t: pa.Table) -> pa.Table:
-        lt = ray.get(lref)
-        idx = pc.index_in(
-            t.column("l_orderkey").combine_chunks(),
-            value_set=lt.column("o_orderkey"),
-        )
-        o_day = pc.take(lt.column("o_day"), idx).to_numpy(
-            zero_copy_only=False
-        )
+    def to_spans(t: pa.Table) -> pa.Table:
         last = t.column("last_ship_day").to_numpy(zero_copy_only=False)
+        o_day = t.column("o_day").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "event_type": pc.take(lt.column("o_orderpriority"), idx),
+                "event_type": t.column("o_orderpriority"),
                 "s_us": pa.array(o_day.astype(np.int64)),
                 # closed interval [o_day, last_ship] -> half-open +1
                 "e_us": pa.array((last + 1).astype(np.int64)),
@@ -8674,7 +8831,7 @@ def q_order_backlog(sf_dir: str):
         )
 
     out = peak_concurrency(
-        last_ship.map_batches(spans, batch_format="pyarrow"),
+        spanned.map_batches(to_spans, batch_format="pyarrow"),
         chunk_us=32,  # day-granular spans: 32-day chunks
     )
     return out.map_batches(
@@ -8709,8 +8866,8 @@ def q_tile_uncompact(sf_dir: str):
 
 
 def q_multigrain_actives(sf_dir: str):
-    """Distinct active users at three calendar grains (day / ISO-week /
-    30-day month bucket) in ONE logical pass
+    """Distinct active users at three calendar grains (day /
+    epoch-anchored 7-day bucket / 30-day bucket) in ONE logical pass
     (:func:`cloudtile_ray.stages.relational.grouped_distinct_count`
     over the exploded grain keys): the dashboard rollup that usually
     runs three separate count-distinct jobs.  Each event emits three
@@ -8843,9 +9000,6 @@ def q_region_share(sf_dir: str):
 
     from cloudtile_ray.stages.relational import bucketed_group_aggregate
 
-    cust = _pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
     nation = _pq.read_table(
         f"{sf_dir}/nation.parquet",
         columns=["n_nationkey", "n_name", "n_regionkey"],
@@ -8853,26 +9007,63 @@ def q_region_share(sf_dir: str):
     region = _pq.read_table(
         f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
     )
-    cref = ray.put(cust.combine_chunks())
 
     orders = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    def prep(t: pa.Table) -> pa.Table:
-        c = ray.get(cref)
-        idx = pc.index_in(
-            t.column("o_custkey").combine_chunks(),
-            value_set=c.column("c_custkey"),
-        )
-        nk = pc.take(c.column("c_nationkey"), idx)
+    def cents_col(t: pa.Table) -> pa.Table:
         cents = np.rint(
             t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        return pa.table({"nk": nk, "cents": pa.array(cents)})
+        return pa.table(
+            {"o_custkey": t.column("o_custkey"), "cents": pa.array(cents)}
+        )
+
+    oc = orders.map_batches(cents_col, batch_format="pyarrow")
+    # customer is SF-scaled, NOT a fixed-size dimension: byte-gate the
+    # broadcast; web-scale customer rides the hash-partitioned join
+    _GATE = 256 << 20
+    n_cust = _pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    if n_cust * 16 <= _GATE:
+        cust = _pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        )
+        cref = ray.put(cust.combine_chunks())
+
+        def attach_nk(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            idx = pc.index_in(
+                t.column("o_custkey").combine_chunks(),
+                value_set=c.column("c_custkey"),
+            )
+            return pa.table(
+                {
+                    "nk": pc.take(c.column("c_nationkey"), idx),
+                    "cents": t.column("cents"),
+                }
+            )
+
+        keyed = oc.map_batches(attach_nk, batch_format="pyarrow")
+    else:
+        from cloudtile_ray.stages.relational import hash_join
+
+        cust_ds = _read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"],
+        )
+        keyed = hash_join(
+            oc, cust_ds, on=("o_custkey",), right_on=("c_custkey",)
+        ).map_batches(
+            lambda t: pa.table(
+                {"nk": t.column("c_nationkey"), "cents": t.column("cents")}
+            ),
+            batch_format="pyarrow",
+        )
 
     per_nation = bucketed_group_aggregate(
-        orders.map_batches(prep, batch_format="pyarrow"),
+        keyed,
         ["nk"],
         [("cents", "sum", "nation_cents")],
     ).materialize()
@@ -8920,43 +9111,15 @@ def q_region_share(sf_dir: str):
 def q_seasonal_anomalies(sf_dir: str):
     """Seasonal anomaly detection: the top-5 most-deviant days per
     event type, scored by |daily count − weekly-median baseline| —
-    composing the certified daily rollup with the dow_profile lower
-    median in ONE gathered pass (both ride the same calendar x types
-    bounded table).  Exact integers: the deviation needs no float.
-    Ties break (abs_dev DESC, day ASC)."""
+    composing the SHARED gathered daily rollup
+    (:func:`_daily_type_counts`) with the dow_profile lower median in
+    one pass.  Exact integers: the deviation needs no float.  Ties
+    break (abs_dev DESC, day ASC)."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray
     import ray.data
 
-    from cloudtile_ray.stages.relational import bucketed_group_aggregate
-
-    ds = _read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
-    )
-
-    def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column("event_type")))
-        ts = (
-            t.column("ts")
-            .to_numpy(zero_copy_only=False)
-            .astype("datetime64[us]")
-            .astype(np.int64)
-        )
-        return pa.table(
-            {
-                "event_type": t.column("event_type"),
-                "day": pa.array(ts // 86_400_000_000),
-                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-            }
-        )
-
-    daily = bucketed_group_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow"),
-        ["event_type", "day"],
-        [("one", "sum", "cnt")],
-    ).materialize()
-    tabs = [t for t in ray.get(list(daily.to_arrow_refs())) if t.num_columns]
+    tbl = _daily_type_counts(sf_dir)
     empty = pa.table(
         {
             "event_type": pa.array([], pa.string()),
@@ -8966,9 +9129,8 @@ def q_seasonal_anomalies(sf_dir: str):
             "abs_dev": pa.array([], pa.int64()),
         }
     )
-    if not tabs:
+    if tbl is None:
         return ray.data.from_arrow(empty)
-    tbl = pa.concat_tables(tabs).combine_chunks()
     de = tbl.column("event_type").combine_chunks().dictionary_encode()
     tc = de.indices.to_numpy().astype(np.int64)
     day = tbl.column("day").to_numpy(zero_copy_only=False)
