@@ -9171,6 +9171,94 @@ def q_seasonal_anomalies(sf_dir: str):
     )
 
 
+def q_basket_lift(sf_dir: str):
+    """Association-rule LIFT for the mined basket pairs — the exact
+    integer factors of ``lift = N * n_ab / (n_a * n_b)`` per surviving
+    pair (the float lift is one division away; the factors
+    hash-certify).  Pair supports come from the same in-bucket
+    expansion as basket_pairs; per-item basket counts are a
+    vocab-sized aggregate broadcast into the pair stream (byte-gated
+    by nature — item counts are dimension-bounded); N rides parquet
+    metadata."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from cloudtile_ray.stages.relational import (
+        bucketed_group_aggregate,
+        order_item_pairs,
+    )
+
+    ds = _read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    pairs = order_item_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
+
+    # per-item DISTINCT-basket counts (vocab-sized): GLOBAL pair dedup
+    # — a batch-local dedup would double-count (order, item) pairs
+    # split across batches
+    from cloudtile_ray.stages.relational import grouped_distinct_count
+
+    item_counts = grouped_distinct_count(
+        ds, "l_partkey", "l_orderkey", out_name="n_item"
+    ).materialize()
+    tabs = [
+        t
+        for t in ray.get(list(item_counts.to_arrow_refs()))
+        if t.num_columns
+    ]
+    lut = (
+        pa.concat_tables(tabs).combine_chunks()
+        if tabs
+        else pa.table(
+            {
+                "l_partkey": pa.array([], pa.int64()),
+                "n_item": pa.array([], pa.int64()),
+            }
+        )
+    )
+    lref = ray.put(lut)
+
+    # N = distinct baskets, computed engine-side (one more bucketed
+    # distinct over keys only — the scalar the lift normalizes by)
+    n_orders_total = int(
+        bucketed_group_aggregate(
+            ds.map_batches(
+                lambda t: t.select(["l_orderkey"]), batch_format="pyarrow"
+            ),
+            ["l_orderkey"],
+            [("l_orderkey", "min", "_one")],
+        ).count()
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        lt = ray.get(lref)
+        ia = pc.index_in(
+            t.column("part_a").combine_chunks(),
+            value_set=lt.column("l_partkey"),
+        )
+        ib = pc.index_in(
+            t.column("part_b").combine_chunks(),
+            value_set=lt.column("l_partkey"),
+        )
+        na = pc.take(lt.column("n_item"), ia)
+        nb = pc.take(lt.column("n_item"), ib)
+        return pa.table(
+            {
+                "part_a": t.column("part_a"),
+                "part_b": t.column("part_b"),
+                "n_ab": t.column("n_orders"),
+                "n_a": na,
+                "n_b": nb,
+                "n_orders_total": pa.array(
+                    np.full(t.num_rows, n_orders_total, dtype=np.int64)
+                ),
+            }
+        )
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9477,6 +9565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_hourly": q_ivm_hourly,
         "region_share": q_region_share,
         "seasonal_anomalies": q_seasonal_anomalies,
+        "basket_lift": q_basket_lift,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -9919,6 +10008,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT sector, count(*) AS n_segments,
                    CAST(sum(cheb) AS BIGINT) AS cheb_len_sum
             FROM sec GROUP BY 1""",
+        "basket_lift": """
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                         count(*) AS n_ab
+                  FROM d a JOIN d b
+                    ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2 HAVING count(*) >= 2),
+            ic AS (SELECT l_partkey, count(*) AS n_item FROM d GROUP BY 1),
+            tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                      AS n FROM lineitem)
+            SELECT p.part_a, p.part_b, p.n_ab,
+                   ia.n_item AS n_a, ib.n_item AS n_b,
+                   (SELECT n FROM tot) AS n_orders_total
+            FROM p JOIN ic ia ON ia.l_partkey = p.part_a
+                   JOIN ic ib ON ib.l_partkey = p.part_b""",
         "seasonal_anomalies": """
             WITH e AS (SELECT event_type,
                          CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
