@@ -38,6 +38,7 @@ NAMES = [
     "tfidf_terms",
     "vocab_coverage",
     "source_checksums",
+    "basket_lift",
 ]
 
 
