@@ -9259,6 +9259,53 @@ def q_basket_lift(sf_dir: str):
     return pairs.map_batches(attach, batch_format="pyarrow")
 
 
+def q_media_resize_audit(sf_dir: str):
+    """Certified RESIZE plumbing (the media_histogram pattern applied
+    to the second codec stub): the actor-pool resize stage runs its
+    deterministic fake decimation (stride = in_area // out_area,
+    payload[::stride]) over SQL-replayable payloads, and the audit
+    emits pure-int64 rows (media_id, is_image, out_nbytes,
+    out_bytesum) that a DuckDB generate_series oracle reproduces
+    bit-for-bit — so the resize path (payload replacement, metadata
+    rewrite, non-image passthrough) is hash-certified despite the PIL
+    stub."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.multimodal import (
+        resize_media,
+        synthesize_media_table,
+    )
+
+    ds = ray.data.from_arrow(
+        synthesize_media_table(200, sql_replayable=True)
+    ).repartition(4)
+    resized = resize_media(ds, target_w=64, target_h=48, fake=True)
+
+    def audit(t: pa.Table) -> pa.Table:
+        mids = t.column("media_id").to_numpy(zero_copy_only=False)
+        kinds = t.column("kind").to_pylist()
+        out_n = np.empty(t.num_rows, dtype=np.int64)
+        out_s = np.empty(t.num_rows, dtype=np.int64)
+        is_img = np.empty(t.num_rows, dtype=np.int64)
+        payload = t.column("payload")
+        for i in range(t.num_rows):
+            b = np.frombuffer(payload[i].as_py(), dtype=np.uint8)
+            out_n[i] = len(b)
+            out_s[i] = int(b.astype(np.int64).sum())
+            is_img[i] = 1 if kinds[i] == "image" else 0
+        return pa.table(
+            {
+                "media_id": pa.array(mids.astype(np.int64)),
+                "is_image": pa.array(is_img),
+                "out_nbytes": pa.array(out_n),
+                "out_bytesum": pa.array(out_s),
+            }
+        )
+
+    return resized.map_batches(audit, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9566,6 +9613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_share": q_region_share,
         "seasonal_anomalies": q_seasonal_anomalies,
         "basket_lift": q_basket_lift,
+        "media_resize_audit": q_media_resize_audit,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -12919,6 +12967,23 @@ def oracle_sql() -> dict[str, str]:
         # (multimodal.synthesize_media_table sql_replayable mode) and the
         # 16-wide byte binning in pure integer SQL — certifies the
         # actor-pool multimodal plumbing despite the codec stubs
+        "media_resize_audit": """
+            WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
+                              64 + CAST(i AS BIGINT) % 128 AS plen,
+                              CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+                                AS is_image
+                       FROM generate_series(0, 199) t(i)),
+            b AS (SELECT m.media_id, m.is_image,
+                         (m.media_id * 31 + CAST(gs.j AS BIGINT) * 7 + 13)
+                           % 256 AS byte
+                  FROM m, generate_series(0, 191) gs(j)
+                  WHERE CAST(gs.j AS BIGINT) < m.plen
+                    AND (m.is_image = 0
+                         OR CAST(gs.j AS BIGINT) % 100 = 0))
+            SELECT media_id, CAST(is_image AS BIGINT) AS is_image,
+                   count(*) AS out_nbytes,
+                   CAST(sum(byte) AS BIGINT) AS out_bytesum
+            FROM b GROUP BY 1, 2""",
         "media_histogram": """
             WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
                               64 + CAST(i AS BIGINT) % 128 AS plen

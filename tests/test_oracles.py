@@ -39,6 +39,7 @@ NAMES = [
     "vocab_coverage",
     "source_checksums",
     "basket_lift",
+    "media_resize_audit",
 ]
 
 
