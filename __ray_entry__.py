@@ -9306,6 +9306,50 @@ def q_media_resize_audit(sf_dir: str):
     return resized.map_batches(audit, batch_format="pyarrow")
 
 
+def q_media_frames_audit(sf_dir: str):
+    """Certified FRAME-SAMPLING plumbing (the third codec stub
+    hash-certified): the actor-pool one-to-many frame expansion runs
+    its deterministic fake (rotate payload by (idx*7919) % len, keep a
+    32-byte window) over SQL-replayable payloads; the audit emits
+    pure-int64 rows (media_id, frame_idx, ts_ms, frame_nbytes,
+    frame_bytesum) a generate_series oracle reproduces bit-for-bit —
+    covering the row-expansion contract, per-frame metadata, and the
+    video-only filter."""
+    import pyarrow as pa
+    import ray.data
+
+    from cloudtile_ray.stages.multimodal import (
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    ds = ray.data.from_arrow(
+        synthesize_media_table(200, sql_replayable=True)
+    ).repartition(4)
+    frames = sample_frames(ds, n_frames=4, fake=True)
+
+    def audit(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        out_n = np.empty(n, dtype=np.int64)
+        out_s = np.empty(n, dtype=np.int64)
+        fr = t.column("frame")
+        for i in range(n):
+            b = np.frombuffer(fr[i].as_py(), dtype=np.uint8)
+            out_n[i] = len(b)
+            out_s[i] = int(b.astype(np.int64).sum())
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "frame_idx": t.column("frame_idx"),
+                "ts_ms": t.column("ts_ms"),
+                "frame_nbytes": pa.array(out_n),
+                "frame_bytesum": pa.array(out_s),
+            }
+        )
+
+    return frames.map_batches(audit, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -9614,6 +9658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_anomalies": q_seasonal_anomalies,
         "basket_lift": q_basket_lift,
         "media_resize_audit": q_media_resize_audit,
+        "media_frames_audit": q_media_frames_audit,
         # rows-only (non-SQL-expressible: approximate / geometric /
         # float-iterative / stubbed codecs)
         "hll_users": q_hll_users,
@@ -12967,6 +13012,26 @@ def oracle_sql() -> dict[str, str]:
         # (multimodal.synthesize_media_table sql_replayable mode) and the
         # 16-wide byte binning in pure integer SQL — certifies the
         # actor-pool multimodal plumbing despite the codec stubs
+        "media_frames_audit": """
+            WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
+                              64 + CAST(i AS BIGINT) % 128 AS plen
+                       FROM generate_series(0, 199) t(i)
+                       WHERE i % 3 = 2),
+            f AS (SELECT m.media_id, m.plen,
+                         CAST(fj.j AS BIGINT) AS frame_idx,
+                         (CAST(fj.j AS BIGINT) * 7919) % m.plen AS off
+                  FROM m, generate_series(0, 3) fj(j)),
+            b AS (SELECT f.media_id, f.frame_idx,
+                         (f.media_id * 31
+                          + ((f.off + CAST(ts.t AS BIGINT)) % f.plen) * 7
+                          + 13) % 256 AS byte
+                  FROM f, generate_series(0, 31) ts(t)
+                  WHERE CAST(ts.t AS BIGINT) < least(32, f.plen))
+            SELECT media_id, frame_idx,
+                   frame_idx * 1250 AS ts_ms,
+                   count(*) AS frame_nbytes,
+                   CAST(sum(byte) AS BIGINT) AS frame_bytesum
+            FROM b GROUP BY 1, 2""",
         "media_resize_audit": """
             WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
                               64 + CAST(i AS BIGINT) % 128 AS plen,

@@ -40,6 +40,7 @@ NAMES = [
     "source_checksums",
     "basket_lift",
     "media_resize_audit",
+    "media_frames_audit",
 ]
 
 
